@@ -1,0 +1,55 @@
+"""Frozen parameter set for the extraction pipeline.
+
+Analog of the reference's JSON-schema-validated processor parameters
+(reference ocrd-tool.json:13-57 for ocrd-segment-repair; :287-327 for
+extract-regions ``classes``). A frozen dataclass is broadcast-safe and
+hashable, so the same instance parameterizes the oracle and the Spark
+kernels identically — a prerequisite for byte-identical output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ExtractParams:
+    """Parameters of the per-document extraction kernel.
+
+    Defaults are the frozen v1 semantics; tests pin these.
+    """
+
+    # Region classes dropped from extracted_text (boilerplate).
+    # Analog of extract-regions' ``classes`` allow-list inverted
+    # (reference extract_regions.py:72-77).
+    drop_types: tuple[str, ...] = ("nav", "header", "footer", "aside")
+
+    # Maximum link density (linked chars / total chars) for a region to
+    # survive. The north-star "link-density scoring" heuristic layer.
+    max_link_density: float = 0.5
+
+    # Minimum region text length in characters (joined tokens).
+    # Analog of min-line-length (reference extract_lines.py:194-197,
+    # ocrd-tool.json:380-399).
+    min_region_chars: int = 2
+
+    # Plausibilize: overlap fraction above which two regions merge
+    # (reference ocrd-tool.json:38-45 plausibilize_merge_min_overlap).
+    merge_min_overlap: float = 0.90
+
+    # Simplify analog: merge surviving regions whose gap in the document
+    # text is <= this many chars (reference repair.py:603-630 simplify;
+    # 0 disables). 1-D re-derivation per SURVEY.md §2.7 G9.
+    simplify_gap_tolerance: int = 0
+
+    # Spread analog: grow each surviving span into the neighbor gap by
+    # up to this many chars (reference repair.py:592-601; 0 disables).
+    spread_chars: int = 0
+
+    # Separator inserted between regions in extracted_text. Byte-identity
+    # contract lives here (reference extract_lines.py:280-283 writes
+    # trailing-newline text sinks).
+    region_separator: str = "\n"
+
+
+DEFAULT_PARAMS = ExtractParams()

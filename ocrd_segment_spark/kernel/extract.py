@@ -1,0 +1,280 @@
+"""Per-document extraction kernel — pure, frozen, deterministic.
+
+This is the web-graft analog of the reference's per-page processor
+chain (``ocrd-segment-repair`` → extract: reference repair.py:107-186
+stage order; extract_pages.py:289-376 hierarchy walk). One call = one
+document; the Spark pipeline maps it over Arrow batches
+(``mapInPandas``) and the single-process oracle maps it over a list.
+Byte-identical output between the two is guaranteed by construction:
+both import THIS function (SURVEY.md §7.2).
+
+Stages, in the reference's fixed order (repair.py:107-186):
+
+1. parse (S1)                    — ``htmlparse.parse_html``
+2. candidate regions + spans     — DOM walk; spans are token-hull spans,
+   i.e. already "shrunk to foreground" (G11 sanitize analog: the
+   text-node hull replaces the binarized-foreground hull,
+   reference repair.py:545-590)
+3. validity (G8/P6/P8)           — clamp/drop empty
+4. plausibilize (J2/J3 + G4/G14/G15) — interval decision table
+5. classify + filter (P1/P3 analogs + link-density heuristic layer)
+6. simplify (G9 gap-merge) and spread (G10), if enabled
+7. reading-order serialization (W1) + span re-offsetting (G17)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT_PARAMS, ExtractParams
+from . import intervals
+from .htmlparse import NONTEXT_TAGS, Node, parse_html
+
+# Tags that can become region candidates.
+LEAF_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li figcaption blockquote pre td th dt dd caption summary".split()
+)
+CONTAINER_TAGS = frozenset("div section article main body".split())
+CANDIDATE_TAGS = LEAF_TAGS | CONTAINER_TAGS
+
+_HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+
+def _classify(node: Node) -> str:
+    """Frozen rtype rule — analog of the region-type vocabulary
+    (reference project.py:50-65 for the 15 types; extract_pages.py:39-98
+    for the subtype colordict). Boilerplate ancestors dominate."""
+    chain = []
+    n: Node | None = node
+    while n is not None and n.tag != "#document":
+        chain.append(n.tag)
+        n = n.parent
+    for boiler in ("nav", "header", "footer", "aside"):
+        if boiler in chain:
+            return boiler
+    if node.tag == "figcaption" or "figure" in chain:
+        return "caption"
+    if node.tag in _HEADINGS:
+        return "heading"
+    if node.tag in ("li", "dt", "dd"):
+        return "list"
+    if node.tag in ("td", "th", "caption") or "table" in chain:
+        return "table"
+    if node.tag == "pre":
+        return "pre"
+    if node.tag == "blockquote":
+        return "quote"
+    return "paragraph"
+
+
+def _walk(root: Node):
+    """Single iterative DOM walk (document order). Returns
+    (tokens, tok_link, candidates) where candidates is a list of dicts
+    with tok_first/tok_last (token-index hull = G11 shrink analog),
+    depth, pre-order index, direct token count, node ref, and
+    has_candidate_desc — everything later stages need."""
+    tokens: list[str] = []
+    tok_link: list[bool] = []
+    candidates: list[dict] = []
+
+    # stack entries: [node, child_iter_index, depth, link_depth,
+    #                 tok_first, direct_tokens, cand_desc, pre_index]
+    pre_counter = 0
+    stack = [[root, 0, 0, 0, 0, 0, False, 0]]
+    while stack:
+        frame = stack[-1]
+        node, ci = frame[0], frame[1]
+        if ci < len(node.children):
+            frame[1] += 1
+            child = node.children[ci]
+            if isinstance(child, str):
+                toks = child.split()
+                if toks:
+                    in_link = frame[3] > 0
+                    tokens.extend(toks)
+                    tok_link.extend([in_link] * len(toks))
+                    frame[5] += len(toks)
+                continue
+            if child.tag in NONTEXT_TAGS:
+                continue
+            pre_counter += 1
+            stack.append(
+                [
+                    child,
+                    0,
+                    frame[2] + 1,
+                    frame[3] + (1 if child.tag == "a" else 0),
+                    len(tokens),
+                    0,
+                    False,
+                    pre_counter,
+                ]
+            )
+            continue
+        # post-order: decide candidacy
+        stack.pop()
+        node, _, depth, _, tok_first, direct, cand_desc, pre_index = frame
+        tok_last = len(tokens)
+        is_cand = False
+        if (
+            node.tag in CANDIDATE_TAGS
+            and tok_last > tok_first
+            and (not cand_desc or (direct > 0 and node.tag != "body"))
+        ):
+            is_cand = True
+            candidates.append(
+                {
+                    "node": node,
+                    "depth": depth,
+                    "tok_first": tok_first,
+                    "tok_last": tok_last,
+                    "pre_index": pre_index,
+                }
+            )
+        if stack and (is_cand or cand_desc):
+            stack[-1][6] = True
+    # post-order appended deepest-first; document (pre) order is the
+    # frozen processing order (W1 analog)
+    candidates.sort(key=lambda c: c["pre_index"])
+    return tokens, tok_link, candidates
+
+
+def extract_document(
+    html: bytes | str, params: ExtractParams = DEFAULT_PARAMS
+) -> tuple[str, list[dict], dict]:
+    """Extract main content from one HTML document.
+
+    Returns ``(extracted_text, regions, metrics)``; regions are dicts
+    with keys (region_id, rtype, subtype, start, end, parent_id,
+    order, score) — spans index into ``extracted_text`` (FIXTURES.md
+    F2 schema). Never raises on malformed input: parse failures yield
+    ``("", [], {... parse_failed: True})`` (log-and-skip discipline of
+    reference extract_pages.py:425-432)."""
+    metrics = {"parse_failed": False, "n_candidates": 0, "n_kept": 0, "n_dropped": 0}
+    tree = parse_html(html)
+    if tree is None:
+        metrics["parse_failed"] = True
+        return "", [], metrics
+
+    tokens, tok_link, candidates = _walk(tree)
+    if not candidates or not tokens:
+        return "", [], metrics
+
+    # document text + token char offsets (the 1-D coordinate frame)
+    tok_len = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    tok_start = np.zeros(len(tokens), dtype=np.int64)
+    np.cumsum(tok_len[:-1] + 1, out=tok_start[1:])
+    tok_end = tok_start + tok_len
+    doc_text = " ".join(tokens)
+    doc_len = len(doc_text)
+    tok_link_arr = np.asarray(tok_link, dtype=bool)
+    link_len = np.where(tok_link_arr, tok_len, 0)
+
+    n = len(candidates)
+    metrics["n_candidates"] = n
+    starts = np.fromiter(
+        (tok_start[c["tok_first"]] for c in candidates), dtype=np.int64, count=n
+    )
+    ends = np.fromiter(
+        (tok_end[c["tok_last"] - 1] for c in candidates), dtype=np.int64, count=n
+    )
+    depths = np.fromiter((c["depth"] for c in candidates), dtype=np.int64, count=n)
+
+    # stage 3: validity (G8/P8)
+    starts, ends, valid = intervals.ensure_valid(starts, ends, doc_len)
+
+    # stage 4: plausibilize (only among valid candidates)
+    actions = np.full(n, intervals.DELETE, dtype=np.int64)
+    vidx = np.nonzero(valid)[0]
+    if len(vidx):
+        act_v, s_v, e_v = intervals.plausibilize(
+            starts[vidx], ends[vidx], depths[vidx], params.merge_min_overlap
+        )
+        actions[vidx] = act_v
+        starts[vidx] = s_v
+        ends[vidx] = e_v
+
+    # stage 5: classify + filter survivors
+    kept: list[int] = []
+    for i in range(n):
+        if actions[i] != intervals.KEEP:
+            continue
+        rtype = _classify(candidates[i]["node"])
+        candidates[i]["rtype"] = rtype
+        if rtype in params.drop_types:
+            continue
+        s, e = int(starts[i]), int(ends[i])
+        if e - s < params.min_region_chars:
+            continue
+        # link density over the FINAL span's tokens (merges included)
+        ti = int(np.searchsorted(tok_start, s, side="left"))
+        tj = int(np.searchsorted(tok_end, e, side="right"))
+        total = int(tok_len[ti:tj].sum())
+        linked = int(link_len[ti:tj].sum())
+        density = linked / total if total else 1.0
+        if density > params.max_link_density:
+            continue
+        candidates[i]["score"] = round(1.0 - density, 6)
+        kept.append(i)
+    metrics["n_kept"] = len(kept)
+    metrics["n_dropped"] = n - len(kept)
+    if not kept:
+        return "", [], metrics
+
+    # stage 7 prep: reading order = span start (laminar ⇒ equivalent to
+    # DOM pre-order; pre_index tiebreak keeps sorts stable, W5)
+    kept.sort(key=lambda i: (int(starts[i]), candidates[i]["pre_index"]))
+    k_starts = starts[kept]
+    k_ends = ends[kept]
+
+    # stage 6: simplify (gap-merge) then spread, if enabled
+    if params.simplify_gap_tolerance > 0 and len(kept) > 1:
+        group, m_s, m_e = intervals.simplify_gap_merge(
+            k_starts, k_ends, params.simplify_gap_tolerance
+        )
+        # merged region inherits the first member's identity
+        firsts = [kept[int(np.nonzero(group == g)[0][0])] for g in range(len(m_s))]
+        kept = firsts
+        k_starts, k_ends = m_s, m_e
+    if params.spread_chars > 0:
+        k_starts, k_ends = intervals.spread(
+            k_starts, k_ends, params.spread_chars, doc_len
+        )
+
+    # stage 7: serialize in reading order; re-offset spans (G17)
+    sep = params.region_separator
+    pieces: list[str] = []
+    regions: list[dict] = []
+    cursor = 0
+    # parent_id = nearest candidate ancestor in the DOM (hierarchy info,
+    # reference extract_words.py:150-168 child→parent chains)
+    cand_by_node = {id(c["node"]): f"r{c['pre_index']:04d}" for c in candidates}
+    for out_order, i in enumerate(kept):
+        c = candidates[i]
+        s, e = int(k_starts[out_order]), int(k_ends[out_order])
+        piece = doc_text[s:e]
+        if out_order:
+            cursor += len(sep)
+        pieces.append(piece)
+        parent_id = ""
+        anc = c["node"].parent
+        while anc is not None:
+            pid = cand_by_node.get(id(anc))
+            if pid is not None:
+                parent_id = pid
+                break
+            anc = anc.parent
+        regions.append(
+            {
+                "region_id": f"r{c['pre_index']:04d}",
+                "rtype": c["rtype"],
+                "subtype": c["node"].tag,
+                "start": cursor,
+                "end": cursor + len(piece),
+                "parent_id": parent_id,
+                "order": out_order,
+                "score": c.get("score", 1.0),
+            }
+        )
+        cursor += len(piece)
+    return sep.join(pieces), regions, metrics

@@ -1,0 +1,109 @@
+"""Lenient HTML → element tree, stdlib-only.
+
+Replaces the reference's PAGE-XML deserialization (``page_from_file``,
+reference extract_pages.py:236-241) for the web graft. lxml is not
+available in this sandbox, so this is a small, deterministic tree
+builder on ``html.parser.HTMLParser`` with frozen recovery rules:
+
+- void elements never push onto the stack;
+- an end tag with no matching open tag is ignored;
+- an end tag that skips levels pops up to (and including) the match;
+- ``<p>``/``<li>`` auto-close when a new block/item starts (the two
+  most common unclosed-tag patterns), nothing fancier;
+- ``<script>/<style>/<template>/<noscript>/<head>/<title>`` subtrees are
+  excluded from text.
+
+Malformed input must never raise out of :func:`parse_html` — the
+pipeline's log-and-skip discipline mirrors the reference's
+(extract_pages.py:425-432); callers check ``tree is None``.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Subtrees whose text never reaches the document text.
+NONTEXT_TAGS = frozenset("script style template noscript head title svg".split())
+
+# Block-level tags for the auto-close heuristic.
+BLOCK_TAGS = frozenset(
+    "address article aside blockquote div dl dd dt fieldset figcaption figure "
+    "footer form h1 h2 h3 h4 h5 h6 header hr li main nav ol p pre section "
+    "table tbody td tfoot th thead tr ul".split()
+)
+
+
+class Node:
+    """One element. ``children`` holds Node and str (text) entries in
+    document order; document order is the only order the kernel uses."""
+
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs=(), parent: "Node | None" = None):
+        self.tag = tag
+        self.attrs = dict(attrs)
+        self.children: list = []
+        self.parent = parent
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<{self.tag} {len(self.children)} children>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack: list[Node] = [self.root]
+
+    # -- frozen recovery rules ------------------------------------------
+    def _auto_close(self, tag: str) -> None:
+        top = self.stack[-1].tag
+        if top == "p" and tag in BLOCK_TAGS:
+            self.stack.pop()
+        elif top == "li" and tag == "li":
+            self.stack.pop()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if len(self.stack) > 1:
+            self._auto_close(tag)
+        node = Node(tag, attrs, self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        node = Node(tag, attrs, self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # unmatched end tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: bytes | str) -> Node | None:
+    """Parse HTML bytes/str into a tree; ``None`` on undecodable/failed
+    input (counted as ``parse_failures`` by the caller). Bytes must be
+    valid UTF-8 — anything else is a parse failure by the frozen rule."""
+    if isinstance(html, (bytes, bytearray)):
+        try:
+            html = bytes(html).decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return None
+    try:
+        builder = _TreeBuilder()
+        builder.feed(html)
+        builder.close()
+        return builder.root
+    except Exception:
+        return None

@@ -1,0 +1,198 @@
+"""Spark extraction pipeline — the north-star job.
+
+``pages (url, warc_ts, html, text, lang)`` →
+``(url, extracted_text, region_spans, lineage)``
+
+Design (Spark-first, SURVEY.md §2.10):
+
+- one ``select`` before the kernel so Catalyst prunes unused columns at
+  the parquet scan (only ``url, html`` cross the Arrow boundary);
+- the whole per-document chain (parse → repair → serialize) is ONE
+  ``mapInPandas`` stage — operator fusion inside the UDF mirrors the
+  reference's single in-memory page pass (repair.py:107-186) and
+  crosses JVM↔Python exactly once per document;
+- no shuffle anywhere in the extract path: mapInPandas is a narrow
+  transformation, so 100 TB of pages = pure scan→transform→write with
+  zero exchange. Skew is irrelevant to the narrow path; for downstream
+  per-host aggregations we expose an explicit salted key
+  (``with_host_salt``);
+- Arrow batch size must be bounded because html blobs are large:
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (see
+  ``session.build_session``);
+- resume = anti-join of already-written urls (idempotent append),
+  the Iceberg-snapshot analog (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from . import KERNEL_VERSION
+from .config import DEFAULT_PARAMS, ExtractParams
+from .kernel.extract import extract_document
+
+REGION_SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("region_id", T.StringType(), False),
+            T.StructField("rtype", T.StringType(), False),
+            T.StructField("subtype", T.StringType(), False),
+            T.StructField("start", T.LongType(), False),
+            T.StructField("end", T.LongType(), False),
+            T.StructField("parent_id", T.StringType(), False),
+            T.StructField("order", T.IntegerType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+)
+
+LINEAGE_TYPE = T.StructType(
+    [
+        T.StructField("kernel_version", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("parse_failed", T.BooleanType(), False),
+        T.StructField("n_candidates", T.IntegerType(), False),
+        T.StructField("n_kept", T.IntegerType(), False),
+        T.StructField("n_dropped", T.IntegerType(), False),
+    ]
+)
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("extracted_text", T.StringType(), False),
+        T.StructField("region_spans", REGION_SPAN_TYPE, False),
+        T.StructField("lineage", LINEAGE_TYPE, False),
+    ]
+)
+
+
+def _extract_batches(params: ExtractParams):
+    """Returns the mapInPandas function. The kernel import happens at
+    module import on the worker; params is a small frozen dataclass
+    captured in the closure (broadcast via task serialization)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            texts, spans, lineages = [], [], []
+            for html in htmls:
+                text, regions, metrics = extract_document(html, params)
+                texts.append(text)
+                spans.append(
+                    [
+                        (
+                            r["region_id"],
+                            r["rtype"],
+                            r["subtype"],
+                            r["start"],
+                            r["end"],
+                            r["parent_id"],
+                            r["order"],
+                            r["score"],
+                        )
+                        for r in regions
+                    ]
+                )
+                lineages.append(
+                    (
+                        KERNEL_VERSION,
+                        pid,
+                        metrics["parse_failed"],
+                        metrics["n_candidates"],
+                        metrics["n_kept"],
+                        metrics["n_dropped"],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "extracted_text": texts,
+                    "region_spans": spans,
+                    "lineage": lineages,
+                }
+            )
+
+    return fn
+
+
+def extract_pages(df: DataFrame, params: ExtractParams = DEFAULT_PARAMS) -> DataFrame:
+    """The extraction transform. Narrow (no shuffle); input columns
+    beyond (url, html) are pruned before the Arrow boundary."""
+    return df.select("url", "html").mapInPandas(_extract_batches(params), EXTRACT_SCHEMA)
+
+
+def with_host_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Explicit skew handling for per-host downstream aggregations
+    (north_rule: 'explicit salting of skewed hosts'): host key plus a
+    deterministic salt derived from the url hash. GroupBy
+    (host, salt) → partial agg → re-agg by host turns one hot host
+    into ``n_salts`` parallel partials."""
+    return df.withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST"))
+    ).withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)).cast("int"))
+
+
+def host_metrics(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-host extraction metrics with two-phase salted aggregation
+    (A-series analog). Demonstrates the skew-safe pattern: the first
+    groupBy includes the salt (hot hosts fan out across partitions),
+    the second collapses it."""
+    salted = with_host_salt(df, n_salts)
+    partial = salted.groupBy("host", "salt").agg(
+        F.count("*").alias("pages"),
+        F.sum(F.col("lineage.n_kept").cast("long")).alias("kept"),
+        F.sum(F.col("lineage.n_dropped").cast("long")).alias("dropped"),
+        F.sum(F.col("lineage.parse_failed").cast("long")).alias("parse_failures"),
+    )
+    return partial.groupBy("host").agg(
+        F.sum("pages").alias("pages"),
+        F.sum("kept").alias("regions_kept"),
+        F.sum("dropped").alias("regions_dropped"),
+        F.sum("parse_failures").alias("parse_failures"),
+    )
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows (north_star: 'per-partition
+    lineage and extraction metrics')."""
+    return df.groupBy(F.col("lineage.partition_id").alias("partition_id")).agg(
+        F.count("*").alias("pages"),
+        F.sum(F.col("lineage.n_kept").cast("long")).alias("regions_kept"),
+        F.sum(F.col("lineage.n_dropped").cast("long")).alias("regions_dropped"),
+        F.sum(F.col("lineage.parse_failed").cast("long")).alias("parse_failures"),
+        F.first("lineage.kernel_version").alias("kernel_version"),
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    params: ExtractParams = DEFAULT_PARAMS,
+    resume: bool = True,
+) -> None:
+    """Batch run with checkpoint-resume semantics.
+
+    Resume = left_anti join of input urls against the urls already in
+    the output table (the Iceberg-snapshot analog: parquet appends are
+    atomic per file; a killed run leaves complete files only, so
+    re-running appends exactly the missing urls). Verified by
+    tests/test_resume.py kill-and-rerun."""
+    pages = spark.read.parquet(input_path)
+    if resume:
+        try:
+            done = spark.read.parquet(output_path).select("url")
+            pages = pages.join(done, "url", "left_anti")
+        except Exception:
+            pass  # no output yet → full run
+    result = extract_pages(pages, params)
+    result.write.mode("append").parquet(output_path)

@@ -1,0 +1,45 @@
+"""Session factory with the engine's scale-aware defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app: str = "ocrd_segment_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 512,
+    extra: dict | None = None,
+) -> SparkSession:
+    """Defaults chosen for the 100 TB design point, scaled to sandbox:
+
+    - AQE on (runtime coalesce + skew-join split);
+    - Arrow enabled; ``maxRecordsPerBatch`` bounded because html blobs
+      are tens-of-KB each — 512 rows ≈ tens of MB per batch, keeping
+      Python worker memory flat regardless of executor count;
+    - shuffle partitions sized to cores in local mode (a real cluster
+      would size to ~2-3× total cores and let AQE coalesce).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    cores = 32
+    if master.startswith("local[") and master[6:-1].isdigit():
+        cores = int(master[6:-1])
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,185 @@
+"""Unit tests for the frozen per-document kernel (no Spark).
+
+Covers the plausibilize decision table (reference repair.py:310-365
+re-derived for 1-D intervals), validity/consistency clamps, gap-merge
+simplify, spread, and end-to-end extract_document invariants
+(SURVEY.md §5.2 items 2 and 4)."""
+
+import numpy as np
+import pytest
+
+from ocrd_segment_spark.config import ExtractParams
+from ocrd_segment_spark.kernel import intervals as iv
+from ocrd_segment_spark.kernel.extract import extract_document
+from ocrd_segment_spark.kernel.htmlparse import parse_html
+
+
+# ---------------------------------------------------------------- intervals
+def test_ensure_valid_clamps_and_flags():
+    s, e, ok = iv.ensure_valid([-5, 10, 30, 7], [3, 5, 200, 7], doc_len=100)
+    assert s.tolist() == [0, 5, 30, 7]
+    assert e.tolist() == [3, 10, 100, 7]  # reversed span reordered
+    assert ok.tolist() == [True, True, True, False]  # zero-length invalid
+
+
+def test_ensure_consistent_clips_child_to_parent():
+    s, e = iv.ensure_consistent([5, 0], [50, 100], [10, 20], [40, 80])
+    assert s.tolist() == [10, 20] and e.tolist() == [40, 80]
+
+
+def test_iou_and_intersection():
+    assert iv.intersection_len(0, 10, 5, 15) == 5
+    assert iv.iou(0, 10, 5, 15) == pytest.approx(5 / 15)
+    assert iv.iou(0, 10, 20, 30) == 0.0
+
+
+def test_plausibilize_equal_deletes_shallower():
+    # wrapper (depth 1) and child (depth 2) with identical spans
+    act, s, e = iv.plausibilize(
+        np.array([0, 0]), np.array([10, 10]), depths=np.array([1, 2])
+    )
+    assert act.tolist() == [iv.DELETE, iv.KEEP]
+
+
+def test_plausibilize_containment_deletes_contained():
+    act, s, e = iv.plausibilize(
+        np.array([0, 2]), np.array([20, 8]), depths=np.array([1, 2])
+    )
+    assert act.tolist() == [iv.KEEP, iv.DELETE]
+
+
+def test_plausibilize_merge_on_high_overlap():
+    # overlap 9 of smaller len 10 → frac .9 is NOT > .9 but midpoint of
+    # smaller (5) lies inside larger → merge by centroid rule (G14)
+    act, s, e = iv.plausibilize(
+        np.array([0, 1]), np.array([10, 30]), depths=np.array([1, 1])
+    )
+    assert act.tolist() == [iv.MERGE_INTO, iv.KEEP]
+    assert s[1] == 0 and e[1] == 30  # larger absorbed the extent
+
+
+def test_plausibilize_split_on_low_overlap():
+    # overlap 2 of smaller len 10, midpoint outside → split smaller
+    act, s, e = iv.plausibilize(
+        np.array([0, 8]), np.array([10, 40]), depths=np.array([1, 1])
+    )
+    assert act.tolist() == [iv.KEEP, iv.KEEP]
+    assert (s[0], e[0]) == (0, 8)  # clipped at the other's start
+    assert (s[1], e[1]) == (8, 40)
+
+
+def test_plausibilize_disjoint_untouched():
+    act, s, e = iv.plausibilize(
+        np.array([0, 20]), np.array([10, 30]), depths=np.array([1, 1])
+    )
+    assert act.tolist() == [iv.KEEP, iv.KEEP]
+
+
+def test_simplify_gap_merge():
+    group, s, e = iv.simplify_gap_merge(
+        np.array([0, 12, 30]), np.array([10, 20, 40]), tolerance=2
+    )
+    assert group.tolist() == [0, 0, 1]
+    assert s.tolist() == [0, 30] and e.tolist() == [20, 40]
+
+
+def test_spread_bounded_by_neighbors():
+    s, e = iv.spread(np.array([5, 20]), np.array([10, 30]), distance=100, doc_len=50)
+    assert s.tolist() == [0, 10]  # left span grows to 0, right stops at left's end
+    assert e.tolist() == [20, 50]
+
+
+# ---------------------------------------------------------------- htmlparse
+def test_parse_recovers_unclosed_p():
+    tree = parse_html("<body><p>one<p>two</p></body>")
+    body = tree.children[0]
+    tags = [c.tag for c in body.children if not isinstance(c, str)]
+    assert tags == ["p", "p"]
+
+
+def test_parse_rejects_non_utf8():
+    assert parse_html(b"<p>ok</p>\xff\xfe\x80") is None
+
+
+def test_parse_ignores_stray_end_tags():
+    assert parse_html("</div><p>x</p></span>") is not None
+
+
+# ----------------------------------------------------------- extract_document
+def _regions_invariants(text, regions):
+    prev_end = None
+    for r in regions:
+        assert 0 <= r["start"] <= r["end"] <= len(text)
+        if prev_end is not None:
+            assert r["start"] >= prev_end  # non-overlapping, ordered
+        prev_end = r["end"]
+
+
+def test_extract_clean_article():
+    html = (
+        "<html><body><header><h1>Site</h1><nav><a href='/'>home</a></nav></header>"
+        "<main><h2>Title words</h2><p>alpha beta gamma delta</p>"
+        "<p>epsilon zeta eta</p></main>"
+        "<footer><p>copyright notice</p></footer></body></html>"
+    )
+    text, regions, m = extract_document(html)
+    assert text == "Title words\nalpha beta gamma delta\nepsilon zeta eta"
+    assert [r["rtype"] for r in regions] == ["heading", "paragraph", "paragraph"]
+    assert m["parse_failed"] is False
+    _regions_invariants(text, regions)
+    # spans slice back to their own text
+    assert text[regions[0]["start"] : regions[0]["end"]] == "Title words"
+
+
+def test_extract_drops_link_dense_blocks():
+    html = (
+        "<body><main><p><a href='/a'>one two three</a> <a href='/b'>four five</a></p>"
+        "<p>real content words here</p></main></body>"
+    )
+    text, regions, _ = extract_document(html)
+    assert text == "real content words here"
+    assert len(regions) == 1
+
+
+def test_extract_mixed_container_containment_dedup():
+    html = "<body><main><div>direct words here <p>nested paragraph words</p></div></main></body>"
+    text, regions, m = extract_document(html)
+    # div (mixed) contains p → p deleted, div survives covering both
+    assert text == "direct words here nested paragraph words"
+    assert len(regions) == 1 and regions[0]["subtype"] == "div"
+    assert m["n_candidates"] == 2 and m["n_kept"] == 1
+
+
+def test_extract_whitespace_shrink():
+    html = "<body><p>   padded     words\n\n\t inside   </p></body>"
+    text, regions, _ = extract_document(html)
+    assert text == "padded words inside"  # token hull = shrink analog
+
+
+def test_extract_parse_failure_counted():
+    text, regions, m = extract_document(b"\xff\xfe<not utf8>")
+    assert text == "" and regions == [] and m["parse_failed"] is True
+
+
+def test_extract_deterministic_and_idempotent_inputs():
+    html = "<body><main><p>a b c d e</p><div>x y <p>z w v</p></div></main></body>"
+    r1 = extract_document(html)
+    r2 = extract_document(html)
+    assert r1 == r2
+
+
+def test_extract_simplify_and_spread_params():
+    html = "<body><p>aa bb</p><p>cc dd</p></body>"
+    text0, reg0, _ = extract_document(html)
+    assert len(reg0) == 2
+    text1, reg1, _ = extract_document(
+        html, ExtractParams(simplify_gap_tolerance=5)
+    )
+    assert len(reg1) == 1  # gap of 1 char merged
+    assert text1 == "aa bb cc dd"
+
+
+def test_extract_script_style_excluded():
+    html = "<body><script>var x=1;</script><style>p{}</style><p>visible words</p></body>"
+    text, _, _ = extract_document(html)
+    assert text == "visible words"

@@ -1,0 +1,52 @@
+"""Checkpoint-resume: kill-and-rerun output == single-run output
+(BASELINE.md resumability row; SURVEY.md §5.2 item 5).
+
+The "kill" is simulated by running the job on only a prefix of the
+input (as if the run died after some partitions committed), then
+resuming over the full input. Resume must (a) not reprocess done urls,
+(b) produce exactly the single-run result set."""
+
+import os
+
+from ocrd_segment_spark.fixtures import pages_pandas
+from ocrd_segment_spark.pipeline import run_extract
+
+
+def test_resume_completes_partial_run(spark, tmp_path):
+    pdf = pages_pandas(60)
+    full_in = str(tmp_path / "pages")
+    part_in = str(tmp_path / "pages_prefix")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(pdf).write.parquet(full_in)
+    spark.createDataFrame(pdf.iloc[:25]).write.parquet(part_in)
+
+    # "crashed" run: only the first 25 urls were written
+    run_extract(spark, part_in, out, resume=True)
+    assert spark.read.parquet(out).count() == 25
+
+    # resume over the full input
+    run_extract(spark, full_in, out, resume=True)
+    resumed = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out).select("url", "extracted_text").collect()
+    }
+    assert len(resumed) == 60  # no duplicates appended
+
+    # reference: clean single run
+    out2 = str(tmp_path / "out_single")
+    run_extract(spark, full_in, out2, resume=True)
+    single = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out2).select("url", "extracted_text").collect()
+    }
+    assert resumed == single
+
+
+def test_resume_is_idempotent_noop_when_done(spark, tmp_path):
+    pdf = pages_pandas(20)
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(pdf).write.parquet(src)
+    run_extract(spark, src, out)
+    run_extract(spark, src, out)  # second run must append nothing
+    assert spark.read.parquet(out).count() == 20
