@@ -1,38 +1,144 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction job on sf0.001.
+``queries()``/``oracle_sql()`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data-pipeline operators;
+the driver cross-checks each against DuckDB at sf0.01.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ocrd_segment_spark import contract as C
+from ocrd_segment_spark import contract_ml as M
+from ocrd_segment_spark.pipeline import extract_pages
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: segment SQL-synthesized Common-Crawl-style pages with
+    the frozen kernel (boilerplate nav + link-farm dropped, heading +
+    body kept in reading order), then per-lang extraction metrics."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.expr(
+            "concat('<html><body>"
+            "<nav><ul><li><a href=\"/m\">menu one</a> <a href=\"/n\">menu two</a></li></ul></nav>"
+            "<h1>', source, '</h1>"
+            "<p><a href=\"/q\">', source, ' ', source, '</a></p>"
+            "<p>', text, '</p></body></html>')"
+        ).cast("binary").alias("html"),
+    )
+    out = extract_pages(pages)
+    joined = out.join(
+        docs.select(F.col("doc_id").cast("string").alias("url"), "lang"), "url"
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("pages"),
+        F.sum(F.col("lineage.n_kept").cast("long")).alias("regions_kept"),
+        F.sum(F.col("lineage.n_dropped").cast("long")).alias("regions_dropped"),
+        F.sum(F.col("lineage.parse_failed").cast("long")).alias("parse_failures"),
+        F.sum(F.length("extracted_text").cast("long")).alias("total_chars"),
+    )
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # extraction kernel (S1/S7/P1/P5/W1/J2/G17 composition)
+    "extract_single_para": C.q_extract_single_para,
+    "extract_boiler_reading_order": C.q_extract_boiler_reading_order,
+    "extract_containment_repair": C.q_extract_containment_repair,
+    "extract_region_spans": C.q_extract_region_spans,
+    # geometry / repair family
+    "g7_consistency_clip": C.q_g7_consistency_clip,
+    "g9_simplify_gap_merge": C.q_g9_simplify_gap_merge,
+    "j2_overlap_theta_join": C.q_j2_overlap_theta_join,
+    "j6_iou_match": C.q_j6_iou_match,
+    "plausibilize_kernel": C.q_plausibilize_kernel,
+    # windows
+    "w1_reading_order": C.q_w1_reading_order,
+    "w2_rerank_after_delete": C.q_w2_rerank_after_delete,
+    "w5_score_stable_sort": C.q_w5_score_stable_sort,
+    # joins
+    "j1_full_outer_align": C.q_j1_full_outer_align,
+    "j4_key_fallback_join": C.q_j4_key_fallback_join,
+    "j5_suffix_match_join": C.q_j5_suffix_match_join,
+    "j6_anti_semi_misses": C.q_j6_anti_semi_misses,
+    "j7_reading_order_ref_join": C.q_j7_reading_order_ref_join,
+    # aggregations
+    "a1_a2_match_stats": C.q_a1_a2_match_stats,
+    "a4_median_scale": C.q_a4_median_scale,
+    "a6_dense_ids": C.q_a6_dense_ids,
+    "a7_category_vocab": C.q_a7_category_vocab,
+    "a8_level_accounting": C.q_a8_level_accounting,
+    "s4_collect_group": C.q_s4_collect_group,
+    "a_pricing_summary": C.q_a_pricing_summary,
+    # dedup / training-data ops
+    "dedup_exact": M.q_dedup_exact,
+    "dedup_ngram_jaccard": M.q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": M.q_dedup_minhash_lsh,
+    "dedup_simhash": M.q_dedup_simhash,
+    "fingerprint_rolling": M.q_fingerprint_rolling,
+    # text analysis
+    "lang_id_heuristic": M.q_lang_id_heuristic,
+    "quality_score": M.q_quality_score,
+    "token_count": M.q_token_count,
+    # similarity search
+    "ann_cosine_topk": M.q_ann_cosine_topk,
+    "ann_lsh_buckets": M.q_ann_lsh_buckets,
+    "ann_ivf_assign": M.q_ann_ivf_assign,
+    # multimodal + event-time windows
+    "multimodal_meta": M.q_multimodal_meta,
+    "events_hourly_window": M.q_events_hourly_window,
+}
+
+_ORACLES: dict[str, str] = {
+    "extract_single_para": C.O_EXTRACT_SINGLE_PARA,
+    "extract_boiler_reading_order": C.O_EXTRACT_BOILER,
+    "extract_containment_repair": C.O_EXTRACT_CONTAINMENT,
+    "extract_region_spans": C.O_EXTRACT_SPANS,
+    "g7_consistency_clip": C.O_G7_CLIP,
+    "g9_simplify_gap_merge": C.O_G9_SIMPLIFY,
+    "j2_overlap_theta_join": C.O_J2_OVERLAP,
+    "j6_iou_match": C.O_J6_IOU,
+    "plausibilize_kernel": C.O_PLAUSIBILIZE,
+    "w1_reading_order": C.O_W1,
+    "w2_rerank_after_delete": C.O_W2,
+    "w5_score_stable_sort": C.O_W5,
+    "j1_full_outer_align": C.O_J1,
+    "j4_key_fallback_join": C.O_J4,
+    "j5_suffix_match_join": C.O_J5,
+    "j6_anti_semi_misses": C.O_J6_MISSES,
+    "j7_reading_order_ref_join": C.O_J7,
+    "a1_a2_match_stats": C.O_A1_A2,
+    "a4_median_scale": C.O_A4,
+    "a6_dense_ids": C.O_A6,
+    "a7_category_vocab": C.O_A7,
+    "a8_level_accounting": C.O_A8,
+    "s4_collect_group": C.O_S4,
+    "a_pricing_summary": C.O_PRICING,
+    "dedup_exact": M.O_DEDUP_EXACT,
+    "dedup_ngram_jaccard": M.O_DEDUP_JACCARD,
+    "dedup_minhash_lsh": M.O_DEDUP_MINHASH,
+    "dedup_simhash": M.O_DEDUP_SIMHASH,
+    "fingerprint_rolling": M.O_FINGERPRINT,
+    "lang_id_heuristic": M.O_LANG_ID,
+    "quality_score": M.O_QUALITY,
+    "token_count": M.O_TOKEN_COUNT,
+    "ann_cosine_topk": M.O_ANN_COSINE,
+    "ann_lsh_buckets": M.O_ANN_LSH,
+    "ann_ivf_assign": M.O_ANN_IVF,
+    "multimodal_meta": M.O_MULTIMODAL,
+    "events_hourly_window": M.O_EVENTS_WINDOW,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,546 @@
+"""Training-data-pipeline operators over ``documents``/``embeddings``:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+fingerprinting), similarity search (brute-force cosine top-k, LSH
+buckets, IVF assignment), text analysis (lang-id heuristic, quality
+scoring, token counting), and the multimodal binary-column stub.
+
+Everything except the multimodal stub is pure ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen) — no Python in the hot path. The hash
+primitives are implemented as explicit integer arithmetic (polynomial
+fold mod 1e9+7) so the DuckDB oracle can state the SAME computation —
+both engines fold left-to-right, so results are bit-identical.
+
+Scale notes (100 TB design point) are in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+P = 1_000_000_007
+
+# Spark-SQL fragments -------------------------------------------------------
+_TOKS = "filter(split(text, ' '), x -> x != '')"
+# polynomial string hash: fold chars left-to-right, (a*31 + ascii) mod P
+_STR_HASH = f"aggregate(split({{s}}, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % {P})"
+
+# DuckDB fragments -----------------------------------------------------------
+_D_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_D_STR_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, b) -> (a * 31 + b) % {P})"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on md5(text). At 100 TB this is the
+    cheapest dedup pass — one shuffle on a 16-byte key; partial
+    aggregation makes the map side emit one row per distinct hash per
+    partition."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies,
+       min(doc_id) AS canonical_doc
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup by word-3-gram Jaccard within (lang, length-bucket)
+    blocks. Blocking bounds the pair count — the 100 TB version uses
+    the same equi-join-on-block + pair filter shape, so Catalyst plans
+    a shuffle on the block key instead of a cross join."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars div 100 as bucket",
+        f"array_distinct(transform(sequence(0, size({_TOKS}) - 3),"
+        f" i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2]))) as sh",
+    ).filter(F.expr(f"size({_TOKS}) >= 3"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        F.round(
+            F.expr(
+                "size(array_intersect(a.sh, b.sh)) * 1.0 /"
+                " size(array_union(a.sh, b.sh))"
+            ),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+O_DEDUP_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars // 100 AS bucket, {_D_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, lang, bucket,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+_MINHASH_SIG = (
+    f"transform(sequence(0, 7), i -> array_min(transform(hs,"
+    f" h -> ((2*i + 3) * h + 5*i + 7) % {P})))"
+)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(k=8) + LSH(4 bands × 2 rows): shingle → hash → min-fold
+    signature → band values → bucket self-join on (band, value).
+    Planted exact duplicates (doc_id+100000 for doc_id%50==0) must
+    surface as candidate pairs.
+
+    Scale path: the bucket join is an equi-join on the band value —
+    shuffles only colliding docs, never all-pairs. Skewed buckets
+    (boilerplate-heavy corpora) are exactly the AQE-skew-join case."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    sh = corpus.selectExpr(
+        "doc_id",
+        f"array_distinct(transform(sequence(0, size({_TOKS}) - 3),"
+        f" i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2]))) as shingles",
+    ).filter(F.expr(f"size({_TOKS}) >= 3"))
+    hs = sh.selectExpr(
+        "doc_id",
+        "transform(shingles, s -> aggregate(split(s, ''), 0L,"
+        f" (a, c) -> (a * 31 + ascii(c)) % {P})) as hs",
+    )
+    sig = hs.selectExpr("doc_id", f"{_MINHASH_SIG} as sig")
+    bands = sig.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(0, 3), j -> sig[2*j] * {P}L + sig[2*j+1]))"
+        " as (band_idx, band_val)",
+    )
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    pairs = b1.join(
+        b2,
+        (F.col("b1.band_idx") == F.col("b2.band_idx"))
+        & (F.col("b1.band_val") == F.col("b2.band_val"))
+        & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+    )
+    return pairs.select(
+        F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2")
+    ).distinct()
+
+
+O_DEDUP_MINHASH = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+), t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM corpus
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+), hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {_D_STR_HASH.format(s="s")}) AS hs
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i -> list_min(list_transform(hs,
+           h -> ((2*i + 3) * h + 5*i + 7) % {P}))) AS sig
+  FROM hs
+), bands AS (
+  SELECT doc_id, j AS band_idx,
+         sig[2*j + 1] * {P} + sig[2*j + 2] AS band_val
+  FROM sig, range(0, 4) r(j)
+)
+SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+FROM bands b1 JOIN bands b2
+  ON b1.band_idx = b2.band_idx AND b1.band_val = b2.band_val
+ AND b1.doc_id < b2.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per document (bit-majority over token hashes).
+    Pure column math; at scale, near-dup candidates come from grouping
+    on simhash bands / hamming balls — here the fingerprint itself is
+    the verified output."""
+    d = _t(spark, sf_dir, "documents")
+    ths = d.selectExpr(
+        "doc_id",
+        f"transform({_TOKS}, t -> aggregate(split(t, ''), 0L,"
+        f" (a, c) -> (a * 31 + ascii(c)) % {P})) as ths",
+    )
+    return ths.selectExpr(
+        "doc_id",
+        "aggregate(sequence(0, 15), 0L, (acc, b) -> acc +"
+        " IF(aggregate(ths, 0L, (a, h) -> a + (shiftright(h, b) % 2) * 2 - 1) > 0,"
+        " shiftleft(1L, b), 0L)) as simhash",
+    )
+
+
+O_DEDUP_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS ths
+  FROM t
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(0, 16), b ->
+         CASE WHEN list_sum(list_transform(ths,
+                h -> ((h >> b) & 1) * 2 - 1)) > 0
+              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM hs
+"""
+
+
+def q_fingerprint_rolling(spark, sf_dir):
+    """Document fingerprint: min over word-4-gram polynomial hashes
+    (winnowing-style G-analog of A4's scale estimate — one stable
+    small fingerprint per doc)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        f"array_min(transform(sequence(0, size({_TOKS}) - 4),"
+        f" i -> aggregate(split(concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ',"
+        f" {_TOKS}[i+2], ' ', {_TOKS}[i+3]), ''), 0L,"
+        f" (a, c) -> (a * 31 + ascii(c)) % {P}))) as fingerprint",
+    ).filter(F.expr(f"size({_TOKS}) >= 4"))
+
+
+O_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS grams
+  FROM t WHERE len(toks) >= 4
+)
+SELECT doc_id,
+       list_min(list_transform(grams, s -> {_D_STR_HASH.format(s="s")})) AS fingerprint
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """Character-n-gram language-id heuristic (frequency of 'th' vs
+    'er' — an honest toy; the structure, regexp_count + argmax, is the
+    real operator) vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    pred = d.withColumn(
+        "pred_lang",
+        F.when(
+            F.expr("regexp_count(text, 'th') >= regexp_count(text, 'er')"), F.lit("en")
+        ).otherwise(F.lit("de")),
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+O_LANG_ID = """
+SELECT lang,
+       CASE WHEN len(regexp_extract_all(text, 'th')) >= len(regexp_extract_all(text, 'er'))
+            THEN 'en' ELSE 'de' END AS pred_lang,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: token count, short-token ratio, composite
+    score — all JVM-side column math."""
+    d = _t(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        f"cast(size({_TOKS}) as bigint) as n_tokens",
+        f"round(size(filter({_TOKS}, t -> length(t) <= 3)) * 1.0 / size({_TOKS}), 6)"
+        " as short_ratio",
+        f"round(0.4 * least(size({_TOKS}) / 100.0, 1.0)"
+        f" + 0.6 * (1.0 - size(filter({_TOKS}, t -> length(t) <= 3)) * 1.0 /"
+        f" size({_TOKS})), 6) as quality",
+    )
+
+
+O_QUALITY = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(len(list_filter(toks, t -> length(t) <= 3)) * 1.0 / len(toks), 6)
+         AS short_ratio,
+       round(0.4 * least(len(toks) / 100.0, 1.0)
+             + 0.6 * (1.0 - len(list_filter(toks, t -> length(t) <= 3)) * 1.0 /
+               len(toks)), 6) AS quality
+FROM t
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting per source: whitespace tokens + BPE-ish regex
+    token count (letters / digits / punctuation runs)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.expr(f"size({_TOKS})")).cast("long").alias("ws_tokens"),
+        F.sum(F.expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+O_TOKEN_COUNT = f"""
+SELECT source,
+       CAST(sum(len({_D_TOKS})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+         AS re_tokens
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for query vectors vec_id<5 — the
+    exact baseline for ANN. The candidate side streams; the query side
+    is broadcast, so the plan is a broadcast nested loop over one scan
+    (at 100 TB: q × N dot products, embarrassingly parallel, no
+    shuffle except the final per-query top-k)."""
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    q = e.filter(F.col("vec_id") < 5).selectExpr("vec_id as qid", "v as qv")
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.selectExpr(
+        "qid",
+        "vec_id as nid",
+        f"{_DOT.format(a='qv', b='v')} /"
+        f" (sqrt({_DOT.format(a='qv', b='qv')}) * sqrt({_DOT.format(a='v', b='v')}))"
+        " as cos",
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "nid", F.col("rnk").cast("long").alias("rnk"),
+                F.round("cos", 6).alias("cos"))
+    )
+
+
+_D_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+
+O_ANN_COSINE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         {_D_DOT.format(a="qv", b="v")} /
+         (sqrt({_D_DOT.format(a="qv", b="qv")}) * sqrt({_D_DOT.format(a="v", b="v")}))
+           AS cos
+  FROM e, q WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rnk
+  FROM scored
+)
+SELECT qid, nid, CAST(rnk AS BIGINT) AS rnk, round(cos, 6) AS cos
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing with deterministic integer
+    hyperplanes w(j,d) = ((j+1)*(d+7)) % 11 - 5, 4 bits. The scale
+    path for ANN: join within buckets only."""
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    b = e.selectExpr(
+        "vec_id",
+        "aggregate(sequence(0, 3), 0L, (acc, j) -> acc +"
+        " IF(aggregate(sequence(0, 63), cast(0.0 as double),"
+        "   (a, d) -> a + v[d] * cast(((j+1) * (d+7)) % 11 - 5 as double)) > 0D,"
+        " shiftleft(1L, j), 0L)) as bucket",
+    )
+    return b.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+
+
+O_ANN_LSH = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, 4), j ->
+           CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(0, 64),
+                    d -> v[d+1] * CAST(((j+1) * (d+7)) % 11 - 5 AS DOUBLE))),
+                  (x, y) -> x + y) > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM e
+)
+SELECT bucket, count(*) AS n_vectors FROM b GROUP BY bucket
+"""
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: assign every vector to its nearest of
+    8 fixed centroids (vec_id<8) by L2; cluster histogram. At scale:
+    centroids broadcast, one narrow pass, groupBy on 8 keys."""
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    c = e.filter(F.col("vec_id") < 8).selectExpr("vec_id as cid", "v as cv")
+    pairs = e.crossJoin(F.broadcast(c)).selectExpr(
+        "vec_id",
+        "cid",
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (a, t) -> a + t) as dist2",
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy(F.col("cid").alias("centroid")).agg(
+        F.count("*").alias("n_assigned")
+    )
+
+
+O_ANN_IVF = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), pairs AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+           (x, y) -> x + y) AS dist2
+  FROM e, c
+), best AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+  FROM pairs
+)
+SELECT cid AS centroid, count(*) AS n_assigned
+FROM best WHERE rn = 1 GROUP BY cid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column stub
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: an opaque binary column + typed metadata
+    extracted by a vectorized mapInPandas stage. The actual media
+    decode is STUBBED (no codec libs in this container) — the Spark
+    plumbing (binary schema, Arrow batching, UDF signature) is real
+    and verified; ``decode_image``/``decode_audio`` raise
+    NotImplementedError by design (see functions/multimodal.py)."""
+    import hashlib
+
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "cast(text as binary) as blob"
+    )
+
+    def meta(batches):
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "content_md5": blobs.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "modality": "binary-stub",
+                }
+            )
+
+    return d.mapInPandas(
+        meta, schema="doc_id long, n_bytes long, content_md5 string, modality string"
+    )
+
+
+O_MULTIMODAL = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5, 'binary-stub' AS modality
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time windowing (batch equivalent; streaming variant in streaming/)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly_window(spark, sf_dir):
+    """Tumbling event-time window (Structured-Streaming-shaped agg run
+    in batch; the readStream variant lives in streaming/extract_stream
+    and is pytest-verified with availableNow)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("wstart"),
+            "n",
+            "total",
+        )
+    )
+
+
+O_EVENTS_WINDOW = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2
+"""
