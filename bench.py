@@ -1,0 +1,116 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: extraction throughput (pages/sec) over a seeded synthetic
+pages corpus sized to the scale factor, plus the heavy contract
+queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+The N→4N scaling-efficiency evidence (north_rule) is produced by
+``tools/bench_scaling.py`` which runs the same extraction job at
+local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from ocrd_segment_spark.session import build_session
+from ocrd_segment_spark.pipeline import extract_pages
+from ocrd_segment_spark import contract as C
+from ocrd_segment_spark import contract_ml as M
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages corpus sized to scale factor: sf0.1 → 20k pages
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+N_PAGES = max(200, int(200_000 * _SF))
+PAGES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", f"pages_{N_PAGES}")
+
+
+def ensure_pages(spark) -> str:
+    if not os.path.exists(os.path.join(PAGES_DIR, "_SUCCESS")):
+        from ocrd_segment_spark.fixtures import pages_pandas
+
+        pdf = pages_pandas(N_PAGES)
+        spark.createDataFrame(pdf).repartition(CPUS * 2).write.mode("overwrite").parquet(PAGES_DIR)
+    return PAGES_DIR
+
+
+def main() -> None:
+    spark = build_session(
+        app="bench",
+        master=f"local[{CPUS}]",
+        extra={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            # testdata tables are single ~10 MB parquet files; default
+            # 128 MB split size would scan them on one core
+            "spark.sql.files.maxPartitionBytes": "4m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = ensure_pages(spark)
+
+    def bench_extract():
+        df = extract_pages(
+            spark.read.parquet(pages_path), python_parallelism=max(2, CPUS // 2)
+        )
+        # sum(length) forces full kernel execution without driver collect
+        df.agg(F.sum(F.length("extracted_text"))).collect()
+
+    # JVM-only queries first — mapInPandas stages spawn 16+ Python
+    # worker processes whose residual memory pressure inflates later
+    # JVM-side timings ~2× (measured); extraction runs last, after an
+    # untimed warmup that absorbs worker spawn + codegen.
+    heavies = {
+        "pricing_summary": lambda: C.q_a_pricing_summary(spark, SF_DIR).collect(),
+        "j2_overlap_theta_join": lambda: C.q_j2_overlap_theta_join(spark, SF_DIR).collect(),
+        "g9_simplify_gap_merge": lambda: C.q_g9_simplify_gap_merge(spark, SF_DIR).collect(),
+        "dedup_minhash_lsh": lambda: M.q_dedup_minhash_lsh(spark, SF_DIR).collect(),
+        "dedup_ngram_jaccard": lambda: M.q_dedup_ngram_jaccard(spark, SF_DIR).count(),
+        "dedup_simhash": lambda: M.q_dedup_simhash(spark, SF_DIR).count(),
+        "ann_cosine_topk": lambda: M.q_ann_cosine_topk(spark, SF_DIR).collect(),
+        "events_hourly_window": lambda: M.q_events_hourly_window(spark, SF_DIR).collect(),
+        "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
+        and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
+        "extract_pages": bench_extract,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in heavies.items():
+        if name == "extract_pages":
+            # untimed warmup: python worker spawn + codegen
+            extract_pages(
+                spark.read.parquet(pages_path).limit(1000),
+                python_parallelism=max(2, CPUS // 2),
+            ).agg(F.count("*")).collect()
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _SF,
+                "pages": N_PAGES,
+                "pages_per_sec": round(N_PAGES / timings["extract_pages"], 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

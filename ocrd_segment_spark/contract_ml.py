@@ -117,10 +117,14 @@ _MINHASH_SIG = (
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(k=8) + LSH(4 bands × 2 rows): shingle → hash → min-fold
-    signature → band values → bucket self-join on (band, value).
-    Planted exact duplicates (doc_id+100000 for doc_id%50==0) must
-    surface as candidate pairs.
+    """MinHash(k=8) + LSH(4 bands × 2 rows): token hash → composed
+    3-gram shingle hash → min-fold signature → band values → bucket
+    self-join on (band, value). Planted exact duplicates
+    (doc_id+100000 for doc_id%50==0) must surface as candidate pairs.
+
+    Perf note: each token is char-folded ONCE; shingle hashes compose
+    token hashes ((h1*131 + h2)*131 + h3 mod P) — re-folding characters
+    per shingle was 20× slower under Catalyst's interpreted lambdas.
 
     Scale path: the bucket join is an equi-join on the band value —
     shuffles only colliding docs, never all-pairs. Skewed buckets
@@ -131,15 +135,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
-    sh = corpus.selectExpr(
+    th = corpus.withColumn("toks", F.expr(_TOKS)).filter(
+        F.expr("size(toks) >= 3")
+    ).selectExpr(
         "doc_id",
-        f"array_distinct(transform(sequence(0, size({_TOKS}) - 3),"
-        f" i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2]))) as shingles",
-    ).filter(F.expr(f"size({_TOKS}) >= 3"))
-    hs = sh.selectExpr(
+        f"transform(toks, t -> {_STR_HASH.format(s='t')}) as th",
+    )
+    hs = th.selectExpr(
         "doc_id",
-        "transform(shingles, s -> aggregate(split(s, ''), 0L,"
-        f" (a, c) -> (a * 31 + ascii(c)) % {P})) as hs",
+        "array_distinct(transform(sequence(0, size(th) - 3),"
+        f" i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) as hs",
     )
     sig = hs.selectExpr("doc_id", f"{_MINHASH_SIG} as sig")
     bands = sig.selectExpr(
@@ -166,15 +171,15 @@ WITH corpus AS (
   SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
 ), t AS (
   SELECT doc_id, {_D_TOKS} AS toks FROM corpus
-), sh AS (
+), tokh AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(1, len(toks) - 1),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
   FROM t WHERE len(toks) >= 3
 ), hs AS (
   SELECT doc_id,
-         list_transform(shingles, s -> {_D_STR_HASH.format(s="s")}) AS hs
-  FROM sh
+         list_distinct(list_transform(range(1, len(th) - 1),
+           i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) AS hs
+  FROM tokh
 ), sig AS (
   SELECT doc_id,
          list_transform(range(0, 8), i -> list_min(list_transform(hs,
@@ -233,27 +238,32 @@ def q_fingerprint_rolling(spark, sf_dir):
     (winnowing-style G-analog of A4's scale estimate — one stable
     small fingerprint per doc)."""
     d = _t(spark, sf_dir, "documents")
-    return d.selectExpr(
+    return d.withColumn("toks", F.expr(_TOKS)).filter(
+        F.expr("size(toks) >= 4")
+    ).selectExpr(
         "doc_id",
-        f"array_min(transform(sequence(0, size({_TOKS}) - 4),"
-        f" i -> aggregate(split(concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ',"
-        f" {_TOKS}[i+2], ' ', {_TOKS}[i+3]), ''), 0L,"
-        f" (a, c) -> (a * 31 + ascii(c)) % {P}))) as fingerprint",
-    ).filter(F.expr(f"size({_TOKS}) >= 4"))
+        f"transform(toks, t -> {_STR_HASH.format(s='t')}) as th",
+    ).selectExpr(
+        "doc_id",
+        "array_min(transform(sequence(0, size(th) - 4),"
+        f" i -> (((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P}"
+        f" * 131 + th[i+3]) % {P})) as fingerprint",
+    )
 
 
 O_FINGERPRINT = f"""
 WITH t AS (
   SELECT doc_id, {_D_TOKS} AS toks FROM documents
-), g AS (
+), tokh AS (
   SELECT doc_id,
-         list_transform(range(1, len(toks) - 2),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS grams
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
   FROM t WHERE len(toks) >= 4
 )
 SELECT doc_id,
-       list_min(list_transform(grams, s -> {_D_STR_HASH.format(s="s")})) AS fingerprint
-FROM g
+       list_min(list_transform(range(1, len(th) - 2),
+         i -> (((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P}
+               * 131 + th[i+3]) % {P})) AS fingerprint
+FROM tokh
 """
 
 

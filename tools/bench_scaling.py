@@ -1,0 +1,162 @@
+"""N→4N scaling-efficiency evidence (BASELINE.json north_rule).
+
+A real multi-executor cluster is unavailable in this sandbox, so the
+two-cluster-size criterion is evidenced by running the IDENTICAL
+extraction job on the IDENTICAL input at two parallelism levels
+(local[N] and local[4N]) in fresh JVMs, reporting throughput at both
+plus efficiency = (pages_per_sec_4N / pages_per_sec_N) / 4.
+
+Writes BENCH/BASELINE.md. Usage: python tools/bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS = os.path.join(REPO, ".bench", "pages_100k")
+N_PAGES = 100_000
+
+
+def _gen_shard(args):
+    shard, n = args
+    from ocrd_segment_spark.fixtures import gen_pages
+
+    rows = gen_pages(n, seed=42 + shard)
+    for r in rows:
+        r["url"] = r["url"].replace("page", f"s{shard}p")
+    return rows
+
+
+def ensure_corpus() -> None:
+    if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        return
+    import pandas as pd
+
+    from ocrd_segment_spark.session import build_session
+
+    with mp.Pool(16) as p:
+        shards = p.map(_gen_shard, [(i, N_PAGES // 16) for i in range(16)])
+    pdf = pd.DataFrame([r for s in shards for r in s])
+    spark = build_session(app="gen-corpus", master="local[16]",
+                          extra={"spark.driver.memory": "24g"})
+    spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(CORPUS)
+    spark.stop()
+
+
+_RUN_SNIPPET = """
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from ocrd_segment_spark.session import build_session
+from ocrd_segment_spark.pipeline import extract_pages
+spark = build_session(app="scale", master={master!r},
+                      extra={{"spark.driver.memory": "24g"}})
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet({corpus!r})
+extract_pages(pages.limit(2000), python_parallelism={pp}).agg(F.count("*")).collect()
+best = None
+for _ in range(2):
+    t0 = time.perf_counter()
+    extract_pages(pages, python_parallelism={pp}).agg(
+        F.sum(F.length("extracted_text"))).collect()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"master": {master!r}, "sec": round(best, 2),
+                   "pages_per_sec": round({n_pages} / best, 1)}}))
+spark.stop()
+"""
+
+
+def run_once(master: str, pp: int | None) -> dict:
+    code = _RUN_SNIPPET.format(
+        repo=REPO, master=master, corpus=CORPUS, pp=pp, n_pages=N_PAGES
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ensure_corpus()
+    ladder = [
+        ("local[2]", None),
+        ("local[8]", None),
+        ("local[16]", None),
+        ("local[32]", None),
+        ("local[32]", 16),  # python-task cap = cores//2
+    ]
+    results = []
+    for master, pp in ladder:
+        r = run_once(master, pp)
+        r["python_parallelism"] = pp or "unbounded"
+        results.append(r)
+        print(r, flush=True)
+
+    by = {(r["master"], r["python_parallelism"]): r for r in results}
+    n_run = by[("local[2]", "unbounded")]
+    n4_run = by[("local[8]", "unbounded")]
+    eff = n4_run["pages_per_sec"] / n_run["pages_per_sec"] / 4
+    cap32 = by[("local[32]", 16)]
+    un32 = by[("local[32]", "unbounded")]
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — extraction throughput & N→4N scaling
+
+Job: `extract_pages` (full kernel: parse → repair → serialize) over the
+seeded 100k-page synthetic corpus (`tools/bench_scaling.py`), identical
+input and code at every parallelism level, fresh JVM per run, best of 2
+after an untimed warmup. Byte-identity of output across parallelism
+levels is enforced by tests/test_byte_identity.py.
+
+## Headline: N=2 → 4N=8 cores
+
+| config | sec | pages/sec |
+|---|---|---|
+| local[2] | {n_run['sec']} | {n_run['pages_per_sec']} |
+| local[8] | {n4_run['sec']} | {n4_run['pages_per_sec']} |
+
+**Scaling efficiency (N→4N) = ({n4_run['pages_per_sec']} / {n_run['pages_per_sec']}) / 4 = {eff:.3f}**
+(criterion: ≥ 0.8 — {"MET" if eff >= 0.8 else "NOT MET"})
+
+## Full ladder (and the oversubscription finding)
+
+| config | python tasks | sec | pages/sec |
+|---|---|---|---|
+""")
+        for r in results:
+            f.write(
+                f"| {r['master']} | {r['python_parallelism']} | {r['sec']} | {r['pages_per_sec']} |\n"
+            )
+        f.write(f"""
+Every concurrent mapInPandas task costs ~2 hardware threads (Python
+worker + JVM Arrow-feeder thread). Unbounded local[32] runs 32 tasks =
+~64 threads on 32 cores and collapses to {un32['pages_per_sec']} pages/s; capping
+python tasks at cores//2 restores {cap32['pages_per_sec']} pages/s. The engine
+exposes this as `extract_pages(python_parallelism=)`; on a real
+cluster the same rule sizes cores-per-executor for UDF-heavy stages.
+This is the sandbox proxy for the 1000-executor design point: the
+extract path is shuffle-free (narrow), so throughput scales with
+(executors × capped-cores) and the only global coordination is the
+output commit.
+
+Reference baseline: the reference publishes no benchmark numbers
+(BASELINE.md at repo root); its single-node equivalent is a sequential
+per-page Python loop ≈ the single-core kernel rate (~1.4k pages/s
+measured) — the Spark path at local[8] is ~{n4_run['pages_per_sec'] / 1400:.0f}× that.
+""")
+    print(f"wrote BENCH/BASELINE.md, efficiency={eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()
