@@ -76,6 +76,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_level_accounting": C.q_a8_level_accounting,
     "s4_collect_group": C.q_s4_collect_group,
     "a_pricing_summary": C.q_a_pricing_summary,
+    # COCO export + replace-text modules
+    "coco_export_annotations": C.q_coco_export_annotations,
+    "replace_text_accounting": C.q_replace_text_accounting,
+    # evaluate-analog module (operators/evaluate.py)
+    "eval_per_image_stats": C.q_eval_per_image_stats,
+    "eval_per_cat_micro": C.q_eval_per_cat_micro,
     # dedup / training-data ops
     "dedup_exact": M.q_dedup_exact,
     "dedup_ngram_jaccard": M.q_dedup_ngram_jaccard,
@@ -120,6 +126,10 @@ _ORACLES: dict[str, str] = {
     "a8_level_accounting": C.O_A8,
     "s4_collect_group": C.O_S4,
     "a_pricing_summary": C.O_PRICING,
+    "coco_export_annotations": C.O_COCO_EXPORT,
+    "replace_text_accounting": C.O_REPLACE_TEXT,
+    "eval_per_image_stats": C.O_EVAL_PER_IMAGE,
+    "eval_per_cat_micro": C.O_EVAL_PER_CAT,
     "dedup_exact": M.O_DEDUP_EXACT,
     "dedup_ngram_jaccard": M.O_DEDUP_JACCARD,
     "dedup_minhash_lsh": M.O_DEDUP_MINHASH,

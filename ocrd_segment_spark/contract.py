@@ -795,3 +795,241 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Evaluate-analog module (operators/evaluate.py) driven end-to-end
+# ---------------------------------------------------------------------------
+
+def _gt_dt_from_documents(spark, sf_dir):
+    """Deterministic GT/DT span tables (FIXTURES.md F3) derived from
+    ``documents``: GT = two halves; DT = thirds-ish perturbation so one
+    GT is over-segmented and borderline matches are data-dependent."""
+    d = _t(spark, sf_dir, "documents")
+    gt = d.selectExpr(
+        "cast(doc_id as string) as url",
+        "lang as cat",
+        "stack(2, 'g1', 0L, cast(n_chars div 2 as long),"
+        " 'g2', cast(n_chars div 2 as long), cast(n_chars as long))"
+        " as (region_id, start, end)",
+    ).selectExpr("url", "region_id", "cat", "start", "end", "cast(1.0 as double) as score")
+    dt = d.selectExpr(
+        "cast(doc_id as string) as url",
+        "lang as cat",
+        "stack(3,"
+        " 'd1', 0L, cast(n_chars div 3 as long),"
+        " 'd2', cast(n_chars div 3 as long), cast(n_chars div 2 + n_chars div 10 as long),"
+        " 'd3', cast(n_chars div 2 + n_chars div 10 as long), cast(n_chars as long))"
+        " as (region_id, start, end)",
+    ).selectExpr("url", "region_id", "cat", "start", "end", "cast(1.0 as double) as score")
+    return gt, dt
+
+
+_O_GT_DT = """
+  gt AS (
+    SELECT CAST(doc_id AS VARCHAR) AS url, lang AS cat, 'g1' AS region_id,
+           0 AS s, n_chars // 2 AS e FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), lang, 'g2', n_chars // 2, n_chars FROM documents
+  ), dt AS (
+    SELECT CAST(doc_id AS VARCHAR) AS url, lang AS cat, 'd1' AS region_id,
+           0 AS s, n_chars // 3 AS e FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), lang, 'd2', n_chars // 3,
+           n_chars // 2 + n_chars // 10 FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), lang, 'd3', n_chars // 2 + n_chars // 10,
+           n_chars FROM documents
+  ), matches AS (
+    SELECT gt.url, gt.cat, gt.region_id AS gt_id, dt.region_id AS dt_id,
+           greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s)) AS inter,
+           gt.e - gt.s AS glen, dt.e - dt.s AS dlen,
+           greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s)) * 1.0 /
+             ((gt.e - gt.s) + (dt.e - dt.s)
+              - greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s))) AS iou
+    FROM gt JOIN dt ON gt.url = dt.url AND gt.cat = dt.cat
+    WHERE greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s)) * 1.0 /
+            ((gt.e - gt.s) + (dt.e - dt.s)
+             - greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s))) > 0.5
+       OR greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s)) * 1.0 / (gt.e - gt.s) > 0.5
+       OR greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s)) * 1.0 / (dt.e - dt.s) > 0.5
+  )
+"""
+
+
+def q_eval_per_image_stats(spark, sf_dir):
+    """A1 per-image stats through operators/evaluate.py (match → anti
+    → two-phase agg), oracle in closed-form SQL."""
+    from .operators import evaluate as ev
+
+    gt, dt = _gt_dt_from_documents(spark, sf_dir)
+    m = ev.match_spans(gt, dt)
+    return ev.per_image_stats(gt, dt, m)
+
+
+O_EVAL_PER_IMAGE = f"""
+WITH {_O_GT_DT},
+n_gt AS (
+  SELECT url, cat, count(*) AS n_gt, sum(e - s) AS gt_chars FROM gt GROUP BY 1, 2
+), n_dt AS (
+  SELECT url, cat, count(*) AS n_dt, sum(e - s) AS dt_chars FROM dt GROUP BY 1, 2
+), m AS (
+  SELECT url, cat, count(DISTINCT gt_id) AS tp_gt, count(DISTINCT dt_id) AS tp_dt,
+         sum(inter) AS inter_chars, round(avg(iou), 6) AS avg_iou
+  FROM matches GROUP BY 1, 2
+)
+SELECT n_gt.url AS url, n_gt.cat AS cat,
+       CAST(n_gt AS BIGINT) AS n_gt, CAST(n_dt AS BIGINT) AS n_dt,
+       CAST(coalesce(tp_gt, 0) AS BIGINT) AS tp_gt,
+       CAST(coalesce(tp_dt, 0) AS BIGINT) AS tp_dt,
+       CAST(n_dt - coalesce(tp_dt, 0) AS BIGINT) AS fp,
+       CAST(n_gt - coalesce(tp_gt, 0) AS BIGINT) AS fn,
+       round(coalesce(tp_dt, 0) * 1.0 / n_dt, 6) AS precision,
+       round(coalesce(tp_gt, 0) * 1.0 / n_gt, 6) AS recall,
+       round(coalesce(inter_chars, 0) * 1.0 / dt_chars, 6) AS pixel_precision,
+       round(coalesce(inter_chars, 0) * 1.0 / gt_chars, 6) AS pixel_recall,
+       avg_iou
+FROM n_gt
+JOIN n_dt ON n_gt.url = n_dt.url AND n_gt.cat = n_dt.cat
+LEFT JOIN m ON n_gt.url = m.url AND n_gt.cat = m.cat
+"""
+
+
+def q_eval_per_cat_micro(spark, sf_dir):
+    """A2/A3 per-category micro-averages + over/under-segmentation
+    through operators/evaluate.py."""
+    from .operators import evaluate as ev
+
+    gt, dt = _gt_dt_from_documents(spark, sf_dir)
+    m = ev.match_spans(gt, dt)
+    return ev.per_cat_stats(gt, dt, m)
+
+
+O_EVAL_PER_CAT = f"""
+WITH {_O_GT_DT},
+per_gt AS (
+  SELECT cat, url, gt_id, count(*) AS n_dt_for_gt FROM matches GROUP BY 1, 2, 3
+), per_dt AS (
+  SELECT cat, url, dt_id, count(*) AS n_gt_for_dt FROM matches GROUP BY 1, 2, 3
+), over_t AS (
+  SELECT cat, count(*) AS gt_matched,
+         sum(CASE WHEN n_dt_for_gt > 1 THEN 1 ELSE 0 END) AS gt_multi
+  FROM per_gt GROUP BY cat
+), under_t AS (
+  SELECT cat, count(*) AS dt_matched,
+         sum(CASE WHEN n_gt_for_dt > 1 THEN 1 ELSE 0 END) AS dt_multi
+  FROM per_dt GROUP BY cat
+), totals AS (
+  SELECT g.cat, g.n_gt, d.n_dt
+  FROM (SELECT cat, count(*) AS n_gt FROM gt GROUP BY cat) g
+  JOIN (SELECT cat, count(*) AS n_dt FROM dt GROUP BY cat) d ON g.cat = d.cat
+), iou_t AS (
+  SELECT cat, round(avg(iou), 6) AS avg_iou FROM matches GROUP BY cat
+)
+SELECT totals.cat AS cat, CAST(n_gt AS BIGINT) AS n_gt, CAST(n_dt AS BIGINT) AS n_dt,
+       CAST(coalesce(gt_matched, 0) AS BIGINT) AS gt_matched,
+       CAST(coalesce(dt_matched, 0) AS BIGINT) AS dt_matched,
+       round(coalesce(gt_multi, 0) * 1.0 / coalesce(gt_matched, 1), 6) AS over_seg,
+       round(coalesce(dt_multi, 0) * 1.0 / coalesce(dt_matched, 1), 6) AS under_seg,
+       round(coalesce(gt_matched, 0) * 1.0 / n_gt, 6) AS recall,
+       round(coalesce(dt_matched, 0) * 1.0 / n_dt, 6) AS precision,
+       avg_iou
+FROM totals
+LEFT JOIN over_t ON totals.cat = over_t.cat
+LEFT JOIN under_t ON totals.cat = under_t.cat
+LEFT JOIN iou_t ON totals.cat = iou_t.cat
+"""
+
+
+# ---------------------------------------------------------------------------
+# COCO export (S9/A6) and replace-text (S6/J5/A8) through their modules
+# ---------------------------------------------------------------------------
+
+def q_coco_export_annotations(spark, sf_dir):
+    """S9 global COCO sink via sources/coco.export_coco over extracted
+    pages: deterministic dense ids from windows (the parallel-safe
+    re-expression of the reference's mutable counters,
+    extract_pages.py:177-198). Oracle states the closed-form table.
+
+    NOTE url is a STRING key — ids follow lexicographic url order."""
+    html_expr = (
+        "concat('<html><body>"
+        "<nav><ul><li><a href=\"/m\">menu one</a> <a href=\"/n\">menu two</a></li></ul></nav>"
+        "<h1>', source, '</h1>"
+        "<p><a href=\"/q\">', source, ' ', source, '</a></p>"
+        "<p>', text, '</p></body></html>')"
+    )
+    from .sources.coco import export_coco
+
+    pages = _pages_from_documents(spark, sf_dir, html_expr)
+    out = extract_pages(pages)
+    _, annotations, _ = export_coco(out)
+    return annotations.select(
+        "ann_id", "image_id", "category_id", "start", "end", "area",
+    )
+
+
+O_COCO_EXPORT = f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url, source, {_SQL_COLLAPSE} AS t FROM documents
+), imgs AS (
+  SELECT url, row_number() OVER (ORDER BY url) AS image_id FROM c
+), regions AS (
+  -- heading.h1 (cat 1) then paragraph.p (cat 2) per page, in order
+  SELECT url, 1 AS category_id, 0 AS s, length(source) AS e, 0 AS ord FROM c
+  UNION ALL
+  SELECT url, 2, length(source) + 1, length(source) + 1 + length(t), 1 FROM c
+)
+SELECT CAST(row_number() OVER (ORDER BY r.url, r.ord) AS BIGINT) AS ann_id,
+       CAST(i.image_id AS BIGINT) AS image_id,
+       CAST(r.category_id AS BIGINT) AS category_id,
+       CAST(r.s AS BIGINT) AS start, CAST(r.e AS BIGINT) AS "end",
+       CAST(r.e - r.s AS BIGINT) AS area
+FROM regions r JOIN imgs i ON r.url = i.url
+"""
+
+
+def q_replace_text_accounting(spark, sf_dir):
+    """S6+J5+A8 via sources/text_files: corrections table with
+    suffix-encoded (url, region_id), broadcast endswith join,
+    first-match-wins, per-level accounting
+    (reference replace_text.py:17-80)."""
+    from .sources.text_files import replace_region_text, update_level_accounting
+
+    html_expr = (
+        "concat('<html><body>"
+        "<nav><ul><li><a href=\"/m\">menu one</a> <a href=\"/n\">menu two</a></li></ul></nav>"
+        "<h1>', source, '</h1>"
+        "<p><a href=\"/q\">', source, ' ', source, '</a></p>"
+        "<p>', text, '</p></body></html>')"
+    )
+    pages = _pages_from_documents(spark, sf_dir, html_expr)
+    out = extract_pages(pages)
+    docs = _t(spark, sf_dir, "documents")
+    # corrections for the heading (r0008) of every 3rd doc and the
+    # paragraph (r0011) of every 7th, plus orphans that must no-op
+    files = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("/gt/"), F.col("doc_id").cast("string"),
+                 F.lit("_r0008.gt.txt")).alias("path"),
+        F.lit("fixed heading").alias("content"),
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(F.lit("/gt/"), F.col("doc_id").cast("string"),
+                     F.lit("_r0011.gt.txt")).alias("path"),
+            F.lit("fixed paragraph").alias("content"),
+        )
+    ).unionAll(
+        docs.limit(5).select(
+            F.concat(F.lit("/gt/nope_"), F.col("doc_id").cast("string"),
+                     F.lit("_r9999.gt.txt")).alias("path"),
+            F.lit("orphan").alias("content"),
+        )
+    )
+    return update_level_accounting(replace_region_text(out, files))
+
+
+O_REPLACE_TEXT = """
+SELECT 'heading' AS level, count(*) AS n_updated FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'paragraph', count(*) FROM documents WHERE doc_id % 7 = 0
+"""

@@ -42,15 +42,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy on md5(text). At 100 TB this is the
-    cheapest dedup pass — one shuffle on a 16-byte key; partial
-    aggregation makes the map side emit one row per distinct hash per
-    partition."""
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.count("*").alias("n_copies"),
-        F.min("doc_id").alias("canonical_doc"),
-    )
+    """Exact dedup via operators/dedup.exact_duplicates: hash-groupBy
+    on md5(text). At 100 TB this is the cheapest dedup pass — one
+    shuffle on a 16-byte key with map-side partial aggregation."""
+    from .operators import dedup as D
+
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
 O_DEDUP_EXACT = """
@@ -61,46 +58,31 @@ FROM documents GROUP BY md5(text)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup by word-3-gram Jaccard within (lang, length-bucket)
-    blocks. Blocking bounds the pair count — the 100 TB version uses
-    the same equi-join-on-block + pair filter shape, so Catalyst plans
-    a shuffle on the block key instead of a cross join."""
-    d = _t(spark, sf_dir, "documents")
-    sh = d.selectExpr(
-        "doc_id",
-        "lang",
-        "n_chars div 100 as bucket",
-        f"array_distinct(transform(sequence(0, size({_TOKS}) - 3),"
-        f" i -> concat({_TOKS}[i], ' ', {_TOKS}[i+1], ' ', {_TOKS}[i+2]))) as sh",
-    ).filter(F.expr(f"size({_TOKS}) >= 3"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    """Near-dup by word-3-gram Jaccard (operators/dedup.ngram_jaccard_pairs,
+    hash-composed shingles) within (lang, length-bucket) blocks.
+    Blocking bounds the pair count — the 100 TB version uses the same
+    equi-join-on-block + pair filter shape, so Catalyst plans a shuffle
+    on the block key instead of a cross join."""
+    from .operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.expr("n_chars div 100")
     )
-    return pairs.select(
-        F.col("a.doc_id").alias("doc1"),
-        F.col("b.doc_id").alias("doc2"),
-        F.round(
-            F.expr(
-                "size(array_intersect(a.sh, b.sh)) * 1.0 /"
-                " size(array_union(a.sh, b.sh))"
-            ),
-            6,
-        ).alias("jaccard"),
-    )
+    return D.ngram_jaccard_pairs(d, block_cols=("lang", "bucket"))
 
 
 O_DEDUP_JACCARD = f"""
 WITH t AS (
   SELECT doc_id, lang, n_chars // 100 AS bucket, {_D_TOKS} AS toks FROM documents
+), tokh AS (
+  SELECT doc_id, lang, bucket,
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
+  FROM t WHERE len(toks) >= 3
 ), sh AS (
   SELECT doc_id, lang, bucket,
-         list_distinct(list_transform(range(1, len(toks) - 1),
-           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-  FROM t WHERE len(toks) >= 3
+         list_distinct(list_transform(range(1, len(th) - 1),
+           i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) AS sh
+  FROM tokh
 )
 SELECT a.doc_id AS doc1, b.doc_id AS doc2,
        round(len(list_intersect(a.sh, b.sh)) * 1.0 /
@@ -108,12 +90,6 @@ SELECT a.doc_id AS doc1, b.doc_id AS doc2,
 FROM sh a JOIN sh b
   ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
-
-
-_MINHASH_SIG = (
-    f"transform(sequence(0, 7), i -> array_min(transform(hs,"
-    f" h -> ((2*i + 3) * h + 5*i + 7) % {P})))"
-)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -130,38 +106,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     shuffles only colliding docs, never all-pairs. Skewed buckets
     (boilerplate-heavy corpora) are exactly the AQE-skew-join case."""
     d = _t(spark, sf_dir, "documents")
+    from .operators import dedup as D
+
     corpus = d.select("doc_id", "text").unionAll(
         d.filter(F.col("doc_id") % 50 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
-    th = corpus.withColumn("toks", F.expr(_TOKS)).filter(
-        F.expr("size(toks) >= 3")
-    ).selectExpr(
-        "doc_id",
-        f"transform(toks, t -> {_STR_HASH.format(s='t')}) as th",
-    )
-    hs = th.selectExpr(
-        "doc_id",
-        "array_distinct(transform(sequence(0, size(th) - 3),"
-        f" i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) as hs",
-    )
-    sig = hs.selectExpr("doc_id", f"{_MINHASH_SIG} as sig")
-    bands = sig.selectExpr(
-        "doc_id",
-        f"posexplode(transform(sequence(0, 3), j -> sig[2*j] * {P}L + sig[2*j+1]))"
-        " as (band_idx, band_val)",
-    )
-    b1, b2 = bands.alias("b1"), bands.alias("b2")
-    pairs = b1.join(
-        b2,
-        (F.col("b1.band_idx") == F.col("b2.band_idx"))
-        & (F.col("b1.band_val") == F.col("b2.band_val"))
-        & (F.col("b1.doc_id") < F.col("b2.doc_id")),
-    )
-    return pairs.select(
-        F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2")
-    ).distinct()
+    return D.minhash_lsh_candidates(corpus, k=8, bands=4)
 
 
 O_DEDUP_MINHASH = f"""
@@ -202,18 +154,9 @@ def q_dedup_simhash(spark, sf_dir):
     Pure column math; at scale, near-dup candidates come from grouping
     on simhash bands / hamming balls — here the fingerprint itself is
     the verified output."""
-    d = _t(spark, sf_dir, "documents")
-    ths = d.selectExpr(
-        "doc_id",
-        f"transform({_TOKS}, t -> aggregate(split(t, ''), 0L,"
-        f" (a, c) -> (a * 31 + ascii(c)) % {P})) as ths",
-    )
-    return ths.selectExpr(
-        "doc_id",
-        "aggregate(sequence(0, 15), 0L, (acc, b) -> acc +"
-        " IF(aggregate(ths, 0L, (a, h) -> a + (shiftright(h, b) % 2) * 2 - 1) > 0,"
-        " shiftleft(1L, b), 0L)) as simhash",
-    )
+    from .operators import dedup as D
+
+    return D.simhash_fingerprints(_t(spark, sf_dir, "documents"), bits=16)
 
 
 O_DEDUP_SIMHASH = f"""
@@ -495,29 +438,12 @@ def q_multimodal_meta(spark, sf_dir):
     plumbing (binary schema, Arrow batching, UDF signature) is real
     and verified; ``decode_image``/``decode_audio`` raise
     NotImplementedError by design (see functions/multimodal.py)."""
-    import hashlib
-
-    import pandas as pd
+    from .functions import multimodal as MM
 
     d = _t(spark, sf_dir, "documents").selectExpr(
         "doc_id", "cast(text as binary) as blob"
     )
-
-    def meta(batches):
-        for pdf in batches:
-            blobs = pdf["blob"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": blobs.map(len).astype("int64"),
-                    "content_md5": blobs.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "modality": "binary-stub",
-                }
-            )
-
-    return d.mapInPandas(
-        meta, schema="doc_id long, n_bytes long, content_md5 string, modality string"
-    )
+    return MM.binary_meta(d)
 
 
 O_MULTIMODAL = """

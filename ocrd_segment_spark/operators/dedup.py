@@ -1,0 +1,109 @@
+"""Reusable deduplication operators over any (id, text) table.
+
+All column math, no Python in the hot path (functions/hashing.py).
+The contract queries in contract_ml.py pin these against DuckDB
+oracles; these wrappers are the user-facing API.
+
+100 TB notes per operator in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import hashing as H
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_hash, n_copies, canonical_doc). One shuffle on a
+    16-byte key with map-side partial aggregation — the cheapest pass;
+    run it before any near-dup stage to shrink the candidate set."""
+    return df.groupBy(F.md5(text_col).alias("content_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min(id_col).alias("canonical_doc"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc1, doc2) via MinHash + banded LSH.
+    The only shuffle is the equi-join on (band_idx, band_val) —
+    colliding docs only. Hot buckets (boilerplate) are the AQE
+    skew-join case; at extreme skew, cap bucket size with a
+    count-filter before the self-join."""
+    th = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("toks", H.tokens("text"))
+        .filter(F.size("toks") >= 3)
+        .withColumn("th", H.token_hashes("toks"))
+    )
+    sig = th.withColumn("hs", H.shingle_hashes("th", 3)).withColumn(
+        "sig", H.minhash_signature("hs", k)
+    )
+    bandvals = sig.select(
+        "doc_id",
+        F.posexplode(H.lsh_bands("sig", bands)).alias("band_idx", "band_val"),
+    )
+    b1, b2 = bandvals.alias("b1"), bandvals.alias("b2")
+    return (
+        b1.join(
+            b2,
+            (F.col("b1.band_idx") == F.col("b2.band_idx"))
+            & (F.col("b1.band_val") == F.col("b2.band_val"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """(doc_id, simhash). Narrow — no shuffle at all; near-dup
+    candidates come from grouping on simhash or hamming-ball bands."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("toks", H.tokens("text"))
+        .withColumn("th", H.token_hashes("toks"))
+        .select("doc_id", H.simhash("th", bits).alias("simhash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard within blocking keys. Blocking turns
+    the quadratic pair space into per-block quadratics — choose block
+    cols so blocks stay small; the join is an equi-join on the block
+    key, shuffle-partitioned by it."""
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), *block_cols)
+        .withColumn("toks", H.tokens("text"))
+        .filter(F.size("toks") >= n)
+        .withColumn("th", H.token_hashes("toks"))
+        .withColumn("sh", H.shingle_hashes("th", n))
+        .drop("text", "toks", "th")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        F.round(
+            F.size(F.array_intersect("a.sh", "b.sh"))
+            / F.size(F.array_union("a.sh", "b.sh")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -1,0 +1,85 @@
+"""DataFrame-level region repair — ``ocrd-segment-repair`` semantics
+(reference repair.py:107-186 stage order) over an arbitrary spans
+table, independent of the HTML kernel (which fuses the same stages
+per-document inside mapInPandas; this operator is for span tables
+that arrive WITHOUT their source documents, e.g. imported COCO-style
+detections).
+
+Input: (url, region_id, start, end, depth[, doc_len]).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT_PARAMS, ExtractParams
+from ..functions import spans as S
+from ..kernel import intervals as iv
+
+REPAIR_SCHEMA = (
+    "url string, region_id string, start long, end long, action string"
+)
+
+_ACTION_NAMES = {iv.KEEP: "keep", iv.DELETE: "delete", iv.MERGE_INTO: "merge"}
+
+
+def validity_filter(df: DataFrame, doc_len_col: str = "doc_len") -> DataFrame:
+    """G8/P6/P8: clamp + drop empty, entirely native (no UDF)."""
+    s = S.span_clamp_start("start", "end")
+    e = S.span_clamp_end("start", "end")
+    out = df.withColumn("start", F.greatest(s, F.lit(0))).withColumn(
+        "end", F.least(e, F.col(doc_len_col))
+    )
+    return out.filter(F.col("end") > F.col("start"))
+
+
+def consistency_clip(df: DataFrame, parent: DataFrame) -> DataFrame:
+    """G7: clip child spans to their parent's span (join on url +
+    parent_id → clamp). Parent side broadcast — parents are one row
+    per region group."""
+    p = parent.select(
+        F.col("url").alias("p_url"),
+        F.col("region_id").alias("p_id"),
+        F.col("start").alias("ps"),
+        F.col("end").alias("pe"),
+    )
+    j = df.join(
+        F.broadcast(p),
+        (df.url == p.p_url) & (df.parent_id == p.p_id),
+        "left",
+    )
+    cs, ce = S.span_clip("start", "end", F.coalesce("ps", "start"), F.coalesce("pe", "end"))
+    return j.select(
+        "url", "region_id", "parent_id",
+        cs.alias("start"), ce.alias("end"),
+    )
+
+
+def plausibilize(
+    df: DataFrame, params: ExtractParams = DEFAULT_PARAMS
+) -> DataFrame:
+    """J2/J3 + G4/G14/G15 analysis+apply per url via the frozen kernel
+    (reference decision table repair.py:310-365; worklist split
+    repair.py:213-276). applyInPandas after groupBy(url): one shuffle
+    on url, page-sized groups — the same granularity the reference
+    processes, but distributed."""
+
+    def per_url(pdf: pd.DataFrame) -> pd.DataFrame:
+        acts, s, e = iv.plausibilize(
+            pdf["start"].to_numpy(),
+            pdf["end"].to_numpy(),
+            pdf["depth"].to_numpy(),
+            params.merge_min_overlap,
+        )
+        return pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "region_id": pdf["region_id"],
+                "start": s,
+                "end": e,
+                "action": [_ACTION_NAMES[int(a)] for a in acts],
+            }
+        )
+
+    return df.groupBy("url").applyInPandas(per_url, REPAIR_SCHEMA)

@@ -1,0 +1,84 @@
+"""COCO-style detection interchange (S4 source / S9 sink,
+reference import_coco_segmentation.py and extract_pages.py:177-215).
+
+The reference accumulates ``self.images/annotations/ann_id`` mutably
+across its sequential page loop (extract_pages.py:177-198) — page
+order leaks into ids. Here ids come from ``row_number()`` windows over
+an explicit total order, so output is deterministic under any
+parallelism (§3.2 / §4.2 determinism row).
+
+Scale note: the global row_number is ONE extra shuffle at export time
+only; a 100 TB export would switch to ``zipWithIndex``-style per-
+partition offsets (monotonic id + per-partition counts) — same
+determinism, no global sort; the window form is kept here because COCO
+exports are final fan-in sinks, small by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def export_coco(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(images, annotations, categories) flat tables from extraction
+    output ``(url, extracted_text, region_spans, lineage)``.
+
+    - images: (image_id, file_name, width) — width = text length
+      (1-D analog of raster width, reference extract_pages.py:368-376)
+    - annotations: (ann_id, image_id, category_id, start, end, area,
+      score) — area = span length (reference 'area' of the polygon)
+    - categories: (category_id, name) — dense ids over the observed
+      vocabulary (A7, reference evaluate.py:560-567)
+    """
+    images = extracted.select(
+        F.row_number().over(W.orderBy("url")).cast("long").alias("image_id"),
+        F.col("url").alias("file_name"),
+        F.length("extracted_text").cast("long").alias("width"),
+    )
+    regions = extracted.select(
+        "url", F.explode("region_spans").alias("r")
+    ).select(
+        "url",
+        F.concat(F.col("r.rtype"), F.lit("."), F.col("r.subtype")).alias("cat_name"),
+        F.col("r.start").alias("start"),
+        F.col("r.end").alias("end"),
+        F.col("r.score").alias("score"),
+        F.col("r.order").alias("ord"),
+    )
+    categories = (
+        regions.select("cat_name").distinct()
+        .select(
+            F.row_number().over(W.orderBy("cat_name")).cast("long").alias("category_id"),
+            F.col("cat_name").alias("name"),
+        )
+    )
+    annotations = (
+        regions.join(F.broadcast(categories), regions.cat_name == categories.name)
+        .join(F.broadcast(images.select("image_id", F.col("file_name").alias("url"))), "url")
+        .select(
+            F.row_number().over(W.orderBy("url", "ord")).cast("long").alias("ann_id"),
+            "image_id",
+            "category_id",
+            "start",
+            "end",
+            (F.col("end") - F.col("start")).cast("long").alias("area"),
+            "score",
+        )
+    )
+    return images, annotations, categories
+
+
+def import_coco(images: DataFrame, annotations: DataFrame) -> DataFrame:
+    """S4: group annotations per image (reference
+    import_coco_segmentation.py:104-131 ``setdefault().append`` →
+    groupBy + sorted collect_list for determinism)."""
+    return (
+        annotations.join(F.broadcast(images), "image_id")
+        .groupBy("image_id", "file_name")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ann_id", "category_id", "start", "end", "area", "score"))
+            ).alias("regions"),
+            F.count("*").alias("n_regions"),
+        )
+    )

@@ -1,0 +1,74 @@
+"""Text-file source + replace-text operator (S6/J5/A8; reference
+replace_text.py).
+
+The reference globs ``*.gt.txt`` files, matches each file's basename
+suffix to a segment id (first match wins, replace_text.py:48-58), and
+inserts the content at TextEquiv index 0 (replace_text.py:62), then
+counts updates per hierarchy level (replace_text.py:64-80).
+
+Spark form: the files table is broadcast (it is the small side by
+construction — correction files, not the corpus) against the exploded
+region table with an ``endswith`` non-equi predicate → broadcast
+nested-loop join, then first-match-wins via row_number and a rebuild
+of the region array. The corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def read_text_files(spark, path_glob: str) -> DataFrame:
+    """S6: whole-text files as (path, content)."""
+    return (
+        spark.read.format("text")
+        .option("wholetext", True)
+        .load(path_glob)
+        .select(
+            F.input_file_name().alias("path"),
+            F.col("value").alias("content"),
+        )
+    )
+
+
+def replace_region_text(extracted: DataFrame, files: DataFrame) -> DataFrame:
+    """Update per-region text from a corrections table
+    ``(path, content)`` where the path suffix encodes
+    ``<url>_<region_id>.gt.txt``. Returns
+    (url, region_id, old_text, new_text, level) for accounting (A8);
+    unmatched files are ignored like the reference logs-and-skips
+    (replace_text.py:56-58)."""
+    regions = extracted.select(
+        "url",
+        F.explode("region_spans").alias("r"),
+        F.col("extracted_text"),
+    ).select(
+        "url",
+        F.col("r.region_id").alias("region_id"),
+        F.col("r.rtype").alias("level"),
+        F.expr("substring(extracted_text, r.start + 1, r.end - r.start)").alias("old_text"),
+        F.concat(F.lit("_"), F.col("r.region_id"), F.lit(".gt.txt")).alias("suffix"),
+    )
+    # the '/' anchor disambiguates numeric-suffix collisions (url '2'
+    # must not claim '.../12_r0008.gt.txt') — the reference has the
+    # same ambiguity and resolves it by first-match luck; frozen rule
+    # here: match on /<url>_<region_id>.gt.txt
+    j = regions.join(
+        F.broadcast(files),
+        F.expr("endswith(path, concat('/', url, suffix))"),
+        "inner",
+    )
+    w = W.partitionBy("url", "region_id").orderBy("path")  # first match wins
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "url", "region_id", "level", "old_text",
+            F.col("content").alias("new_text"),
+        )
+    )
+
+
+def update_level_accounting(replaced: DataFrame) -> DataFrame:
+    """A8 (reference replace_text.py:64-80): updates per level."""
+    return replaced.groupBy("level").agg(F.count("*").alias("n_updated"))

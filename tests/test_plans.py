@@ -1,0 +1,68 @@
+"""Physical-plan audits (SURVEY.md §4.2): the scale properties are
+pinned as tests — pushdown, pruning, broadcast, and shuffle-freedom of
+the narrow extract path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrd_segment_spark import contract as C
+from ocrd_segment_spark.pipeline import extract_pages
+from ocrd_segment_spark.plans import audit
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_extract_path_has_no_exchange(spark, tmp_path):
+    from ocrd_segment_spark.fixtures import pages_pandas
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages_pandas(10)).write.parquet(src)
+    out = extract_pages(spark.read.parquet(src))
+    assert not audit.has_exchange(out)  # scan → project → mapInPandas only
+
+
+def test_extract_prunes_columns_at_scan(spark, tmp_path):
+    from ocrd_segment_spark.fixtures import pages_pandas
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages_pandas(10)).write.parquet(src)
+    out = extract_pages(spark.read.parquet(src))
+    rs = audit.read_schema(out)
+    assert "html" in rs and "url" in rs
+    # text/lang/warc_ts never cross the scan
+    assert "warc_ts" not in rs and "lang" not in rs
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("lang") == "en"
+    ).select("doc_id")
+    pf = audit.pushed_filters(docs)
+    assert "lang" in pf  # IsNotNull(lang), EqualTo(lang,en)
+    rs = audit.read_schema(docs)
+    assert "text" not in rs  # pruned
+
+
+def test_small_dim_join_is_broadcast(spark):
+    j = C.q_j4_key_fallback_join(spark, SF)
+    assert audit.broadcast_join_count(j) >= 2  # both nation joins
+
+
+def test_pricing_two_phase_agg_and_codegen(spark):
+    q = C.q_a_pricing_summary(spark, SF)
+    plan = audit.physical_plan(q)
+    # partial+final hash aggregation around one Exchange (§4.2)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan and "partial_sum" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+
+
+def test_narrow_query_is_codegen(spark):
+    # AQE defers planning behind AdaptiveSparkPlan (codegen reported 0
+    # pre-execution), so codegen is pinned on a narrow no-exchange query
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("n_chars") > 100)
+        .select("doc_id", (F.col("n_chars") * 2).alias("x"))
+    )
+    assert audit.whole_stage_codegen_subtrees(docs) >= 1

@@ -1,0 +1,119 @@
+"""Structured Streaming: the streaming extract must be byte-identical
+to the batch extract; watermarked windows must equal the batch window
+agg on bounded input; the stateful sessionizer must assemble sessions
+correctly."""
+
+import datetime as dt
+
+from ocrd_segment_spark.fixtures import pages_pandas
+from ocrd_segment_spark.pipeline import extract_pages
+from ocrd_segment_spark.streaming.extract_stream import (
+    sessionize,
+    stream_extract,
+    windowed_event_stats,
+)
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pages_pandas(60)
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    q = stream_extract(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    streamed = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out).select("url", "extracted_text").collect()
+    }
+    batch = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(spark.read.parquet(src))
+        .select("url", "extracted_text")
+        .collect()
+    }
+    assert streamed == batch  # byte identity through the microbatch path
+
+
+def test_stream_extract_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once: draining the same source twice with the same
+    checkpoint appends nothing new."""
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(pages_pandas(20)).write.parquet(src)
+    stream_extract(spark, src, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == 20
+    stream_extract(spark, src, out, ckpt).awaitTermination(300)
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_windowed_event_stats_stream_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        windowed_event_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r["event_type"], r["wstart"]): (r["n"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["event_type"], r["wstart"]): (r["n"], r["total"])
+        for r in windowed_event_stats(events).collect()
+    }
+    # append mode may hold back the newest (unexpired) windows
+    assert streamed.items() <= batch.items()
+    assert len(streamed) >= len(batch) - 10
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap 31 min splits)
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),
+        (1, base + dt.timedelta(minutes=41), 4.0),
+        (1, base + dt.timedelta(minutes=50), 8.0),
+        # user 2: one long session
+        (2, base, 1.0),
+        (2, base + dt.timedelta(minutes=29), 1.0),
+        (2, base + dt.timedelta(minutes=58), 1.0),
+    ]
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["n_events"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # closed sessions only: user 1's first session (2 events, 31-min
+    # gap closes it); open tails stay in state at stream end
+    assert got == {(1, 2, 3.0)}
