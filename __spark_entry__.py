@@ -76,6 +76,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a8_level_accounting": C.q_a8_level_accounting,
     "s4_collect_group": C.q_s4_collect_group,
     "a_pricing_summary": C.q_a_pricing_summary,
+    # scalar function families
+    "p4_textequiv_select": C.q_p4_textequiv_select,
+    "misc_scalar_functions": C.q_misc_scalar_functions,
     # COCO export + replace-text modules
     "coco_export_annotations": C.q_coco_export_annotations,
     "replace_text_accounting": C.q_replace_text_accounting,
@@ -126,6 +129,8 @@ _ORACLES: dict[str, str] = {
     "a8_level_accounting": C.O_A8,
     "s4_collect_group": C.O_S4,
     "a_pricing_summary": C.O_PRICING,
+    "p4_textequiv_select": C.O_P4_TEXTEQUIV,
+    "misc_scalar_functions": C.O_MISC_SCALARS,
     "coco_export_annotations": C.O_COCO_EXPORT,
     "replace_text_accounting": C.O_REPLACE_TEXT,
     "eval_per_image_stats": C.O_EVAL_PER_IMAGE,

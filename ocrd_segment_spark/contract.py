@@ -1033,3 +1033,93 @@ SELECT 'heading' AS level, count(*) AS n_updated FROM documents WHERE doc_id % 3
 UNION ALL
 SELECT 'paragraph', count(*) FROM documents WHERE doc_id % 7 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# TextEquiv selection (P4) and misc scalar functions (G18/G19/G20)
+# ---------------------------------------------------------------------------
+
+def q_p4_textequiv_select(spark, sf_dir):
+    """P4 TextEquiv index selection + the replace-text insert-at-0
+    (functions/textequiv.py; reference extract_lines.py:180-193,
+    replace_text.py:62): alternatives built from the first 3 tokens,
+    select first/last/index-1, then prepend a correction and re-select
+    first."""
+    from .functions.textequiv import textequiv_insert, textequiv_text
+
+    d = _t(spark, sf_dir, "documents")
+    te = d.selectExpr(
+        "doc_id",
+        "transform(slice(filter(split(text, ' '), x -> x != ''), 1, 3),"
+        " (t, i) -> named_struct('index', i, 'unicode', t,"
+        " 'conf', 1.0 - i * 0.1)) as te",
+    ).filter(F.expr("size(te) >= 3"))
+    out = te.select(
+        "doc_id",
+        textequiv_text("te", "first").alias("first_text"),
+        textequiv_text("te", "last").alias("last_text"),
+        textequiv_text("te", "1").alias("idx1_text"),
+        F.element_at(textequiv_insert("te", F.lit("corrected")), 1)
+        .getField("unicode")
+        .alias("after_insert"),
+    )
+    return out
+
+
+O_P4_TEXTEQUIV = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, toks[1] AS first_text, toks[3] AS last_text,
+       toks[2] AS idx1_text, 'corrected' AS after_insert
+FROM t WHERE len(toks) >= 3
+"""
+
+
+def q_misc_scalar_functions(spark, sf_dir):
+    """G18 color-hex parse + G19 DPI normalize + G20 numeric page-id
+    (functions/misc.py; reference extract_pages.py:183-186, 247-252,
+    230-233), driven over derived columns."""
+    from .functions.misc import color_hex_to_rgb, dpi_normalize, numeric_page_id
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 6).alias("hexcol"),
+        F.col("n_chars").alias("resolution"),
+        F.when(F.col("doc_id") % 2 == 0, "cm").otherwise("inch").alias("unit"),
+        F.concat(F.lit("page_"), F.col("doc_id").cast("string"), F.lit("_x")).alias("page_id"),
+    )
+    r, g, b = color_hex_to_rgb("hexcol")
+    return d.select(
+        "doc_id",
+        r, g, b,
+        dpi_normalize("resolution", "unit").alias("dpi"),
+        numeric_page_id("page_id").alias("page_num"),
+    )
+
+
+O_MISC_SCALARS = """
+WITH d AS (
+  SELECT doc_id, substr(md5(text), 1, 6) AS hexcol, n_chars AS resolution,
+         CASE WHEN doc_id % 2 = 0 THEN 'cm' ELSE 'inch' END AS unit
+  FROM documents
+), hx AS (
+  SELECT doc_id, resolution, unit,
+         strpos('0123456789abcdef', substr(hexcol, 1, 1)) - 1 AS h1,
+         strpos('0123456789abcdef', substr(hexcol, 2, 1)) - 1 AS h2,
+         strpos('0123456789abcdef', substr(hexcol, 3, 1)) - 1 AS h3,
+         strpos('0123456789abcdef', substr(hexcol, 4, 1)) - 1 AS h4,
+         strpos('0123456789abcdef', substr(hexcol, 5, 1)) - 1 AS h5,
+         strpos('0123456789abcdef', substr(hexcol, 6, 1)) - 1 AS h6
+  FROM d
+)
+SELECT doc_id,
+       CAST(h1 * 16 + h2 AS INT) AS r,
+       CAST(h3 * 16 + h4 AS INT) AS g,
+       CAST(h5 * 16 + h6 AS INT) AS b,
+       CASE WHEN unit = 'cm' THEN round(resolution * 2.54)
+            ELSE resolution END * 1.0 AS dpi,
+       doc_id AS page_num
+FROM hx
+"""

@@ -194,18 +194,20 @@ def simplify_gap_merge(starts: np.ndarray, ends: np.ndarray, tolerance: int):
 
 def spread(starts: np.ndarray, ends: np.ndarray, distance: int, doc_len: int):
     """G10 analog (reference repair.py:592-601 ``spread_segments``):
-    grow each span by up to ``distance`` chars on each side without
-    creating new overlap — bounded by the neighbor's original outline
-    (reference subtracts the union of others' original outlines).
-    Input sorted by start, non-overlapping."""
+    grow each span by up to ``distance`` chars on each side. The
+    reference subtracts only the union of others' ORIGINAL outlines,
+    which lets two buffered segments overlap inside a shared gap; the
+    frozen 1-D rule is stricter: each side may grow at most to the
+    gap's midpoint, so output is always non-overlapping (touching
+    allowed). Input sorted by start, non-overlapping."""
     s = np.asarray(starts, dtype=np.int64).copy()
     e = np.asarray(ends, dtype=np.int64).copy()
     n = len(s)
     if n == 0:
         return s, e
-    orig_s, orig_e = s.copy(), e.copy()
-    left_bound = np.concatenate(([0], orig_e[:-1]))
-    right_bound = np.concatenate((orig_s[1:], [doc_len]))
+    mid = (e[:-1] + s[1:] + 1) // 2  # gap midpoints (right-biased)
+    left_bound = np.concatenate(([0], mid))
+    right_bound = np.concatenate((mid, [doc_len]))
     s = np.maximum(s - distance, left_bound)
     e = np.minimum(e + distance, right_bound)
     return s, e

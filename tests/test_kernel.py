@@ -83,10 +83,11 @@ def test_simplify_gap_merge():
     assert s.tolist() == [0, 30] and e.tolist() == [20, 40]
 
 
-def test_spread_bounded_by_neighbors():
+def test_spread_bounded_by_gap_midpoint():
     s, e = iv.spread(np.array([5, 20]), np.array([10, 30]), distance=100, doc_len=50)
-    assert s.tolist() == [0, 10]  # left span grows to 0, right stops at left's end
-    assert e.tolist() == [20, 50]
+    # gap [10,20) midpoint 15: each side grows to it, never past
+    assert s.tolist() == [0, 15]
+    assert e.tolist() == [15, 50]
 
 
 # ---------------------------------------------------------------- htmlparse

@@ -1,0 +1,123 @@
+"""Property-based invariants (SURVEY.md §5.2 item 4), via hypothesis:
+
+- extract_document never raises and its spans are sorted,
+  non-overlapping, within bounds, and slice-consistent;
+- extraction is deterministic (pure function);
+- plausibilize reaches a fixpoint: surviving spans are mutually
+  non-overlapping and a second pass is a no-op (repair∘repair=repair);
+- ensure_valid output is always clamped and ordered;
+- spread never creates overlap and never leaves the document.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ocrd_segment_spark.kernel import intervals as iv
+from ocrd_segment_spark.kernel.extract import extract_document
+
+# --------------------------------------------------------------- extraction
+_word = st.text(alphabet="abcdefg", min_size=1, max_size=8)
+_words = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+_tag = st.sampled_from(["p", "div", "li", "h2", "nav", "figure", "span", "a", "section"])
+
+
+@st.composite
+def _html(draw, depth=0):
+    if depth >= 3:
+        return draw(_words)
+    n = draw(st.integers(0, 3))
+    parts = []
+    for _ in range(n):
+        if draw(st.booleans()):
+            tag = draw(_tag)
+            inner = draw(_html(depth + 1))  # type: ignore[call-arg]
+            closed = draw(st.integers(0, 9)) > 0  # sometimes unclosed
+            parts.append(f"<{tag}>{inner}" + (f"</{tag}>" if closed else ""))
+        else:
+            parts.append(draw(_words))
+    return " ".join(parts)
+
+
+@given(_html())
+@settings(max_examples=150, deadline=None)
+def test_extract_invariants_on_arbitrary_html(body):
+    html = f"<html><body>{body}</body></html>"
+    text, regions, metrics = extract_document(html)
+    text2, regions2, _ = extract_document(html)
+    assert (text, regions) == (text2, regions2)  # pure
+    prev_end = None
+    for r in regions:
+        assert 0 <= r["start"] < r["end"] <= len(text)
+        if prev_end is not None:
+            assert r["start"] > prev_end  # separator between regions
+        prev_end = r["end"]
+    if regions:
+        assert regions[-1]["end"] == len(text)
+        assert regions[0]["start"] == 0
+    assert metrics["n_kept"] + metrics["n_dropped"] == metrics["n_candidates"]
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_extract_never_raises_on_garbage_bytes(blob):
+    text, regions, metrics = extract_document(blob)
+    assert isinstance(text, str)
+
+
+# -------------------------------------------------------------- plausibilize
+_spans = st.lists(
+    st.tuples(st.integers(0, 200), st.integers(1, 80), st.integers(1, 5)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(_spans)
+@settings(max_examples=200, deadline=None)
+def test_plausibilize_fixpoint_and_disjoint(raw):
+    starts = np.array([s for s, _, _ in raw], dtype=np.int64)
+    ends = np.array([s + l for s, l, _ in raw], dtype=np.int64)
+    depths = np.array([d for _, _, d in raw], dtype=np.int64)
+    acts, s, e = iv.plausibilize(starts, ends, depths)
+    keep = acts == iv.KEEP
+    ks, ke = s[keep], e[keep]
+    order = np.argsort(ks, kind="stable")
+    ks, ke = ks[order], ke[order]
+    # survivors must be mutually non-overlapping
+    assert all(ks[i + 1] >= ke[i] for i in range(len(ks) - 1)), (raw, ks, ke)
+    # and a second pass must change nothing (repair ∘ repair = repair)
+    acts2, s2, e2 = iv.plausibilize(ks, ke, np.ones(len(ks), dtype=np.int64))
+    assert (acts2 == iv.KEEP).all()
+    assert (s2 == ks).all() and (e2 == ke).all()
+
+
+@given(_spans)
+@settings(max_examples=100, deadline=None)
+def test_ensure_valid_clamps(raw):
+    starts = np.array([s for s, _, _ in raw], dtype=np.int64)
+    ends = np.array([s + l - 40 for s, l, _ in raw], dtype=np.int64)  # some reversed
+    s, e, ok = iv.ensure_valid(starts, ends, doc_len=150)
+    assert (s <= e).all() and (s >= 0).all() and (e <= 150).all()
+    assert ((e > s) == ok).all()
+
+
+@given(_spans, st.integers(0, 50))
+@settings(max_examples=100, deadline=None)
+def test_spread_no_overlap_within_bounds(raw, dist):
+    if not raw:
+        return
+    # build sorted non-overlapping spans (spread's precondition)
+    starts_l, ends_l, pos = [], [], 0
+    for gap, length, _ in raw:
+        s0 = pos + gap + 1
+        starts_l.append(s0)
+        ends_l.append(s0 + length)
+        pos = s0 + length
+    starts = np.array(starts_l, dtype=np.int64)
+    ends = np.array(ends_l, dtype=np.int64)
+    doc_len = int(ends[-1] + 100)
+    s, e = iv.spread(starts, ends, dist, doc_len)
+    assert (s >= 0).all() and (e <= doc_len).all()
+    assert all(s[i + 1] >= e[i] for i in range(len(s) - 1))
+    # spans only grow
+    assert (s <= starts).all() and (e >= ends).all()
