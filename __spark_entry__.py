@@ -91,6 +91,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": M.q_dedup_minhash_lsh,
     "dedup_simhash": M.q_dedup_simhash,
     "fingerprint_rolling": M.q_fingerprint_rolling,
+    "dedup_components": M.q_dedup_components,
+    "embed_cosine_neardup": M.q_embed_cosine_neardup,
+    "skew_salted_host_agg": M.q_skew_salted_host_agg,
     # text analysis
     "lang_id_heuristic": M.q_lang_id_heuristic,
     "quality_score": M.q_quality_score,
@@ -140,6 +143,9 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": M.O_DEDUP_MINHASH,
     "dedup_simhash": M.O_DEDUP_SIMHASH,
     "fingerprint_rolling": M.O_FINGERPRINT,
+    "dedup_components": M.O_DEDUP_COMPONENTS,
+    "embed_cosine_neardup": M.O_EMBED_NEARDUP,
+    "skew_salted_host_agg": M.O_SKEW_SALTED,
     "lang_id_heuristic": M.O_LANG_ID,
     "quality_score": M.O_QUALITY,
     "token_count": M.O_TOKEN_COUNT,

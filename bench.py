@@ -28,18 +28,38 @@ from ocrd_segment_spark import contract_ml as M
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# pages corpus sized to scale factor: sf0.1 → 20k pages
+# pages corpus sized to scale factor: sf0.1 → 100k pages (big enough to
+# amortize the ~4s fixed task-launch/Arrow-warmup cost per query)
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-N_PAGES = max(200, int(200_000 * _SF))
-PAGES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", f"pages_{N_PAGES}")
+N_PAGES = max(1000, int(1_000_000 * _SF))
+PAGES_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench", f"pages_{N_PAGES}"
+)
+
+
+def _gen_shard(args):
+    i, n = args
+    from ocrd_segment_spark.fixtures import gen_pages
+
+    rows = gen_pages(n, seed=42 + i)
+    for r in rows:
+        r["url"] = r["url"].replace("page", f"s{i}p")
+    return rows
 
 
 def ensure_pages(spark) -> str:
     if not os.path.exists(os.path.join(PAGES_DIR, "_SUCCESS")):
-        from ocrd_segment_spark.fixtures import pages_pandas
+        import multiprocessing as mp
 
-        pdf = pages_pandas(N_PAGES)
-        spark.createDataFrame(pdf).repartition(CPUS * 2).write.mode("overwrite").parquet(PAGES_DIR)
+        import pandas as pd
+
+        n_shards = 16
+        with mp.Pool(n_shards) as p:
+            shards = p.map(_gen_shard, [(i, N_PAGES // n_shards) for i in range(n_shards)])
+        pdf = pd.DataFrame([r for s in shards for r in s])
+        spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(
+            PAGES_DIR
+        )
     return PAGES_DIR
 
 

@@ -480,3 +480,137 @@ SELECT event_type,
        count(*) AS n, round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2
 """
+
+
+def q_embed_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup: candidate pairs restricted to the
+    same LSH bucket (the scale path — never all-pairs), exact cosine on
+    candidates. At 100 TB the bucket join is the only shuffle."""
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    b = e.selectExpr(
+        "vec_id",
+        "v",
+        "aggregate(sequence(0, 3), 0L, (acc, j) -> acc +"
+        " IF(aggregate(sequence(0, 63), cast(0.0 as double),"
+        "   (a, d) -> a + v[d] * cast(((j+1) * (d+7)) % 11 - 5 as double)) > 0D,"
+        " shiftleft(1L, j), 0L)) as bucket",
+    )
+    b1, b2 = b.alias("b1"), b.alias("b2")
+    pairs = b1.join(
+        b2,
+        (F.col("b1.bucket") == F.col("b2.bucket"))
+        & (F.col("b1.vec_id") < F.col("b2.vec_id")),
+    )
+    dot = (
+        "aggregate(zip_with(b1.v, b2.v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, t) -> acc + t)"
+    )
+    n1 = (
+        "sqrt(aggregate(zip_with(b1.v, b1.v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, t) -> acc + t))"
+    )
+    n2 = (
+        "sqrt(aggregate(zip_with(b2.v, b2.v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, t) -> acc + t))"
+    )
+    scored = pairs.selectExpr(
+        "b1.vec_id as v1",
+        "b2.vec_id as v2",
+        f"round({dot} / ({n1} * {n2}), 6) as cos",
+    )
+    return scored.filter(F.col("cos") > 0.15)
+
+
+O_EMBED_NEARDUP = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(0, 4), j ->
+           CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(0, 64),
+                    d -> v[d+1] * CAST(((j+1) * (d+7)) % 11 - 5 AS DOUBLE))),
+                  (x, y) -> x + y) > 0
+                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM e
+), pairs AS (
+  SELECT b1.vec_id AS v1, b2.vec_id AS v2,
+         round(
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> b1.v[i] * b2.v[i])), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65), i -> b1.v[i] * b1.v[i])), (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65), i -> b2.v[i] * b2.v[i])), (x, y) -> x + y)))
+         , 6) AS cos
+  FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+)
+SELECT v1, v2, cos FROM pairs WHERE cos > 0.15
+"""
+
+
+def q_skew_salted_host_agg(spark, sf_dir):
+    """Explicit skew salting (north_rule): two-phase aggregation with a
+    deterministic salt in the first groupBy so one hot key fans out
+    over the cluster, collapsed in the second. Result must equal the
+    plain single-phase aggregate — which is what the oracle states."""
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(8)))
+    partial = salted.groupBy("source", "salt").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return partial.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    )
+
+
+O_SKEW_SALTED = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster canonicalization: connected components over
+    the MinHash-LSH candidate graph (operators/dedup.connected_components,
+    iterative min-label propagation — the engine's iterative-algorithm
+    shape). Oracle: recursive CTE transitive closure in DuckDB."""
+    from .operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pairs = D.minhash_lsh_candidates(corpus, k=8, bands=4)
+    return D.connected_components(pairs)
+
+
+O_DEDUP_COMPONENTS = (
+    O_DEDUP_MINHASH.replace(
+        "SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2\nFROM bands b1 JOIN bands b2\n  ON b1.band_idx = b2.band_idx AND b1.band_val = b2.band_val\n AND b1.doc_id < b2.doc_id",
+        """, pairs AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bands b1 JOIN bands b2
+    ON b1.band_idx = b2.band_idx AND b1.band_val = b2.band_val
+   AND b1.doc_id < b2.doc_id
+), edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM reach GROUP BY a""",
+    )
+    .replace("WITH corpus AS (", "WITH RECURSIVE corpus AS (")
+)

