@@ -1,0 +1,62 @@
+"""The production entrypoint (north_rule: 'run via spark-submit
+--py-files on a multi-executor cluster').
+
+    python tools/package.py                       # → dist/engine.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/engine.zip \\
+        jobs/extract_job.py \\
+        --input  /path/to/pages_parquet \\
+        --output /path/to/extracted \\
+        --metrics /path/to/metrics \\
+        [--no-resume] [--python-parallelism N] \\
+        [--max-link-density 0.5] [--min-region-chars 2] \\
+        [--simplify-gap 0] [--spread 0]
+
+The job is idempotent: re-submitting after a failure resumes from the
+committed output (anti-join on url).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--python-parallelism", type=int, default=None)
+    ap.add_argument("--max-link-density", type=float, default=0.5)
+    ap.add_argument("--min-region-chars", type=int, default=2)
+    ap.add_argument("--simplify-gap", type=int, default=0)
+    ap.add_argument("--spread", type=int, default=0)
+    args = ap.parse_args()
+
+    from ocrd_segment_spark.config import ExtractParams
+    from ocrd_segment_spark.pipeline import run_extract
+
+    spark = SparkSession.builder.appName("ocrd-segment-extract").getOrCreate()
+    params = ExtractParams(
+        max_link_density=args.max_link_density,
+        min_region_chars=args.min_region_chars,
+        simplify_gap_tolerance=args.simplify_gap,
+        spread_chars=args.spread,
+    )
+    run_extract(
+        spark,
+        args.input,
+        args.output,
+        params=params,
+        resume=not args.no_resume,
+        metrics_path=args.metrics,
+        python_parallelism=args.python_parallelism,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -199,6 +199,8 @@ def run_extract(
     output_path: str,
     params: ExtractParams = DEFAULT_PARAMS,
     resume: bool = True,
+    metrics_path: str | None = None,
+    python_parallelism: int | None = None,
 ) -> None:
     """Batch run with checkpoint-resume semantics.
 
@@ -206,7 +208,11 @@ def run_extract(
     the output table (the Iceberg-snapshot analog: parquet appends are
     atomic per file; a killed run leaves complete files only, so
     re-running appends exactly the missing urls). Verified by
-    tests/test_resume.py kill-and-rerun."""
+    tests/test_resume.py kill-and-rerun.
+
+    ``metrics_path``: per-partition lineage/metrics rows appended per
+    run (north_star: 'per-partition lineage and extraction metrics'),
+    stamped with a run id derived from the Spark application id."""
     pages = spark.read.parquet(input_path)
     if resume:
         try:
@@ -214,5 +220,13 @@ def run_extract(
             pages = pages.join(done, "url", "left_anti")
         except Exception:
             pass  # no output yet → full run
-    result = extract_pages(pages, params)
+    result = extract_pages(pages, params, python_parallelism)
+    if metrics_path is not None:
+        result = result.cache()
     result.write.mode("append").parquet(output_path)
+    if metrics_path is not None:
+        metrics = partition_metrics(result).withColumn(
+            "run_id", F.lit(spark.sparkContext.applicationId)
+        )
+        metrics.write.mode("append").parquet(metrics_path)
+        result.unpersist()

@@ -50,3 +50,18 @@ def test_resume_is_idempotent_noop_when_done(spark, tmp_path):
     run_extract(spark, src, out)
     run_extract(spark, src, out)  # second run must append nothing
     assert spark.read.parquet(out).count() == 20
+
+
+def test_metrics_table_appended_per_run(spark, tmp_path):
+    pdf = pages_pandas(30)
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    met = str(tmp_path / "metrics")
+    spark.createDataFrame(pdf).write.parquet(src)
+    run_extract(spark, src, out, metrics_path=met)
+    m = spark.read.parquet(met)
+    rows = m.collect()
+    assert sum(r["pages"] for r in rows) == 30
+    assert all(r["run_id"] for r in rows)
+    assert {"partition_id", "regions_kept", "regions_dropped",
+            "parse_failures", "kernel_version"} <= set(m.columns)
