@@ -184,3 +184,26 @@ def test_extract_script_style_excluded():
     html = "<body><script>var x=1;</script><style>p{}</style><p>visible words</p></body>"
     text, _, _ = extract_document(html)
     assert text == "visible words"
+
+
+def test_deeply_nested_html_no_recursion_limit():
+    # 5000-deep nesting would blow Python's recursion limit on a
+    # recursive walker; ours is an explicit stack
+    html = "<body>" + "<div>" * 5000 + "words here inside" + "</div>" * 5000 + "</body>"
+    text, regions, m = extract_document(html)
+    assert text == "words here inside"
+    assert m["parse_failed"] is False
+
+
+def test_huge_flat_page():
+    html = "<body>" + "".join(f"<p>para {i} words</p>" for i in range(3000)) + "</body>"
+    text, regions, _ = extract_document(html)
+    assert len(regions) == 3000
+    assert text.startswith("para 0 words\npara 1 words")
+
+
+def test_comments_cdata_doctype_ignored():
+    html = ("<!DOCTYPE html><html><body><!-- comment words -->"
+            "<p>real words</p><![CDATA[cdata words]]></body></html>")
+    text, _, _ = extract_document(html)
+    assert text == "real words"
