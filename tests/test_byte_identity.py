@@ -8,6 +8,7 @@ parallelism level so no batch/partition boundary leaks into output
 import pandas as pd
 import pytest
 
+from ocrd_segment_spark import KERNEL_VERSION
 from ocrd_segment_spark.fixtures import gen_pages, pages_pandas
 from ocrd_segment_spark.oracle import extract_corpus
 from ocrd_segment_spark.pipeline import extract_pages, host_metrics, partition_metrics
@@ -71,7 +72,7 @@ def test_partition_and_host_metrics(spark, pages_df):
     out = extract_pages(pages_df.repartition(4)).cache()
     pm = partition_metrics(out).collect()
     assert sum(r["pages"] for r in pm) == N_PAGES
-    assert all(r["kernel_version"] == "1.0.0" for r in pm)
+    assert all(r["kernel_version"] == KERNEL_VERSION for r in pm)
     hm = host_metrics(out).collect()
     assert sum(r["pages"] for r in hm) == N_PAGES
     # Zipf skew: hottest host must dominate

@@ -1,0 +1,70 @@
+"""Fast-parser guarantees.
+
+The regex tokenizer (htmlparse_fast) is the kernel's frozen parser;
+the stdlib builder (htmlparse) stays as the cross-check. On realistic
+HTML the two must produce identical extraction output; on adversarial
+input the fast parser must satisfy the kernel invariants (stdlib
+agreement is NOT claimed there — the stdlib parser emits degenerate
+tag names like 'b"<' for unterminated tags at EOF)."""
+
+from hypothesis import given, settings, strategies as st
+
+from ocrd_segment_spark.fixtures import gen_pages
+from ocrd_segment_spark.kernel import extract as X
+from ocrd_segment_spark.kernel.extract import extract_document
+from ocrd_segment_spark.kernel.htmlparse import parse_html as parse_stdlib
+from ocrd_segment_spark.kernel.htmlparse_fast import parse_html_fast
+
+
+def test_equivalent_to_stdlib_on_fixture_corpus():
+    rows = gen_pages(2000, seed=7)
+    orig = X.parse_html
+    mismatches = []
+    try:
+        for r in rows:
+            X.parse_html = parse_stdlib
+            a = extract_document(r["html"])
+            X.parse_html = parse_html_fast
+            b = extract_document(r["html"])
+            if a != b:
+                mismatches.append(r["url"])
+    finally:
+        X.parse_html = orig
+    assert not mismatches, mismatches[:5]
+
+
+_frag = st.text(alphabet="abc <>/&;!#x\"'=-p.liv\nh1", min_size=0, max_size=60)
+_tags = st.sampled_from(
+    ["<p>", "</p>", "<div>", "</div>", "<li>", "<a href='x'>", "</a>",
+     "<script>", "</script>", "<!-- c -->", "<br/>", "&amp;", "&#65;",
+     "&nosuch;", "<![CDATA[x]]>", "<!DOCTYPE html>", "</bogus !>", "<p",
+     "<>", "< p>", "<p/>", "<P >", "</ p>", "<!", "<b\""]
+)
+_doc = st.lists(st.one_of(_frag, _tags), min_size=0, max_size=25).map("".join)
+
+
+@given(_doc)
+@settings(max_examples=300, deadline=None)
+def test_fast_parser_invariants_on_adversarial_input(body):
+    html = f"<html><body>{body}</body></html>"
+    tree = parse_html_fast(html)
+    assert tree is not None
+    text, regions, m = extract_document(html)
+    assert extract_document(html) == (text, regions, m)  # deterministic
+    for r in regions:
+        assert 0 <= r["start"] < r["end"] <= len(text)
+
+
+def test_fast_parser_rejects_non_utf8():
+    assert parse_html_fast(b"<p>x</p>\xff\x80") is None
+
+
+def test_fast_parser_rawtext_and_entities():
+    tree = parse_html_fast(
+        "<body><script>if (a<b) {'</div>'}</script><p>x &amp; y &#65;</p></body>"
+    )
+    body = tree.children[0]
+    tags = [c.tag for c in body.children if not isinstance(c, str)]
+    assert tags == ["script", "p"]
+    p = body.children[1]
+    assert "".join(c for c in p.children if isinstance(c, str)) == "x & y A"
