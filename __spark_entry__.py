@@ -105,6 +105,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal + event-time windows
     "multimodal_meta": M.q_multimodal_meta,
     "events_hourly_window": M.q_events_hourly_window,
+    "session_windows": M.q_session_windows,
 }
 
 _ORACLES: dict[str, str] = {
@@ -154,6 +155,7 @@ _ORACLES: dict[str, str] = {
     "ann_ivf_assign": M.O_ANN_IVF,
     "multimodal_meta": M.O_MULTIMODAL,
     "events_hourly_window": M.O_EVENTS_WINDOW,
+    "session_windows": M.O_SESSION_WINDOWS,
 }
 
 

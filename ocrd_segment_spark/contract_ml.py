@@ -614,3 +614,44 @@ FROM reach GROUP BY a""",
     )
     .replace("WITH corpus AS (", "WITH RECURSIVE corpus AS (")
 )
+
+
+def q_session_windows(spark, sf_dir):
+    """Event-time session windows (F.session_window, 30-min gap) —
+    the gap-based grouping a crawl/training pipeline uses for user
+    activity. Oracle: gaps-and-islands SQL (lag + running sum), which
+    is exactly the semantics Spark's session window implements
+    (events merge while the inter-event gap is < the duration)."""
+    e = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+
+
+O_SESSION_WINDOWS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), per_session AS (
+  SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
