@@ -106,6 +106,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": M.q_multimodal_meta,
     "events_hourly_window": M.q_events_hourly_window,
     "session_windows": M.q_session_windows,
+    "sliding_window_counts": M.q_sliding_window_counts,
+    "tfidf_top_terms": M.q_tfidf_top_terms,
+    "ann_kmeans_iterations": M.q_ann_kmeans_iterations,
 }
 
 _ORACLES: dict[str, str] = {
@@ -156,6 +159,9 @@ _ORACLES: dict[str, str] = {
     "multimodal_meta": M.O_MULTIMODAL,
     "events_hourly_window": M.O_EVENTS_WINDOW,
     "session_windows": M.O_SESSION_WINDOWS,
+    "sliding_window_counts": M.O_SLIDING_WINDOW,
+    "tfidf_top_terms": M.O_TFIDF,
+    "ann_kmeans_iterations": M.O_KMEANS,
 }
 
 

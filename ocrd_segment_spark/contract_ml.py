@@ -462,12 +462,15 @@ def q_events_hourly_window(spark, sf_dir):
     in batch; the readStream variant lives in streaming/extract_stream
     and is pytest-verified with availableNow)."""
     e = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: keep it NTZ end-to-end and emit the window
+    # start as a string, so the result is independent of the session
+    # timezone (unix_timestamp would interpret NTZ in session tz)
     return (
         e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
         .select(
             "event_type",
-            F.unix_timestamp(F.col("w.start")).cast("long").alias("wstart"),
+            F.col("w.start").cast("string").alias("wstart"),
             "n",
             "total",
         )
@@ -476,7 +479,7 @@ def q_events_hourly_window(spark, sf_dir):
 
 O_EVENTS_WINDOW = """
 SELECT event_type,
-       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
        count(*) AS n, round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2
 """
@@ -654,4 +657,164 @@ SELECT user_id, count(*) AS n_sessions,
        CAST(sum(n_events) AS BIGINT) AS n_events,
        CAST(max(n_events) AS BIGINT) AS max_session_events
 FROM per_session GROUP BY user_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF scoring (text-pipeline staple): explode tokens → term
+    frequency per doc, document frequency per term, idf = ln(N/df),
+    top term per doc by tf*idf (ties → lexicographically first term).
+    Two shuffles: token groupBy and the doc-top window."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.selectExpr("doc_id", f"explode({_TOKS}) as term")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = d.count()  # small dim; literal into the plan
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.col("tfidf").alias("score"))
+    )
+
+
+O_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df_ AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+  GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df_.df), 6)
+           AS tfidf
+  FROM tf JOIN df_ USING (term)
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term AS top_term, tfidf AS score FROM ranked WHERE rn = 1
+"""
+
+
+def q_sliding_window_counts(spark, sf_dir):
+    """Sliding event-time windows (1 h window, 30 min slide): every
+    event lands in two windows. Oracle: union of the two aligned
+    tumbling decompositions."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("wstart"), "n")
+    )
+
+
+O_SLIDING_WINDOW = """
+WITH starts AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart FROM events
+  UNION ALL
+  SELECT strftime(
+           CASE WHEN minute(ts) < 30
+                THEN date_trunc('hour', ts) - INTERVAL 30 MINUTE
+                ELSE date_trunc('hour', ts) + INTERVAL 30 MINUTE END,
+           '%Y-%m-%d %H:%M:%S')
+  FROM events
+)
+SELECT wstart, count(*) AS n FROM starts GROUP BY wstart
+"""
+
+
+def q_ann_kmeans_iterations(spark, sf_dir):
+    """Two unrolled Lloyd iterations of k-means (k=4, centroids from
+    vec_id<4) — the iterative-refinement shape of embedding clustering,
+    exactly checkable: embeddings are quantized to integers
+    (round(x*1e6)), so centroid sums are EXACT (order-independent) and
+    both engines compute bit-identical means/distances; ties break by
+    centroid id. Output: cluster sizes after the second assignment."""
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as long)) as q",
+    )
+    c0 = e.filter(F.col("vec_id") < 4).selectExpr(
+        "vec_id as cid", "transform(q, x -> cast(x as double)) as cv"
+    )
+
+    def assign(points, cents):
+        p = points.crossJoin(F.broadcast(cents)).selectExpr(
+            "vec_id",
+            "q",
+            "cid",
+            "aggregate(zip_with(q, cv, (x, y) -> (cast(x as double) - y)"
+            " * (cast(x as double) - y)), cast(0.0 as double),"
+            " (a, t) -> a + t) as dist2",
+        )
+        w = W.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+        return p.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).select("vec_id", "q", "cid")
+
+    a1 = assign(e, c0)
+    sums = a1.selectExpr("cid", "posexplode(q) as (d, x)").groupBy(
+        "cid", "d"
+    ).agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+    c2 = sums.withColumn("m", F.col("sx") / F.col("n")).groupBy("cid").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, m))), s -> s.m)").alias("cv")
+    )
+    a2 = assign(a1.select("vec_id", "q"), c2)
+    return a2.groupBy(F.col("cid").alias("centroid")).agg(
+        F.count("*").alias("n_assigned")
+    )
+
+
+O_KMEANS = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cv
+  FROM e WHERE vec_id < 4
+), p1 AS (
+  SELECT e.vec_id, e.q, c0.cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65),
+             i -> (CAST(q[i] AS DOUBLE) - cv[i]) * (CAST(q[i] AS DOUBLE) - cv[i]))),
+           (x, y) -> x + y) AS dist2
+  FROM e, c0
+), a1 AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT vec_id, q, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM p1) WHERE rn = 1
+), sums AS (
+  SELECT cid, d, sum(q[d]) AS sx, count(*) AS n
+  FROM a1, range(1, 65) r(d)
+  GROUP BY cid, d
+), c2 AS (
+  SELECT cid, list(sx * 1.0 / n ORDER BY d) AS cv
+  FROM sums GROUP BY cid
+), p2 AS (
+  SELECT a1.vec_id, c2.cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65),
+             i -> (CAST(q[i] AS DOUBLE) - cv[i]) * (CAST(q[i] AS DOUBLE) - cv[i]))),
+           (x, y) -> x + y) AS dist2
+  FROM a1, c2
+), a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM p2) WHERE rn = 1
+)
+SELECT cid AS centroid, count(*) AS n_assigned FROM a2 GROUP BY cid
 """
