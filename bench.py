@@ -32,8 +32,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # amortize the ~4s fixed task-launch/Arrow-warmup cost per query)
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 N_PAGES = max(1000, int(1_000_000 * _SF))
+from ocrd_segment_spark.fixtures import FIXTURES_VERSION
+
 PAGES_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".bench", f"pages_{N_PAGES}"
+    os.path.dirname(os.path.abspath(__file__)),
+    ".bench",
+    f"pages_{N_PAGES}_v{FIXTURES_VERSION}",
 )
 
 

@@ -27,7 +27,13 @@ _LANGS = ("en", "en", "en", "de", "de", "fr", "es", "it")
 _HOSTS = tuple(f"host{i:02d}.example.org" for i in range(20))
 _HOST_WEIGHTS = tuple(1.0 / (i + 1) for i in range(20))
 
-DOC_CLASSES = ("clean", "repair", "validity", "shrink", "boiler", "malformed", "order")
+DOC_CLASSES = (
+    "clean", "repair", "validity", "shrink", "boiler", "malformed", "order",
+    "struct",  # lists/tables/quotes/pre — the non-paragraph region types
+)
+
+# bump when generator output changes (cache-busts .bench corpora)
+FIXTURES_VERSION = 2
 
 
 def _sentence(rng: random.Random, n: int) -> str:
@@ -93,6 +99,19 @@ def _page_html(rng: random.Random, cls: str) -> bytes:
             body.append(f"<main><p>{paras[0]}</p><p>{paras[1][: max(3, len(paras[1]) // 3)]}")
         else:  # non-UTF-8 → parse failure
             return (f"<html><body><p>{paras[0]}</p>").encode("utf-8") + b"\xff\xfe\x80"
+    elif cls == "struct":  # lists, tables, quotes, pre (rtype variety)
+        body.append("<main>")
+        body.append(f"<p>{paras[0]}</p>")
+        items = "".join(f"<li>{_sentence(rng, 4)}</li>" for _ in range(3))
+        body.append(f"<ul>{items}</ul>")
+        body.append(
+            "<table><tr>"
+            + "".join(f"<td>{_sentence(rng, 3)}</td>" for _ in range(2))
+            + f"</tr><tr><td>{_sentence(rng, 3)}</td><td>{_sentence(rng, 2)}</td></tr></table>"
+        )
+        body.append(f"<blockquote>{_sentence(rng, 8)}</blockquote>")
+        body.append(f"<pre>{_sentence(rng, 5)}</pre>")
+        body.append("</main>")
     elif cls == "order":  # F1g — figure before heading in DOM
         body.append("<main>")
         body.append(f"<figure><figcaption>{_sentence(rng, 5)}</figcaption></figure>")

@@ -207,3 +207,13 @@ def test_comments_cdata_doctype_ignored():
             "<p>real words</p><![CDATA[cdata words]]></body></html>")
     text, _, _ = extract_document(html)
     assert text == "real words"
+
+
+def test_struct_fixture_rtype_variety():
+    from ocrd_segment_spark.fixtures import gen_pages
+    from ocrd_segment_spark.oracle import extract_corpus
+    structs = [r for r in gen_pages(40) if "/struct/" in r["url"]]
+    assert structs
+    out = extract_corpus(structs)
+    rtypes = {sp["rtype"] for r in out for sp in r["region_spans"]}
+    assert {"paragraph", "list", "table", "quote", "pre"} <= rtypes
