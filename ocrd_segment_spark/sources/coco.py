@@ -82,3 +82,12 @@ def import_coco(images: DataFrame, annotations: DataFrame) -> DataFrame:
             F.count("*").alias("n_regions"),
         )
     )
+
+
+def unaccounted_images(images: DataFrame, annotations: DataFrame) -> DataFrame:
+    """A9 (reference import_coco_segmentation.py:136-140, 215-217):
+    images left over after grouping — the anti-join complement of
+    import_coco, reported instead of silently dropped."""
+    return images.join(
+        annotations.select("image_id").distinct(), "image_id", "left_anti"
+    )

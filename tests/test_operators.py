@@ -128,3 +128,11 @@ def test_multimodal_stub_plumbing(spark):
     assert again[1] == feats[1]["feature"]
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"xx")
+
+
+def test_unaccounted_images_audit(spark, extracted):
+    images, annotations, _ = CC.export_coco(extracted)
+    missing = CC.unaccounted_images(images, annotations)
+    grouped = CC.import_coco(images, annotations)
+    # audit + grouped partitions the image set exactly
+    assert missing.count() + grouped.count() == images.count()
