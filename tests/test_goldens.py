@@ -1,0 +1,70 @@
+"""Committed golden digest — the anti-drift lock.
+
+Byte-identity tests compare Spark vs the oracle, but both import the
+same kernel, so an accidental semantic change would drift BOTH sides
+silently. This digest pins the frozen kernel semantics (parser,
+normalization, repair decisions, serialization order) for the
+200-page seed-42 corpus. If it changes, that is a DELIBERATE kernel
+version bump: update KERNEL_VERSION and this constant in the same
+commit, and say why.
+
+Digest history:
+- kernel 1.1.0 (fixtures v2): d4602d8d…  (regex parser, struct class)
+"""
+
+import hashlib
+import os
+import subprocess
+import sys
+
+from ocrd_segment_spark import KERNEL_VERSION
+from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
+from ocrd_segment_spark.oracle import extract_corpus
+
+GOLDEN_SHA256 = "d4602d8dc990caa72affefcd136dce73844c96f1f7ceeff6cdd60ba57b4352cf"
+GOLDEN_KERNEL = "1.1.0"
+GOLDEN_FIXTURES = 2
+
+
+def corpus_digest(n_pages: int = 200, seed: int = 42) -> str:
+    out = extract_corpus(gen_pages(n_pages, seed))
+    h = hashlib.sha256()
+    for r in sorted(out, key=lambda r: r["url"]):
+        h.update(r["url"].encode())
+        h.update(b"\x00")
+        h.update(r["extracted_text"].encode())
+        h.update(b"\x00")
+        for sp in r["region_spans"]:
+            h.update(
+                repr(
+                    (sp["region_id"], sp["rtype"], sp["subtype"], sp["start"],
+                     sp["end"], sp["parent_id"], sp["order"], sp["score"])
+                ).encode()
+            )
+    return h.hexdigest()
+
+
+def test_golden_digest_pins_kernel_semantics():
+    assert (KERNEL_VERSION, FIXTURES_VERSION) == (GOLDEN_KERNEL, GOLDEN_FIXTURES), (
+        "kernel/fixtures version changed — recompute GOLDEN_SHA256 deliberately"
+    )
+    assert corpus_digest() == GOLDEN_SHA256
+
+
+def test_digest_stable_across_hash_seeds():
+    """No dict/set iteration order leaks into output: identical digest
+    under different PYTHONHASHSEED values (fresh interpreters)."""
+    code = (
+        "import sys; sys.path.insert(0, {!r}); "
+        "from tests.test_goldens import corpus_digest; print(corpus_digest(60))"
+    ).format(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    digests = set()
+    for seed in ("0", "12345", "random"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, timeout=120,
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        digests.add(out.stdout.strip().splitlines()[-1])
+    assert len(digests) == 1, digests
