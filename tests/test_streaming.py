@@ -117,3 +117,42 @@ def test_sessionize_stateful(spark, tmp_path):
     # closed sessions only: user 1's first session (2 events, 31-min
     # gap closes it); open tails stay in state at stream end
     assert got == {(1, 2, 3.0)}
+
+
+def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER microbatch must pair with the
+    original seen earlier (state carries history across batches)."""
+    from ocrd_segment_spark.streaming.dedup_stream import streaming_minhash_dedup
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ck")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely unrelated words in this one here nothing shared at all"
+    import os
+    os.makedirs(src, exist_ok=True)
+    # batch 1: originals; batch 2: a dup of doc 1 (maxFilesPerTrigger=1
+    # forces file-per-microbatch so state must persist between them)
+    spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame([(3, base)], "doc_id long, text string") \
+        .coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_minhash_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pairs = {(r["doc1"], r["doc2"]) for r in spark.read.parquet(out).collect()}
+    assert (1, 3) in pairs
+    assert all(p in {(1, 3)} for p in pairs), pairs
