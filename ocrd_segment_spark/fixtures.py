@@ -29,11 +29,20 @@ _HOST_WEIGHTS = tuple(1.0 / (i + 1) for i in range(20))
 
 DOC_CLASSES = (
     "clean", "repair", "validity", "shrink", "boiler", "malformed", "order",
-    "struct",  # lists/tables/quotes/pre — the non-paragraph region types
+    "struct",   # lists/tables/quotes/pre — the non-paragraph region types
+    "unicode",  # multibyte scripts + entities — UTF-8 byte-identity risk zone
 )
 
 # bump when generator output changes (cache-busts .bench corpora)
-FIXTURES_VERSION = 2
+FIXTURES_VERSION = 3
+
+_UNICODE_WORDS = (
+    "straße gemütlich naïve fächer übermäßig "
+    "документ текст слово страница "
+    "网页 内容 提取 文本 分析 "
+    "ページ 抽出 テキスト "
+    "emoji🙂mix café™ a b"
+).split()
 
 
 def _sentence(rng: random.Random, n: int) -> str:
@@ -111,6 +120,13 @@ def _page_html(rng: random.Random, cls: str) -> bytes:
         )
         body.append(f"<blockquote>{_sentence(rng, 8)}</blockquote>")
         body.append(f"<pre>{_sentence(rng, 5)}</pre>")
+        body.append("</main>")
+    elif cls == "unicode":  # multibyte scripts, NBSP, entities
+        body.append("<main>")
+        usent = " ".join(rng.choice(_UNICODE_WORDS) for _ in range(rng.randint(6, 20)))
+        body.append(f"<h2>{rng.choice(_UNICODE_WORDS)} {rng.choice(_UNICODE_WORDS)}</h2>")
+        body.append(f"<p>{usent}</p>")
+        body.append(f"<p>{paras[0]} &auml;&szlig; &amp; &#x4E2D;&#25991;</p>")
         body.append("</main>")
     elif cls == "order":  # F1g — figure before heading in DOM
         body.append("<main>")

@@ -10,6 +10,7 @@ commit, and say why.
 
 Digest history:
 - kernel 1.1.0 (fixtures v2): d4602d8d…  (regex parser, struct class)
+- kernel 1.1.0 (fixtures v3): df6c272a…  (unicode class added)
 """
 
 import hashlib
@@ -21,9 +22,9 @@ from ocrd_segment_spark import KERNEL_VERSION
 from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
-GOLDEN_SHA256 = "d4602d8dc990caa72affefcd136dce73844c96f1f7ceeff6cdd60ba57b4352cf"
+GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
 GOLDEN_KERNEL = "1.1.0"
-GOLDEN_FIXTURES = 2
+GOLDEN_FIXTURES = 3
 
 
 def corpus_digest(n_pages: int = 200, seed: int = 42) -> str:

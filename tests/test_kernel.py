@@ -217,3 +217,16 @@ def test_struct_fixture_rtype_variety():
     out = extract_corpus(structs)
     rtypes = {sp["rtype"] for r in out for sp in r["region_spans"]}
     assert {"paragraph", "list", "table", "quote", "pre"} <= rtypes
+
+
+def test_unicode_fixture_byte_identity_material():
+    """Multibyte scripts survive the kernel: spans are codepoint
+    offsets, extracted bytes round-trip, entities decode."""
+    from ocrd_segment_spark.fixtures import gen_pages
+    u = [r for r in gen_pages(90) if "/unicode/" in r["url"]][0]
+    text, regions, m = extract_document(u["html"])
+    assert not m["parse_failed"]
+    assert "äß" in text and "中文" in text  # entity decoding
+    for r in regions:
+        assert text[r["start"]:r["end"]]  # codepoint slicing valid
+    assert text.encode("utf-8").decode("utf-8") == text
