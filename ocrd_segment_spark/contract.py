@@ -22,7 +22,6 @@ a1 = match stats, ...).
 
 from __future__ import annotations
 
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 

@@ -14,14 +14,13 @@
 
 from __future__ import annotations
 
-import datetime as dt
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..config import DEFAULT_PARAMS, ExtractParams
-from ..pipeline import EXTRACT_SCHEMA, extract_pages
+from ..pipeline import extract_pages
 
 PAGES_SCHEMA = T.StructType(
     [
