@@ -152,7 +152,36 @@ per-page Python loop ≈ the single-core kernel rate (~1.4k pages/s
 measured) — the Spark path at local[8] is ~{n4_run['pages_per_sec'] / 1400:.0f}× that,
 and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) / 1400:.0f}×.
 """)
+        f.write(_STATIC_SECTIONS)
     print(f"wrote BENCH/BASELINE.md, efficiency={eff:.3f}")
+
+
+_STATIC_SECTIONS = """
+## Kill-and-resume (process-level, evidenced round 1)
+
+`spark-submit` extract of the 100k corpus was SIGKILLed mid-write
+(state observed: only `out/_temporary`, zero committed parquet files —
+FileOutputCommitter job-level atomicity). Resubmitting the identical
+command (resume = output-manifest anti-join) completed the run;
+`url + md5(extracted_text)` of the resumed output differs from a clean
+single run in **0 of 100,000 rows**. The in-test variant (prefix-input
+"crash") is tests/test_resume.py.
+
+## Realistic page sizes & the 100 TB projection
+
+Fixture pages are ~3 KB; re-measured on 10k synthetic pages of ~18 KB
+(40 long paragraphs each, 180 MB total): **4,716 pages/s = 85 MB/s on
+16 cores (5.3 MB/s/core)**, kernel-bound (parse + tokenize scale with
+bytes). Projection for the north_rule's design point, with the
+cores//2 python-task rule (1000 executors x 16 cores -> 8 concurrent
+kernel tasks each):
+
+    1000 executors x 8 tasks x 5.3 MB/s = 42 GB/s
+    100 TB / 42 GB/s = ~40 minutes end-to-end
+
+The path is shuffle-free, so this scales linearly with executors until
+the input filesystem, not Spark, is the bottleneck.
+"""
 
 
 if __name__ == "__main__":
