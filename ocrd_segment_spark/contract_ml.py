@@ -17,12 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-P = 1_000_000_007
+from .functions import hashing as _H
 
-# Spark-SQL fragments -------------------------------------------------------
-_TOKS = "filter(split(text, ' '), x -> x != '')"
-# polynomial string hash: fold chars left-to-right, (a*31 + ascii) mod P
-_STR_HASH = f"aggregate(split({{s}}, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % {P})"
+# Spark-SQL fragments come from the operator library so the contract
+# queries provably test the SAME computation the shipped operators run
+P = _H.P
+_TOKS = _H.TOKENS.format(col="text")
+_STR_HASH = _H.STR_HASH
 
 # DuckDB fragments -----------------------------------------------------------
 _D_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -241,14 +242,21 @@ def q_quality_score(spark, sf_dir):
     """Quality scoring: token count, short-token ratio, composite
     score — all JVM-side column math."""
     d = _t(spark, sf_dir, "documents")
+    # tokenize ONCE per row (Catalyst does not CSE interpreted
+    # higher-order lambdas — see operators/dedup.py minhash note)
     return d.selectExpr(
         "doc_id",
-        f"cast(size({_TOKS}) as bigint) as n_tokens",
-        f"round(size(filter({_TOKS}, t -> length(t) <= 3)) * 1.0 / size({_TOKS}), 6)"
-        " as short_ratio",
-        f"round(0.4 * least(size({_TOKS}) / 100.0, 1.0)"
-        f" + 0.6 * (1.0 - size(filter({_TOKS}, t -> length(t) <= 3)) * 1.0 /"
-        f" size({_TOKS})), 6) as quality",
+        f"{_TOKS} as toks",
+    ).selectExpr(
+        "doc_id",
+        "size(toks) as n_toks",
+        "size(filter(toks, t -> length(t) <= 3)) as n_short",
+    ).selectExpr(
+        "doc_id",
+        "cast(n_toks as bigint) as n_tokens",
+        "round(n_short * 1.0 / n_toks, 6) as short_ratio",
+        "round(0.4 * least(n_toks / 100.0, 1.0)"
+        " + 0.6 * (1.0 - n_short * 1.0 / n_toks), 6) as quality",
     )
 
 

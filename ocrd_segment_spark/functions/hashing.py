@@ -31,14 +31,19 @@ def token_hashes(tokens_col: str) -> Column:
 
 
 def shingle_hashes(token_hash_col: str, n: int = 3) -> Column:
-    """array<long>: distinct composed n-gram hashes over token hashes."""
+    """array<long>: distinct composed n-gram hashes over token hashes.
+    Documents with fewer than n tokens yield an EMPTY array (without
+    the guard, sequence(0, size-n) is descending for negative bounds
+    and th[i+k] raises INVALID_ARRAY_INDEX under ANSI mode)."""
     parts = "th[i]"
     for k in range(1, n):
         parts = f"({parts} * 131 + th[i+{k}]) % {P}"
-    return F.expr(
-        f"array_distinct(transform(sequence(0, size(th) - {n}), i -> {parts}))"
-        .replace("th", token_hash_col)
+    body = (
+        f"IF(size(th) >= {n},"
+        f" array_distinct(transform(sequence(0, size(th) - {n}), i -> {parts})),"
+        " cast(array() as array<bigint>))"
     )
+    return F.expr(body.replace("th", token_hash_col))
 
 
 def minhash_signature(hashes_col: str, k: int = 8) -> Column:

@@ -19,13 +19,16 @@ from pyspark.sql import Column, functions as F
 def textequiv_select(col: str, which: str = "first") -> Column:
     """Selected alternative struct (null if absent — callers filter,
     mirroring the reference's skip-with-warning)."""
+    # try_element_at: an empty/short alternatives array yields null
+    # (element_at would raise under ANSI mode — the reference SKIPS
+    # segments whose index is absent, extract_lines.py:180-193)
     if which == "first":
-        return F.element_at(F.col(col), 1)
+        return F.try_element_at(F.col(col), F.lit(1))
     if which == "last":
-        return F.element_at(F.col(col), -1)
+        return F.try_element_at(F.col(col), F.lit(-1))
     if which.isdigit():
-        return F.element_at(
-            F.expr(f"filter({col}, t -> t.index = {int(which)})"), 1
+        return F.try_element_at(
+            F.expr(f"filter({col}, t -> t.index = {int(which)})"), F.lit(1)
         )
     raise ValueError(f"index-selection must be first/last/digit, got {which!r}")
 

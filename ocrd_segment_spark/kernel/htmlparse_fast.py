@@ -95,7 +95,15 @@ def _parse(html: str) -> Node:
                     stack.pop()
             node = Node(tag, (), stack[-1])
             stack[-1].children.append(node)
-            self_closing = m.group(4) == "/"
+            # self-closing: the attrs group greedily consumes a trailing
+            # '/', so inspect it — '/' counts only when alone or after
+            # whitespace/quote (stdlib treats `<a href=foo/>` as a
+            # normal start tag with value "foo/")
+            attrs_txt = m.group(3) or ""
+            self_closing = m.group(4) == "/" or (
+                attrs_txt.endswith("/")
+                and (len(attrs_txt) == 1 or attrs_txt[-2] in " \t\n\r\"'")
+            )
             if tag in _RAWTEXT and not self_closing:
                 # raw content: skip to the closing tag, keep as text
                 close = _RAW_CLOSE[tag].search(html, pos)

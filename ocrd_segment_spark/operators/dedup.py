@@ -128,7 +128,7 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 50, strict: bool = True
 ) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over a
     candidate-pair graph (doc1, doc2) by iterative min-label
@@ -141,7 +141,11 @@ def connected_components(
     ≤ d rounds (boilerplate dup clusters are near-cliques → 1-2
     rounds). At 100 TB, checkpoint every few rounds to cut lineage.
 
-    Returns (doc_id, component) for every node in the graph.
+    Returns (doc_id, component) for every node in the graph. If the
+    graph has not converged after ``max_iterations`` (a component of
+    diameter > max_iterations), raises RuntimeError when ``strict``
+    (default) — silent truncation would split one duplicate cluster
+    into several with different canonical docs.
     """
     edges = (
         pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
@@ -155,12 +159,16 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .cache()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # localCheckpoint truncates lineage each round — without it the
+        # plan tree grows multiplicatively per iteration and even plan
+        # stringification OOMs the driver by ~30 rounds (observed)
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -169,7 +177,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -181,6 +189,13 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter too large); raise "
+            "max_iterations or pass strict=False for best-effort labels"
+        )
     return labels.select(F.col("node").alias("doc_id"), "component")

@@ -37,12 +37,15 @@ def match_spans(gt: DataFrame, dt: DataFrame) -> DataFrame:
     shuffle; the range predicate filters post-join, so at scale this is
     one sort-merge join keyed on (url, cat) — per-page span counts are
     small, exactly like the reference's per-page matrices."""
-    g = gt.select(
+    # degenerate (empty) spans would divide-by-zero under ANSI mode;
+    # GT/DT may be externally imported, so validity is enforced here
+    # rather than assumed (P8 analog)
+    g = gt.filter(F.col("end") > F.col("start")).select(
         "url", "cat",
         F.col("region_id").alias("gt_id"),
         F.col("start").alias("gs"), F.col("end").alias("ge"),
     )
-    d = dt.select(
+    d = dt.filter(F.col("end") > F.col("start")).select(
         "url", "cat",
         F.col("region_id").alias("dt_id"),
         F.col("start").alias("ds"), F.col("end").alias("de"),
@@ -165,7 +168,13 @@ def per_cat_stats(gt: DataFrame, dt: DataFrame, matches: DataFrame) -> DataFrame
             F.when(F.col("dt_matched") > 0, F.col("dt_multi") / F.col("dt_matched"))
             .otherwise(0.0), 6
         ).alias("under_seg"),
-        F.round(F.col("gt_matched") / F.col("n_gt"), 6).alias("recall"),
-        F.round(F.col("dt_matched") / F.col("n_dt"), 6).alias("precision"),
+        F.round(
+            F.when(F.col("n_gt") > 0, F.col("gt_matched") / F.col("n_gt"))
+            .otherwise(0.0), 6
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_dt") > 0, F.col("dt_matched") / F.col("n_dt"))
+            .otherwise(0.0), 6
+        ).alias("precision"),
         "avg_iou",
     )

@@ -66,6 +66,11 @@ def plausibilize(
     processes, but distributed."""
 
     def per_url(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows arrive in arbitrary shuffle order, but the kernel's
+        # tiebreaks are input-order-dependent ("document order") — fix
+        # the frozen order as (start, end, region_id) so output is
+        # deterministic across partitionings/AQE
+        pdf = pdf.sort_values(["start", "end", "region_id"]).reset_index(drop=True)
         acts, s, e = iv.plausibilize(
             pdf["start"].to_numpy(),
             pdf["end"].to_numpy(),

@@ -215,11 +215,17 @@ def run_extract(
     stamped with a run id derived from the Spark application id."""
     pages = spark.read.parquet(input_path)
     if resume:
+        from pyspark.errors import AnalysisException
+
         try:
             done = spark.read.parquet(output_path).select("url")
             pages = pages.join(done, "url", "left_anti")
-        except Exception:
-            pass  # no output yet → full run
+        except AnalysisException as ex:
+            # only "no output yet" disables the anti-join; any other
+            # read failure (corruption, transient FS error) must abort
+            # rather than silently re-append every url
+            if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+                raise
     result = extract_pages(pages, params, python_parallelism)
     if metrics_path is not None:
         result = result.cache()
