@@ -89,6 +89,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": M.q_dedup_exact,
     "dedup_ngram_jaccard": M.q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": M.q_dedup_minhash_lsh,
+    "dedup_minhash_capped": M.q_dedup_minhash_capped,
     "dedup_simhash": M.q_dedup_simhash,
     "fingerprint_rolling": M.q_fingerprint_rolling,
     "dedup_components": M.q_dedup_components,
@@ -145,6 +146,7 @@ _ORACLES: dict[str, str] = {
     "dedup_exact": M.O_DEDUP_EXACT,
     "dedup_ngram_jaccard": M.O_DEDUP_JACCARD,
     "dedup_minhash_lsh": M.O_DEDUP_MINHASH,
+    "dedup_minhash_capped": M.O_DEDUP_MINHASH_CAPPED,
     "dedup_simhash": M.O_DEDUP_SIMHASH,
     "fingerprint_rolling": M.O_FINGERPRINT,
     "dedup_components": M.O_DEDUP_COMPONENTS,

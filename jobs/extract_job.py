@@ -20,9 +20,6 @@ from __future__ import annotations
 
 import argparse
 
-from pyspark.sql import SparkSession
-
-
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
@@ -38,8 +35,13 @@ def main() -> None:
 
     from ocrd_segment_spark.config import ExtractParams
     from ocrd_segment_spark.pipeline import run_extract
+    from ocrd_segment_spark.session import submit_session
 
-    spark = SparkSession.builder.appName("ocrd-segment-extract").getOrCreate()
+    # submit_session applies the engine tuning (notably the 512-row
+    # Arrow batch bound — tens-of-KB html blobs × the 10000-row default
+    # is the known Python-worker OOM mode) while leaving master and
+    # executor sizing to spark-submit.
+    spark = submit_session("ocrd-segment-extract")
     params = ExtractParams(
         max_link_density=args.max_link_density,
         min_region_chars=args.min_region_chars,

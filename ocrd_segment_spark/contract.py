@@ -307,7 +307,10 @@ WITH numbered AS (
          CASE WHEN prev_e IS NULL OR s - prev_e > 60 THEN 1 ELSE 0 END AS new_grp
   FROM g
 ), per_doc AS (
-  SELECT l_orderkey, sum(new_grp) AS n_groups FROM marked GROUP BY l_orderkey
+  -- CAST: DuckDB sum() yields HUGEINT which degrades to float64 at the
+  -- comparison boundary; Spark's sum(int) is BIGINT.
+  SELECT l_orderkey, CAST(sum(new_grp) AS BIGINT) AS n_groups
+  FROM marked GROUP BY l_orderkey
 )
 SELECT n_groups, count(*) AS n_docs FROM per_doc GROUP BY n_groups
 """
@@ -704,11 +707,17 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_a6_dense_ids(spark, sf_dir):
     """A6 COCO dense id assembly (reference extract_pages.py:177-198):
-    deterministic monotonic ids via a global row_number window, not a
-    mutable counter — the parallel-safe re-expression of §3.2."""
+    deterministic monotonic ids — scale-safe ranked_ids (bucketed
+    windows + cumulative bucket offsets), NOT a single-partition
+    global window; result equals row_number() over (ORDER BY doc_id)."""
+    from .functions.ids import ranked_ids
+
     d = _t(spark, sf_dir, "documents")
-    w = W.orderBy("doc_id")
-    return d.select(F.row_number().over(w).cast("long").alias("ann_id"), "doc_id")
+    # floor(doc_id/64) is order-aligned for the numeric key; width
+    # scales with corpus so #buckets stays broadcastable (ids.py)
+    return ranked_ids(
+        d.select("doc_id"), ["doc_id"], "ann_id", F.floor(F.col("doc_id") / 64)
+    ).select("ann_id", "doc_id")
 
 
 O_A6 = """
@@ -772,12 +781,18 @@ def q_a_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "2000-12-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_base_price"),
+            # sums stay DECIMAL internally so they are exact across any
+            # partial/final plan; only the FINAL outputs are cast to
+            # DOUBLE (both sides — DuckDB DECIMAL(28,x) degrades to
+            # float64 at the comparison boundary anyway).
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,2)")
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(28,2)")
+            .cast("double").alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice").cast("decimal(18,2)")
                  * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
-            ).cast("decimal(28,4)").alias("sum_disc_price"),
+            ).cast("decimal(28,4)").cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -785,10 +800,10 @@ def q_a_pricing_summary(spark, sf_dir):
 
 O_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -1117,8 +1132,11 @@ SELECT doc_id,
        CAST(h1 * 16 + h2 AS INT) AS r,
        CAST(h3 * 16 + h4 AS INT) AS g,
        CAST(h5 * 16 + h6 AS INT) AS b,
-       CASE WHEN unit = 'cm' THEN round(resolution * 2.54)
-            ELSE resolution END * 1.0 AS dpi,
+       -- CAST: without it DuckDB emits DECIMAL here (the driver's
+       -- pandas transfer degrades it to float64 so it happened to
+       -- pass, but the typed contract is DOUBLE on both sides)
+       CAST(CASE WHEN unit = 'cm' THEN round(resolution * 2.54)
+            ELSE resolution END AS DOUBLE) AS dpi,
        doc_id AS page_num
 FROM hx
 """

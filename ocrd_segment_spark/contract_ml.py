@@ -142,6 +142,65 @@ WITH corpus AS (
   SELECT doc_id, j AS band_idx,
          sig[2*j + 1] * {P} + sig[2*j + 2] AS band_val
   FROM sig, range(0, 4) r(j)
+  -- hot-bucket cap (operators/dedup.py max_bucket default): keep the
+  -- 1024 smallest doc ids per bucket; not binding at sf0.01 but the
+  -- oracle mirrors the operator's semantics exactly
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) <= 1024
+)
+SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+FROM bands b1 JOIN bands b2
+  ON b1.band_idx = b2.band_idx AND b1.band_val = b2.band_val
+ AND b1.doc_id < b2.doc_id
+"""
+
+
+def q_dedup_minhash_capped(spark, sf_dir):
+    """Hot-bucket cap under a PLANTED VIRAL BUCKET: 40 copies of one
+    document (ids 900000+) all but guarantee one boilerplate bucket per
+    band; max_bucket=8 keeps the 8 smallest ids per bucket, so the
+    viral cluster emits C(8,2)=28 pairs instead of C(40,2)=780 — the
+    quadratic-explosion guard the 100 TB design needs, verified
+    value-exact against the oracle's QUALIFY row_number cap."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators import dedup as D
+
+    viral = (
+        d.filter(F.col("doc_id") == 1)
+        .select("text")
+        .crossJoin(spark.range(40).select((F.col("id") + 900000).alias("doc_id")))
+        .select("doc_id", "text")
+    )
+    corpus = d.filter(F.col("doc_id") < 100).select("doc_id", "text").unionAll(viral)
+    return D.minhash_lsh_candidates(corpus, k=8, bands=4, max_bucket=8)
+
+
+O_DEDUP_MINHASH_CAPPED = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT 900000 + r.j, d.text FROM documents d, range(0, 40) r(j)
+  WHERE d.doc_id = 1
+), t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM corpus
+), tokh AS (
+  SELECT doc_id,
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
+  FROM t WHERE len(toks) >= 3
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 1),
+           i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) AS hs
+  FROM tokh
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i -> list_min(list_transform(hs,
+           h -> ((2*i + 3) * h + 5*i + 7) % {P}))) AS sig
+  FROM hs
+), bands AS (
+  SELECT doc_id, j AS band_idx,
+         sig[2*j + 1] * {P} + sig[2*j + 2] AS band_val
+  FROM sig, range(0, 4) r(j)
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) <= 8
 )
 SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
 FROM bands b1 JOIN bands b2
@@ -252,11 +311,15 @@ def q_quality_score(spark, sf_dir):
         "size(toks) as n_toks",
         "size(filter(toks, t -> length(t) <= 3)) as n_short",
     ).selectExpr(
+        # Spark parses bare `1.0` in selectExpr as DECIMAL(2,1) which
+        # propagates DECIMAL(…,6) outputs; the oracle emits DOUBLE.
+        # Use `D`-suffixed double literals so both sides are IEEE
+        # doubles computed in the same operation order.
         "doc_id",
         "cast(n_toks as bigint) as n_tokens",
-        "round(n_short * 1.0 / n_toks, 6) as short_ratio",
-        "round(0.4 * least(n_toks / 100.0, 1.0)"
-        " + 0.6 * (1.0 - n_short * 1.0 / n_toks), 6) as quality",
+        "round(n_short * 1.0D / n_toks, 6) as short_ratio",
+        "round(0.4D * least(n_toks / 100.0D, 1.0D)"
+        " + 0.6D * (1.0D - n_short * 1.0D / n_toks), 6) as quality",
     )
 
 

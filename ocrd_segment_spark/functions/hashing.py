@@ -54,6 +54,21 @@ def minhash_signature(hashes_col: str, k: int = 8) -> Column:
     )
 
 
+def minhash_signature_fold(hashes_col: str, k: int = 8) -> Column:
+    """Same values as :func:`minhash_signature` (for non-empty input)
+    computed in a SINGLE pass over the hash array: fold with a k-length
+    accumulator instead of k per-lane re-scans, so no n-sized
+    per-lane intermediate arrays are materialized. Used where the
+    row-wise form is forced (streaming plans may not aggregate before
+    the stateful operator). Empty input yields k sentinel values (P)
+    rather than k NULLs — callers filter empties upstream."""
+    return F.expr(
+        f"aggregate({hashes_col}, array_repeat({P}L, {k}),"
+        f" (acc, h) -> transform(acc,"
+        f" (m, i) -> least(m, ((2*i + 3) * h + 5*i + 7) % {P})))"
+    )
+
+
 def lsh_bands(sig_col: str, bands: int, rows: int = 2) -> Column:
     """array<long>: band values packing ``rows`` signature entries."""
     assert rows == 2, "frozen at 2 rows/band (band packing is P-ary)"

@@ -250,9 +250,21 @@ def extract_document(
     pieces: list[str] = []
     regions: list[dict] = []
     cursor = 0
-    # parent_id = nearest candidate ancestor in the DOM (hierarchy info,
-    # reference extract_words.py:150-168 child→parent chains)
-    cand_by_node = {id(c["node"]): f"r{c['pre_index']:04d}" for c in candidates}
+    # parent_id = nearest KEPT ancestor in the DOM (hierarchy info,
+    # reference extract_words.py:150-168 child→parent chains).
+    # Restricted to kept candidates (kernel 1.2.0): candidates deleted
+    # by plausibilize / dropped by classify/filter are not emitted, so
+    # resolving against them would leave dangling region_id references
+    # for consumers joining child→parent.
+    # NOTE: at REGION level this is "" by construction — kept regions
+    # are span-disjoint and an ancestor's token hull contains its
+    # descendants', so no kept region can be another's DOM ancestor
+    # (pinned by test_kernel). The field carries real links at the
+    # line/word levels (kernel/sublevels.py), where children are
+    # extracted WITHIN a kept region instead of competing with it.
+    cand_by_node = {
+        id(candidates[i]["node"]): f"r{candidates[i]['pre_index']:04d}" for i in kept
+    }
     for out_order, i in enumerate(kept):
         c = candidates[i]
         s, e = int(k_starts[out_order]), int(k_ends[out_order])

@@ -76,6 +76,12 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        # Frozen rule: a self-closing start tag still auto-closes
+        # <p>/<li> (HTML5 ignores the trailing slash on start tags, so
+        # '<p>a<hr/>b' ends the paragraph exactly as '<p>a<hr>b' does).
+        # Keeps the stdlib cross-check equivalent to htmlparse_fast.
+        if len(self.stack) > 1:
+            self._auto_close(tag)
         node = Node(tag, attrs, self.stack[-1])
         self.stack[-1].children.append(node)
 

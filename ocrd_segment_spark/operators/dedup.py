@@ -30,12 +30,22 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     k: int = 8,
     bands: int = 4,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc1, doc2) via MinHash + banded LSH.
     The only shuffle is the equi-join on (band_idx, band_val) —
-    colliding docs only. Hot buckets (boilerplate) are the AQE
-    skew-join case; at extreme skew, cap bucket size with a
-    count-filter before the self-join.
+    colliding docs only.
+
+    Hot buckets (viral boilerplate) are capped at ``max_bucket``
+    members BEFORE the self-join: per bucket, the ``max_bucket``
+    smallest doc ids are kept (deterministic bounded sample — a
+    row_number window partitioned by the bucket key, so the cap is
+    parallel across buckets). Without the cap one boilerplate bucket
+    at 100 TB is a quadratic pair explosion on a single key; with it
+    the worst bucket emits ≤ max_bucket² pairs and every member of a
+    capped bucket still links into the cluster through the retained
+    sample. Pass ``max_bucket=None`` to disable (exact small-scale
+    oracle comparisons).
 
     Physical shape: shingle hashes are EXPLODED to rows and all k
     signature lanes computed in ONE hash-aggregate pass (map-side
@@ -67,6 +77,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_val"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band_idx", "band_val").orderBy("doc_id")
+        bandvals = (
+            bandvals.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     b1, b2 = bandvals.alias("b1"), bandvals.alias("b2")
     return (
         b1.join(

@@ -36,6 +36,31 @@ def read_schema(df: DataFrame) -> str:
     return "\n".join(l.strip() for l in plan.splitlines() if "ReadSchema" in l)
 
 
+def unpartitioned_window_inputs(df: DataFrame) -> list[str]:
+    """The 'Input [...]' line of every Window node WITHOUT a partition
+    spec (= a single-partition global sort of its input). In the
+    formatted plan a partitioned Window's Arguments carries three
+    bracketed lists ([functions], [partition], [order]); a global one
+    only two. Scale audits assert that any such window's input is a
+    bounded side (vocabulary / per-bucket counts), never the corpus."""
+    import re
+
+    lines = physical_plan(df).splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if re.match(r"\(\d+\) Window", line.strip()):
+            inp = args = ""
+            for j in range(i + 1, min(i + 6, len(lines))):
+                s = lines[j].strip()
+                if s.startswith("Input"):
+                    inp = s
+                elif s.startswith("Arguments"):
+                    args = s
+            if len(re.findall(r"\], \[", args)) < 2:
+                out.append(inp)
+    return out
+
+
 def whole_stage_codegen_subtrees(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees (explain mode 'codegen';
     the AQE 'formatted' plan hides codegen annotations pre-execution)."""

@@ -7,6 +7,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Engine tuning that must hold on ANY session (local test or cluster
+# submit). arrow.maxRecordsPerBatch is load-bearing: html blobs are
+# tens of KB each, so the 10000-row default would make each Arrow
+# batch hundreds of MB per Python worker — the exact OOM mode the
+# 512-row bound exists to prevent.
+def _tuning(arrow_batch: int = 512) -> dict[str, str]:
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch),
+    }
+
+
+def submit_session(app: str, arrow_batch: int = 512, extra: dict | None = None) -> SparkSession:
+    """Session for spark-submit entrypoints: applies the engine tuning
+    but leaves master, executor sizing, and driver memory to the
+    submit command / cluster manager. shuffle.partitions is also left
+    to the cluster default (AQE coalesces at runtime) unless the
+    submitter set one."""
+    builder = SparkSession.builder.appName(app)
+    for k, v in _tuning(arrow_batch).items():
+        builder = builder.config(k, v)
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
 def build_session(
     app: str = "ocrd_segment_spark",
     master: str | None = None,
@@ -31,15 +61,11 @@ def build_session(
         SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _tuning(arrow_batch).items():
+        builder = builder.config(k, v)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -3,20 +3,25 @@ reference import_coco_segmentation.py and extract_pages.py:177-215).
 
 The reference accumulates ``self.images/annotations/ann_id`` mutably
 across its sequential page loop (extract_pages.py:177-198) — page
-order leaks into ids. Here ids come from ``row_number()`` windows over
-an explicit total order, so output is deterministic under any
-parallelism (§3.2 / §4.2 determinism row).
-
-Scale note: the global row_number is ONE extra shuffle at export time
-only; a 100 TB export would switch to ``zipWithIndex``-style per-
-partition offsets (monotonic id + per-partition counts) — same
-determinism, no global sort; the window form is kept here because COCO
-exports are final fan-in sinks, small by construction.
+order leaks into ids. Here ids come from :func:`functions.ids.ranked_ids`
+(bucketed windows + cumulative bucket offsets), so output is
+deterministic under any parallelism (§3.2 / §4.2 determinism row) AND
+no corpus-wide single-partition sort exists anywhere in the export
+plan — image and annotation ids scale with the bucket count, not one
+task. Only the category vocabulary (bounded, distinct names) keeps a
+plain global window.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions.ids import ranked_ids
+
+# order-aligned bucket for url-keyed ids: a 20-char prefix covers
+# scheme+host in the corpus — per-host buckets, each a window
+# partition. Tune per corpus so no host dominates (see ids.py).
+_URL_BUCKET_LEN = 20
 
 
 def export_coco(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -30,11 +35,14 @@ def export_coco(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     - categories: (category_id, name) — dense ids over the observed
       vocabulary (A7, reference evaluate.py:560-567)
     """
-    images = extracted.select(
-        F.row_number().over(W.orderBy("url")).cast("long").alias("image_id"),
-        F.col("url").alias("file_name"),
-        F.length("extracted_text").cast("long").alias("width"),
-    )
+    images = ranked_ids(
+        extracted.select(
+            "url", F.length("extracted_text").cast("long").alias("width")
+        ),
+        ["url"],
+        "image_id",
+        F.substring("url", 1, _URL_BUCKET_LEN),
+    ).select("image_id", F.col("url").alias("file_name"), "width")
     regions = extracted.select(
         "url", F.explode("region_spans").alias("r")
     ).select(
@@ -52,18 +60,22 @@ def export_coco(extracted: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             F.col("cat_name").alias("name"),
         )
     )
-    annotations = (
-        regions.join(F.broadcast(categories), regions.cat_name == categories.name)
-        .join(F.broadcast(images.select("image_id", F.col("file_name").alias("url"))), "url")
-        .select(
-            F.row_number().over(W.orderBy("url", "ord")).cast("long").alias("ann_id"),
-            "image_id",
-            "category_id",
-            "start",
-            "end",
-            (F.col("end") - F.col("start")).cast("long").alias("area"),
-            "score",
-        )
+    # categories broadcast (bounded vocabulary); images NOT broadcast —
+    # one row per document, corpus-sized, so the url join is a regular
+    # shuffle join (both sides key on url; at scale they co-partition).
+    joined = regions.join(
+        F.broadcast(categories), regions.cat_name == categories.name
+    ).join(images.select("image_id", F.col("file_name").alias("url")), "url")
+    annotations = ranked_ids(
+        joined, ["url", "ord"], "ann_id", F.substring("url", 1, _URL_BUCKET_LEN)
+    ).select(
+        "ann_id",
+        "image_id",
+        "category_id",
+        "start",
+        "end",
+        (F.col("end") - F.col("start")).cast("long").alias("area"),
+        "score",
     )
     return images, annotations, categories
 

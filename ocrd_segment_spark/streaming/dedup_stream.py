@@ -35,7 +35,9 @@ def _band_values(df: DataFrame, id_col: str, text_col: str, k: int, bands: int) 
         .filter(F.size("toks") >= 3)
         .withColumn("th", H.token_hashes("toks"))
         .withColumn("hs", H.shingle_hashes("th", 3))
-        .select("doc_id", H.minhash_signature("hs", k).alias("sig"))
+        # single-pass fold: one scan of hs with a k-length accumulator
+        # (the per-lane array_min form re-scans hs k times)
+        .select("doc_id", H.minhash_signature_fold("hs", k).alias("sig"))
     )
     return sig.select(
         "doc_id",
@@ -47,15 +49,21 @@ def _bucket_fn(max_bucket: int):
     def fn(key, pdfs, state: GroupState):
         band_idx = int(key[0])
         seen: list[int] = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
         rows = pd.concat(list(pdfs)).reset_index(drop=True)
         new_ids = sorted(int(x) for x in rows["doc_id"].unique())
         pairs = []
         for nid in new_ids:
+            # a doc re-arriving in a later microbatch already emitted
+            # its pairs on first sight — skip it so state holds
+            # DISTINCT members and the max_bucket cap counts real docs
+            if nid in seen_set:
+                continue
             for old in seen:
-                if old != nid:
-                    pairs.append((min(old, nid), max(old, nid)))
+                pairs.append((min(old, nid), max(old, nid)))
             if len(seen) < max_bucket:
                 seen.append(nid)
+                seen_set.add(nid)
         state.update((seen,))
         if pairs:
             yield pd.DataFrame(

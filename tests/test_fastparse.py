@@ -55,6 +55,32 @@ def test_fast_parser_invariants_on_adversarial_input(body):
         assert 0 <= r["start"] < r["end"] <= len(text)
 
 
+def test_self_closing_block_tag_auto_closes_p_in_both_parsers():
+    """Frozen rule: '<p>a<hr/>b' ends the paragraph exactly like
+    '<p>a<hr>b' (HTML5 ignores the '/' on start tags). Round-1 advice
+    found the two parsers diverged here because fixtures lacked
+    self-closing block tags — this fixture pins the rule."""
+    for html in ("<body><p>a<hr/>b</p></body>", "<body><p>a<hr>b</p></body>"):
+        trees = [parse_stdlib(html), parse_html_fast(html)]
+        for tree in trees:
+            body = tree.children[0]
+            tags = [c.tag for c in body.children if not isinstance(c, str)]
+            # p auto-closed by hr → hr and the trailing 'b' are siblings
+            assert tags == ["p", "hr"], (html, tags)
+            p = body.children[0]
+            assert [c for c in p.children if isinstance(c, str)] == ["a"]
+            assert body.children[-1] == "b"
+        orig = X.parse_html
+        try:
+            X.parse_html = parse_stdlib
+            a = extract_document(html)
+            X.parse_html = parse_html_fast
+            b = extract_document(html)
+        finally:
+            X.parse_html = orig
+        assert a == b
+
+
 def test_fast_parser_rejects_non_utf8():
     assert parse_html_fast(b"<p>x</p>\xff\x80") is None
 

@@ -13,6 +13,10 @@ Digest history:
 - kernel 1.1.0 (fixtures v3): df6c272a…  (unicode class added)
 - kernel 1.1.1 (fixtures v3): df6c272a…  (same digest; self-closing-tag
   crash fix touches only inputs outside the golden corpus)
+- kernel 1.2.0 (fixtures v3): df6c272a…  (same digest; parent_id now
+  resolves to the nearest KEPT ancestor — referential integrity fix;
+  no golden-corpus page has a dropped candidate between a kept child
+  and its kept ancestor, so the digest is unchanged)
 """
 
 import hashlib
@@ -25,7 +29,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.1.1"
+GOLDEN_KERNEL = "1.2.0"
 GOLDEN_FIXTURES = 3
 
 

@@ -57,6 +57,26 @@ def test_pricing_two_phase_agg_and_codegen(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
 
 
+def test_coco_export_has_no_global_sort_of_corpus(spark, tmp_path):
+    """S9 scale audit: image/annotation id windows must be partitioned
+    (bucketed ranked_ids) — the only unpartitioned windows allowed are
+    over bounded sides (category vocabulary, per-bucket counts)."""
+    from ocrd_segment_spark.fixtures import pages_pandas
+    from ocrd_segment_spark.sources.coco import export_coco
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages_pandas(30)).write.parquet(src)
+    out = extract_pages(spark.read.parquet(src))
+    images, annotations, _ = export_coco(out)
+    for df in (images, annotations):
+        for inp in audit.unpartitioned_window_inputs(df):
+            # corpus-scale columns never feed a global window
+            assert "url#" not in inp and "html" not in inp, inp
+            assert "_cnt#" in inp or "cat_name#" in inp or "name#" in inp, inp
+    # and the fact-side id windows exist and ARE partitioned
+    assert "Window" in audit.physical_plan(annotations)
+
+
 def test_narrow_query_is_codegen(spark):
     # AQE defers planning behind AdaptiveSparkPlan (codegen reported 0
     # pre-execution), so codegen is pinned on a narrow no-exchange query

@@ -57,3 +57,26 @@ def test_salted_host_metrics_equal_plain_agg(spark):
     }
     assert salted == plain
     out.unpersist()
+
+
+def test_minhash_hot_bucket_cap_bounds_viral_pairs(spark):
+    """A viral bucket (40 identical docs) must emit at most
+    C(max_bucket, 2) pairs — the quadratic-explosion guard. The capped
+    sample is the smallest ids, so it is deterministic and every viral
+    doc that IS kept links into one cluster."""
+    from pyspark.sql import functions as F
+    from ocrd_segment_spark.operators.dedup import minhash_lsh_candidates
+
+    viral_text = "the same viral boilerplate sentence repeated across mirrors " * 3
+    docs = spark.createDataFrame(
+        [(i, viral_text) for i in range(40)]
+        + [(100 + i, f"unique document number {i} with its own words entirely") for i in range(5)],
+        "doc_id long, text string",
+    )
+    capped = minhash_lsh_candidates(docs, max_bucket=8)
+    pairs = {(r["doc1"], r["doc2"]) for r in capped.collect()}
+    viral_pairs = {p for p in pairs if p[0] < 40 and p[1] < 40}
+    assert viral_pairs == {(a, b) for a in range(8) for b in range(8) if a < b}
+    # uncapped for contrast: full quadratic
+    full = minhash_lsh_candidates(docs, max_bucket=None)
+    assert full.filter((F.col("doc1") < 40) & (F.col("doc2") < 40)).count() == 780

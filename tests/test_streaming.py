@@ -119,6 +119,70 @@ def test_sessionize_stateful(spark, tmp_path):
     assert got == {(1, 2, 3.0)}
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing _bucket_fn."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_dedup_bucket_state_ignores_rearrivals():
+    """A doc_id re-arriving in a later microbatch must not be stored
+    twice, emit pairs again, or consume the max_bucket cap (round-1
+    advice: state grew with duplicates)."""
+    import pandas as pd
+    from ocrd_segment_spark.streaming.dedup_stream import _bucket_fn
+
+    fn = _bucket_fn(max_bucket=3)
+    st = _FakeState()
+    out1 = list(fn((0, 7), [pd.DataFrame({"doc_id": [1, 2]})], st))
+    assert st.get == ([1, 2],)
+    assert len(out1) == 1 and set(zip(out1[0]["doc1"], out1[0]["doc2"])) == {(1, 2)}
+    # doc 1 re-arrives alongside a genuinely new doc 3
+    out2 = list(fn((0, 7), [pd.DataFrame({"doc_id": [1, 1, 3]})], st))
+    assert st.get == ([1, 2, 3],)  # distinct members only
+    assert set(zip(out2[0]["doc1"], out2[0]["doc2"])) == {(1, 3), (2, 3)}
+    # bucket now full: doc 4 pairs against the capped sample but is not stored
+    out3 = list(fn((0, 7), [pd.DataFrame({"doc_id": [4]})], st))
+    assert st.get == ([1, 2, 3],)
+    assert set(zip(out3[0]["doc1"], out3[0]["doc2"])) == {(1, 4), (2, 4), (3, 4)}
+
+
+def test_minhash_fold_equals_per_lane(spark):
+    """minhash_signature_fold (single-pass) must equal the per-lane
+    array_min form on every non-empty input."""
+    from pyspark.sql import functions as F
+    from ocrd_segment_spark.functions import hashing as H
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} some shared tokens alpha beta gamma {i * 7 % 13}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    hs = (
+        docs.withColumn("toks", H.tokens("text"))
+        .withColumn("th", H.token_hashes("toks"))
+        .withColumn("hs", H.shingle_hashes("th", 3))
+        .filter(F.size("hs") > 0)
+    )
+    both = hs.select(
+        H.minhash_signature("hs", 8).alias("a"),
+        H.minhash_signature_fold("hs", 8).alias("b"),
+    )
+    assert both.count() == 50
+    assert both.filter("a != b").count() == 0
+
+
 def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
     """A duplicate arriving in a LATER microbatch must pair with the
     original seen earlier (state carries history across batches)."""

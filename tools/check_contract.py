@@ -26,7 +26,17 @@ TABLES = (
 ).split()
 
 
-def norm(v):
+def norm_strict(v):
+    """Type-strict normalization matching the driver's typed hash:
+    Decimal stays Decimal, float stays exact, int stays int — a
+    Spark DECIMAL vs oracle DOUBLE mismatch MUST fail here (round-1
+    lesson: the loose gate let 3 type-only mismatches through)."""
+    if isinstance(v, float) and math.isnan(v):
+        return ("float", "NaN")
+    return (type(v).__name__, repr(v))
+
+
+def norm_loose(v):
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
@@ -36,7 +46,7 @@ def norm(v):
     return v
 
 
-def rows_multiset(cols, rows):
+def rows_multiset(cols, rows, norm):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
@@ -79,11 +89,18 @@ def main(names=None):
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
-            sm = rows_multiset(scols, [tuple(r) for r in srows])
-            dm = rows_multiset(dcols, drows)
+            sm = rows_multiset(scols, [tuple(r) for r in srows], norm_strict)
+            dm = rows_multiset(dcols, drows, norm_strict)
             if sm != dm:
+                sl = rows_multiset(scols, [tuple(r) for r in srows], norm_loose)
+                dl = rows_multiset(dcols, drows, norm_loose)
+                kind = (
+                    "TYPE-ONLY mismatch (values equal loosely)"
+                    if sl == dl
+                    else "VALUES differ"
+                )
                 diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+                problems.append(f"{kind}, first diffs: {diff}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
