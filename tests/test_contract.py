@@ -11,7 +11,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
-from tools.check_contract import TABLES, rows_multiset
+from tools.check_contract import TABLES, norm_strict, rows_multiset
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -65,4 +65,6 @@ def test_query_matches_oracle(spark, duck, name):
     drows = res.fetchall()
     assert sorted(df.columns) == sorted(dcols)
     assert len(srows) == len(drows)
-    assert rows_multiset(df.columns, srows) == rows_multiset(dcols, drows)
+    assert rows_multiset(df.columns, srows, norm_strict) == rows_multiset(
+        dcols, drows, norm_strict
+    )
