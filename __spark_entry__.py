@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocrd_segment_spark import contract as C
+from ocrd_segment_spark import contract_levels as L
 from ocrd_segment_spark import contract_ml as M
 from ocrd_segment_spark.pipeline import extract_pages
 
@@ -110,6 +111,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_counts": M.q_sliding_window_counts,
     "tfidf_top_terms": M.q_tfidf_top_terms,
     "ann_kmeans_iterations": M.q_ann_kmeans_iterations,
+    # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
+    "extract_word_spans": L.q_extract_word_spans,
+    "extract_line_spans": L.q_extract_line_spans,
+    "extract_glyph_spans": L.q_extract_glyph_spans,
+    "inherit_fallback_chain": L.q_inherit_fallback_chain,
+    # formerly pytest-only §2 operators
+    "s10_byte_digest": L.q_s10_byte_digest,
+    "a9_unaccounted_audit": L.q_a9_unaccounted_audit,
+    "g2_make_valid": L.q_g2_make_valid,
+    "g3_join_hull": L.q_g3_join_hull,
+    "g10_spread": L.q_g10_spread,
+    "g13_predicates": L.q_g13_predicates,
+    # COCO AP/AR summary + frame rebase
+    "eval_map_summary": L.q_eval_map_summary,
+    "replace_rebase_roundtrip": L.q_replace_rebase_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -164,6 +180,18 @@ _ORACLES: dict[str, str] = {
     "sliding_window_counts": M.O_SLIDING_WINDOW,
     "tfidf_top_terms": M.O_TFIDF,
     "ann_kmeans_iterations": M.O_KMEANS,
+    "extract_word_spans": L.O_WORD_SPANS,
+    "extract_line_spans": L.O_LINE_SPANS,
+    "extract_glyph_spans": L.O_GLYPH_SPANS,
+    "inherit_fallback_chain": L.O_INHERIT_CHAIN,
+    "s10_byte_digest": L.O_S10_DIGEST,
+    "a9_unaccounted_audit": L.O_A9_AUDIT,
+    "g2_make_valid": L.O_G2_VALID,
+    "g3_join_hull": L.O_G3_HULL,
+    "g10_spread": L.O_G10_SPREAD,
+    "g13_predicates": L.O_G13_PREDICATES,
+    "eval_map_summary": L.O_EVAL_MAP,
+    "replace_rebase_roundtrip": L.O_REBASE_ROUNDTRIP,
 }
 
 

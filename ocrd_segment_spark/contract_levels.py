@@ -1,0 +1,543 @@
+"""Driver-contract queries, round 2: line/word/glyph hierarchy levels,
+inheritance fallback chains, the COCO AP/AR summary, frame rebase, and
+driver entries for the formerly pytest-only §2 operators (S10, A9, G2,
+G3, G10, G13).
+
+Same conventions as :mod:`contract` (identical aliases both sides,
+closed-form DuckDB oracles over SQL-synthesized inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .contract import (
+    _O_GT_DT,
+    _SQL_COLLAPSE,
+    _gt_dt_from_documents,
+    _pages_from_documents,
+    _t,
+)
+from .functions import spans as S
+from .functions.sublevels import glyphs_col, inherit_chain, lines_table, with_sublevels, words_table
+from .operators import evaluate as ev
+from .operators.repair import rebase_spans
+from .pipeline import extract_pages
+from .sources.coco import unaccounted_images
+
+_SINGLE_PARA = "concat('<html><body><p>', text, '</p></body></html>')"
+_BOILER = (
+    "concat('<html><body>"
+    "<nav><ul><li><a href=\"/m\">menu one</a> <a href=\"/n\">menu two</a></li></ul></nav>"
+    "<h1>', source, '</h1>"
+    "<p><a href=\"/q\">', source, ' ', source, '</a></p>"
+    "<p>', text, '</p></body></html>')"
+)
+
+_LINE_WIDTH = 5
+
+# Oracle CTE: word offsets of the single-<p> page (region r0003 spans
+# the whole collapsed text, so region-relative == absolute offsets).
+_O_WORDS = f"""
+  c AS (SELECT doc_id, {_SQL_COLLAPSE} AS t FROM documents),
+  w AS (
+    SELECT doc_id, t,
+           unnest(string_split(t, ' ')) AS word,
+           unnest(generate_series(1, len(string_split(t, ' ')))) AS i
+    FROM c
+  ),
+  o AS (
+    SELECT doc_id, t, word, i,
+           CAST(coalesce(sum(length(word) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+    FROM w
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy levels (reference extract_lines.py / extract_words.py /
+# extract_glyphs.py)
+# ---------------------------------------------------------------------------
+
+def q_extract_word_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word level (extract_words.py:90-201 analog): per-word spans with
+    composite ids and line membership, derived shuffle-free from the
+    extraction output."""
+    pages = _pages_from_documents(spark, sf_dir, _SINGLE_PARA)
+    out = extract_pages(pages)
+    wt = words_table(out, line_width=_LINE_WIDTH)
+    return wt.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "region_id", "line_id", "word_id",
+        F.col("start").cast("long").alias("w_start"),
+        F.col("end").cast("long").alias("w_end"),
+        F.col("w_order").cast("int").alias("w_order"),
+        "word_text",
+    )
+
+
+O_WORD_SPANS = f"""
+WITH {_O_WORDS}
+SELECT doc_id, 'r0003' AS region_id,
+       printf('r0003_l%03d', (i - 1) // {_LINE_WIDTH}) AS line_id,
+       printf('r0003_w%04d', i - 1) AS word_id,
+       s AS w_start, s + length(word) AS w_end,
+       CAST(i - 1 AS INT) AS w_order, word AS word_text
+FROM o
+"""
+
+
+def q_extract_line_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line level (extract_lines.py:87-283 analog): fixed-width word
+    wrap; line span = token hull of its words."""
+    pages = _pages_from_documents(spark, sf_dir, _SINGLE_PARA)
+    out = extract_pages(pages)
+    lt = lines_table(out, line_width=_LINE_WIDTH)
+    return lt.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "region_id", "line_id",
+        F.col("start").cast("long").alias("l_start"),
+        F.col("end").cast("long").alias("l_end"),
+        F.col("l_order").cast("int").alias("l_order"),
+        F.col("n_words").cast("int").alias("n_words"),
+        "line_text",
+    )
+
+
+O_LINE_SPANS = f"""
+WITH {_O_WORDS},
+l AS (
+  SELECT doc_id, any_value(t) AS t, (i - 1) // {_LINE_WIDTH} AS li,
+         min(s) AS l_start, max(s + length(word)) AS l_end,
+         CAST(count(*) AS INT) AS n_words
+  FROM o GROUP BY doc_id, (i - 1) // {_LINE_WIDTH}
+)
+SELECT doc_id, 'r0003' AS region_id, printf('r0003_l%03d', li) AS line_id,
+       l_start, l_end, CAST(li AS INT) AS l_order, n_words,
+       substring(t, CAST(l_start + 1 AS INT), CAST(l_end - l_start AS INT)) AS line_text
+FROM l
+"""
+
+
+def q_extract_glyph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glyph level (extract_glyphs.py:95-205 analog): one char per
+    glyph via a sequence() expression over word spans; per-doc glyph
+    count and start-offset checksum."""
+    pages = _pages_from_documents(spark, sf_dir, _SINGLE_PARA)
+    out = with_sublevels(extract_pages(pages), line_width=_LINE_WIDTH)
+    g = out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.explode("word_spans").alias("w"),
+    ).select("doc_id", F.explode(glyphs_col(F.col("w"))).alias("g"))
+    return g.groupBy("doc_id").agg(
+        F.count("*").alias("n_glyphs"),
+        F.sum(F.col("g.start")).cast("long").alias("glyph_start_sum"),
+    )
+
+
+# per word [s, s+len): count = len, sum of starts =
+# (s + s+len-1) * len / 2 (arithmetic series; product always even)
+O_GLYPH_SPANS = f"""
+WITH {_O_WORDS}
+SELECT doc_id,
+       CAST(sum(length(word)) AS BIGINT) AS n_glyphs,
+       CAST(sum((2 * s + length(word) - 1) * length(word) // 2) AS BIGINT)
+         AS glyph_start_sum
+FROM o GROUP BY doc_id
+"""
+
+
+def q_inherit_fallback_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child-overrides-parent attribute resolution
+    (extract_words.py:150-168: production/readingDirection/
+    primaryScript/language chains; extract_words.py:127: the TextStyle
+    struct coalesces WHOLE — nearest non-null level wins, never
+    per-field). Level attributes synthesized deterministically from
+    ``documents``; NULL = "inherit"."""
+    d = _t(spark, sf_dir, "documents")
+    style_fields = lambda font, bold, italic: F.struct(  # noqa: E731
+        font.alias("fontFamily"), bold.alias("bold"), italic.alias("italic")
+    )
+    lvl = d.select(
+        "doc_id",
+        "lang",
+        F.when(d.doc_id % 5 == 0, F.lit("w-rtl")).alias("w_dir"),
+        F.when(d.doc_id % 3 == 0, F.lit("l-ltr")).alias("l_dir"),
+        F.when(d.doc_id % 2 == 0, F.lit("r-ltr")).alias("r_dir"),
+        F.lit("p-ltr").alias("p_dir"),
+        F.when(d.doc_id % 7 == 0, F.lit("w-arab")).alias("w_script"),
+        F.concat(F.lit("r-"), d.lang).alias("r_script"),
+        F.when(
+            d.doc_id % 7 == 0,
+            style_fields(F.lit("serif-w"), F.lit(True), d.doc_id % 3 == 0),
+        ).alias("w_style"),
+        F.when(
+            d.doc_id % 4 == 0,
+            style_fields(F.lit("sans-l"), F.lit(False), F.lit(False)),
+        ).alias("l_style"),
+        style_fields(F.lit("mono-r"), d.doc_id % 2 == 0, F.lit(False)).alias(
+            "r_style"
+        ),
+    )
+    style = inherit_chain(F.col("w_style"), F.col("l_style"), F.col("r_style"))
+    return lvl.select(
+        "doc_id",
+        inherit_chain(
+            F.col("w_dir"), F.col("l_dir"), F.col("r_dir"), F.col("p_dir")
+        ).alias("dir_resolved"),
+        inherit_chain(F.col("w_script"), F.col("r_script")).alias("script_resolved"),
+        style["fontFamily"].alias("style_font"),
+        style["bold"].alias("style_bold"),
+        style["italic"].alias("style_italic"),
+    )
+
+
+O_INHERIT_CHAIN = """
+SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'w-rtl'
+       WHEN doc_id % 3 = 0 THEN 'l-ltr'
+       WHEN doc_id % 2 = 0 THEN 'r-ltr' ELSE 'p-ltr' END AS dir_resolved,
+  CASE WHEN doc_id % 7 = 0 THEN 'w-arab' ELSE 'r-' || lang END AS script_resolved,
+  CASE WHEN doc_id % 7 = 0 THEN 'serif-w'
+       WHEN doc_id % 4 = 0 THEN 'sans-l' ELSE 'mono-r' END AS style_font,
+  CASE WHEN doc_id % 7 = 0 THEN TRUE
+       WHEN doc_id % 4 = 0 THEN FALSE ELSE doc_id % 2 = 0 END AS style_bold,
+  CASE WHEN doc_id % 7 = 0 THEN doc_id % 3 = 0
+       WHEN doc_id % 4 = 0 THEN FALSE ELSE FALSE END AS style_italic
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Formerly pytest-only §2 operators
+# ---------------------------------------------------------------------------
+
+def q_s10_byte_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 text-sink byte-identity (reference extract_lines.py:280-283
+    ``(text + '\\n').encode('utf-8')``): md5 over the exact sink bytes
+    incl. the trailing newline, checked digest-for-digest in SQL."""
+    pages = _pages_from_documents(spark, sf_dir, _SINGLE_PARA)
+    out = extract_pages(pages)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.col("extracted_text"), F.lit("\n")).cast("binary")).alias(
+            "digest"
+        ),
+    )
+
+
+O_S10_DIGEST = f"""
+SELECT doc_id, md5({_SQL_COLLAPSE} || chr(10)) AS digest FROM documents
+"""
+
+
+def q_a9_unaccounted_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (reference import_coco_segmentation.py:136-140, 215-217):
+    images with no annotations surface via anti-join instead of being
+    silently dropped."""
+    d = _t(spark, sf_dir, "documents")
+    images = d.select(
+        d.doc_id.cast("long").alias("image_id"), F.col("source").alias("file_name")
+    )
+    ann = d.filter(d.doc_id % 7 != 3).select(
+        d.doc_id.cast("long").alias("image_id"),
+        F.lit(1).alias("ann_id"),
+    )
+    return unaccounted_images(images, ann)
+
+
+O_A9_AUDIT = """
+SELECT doc_id AS image_id, source AS file_name
+FROM documents WHERE doc_id % 7 = 3
+"""
+
+
+def q_g2_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 make_valid analog (kernel ensure_valid, reference
+    project.py:217-240 / repair.py:736-757): normalize reversed spans,
+    clamp to [0, doc_len), flag empties — native column math over
+    deliberately-invalid synthesized spans."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_partkey") % 300 - 20).cast("long").alias("s0"),
+        (F.col("l_partkey") % 300 - 20 + F.col("l_quantity").cast("long") - 25)
+        .cast("long")
+        .alias("e0"),
+    )
+    lo = F.greatest(S.span_clamp_start("s0", "e0"), F.lit(0))
+    hi = F.least(S.span_clamp_end("s0", "e0"), F.lit(200))
+    v = li.select(
+        "l_returnflag", lo.alias("lo"), F.greatest(hi, lo).alias("hi")
+    ).withColumn("valid", (F.col("hi") > F.col("lo")).cast("long"))
+    return v.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("valid").alias("n_valid"),
+        F.sum(F.col("hi") - F.col("lo")).cast("long").alias("total_len"),
+    )
+
+
+O_G2_VALID = """
+WITH raw AS (
+  SELECT l_returnflag,
+         l_partkey % 300 - 20 AS s0,
+         l_partkey % 300 - 20 + CAST(l_quantity AS BIGINT) - 25 AS e0
+  FROM lineitem
+), norm AS (
+  SELECT l_returnflag,
+         greatest(least(s0, e0), 0) AS lo0,
+         least(greatest(s0, e0), 200) AS hi0
+  FROM raw
+), v AS (
+  SELECT l_returnflag, lo0 AS lo, greatest(hi0, lo0) AS hi FROM norm
+)
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CASE WHEN hi > lo THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(hi - lo) AS BIGINT) AS total_len
+FROM v GROUP BY l_returnflag
+"""
+
+
+def q_g3_join_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 join_polygons analog (reference project.py:100-140; 1-D hull
+    — the MST/alpha-shape machinery degenerates to min/max): hull of
+    each orderkey's first two line spans."""
+    rn_w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_suppkey", "l_extendedprice"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "l_orderkey",
+            "rn",
+            (F.col("l_partkey") % 100).cast("long").alias("s"),
+            (F.col("l_partkey") % 100 + 1 + F.col("l_quantity").cast("long") % 30)
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    a = li.filter(F.col("rn") == 1).select(
+        "l_orderkey", F.col("s").alias("s1"), F.col("e").alias("e1")
+    )
+    b = li.filter(F.col("rn") == 2).select(
+        "l_orderkey", F.col("s").alias("s2"), F.col("e").alias("e2")
+    )
+    j = a.join(b, "l_orderkey")
+    return j.select(
+        "l_orderkey",
+        S.span_hull_start("s1", "s2").alias("hull_s"),
+        S.span_hull_end("e1", "e2").alias("hull_e"),
+    )
+
+
+O_G3_HULL = """
+WITH numbered AS (
+  SELECT l_orderkey,
+         l_partkey % 100 AS s,
+         l_partkey % 100 + 1 + CAST(l_quantity AS BIGINT) % 30 AS e,
+         row_number() OVER (PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_quantity, l_suppkey,
+                    l_extendedprice) AS rn
+  FROM lineitem
+), a AS (SELECT l_orderkey, s AS s1, e AS e1 FROM numbered WHERE rn = 1),
+   b AS (SELECT l_orderkey, s AS s2, e AS e2 FROM numbered WHERE rn = 2)
+SELECT a.l_orderkey AS l_orderkey,
+       CAST(least(s1, s2) AS BIGINT) AS hull_s,
+       CAST(greatest(e1, e2) AS BIGINT) AS hull_e
+FROM a JOIN b ON a.l_orderkey = b.l_orderkey
+"""
+
+
+def q_g10_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 spread_segments (reference repair.py:592-601), native
+    window form of the frozen 1-D rule (kernel/intervals.py:195): each
+    span grows by up to ``distance`` chars per side, bounded by the
+    gap midpoints toward its neighbors — output never overlaps."""
+    d = _t(spark, sf_dir, "documents")
+    sp = d.selectExpr(
+        "doc_id",
+        "cast(120 + n_chars % 13 as long) as doc_len",
+        "stack(3,"
+        " 0, 10L, cast(20 + n_chars % 5 as long),"
+        " 1, cast(40 + n_chars % 7 as long), 60L,"
+        " 2, 80L, cast(90 + n_chars % 11 as long)) as (idx, s, e)",
+    )
+    w = W.partitionBy("doc_id").orderBy("s")
+    g = (
+        sp.withColumn("prev_e", F.lag("e").over(w))
+        .withColumn("next_s", F.lead("s").over(w))
+        .withColumn("left_bound", F.expr("coalesce((prev_e + s + 1) div 2, 0L)"))
+        .withColumn(
+            "right_bound", F.expr("coalesce((e + next_s + 1) div 2, doc_len)")
+        )
+    )
+    return g.select(
+        "doc_id",
+        "idx",
+        F.greatest(F.col("s") - 15, F.col("left_bound")).cast("long").alias("new_s"),
+        F.least(F.col("e") + 15, F.col("right_bound")).cast("long").alias("new_e"),
+    )
+
+
+O_G10_SPREAD = """
+WITH sp AS (
+  SELECT doc_id, 120 + n_chars % 13 AS doc_len, 0 AS idx,
+         10 AS s, 20 + n_chars % 5 AS e FROM documents
+  UNION ALL
+  SELECT doc_id, 120 + n_chars % 13, 1, 40 + n_chars % 7, 60 FROM documents
+  UNION ALL
+  SELECT doc_id, 120 + n_chars % 13, 2, 80, 90 + n_chars % 11 FROM documents
+), g AS (
+  SELECT doc_id, idx, s, e, doc_len,
+         lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS next_s
+  FROM sp
+), b AS (
+  SELECT doc_id, idx, s, e,
+         coalesce((prev_e + s + 1) // 2, 0) AS left_bound,
+         coalesce((e + next_s + 1) // 2, doc_len) AS right_bound
+  FROM g
+)
+SELECT doc_id, idx,
+       CAST(greatest(s - 15, left_bound) AS BIGINT) AS new_s,
+       CAST(least(e + 15, right_bound) AS BIGINT) AS new_e
+FROM b
+"""
+
+
+def q_g13_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 spatial predicate family (reference repair.py:327-363
+    decision table inputs): overlap / containment / equality /
+    centroid-in tests over synthesized span pairs, aggregated per
+    lang."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        "lang",
+        (F.col("n_chars") % 50).cast("long").alias("sa"),
+        (F.col("n_chars") % 50 + 30).cast("long").alias("ea"),
+        (F.col("n_chars") % 50 + F.col("n_chars") % 45).cast("long").alias("sb"),
+        (F.col("n_chars") % 50 + F.col("n_chars") % 45 + 20).cast("long").alias("eb"),
+    )
+    return p.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(S.span_overlaps("sa", "ea", "sb", "eb").cast("long")).alias("n_overlap"),
+        F.sum(S.span_contains("sa", "ea", "sb", "eb").cast("long")).alias("n_contains"),
+        F.sum(
+            (
+                (F.col("sa") == F.col("sb")) & (F.col("ea") == F.col("eb"))
+            ).cast("long")
+        ).alias("n_equal"),
+        F.sum(S.span_midpoint_in("sb", "eb", "sa", "ea").cast("long")).alias("n_mid_in"),
+    )
+
+
+O_G13_PREDICATES = """
+WITH p AS (
+  SELECT lang,
+         n_chars % 50 AS sa, n_chars % 50 + 30 AS ea,
+         n_chars % 50 + n_chars % 45 AS sb,
+         n_chars % 50 + n_chars % 45 + 20 AS eb
+  FROM documents
+)
+SELECT lang, count(*) AS n,
+  CAST(sum(CASE WHEN sa < eb AND sb < ea THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+  CAST(sum(CASE WHEN sa <= sb AND eb <= ea THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+  CAST(sum(CASE WHEN sa = sb AND ea = eb THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+  CAST(sum(CASE WHEN sa <= (sb + eb) / 2.0 AND (sb + eb) / 2.0 < ea
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_mid_in
+FROM p GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# COCO AP/AR summary + frame rebase
+# ---------------------------------------------------------------------------
+
+def q_eval_map_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCO summarize analog (reference evaluate.py:531-548): AP/AR
+    over the IoU threshold sweep 0.50:0.05:0.95 per category."""
+    gt, dt = _gt_dt_from_documents(spark, sf_dir)
+    return ev.map_summary(gt, dt)
+
+
+O_EVAL_MAP = f"""
+WITH {_O_GT_DT},
+thr AS (
+  SELECT unnest(generate_series(50, 95, 5)) / 100.0 AS t
+),
+pairs AS (
+  SELECT gt.url AS url, gt.cat AS cat, gt.region_id AS gt_id,
+         dt.region_id AS dt_id,
+         greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s)) * 1.0 /
+           ((gt.e - gt.s) + (dt.e - dt.s)
+            - greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s))) AS iou
+  FROM gt JOIN dt ON gt.url = dt.url AND gt.cat = dt.cat
+),
+hits AS (
+  SELECT cat, t,
+         count(DISTINCT url || '|' || gt_id) AS tp_gt,
+         count(DISTINCT url || '|' || dt_id) AS tp_dt
+  FROM pairs JOIN thr ON iou > t
+  GROUP BY cat, t
+),
+totals AS (
+  SELECT g.cat AS cat, g.n_gt AS n_gt, d.n_dt AS n_dt FROM
+    (SELECT cat, count(*) AS n_gt FROM gt GROUP BY cat) g
+  JOIN (SELECT cat, count(*) AS n_dt FROM dt GROUP BY cat) d
+    ON g.cat = d.cat
+),
+grid AS (SELECT cat, n_gt, n_dt, t FROM totals CROSS JOIN thr),
+per_t AS (
+  SELECT grid.cat AS cat, grid.t AS t, grid.n_gt AS n_gt, grid.n_dt AS n_dt,
+         coalesce(tp_gt, 0) AS tp_gt, coalesce(tp_dt, 0) AS tp_dt
+  FROM grid LEFT JOIN hits ON grid.cat = hits.cat AND grid.t = hits.t
+)
+SELECT cat, count(*) AS n_thresholds,
+       round(avg(tp_dt * 1.0 / n_dt), 6) AS map,
+       round(avg(tp_gt * 1.0 / n_gt), 6) AS mar,
+       CAST(max(n_gt) AS BIGINT) AS n_gt, CAST(max(n_dt) AS BIGINT) AS n_dt
+FROM per_t GROUP BY cat
+"""
+
+
+def q_replace_rebase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace_original / replace_page analog (reference
+    replace_original.py:60-76 forward, replace_page.py:50-73 inverse):
+    rebase every span into the second region's frame and back —
+    roundtrip must be the identity."""
+    pages = _pages_from_documents(spark, sf_dir, _BOILER)
+    out = extract_pages(pages).withColumn(
+        "orig_spans", F.col("region_spans")
+    ).withColumn("origin", F.element_at("region_spans", 2)["start"])
+    fwd = rebase_spans(out, F.col("origin"))
+    fwd = fwd.withColumn("rebased", F.col("region_spans"))
+    back = rebase_spans(fwd, -F.col("origin"))
+    back = back.withColumn(
+        "roundtrip_ok", F.col("region_spans") == F.col("orig_spans")
+    )
+    r = back.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "roundtrip_ok",
+        F.explode("rebased").alias("r"),
+    )
+    return r.select(
+        "doc_id",
+        F.col("r.region_id").alias("region_id"),
+        F.col("r.start").cast("long").alias("rb_start"),
+        F.col("r.end").cast("long").alias("rb_end"),
+        "roundtrip_ok",
+    )
+
+
+O_REBASE_ROUNDTRIP = f"""
+WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE} AS t FROM documents)
+SELECT doc_id, 'r0008' AS region_id,
+       CAST(-(length(source) + 1) AS BIGINT) AS rb_start,
+       CAST(-1 AS BIGINT) AS rb_end, TRUE AS roundtrip_ok
+FROM c
+UNION ALL
+SELECT doc_id, 'r0011', 0, CAST(length(t) AS BIGINT), TRUE FROM c
+"""

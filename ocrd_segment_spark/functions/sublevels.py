@@ -1,0 +1,209 @@
+"""Line/word/glyph sub-segment derivation + inheritance fallback
+chains — the web-graft analog of the reference's sub-region extractors
+(reference extract_lines.py:87-283, extract_words.py:90-201,
+extract_glyphs.py:95-205) and their child-overrides-parent attribute
+resolution (extract_words.py:150-168, extract_lines.py:224-238,
+extract_glyphs.py:163-168).
+
+1-D re-derivation of the hierarchy (SURVEY.md §1.2):
+
+- **word**  = whitespace token inside a region span. The kernel joins
+  tokens with single separators (kernel/extract.py:172), so splitting
+  on one whitespace char is the exact inverse — offsets are a prefix
+  sum of token lengths, no re-search needed.
+- **line**  = fixed-width wrap of ``line_width`` consecutive words.
+  This is the layout analog: a TextLine is what a renderer produces by
+  wrapping a region's words at the region's pixel width; the frozen
+  rule wraps at a fixed word count instead.
+- **glyph** = one character of a word (the reference's 4-level nested
+  loop extract_glyphs.py:95-125 becomes a ``sequence()`` expression).
+
+Scale design: everything here is a pure Column expression over the
+extraction output — per-row compute, narrow, ZERO shuffle at any
+corpus size. Flat per-level tables are one ``explode`` away (still
+narrow). The per-region ``aggregate`` prefix-scan is O(words²) in
+array copies per region, bounded by per-region word counts (hundreds),
+exactly like the reference's per-segment loops.
+
+Ids are composite ``region_id _l{line} _w{word}`` mirroring the
+reference's ``region.id + '_' + line.id + '_' + word.id`` file-name
+scheme (extract_words.py:190-193) — deterministic under any
+parallelism, no global counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# one whitespace char — tokens never contain whitespace (kernel
+# guarantee), so every separator is exactly one char wide and the
+# split is offset-exact. Empty tokens (possible only at span edges
+# after G10 spread) are dropped AFTER the prefix scan so offsets of
+# the surviving words stay exact.
+_WS = "\\s"
+
+WORD_FIELDS = "region_id string, line_id string, word_id string, start long, end long, w_order int"
+LINE_FIELDS = "region_id string, line_id string, start long, end long, l_order int, n_words int"
+
+
+def _raw_word_scan(text: Column, start: Column, end: Column) -> Column:
+    """array<struct<s,e>> of token spans (ABSOLUTE offsets into the
+    document text) inside one region span, via an ``aggregate`` prefix
+    scan — the 1-D analog of per-word Coords (extract_words.py:96-117),
+    derived instead of re-measured."""
+    seg = F.substring(text, (start + F.lit(1)).cast("int"), (end - start).cast("int"))
+    toks = F.split(seg, _WS)
+    zero = F.struct(
+        start.cast("long").alias("cur"),
+        F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)").alias("arr"),
+    )
+    scan = F.aggregate(
+        toks,
+        zero,
+        lambda acc, w: F.struct(
+            (acc["cur"] + F.length(w) + F.lit(1)).cast("long").alias("cur"),
+            F.array_append(
+                acc["arr"],
+                F.struct(
+                    acc["cur"].cast("long").alias("s"),
+                    (acc["cur"] + F.length(w)).cast("long").alias("e"),
+                ),
+            ).alias("arr"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    return F.filter(scan, lambda x: x["e"] > x["s"])
+
+
+def words_in_region(text: Column, region: Column, line_width: int) -> Column:
+    """array<struct WORD_FIELDS> for one region struct (fields
+    region_id/start/end as produced by the kernel). ``line_width``
+    determines each word's line membership (w_order div width)."""
+    raw = _raw_word_scan(text, region["start"], region["end"])
+    rid = region["region_id"]
+    return F.transform(
+        raw,
+        lambda x, i: F.struct(
+            rid.alias("region_id"),
+            F.concat(
+                rid, F.lit("_l"), F.lpad((i / line_width).cast("int").cast("string"), 3, "0")
+            ).alias("line_id"),
+            F.concat(
+                rid, F.lit("_w"), F.lpad(i.cast("string"), 4, "0")
+            ).alias("word_id"),
+            x["s"].alias("start"),
+            x["e"].alias("end"),
+            i.cast("int").alias("w_order"),
+        ),
+    )
+
+
+def lines_from_words(words: Column, region: Column, line_width: int) -> Column:
+    """array<struct LINE_FIELDS> grouping a region's words into
+    fixed-width lines (first word's start .. last word's end — the
+    token hull, same shrink discipline as regions)."""
+    n = F.size(words)
+    rid = region["region_id"]
+    idx = F.sequence(F.lit(0), ((n - F.lit(1)) / line_width).cast("int"))
+    make = F.transform(
+        idx,
+        lambda i: F.struct(
+            rid.alias("region_id"),
+            F.concat(rid, F.lit("_l"), F.lpad(i.cast("string"), 3, "0")).alias("line_id"),
+            F.element_at(words, (i * line_width + F.lit(1)).cast("int"))["start"].alias("start"),
+            F.element_at(words, F.least((i + F.lit(1)) * line_width, n).cast("int"))["end"].alias("end"),
+            i.cast("int").alias("l_order"),
+            (F.least((i + F.lit(1)) * line_width, n) - i * line_width).cast("int").alias("n_words"),
+        ),
+    )
+    return F.when(n > 0, make).otherwise(
+        F.expr(f"CAST(array() AS ARRAY<STRUCT<{LINE_FIELDS}>>)")
+    )
+
+
+def with_sublevels(df: DataFrame, line_width: int = 8) -> DataFrame:
+    """Add ``word_spans``/``line_spans`` arrays (all regions flattened,
+    document order) to extraction output ``(url, extracted_text,
+    region_spans, ...)``. Narrow — zero shuffle at any scale."""
+    text = F.col("extracted_text")
+    words = F.flatten(
+        F.transform(
+            F.col("region_spans"), lambda r: words_in_region(text, r, line_width)
+        )
+    )
+    df = df.withColumn("word_spans", words)
+    lines = F.flatten(
+        F.transform(
+            F.col("region_spans"),
+            lambda r: lines_from_words(
+                words_in_region(text, r, line_width), r, line_width
+            ),
+        )
+    )
+    return df.withColumn("line_spans", lines)
+
+
+def words_table(df: DataFrame, line_width: int = 8) -> DataFrame:
+    """Flat per-word table (url, region_id, line_id, word_id, start,
+    end, w_order, word_text) — the extract-words sink analog
+    (extract_words.py:147-201). One explode, still narrow."""
+    out = with_sublevels(df, line_width).select(
+        "url", "extracted_text", F.explode("word_spans").alias("w")
+    )
+    return out.select(
+        "url",
+        F.col("w.region_id").alias("region_id"),
+        F.col("w.line_id").alias("line_id"),
+        F.col("w.word_id").alias("word_id"),
+        F.col("w.start").alias("start"),
+        F.col("w.end").alias("end"),
+        F.col("w.w_order").alias("w_order"),
+        F.expr(
+            "substring(extracted_text, CAST(w.start + 1 AS INT), CAST(w.end - w.start AS INT))"
+        ).alias("word_text"),
+    )
+
+
+def lines_table(df: DataFrame, line_width: int = 8) -> DataFrame:
+    """Flat per-line table — the extract-lines sink analog
+    (extract_lines.py:221-283)."""
+    out = with_sublevels(df, line_width).select(
+        "url", "extracted_text", F.explode("line_spans").alias("l")
+    )
+    return out.select(
+        "url",
+        F.col("l.region_id").alias("region_id"),
+        F.col("l.line_id").alias("line_id"),
+        F.col("l.start").alias("start"),
+        F.col("l.end").alias("end"),
+        F.col("l.l_order").alias("l_order"),
+        F.col("l.n_words").alias("n_words"),
+        F.expr(
+            "substring(extracted_text, CAST(l.start + 1 AS INT), CAST(l.end - l.start AS INT))"
+        ).alias("line_text"),
+    )
+
+
+def glyphs_col(word: Column) -> Column:
+    """array<struct<start,end,g_order>> — one char per glyph inside a
+    word span (extract_glyphs.py:95-125 analog). A glyph in the 1-D
+    frame IS a character, so no kernel round-trip is needed."""
+    return F.transform(
+        F.sequence(word["start"], word["end"] - F.lit(1)),
+        lambda c, i: F.struct(
+            c.cast("long").alias("start"),
+            (c + F.lit(1)).cast("long").alias("end"),
+            i.cast("int").alias("g_order"),
+        ),
+    )
+
+
+def inherit_chain(*cols: Column) -> Column:
+    """Child-overrides-parent attribute fallback — the reference's
+    ``word.get_X() or line.get_X() or region.get_X() or page.get_X()``
+    chains (extract_words.py:150-168) as one ``coalesce``. Works for
+    scalar attrs AND whole TextStyle structs: the reference coalesces
+    the ENTIRE style struct (``word.get_TextStyle() or
+    line.get_TextStyle() or ...``, extract_words.py:127), never
+    per-field, and so does this."""
+    return F.coalesce(*cols)

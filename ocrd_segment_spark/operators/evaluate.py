@@ -31,12 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def match_spans(gt: DataFrame, dt: DataFrame) -> DataFrame:
-    """All matching (gt, dt) pairs per (url, cat): overlap theta-join
-    plus the triple-threshold rule. Equi-join on (url, cat) carries the
-    shuffle; the range predicate filters post-join, so at scale this is
-    one sort-merge join keyed on (url, cat) — per-page span counts are
-    small, exactly like the reference's per-page matrices."""
+def pair_iou(gt: DataFrame, dt: DataFrame) -> DataFrame:
+    """All (gt, dt) pairs per (url, cat) with interval IoU / IoGT /
+    IoDT computed, UNfiltered — the raw match matrix the reference
+    hands to its matching and its COCO summarize sweep
+    (evaluate.py:374-397). Equi-join on (url, cat) carries the
+    shuffle; per-page span counts are small, exactly like the
+    reference's per-page matrices."""
     # degenerate (empty) spans would divide-by-zero under ANSI mode;
     # GT/DT may be externally imported, so validity is enforced here
     # rather than assumed (P8 analog)
@@ -58,11 +59,17 @@ def match_spans(gt: DataFrame, dt: DataFrame) -> DataFrame:
     j = j.withColumn("glen", F.col("ge") - F.col("gs")).withColumn(
         "dlen", F.col("de") - F.col("ds")
     )
-    j = j.withColumn(
+    return j.withColumn(
         "iou", F.col("inter") / (F.col("glen") + F.col("dlen") - F.col("inter"))
     ).withColumn("io_gt", F.col("inter") / F.col("glen")).withColumn(
         "io_dt", F.col("inter") / F.col("dlen")
     )
+
+
+def match_spans(gt: DataFrame, dt: DataFrame) -> DataFrame:
+    """Matching pairs under the triple 0.5-threshold rule
+    (evaluate.py:398-399) — :func:`pair_iou` filtered."""
+    j = pair_iou(gt, dt)
     return j.filter(
         (F.col("iou") > 0.5) | (F.col("io_gt") > 0.5) | (F.col("io_dt") > 0.5)
     )
@@ -177,4 +184,63 @@ def per_cat_stats(gt: DataFrame, dt: DataFrame, matches: DataFrame) -> DataFrame
             .otherwise(0.0), 6
         ).alias("precision"),
         "avg_iou",
+    )
+
+
+# the stock COCO IoU sweep: 0.50:0.05:0.95 (reference evaluate.py:531-548
+# summarize defaults, via pycocotools Params.setDetParams)
+EVAL_THRESHOLDS = tuple(t / 100.0 for t in range(50, 96, 5))
+
+
+def map_summary(
+    gt: DataFrame, dt: DataFrame, thresholds=EVAL_THRESHOLDS
+) -> DataFrame:
+    """COCO-style AP/AR summary (reference evaluate.py:531-548): for
+    each IoU threshold t, a GT/DT counts as matched when some pair has
+    ``iou > t``; per category, mAP = mean over thresholds of
+    tp_dt/n_dt and mAR = mean of tp_gt/n_gt.
+
+    Frozen 1-D re-derivation: the reference's score-ranked PR curve
+    degenerates because the engine emits one score per region and
+    matching is n:m, so precision-at-threshold IS the PR summary.
+
+    Scale: pairs×|thresholds| rows (10×) with the thresholds side
+    broadcast — no extra corpus-wide shuffle beyond the pair join;
+    the (cat, t) aggregation is bounded by |vocabulary|×10 groups."""
+    spark = gt.sparkSession
+    thr = spark.range(1).select(
+        F.explode(F.array([F.lit(float(t)) for t in thresholds])).alias("t")
+    )
+    pairs = pair_iou(gt, dt).select("url", "cat", "gt_id", "dt_id", "iou")
+    hits = (
+        pairs.join(F.broadcast(thr), F.col("iou") > F.col("t"))
+        .groupBy("cat", "t")
+        .agg(
+            F.countDistinct("url", "gt_id").alias("tp_gt"),
+            F.countDistinct("url", "dt_id").alias("tp_dt"),
+        )
+    )
+    totals = (
+        gt.groupBy("cat").agg(F.count("*").alias("n_gt"))
+        .join(dt.groupBy("cat").agg(F.count("*").alias("n_dt")), "cat", "full_outer")
+        .fillna(0, ["n_gt", "n_dt"])
+    )
+    # scaffold every (cat, t) so thresholds with zero matches count as
+    # precision/recall 0 in the mean (pycocotools does the same via -1
+    # masking over the full threshold axis)
+    grid = totals.crossJoin(F.broadcast(thr))
+    per_t = grid.join(hits, ["cat", "t"], "left").fillna(0, ["tp_gt", "tp_dt"])
+    per_t = per_t.withColumn(
+        "prec",
+        F.when(F.col("n_dt") > 0, F.col("tp_dt") / F.col("n_dt")).otherwise(0.0),
+    ).withColumn(
+        "rec",
+        F.when(F.col("n_gt") > 0, F.col("tp_gt") / F.col("n_gt")).otherwise(0.0),
+    )
+    return per_t.groupBy("cat").agg(
+        F.count("*").alias("n_thresholds"),
+        F.round(F.avg("prec"), 6).alias("map"),
+        F.round(F.avg("rec"), 6).alias("mar"),
+        F.max("n_gt").alias("n_gt"),
+        F.max("n_dt").alias("n_dt"),
     )

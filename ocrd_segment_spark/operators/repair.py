@@ -88,3 +88,26 @@ def plausibilize(
         )
 
     return df.groupBy("url").applyInPandas(per_url, REPAIR_SCHEMA)
+
+
+def rebase_spans(df: DataFrame, origin) -> DataFrame:
+    """G17 end-to-end frame rebase — the replace_original /
+    replace_page analog (reference replace_original.py:60-76 rebases
+    all segment coords into the original image frame;
+    replace_page.py:50-73 is the inverse): shift EVERY region span by
+    ``-origin`` (a per-row Column). ``rebase_spans(out, -origin)``
+    inverts it exactly (affine, no clipping — the 1-D transform has no
+    rotation component).
+
+    Narrow array transform — per-row compute, zero shuffle at any
+    scale."""
+    o = origin
+    return df.withColumn(
+        "region_spans",
+        F.transform(
+            "region_spans",
+            lambda r: r.withField("start", (r["start"] - o).cast("long")).withField(
+                "end", (r["end"] - o).cast("long")
+            ),
+        ),
+    )

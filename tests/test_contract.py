@@ -26,6 +26,8 @@ SUBSET = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "events_hourly_window",
+    "extract_word_spans",
+    "eval_map_summary",
 ]
 
 

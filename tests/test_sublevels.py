@@ -1,0 +1,165 @@
+"""Line/word/glyph hierarchy: Spark-native column derivation vs the
+pure-Python kernel mirror, byte/offset-identical over the fixture
+corpus (the same two-implementation discipline as test_byte_identity,
+one level down — VERDICT r1 item 2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrd_segment_spark.fixtures import gen_pages, pages_pandas
+from ocrd_segment_spark.functions.sublevels import (
+    glyphs_col,
+    inherit_chain,
+    lines_table,
+    with_sublevels,
+    words_table,
+)
+from ocrd_segment_spark.kernel.extract import extract_document
+from ocrd_segment_spark.kernel.sublevels import sublevels_document
+from ocrd_segment_spark.operators.repair import rebase_spans
+from ocrd_segment_spark.pipeline import extract_pages
+
+N_PAGES = 80
+WIDTH = 6
+
+
+@pytest.fixture(scope="module")
+def golden():
+    out = {}
+    for r in gen_pages(N_PAGES):
+        text, regions, _ = extract_document(r["html"])
+        lines, words = sublevels_document(text, regions, line_width=WIDTH)
+        out[r["url"]] = (text, lines, words)
+    return out
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pdf = pages_pandas(N_PAGES)
+    return extract_pages(spark.createDataFrame(pdf)).cache()
+
+
+def test_words_match_kernel_mirror(extracted, golden):
+    rows = words_table(extracted, line_width=WIDTH).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    n_words_total = 0
+    for url, (text, _lines, words) in golden.items():
+        got = sorted(by_url.get(url, []), key=lambda r: r["start"])
+        exp = sorted(words, key=lambda w: w["start"])
+        assert len(got) == len(exp), url
+        for g, e in zip(got, exp):
+            assert (
+                g["region_id"], g["line_id"], g["word_id"],
+                g["start"], g["end"], g["w_order"],
+            ) == (
+                e["region_id"], e["line_id"], e["word_id"],
+                e["start"], e["end"], e["w_order"],
+            ), url
+            # word_text is the exact slice, never contains whitespace
+            assert g["word_text"] == text[e["start"]:e["end"]], url
+            assert " " not in g["word_text"] and "\n" not in g["word_text"]
+        n_words_total += len(exp)
+    assert n_words_total > 0
+
+
+def test_lines_match_kernel_mirror(extracted, golden):
+    rows = lines_table(extracted, line_width=WIDTH).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    for url, (text, lines, words) in golden.items():
+        got = sorted(by_url.get(url, []), key=lambda r: (r["region_id"], r["l_order"]))
+        exp = sorted(lines, key=lambda line: (line["region_id"], line["l_order"]))
+        assert len(got) == len(exp), url
+        for g, e in zip(got, exp):
+            assert (
+                g["region_id"], g["line_id"], g["start"], g["end"],
+                g["l_order"], g["n_words"],
+            ) == (
+                e["region_id"], e["line_id"], e["start"], e["end"],
+                e["l_order"], e["n_words"],
+            ), url
+        # lines partition the words exactly
+        assert sum(g["n_words"] for g in got) == len(words), url
+
+
+def test_lines_partition_words(extracted):
+    """Every word's span lies inside its line's span; per line,
+    n_words words reference it."""
+    df = with_sublevels(extracted, line_width=WIDTH)
+    w = df.select("url", F.explode("word_spans").alias("w")).select(
+        "url", "w.line_id", "w.start", "w.end"
+    )
+    ln = df.select("url", F.explode("line_spans").alias("l")).select(
+        "url",
+        F.col("l.line_id").alias("line_id"),
+        F.col("l.start").alias("ls"),
+        F.col("l.end").alias("le"),
+        F.col("l.n_words").alias("n_words"),
+    )
+    j = w.join(ln, ["url", "line_id"])
+    bad = j.filter((F.col("start") < F.col("ls")) | (F.col("end") > F.col("le")))
+    assert bad.count() == 0
+    counts = j.groupBy("url", "line_id", "n_words").count()
+    assert counts.filter(F.col("count") != F.col("n_words")).count() == 0
+
+
+def test_glyphs_are_characters(extracted):
+    """Glyph spans tile each word exactly: count == word length, each
+    glyph one char wide, contiguous."""
+    df = with_sublevels(extracted, line_width=WIDTH)
+    w = df.select(F.explode("word_spans").alias("w")).select(
+        F.col("w.start").alias("ws"),
+        F.col("w.end").alias("we"),
+        glyphs_col(F.col("w")).alias("glyphs"),
+    )
+    checked = w.select(
+        (F.size("glyphs") == (F.col("we") - F.col("ws"))).alias("count_ok"),
+        F.forall(
+            "glyphs", lambda g: (g["end"] - g["start"]) == 1
+        ).alias("width_ok"),
+        (F.element_at("glyphs", 1)["start"] == F.col("ws")).alias("first_ok"),
+        (F.element_at("glyphs", -1)["end"] == F.col("we")).alias("last_ok"),
+    )
+    assert checked.filter(
+        ~F.col("count_ok") | ~F.col("width_ok") | ~F.col("first_ok") | ~F.col("last_ok")
+    ).count() == 0
+
+
+def test_inherit_chain_struct_semantics(spark):
+    """The TextStyle chain coalesces WHOLE structs (reference
+    extract_words.py:127): a non-null child struct with a null field
+    must win over a parent struct with that field set."""
+    df = spark.createDataFrame(
+        [(1, ("serif", None), ("mono", True)), (2, None, ("mono", True))],
+        "id int, child struct<font:string,bold:boolean>, parent struct<font:string,bold:boolean>",
+    )
+    out = df.select(
+        "id", inherit_chain(F.col("child"), F.col("parent")).alias("style")
+    ).collect()
+    by_id = {r["id"]: r["style"] for r in out}
+    assert by_id[1]["font"] == "serif" and by_id[1]["bold"] is None
+    assert by_id[2]["font"] == "mono" and by_id[2]["bold"] is True
+
+
+def test_rebase_roundtrip_identity(extracted):
+    """Forward + inverse rebase is the identity on every span
+    (replace_original/replace_page analog)."""
+    df = extracted.filter(F.size("region_spans") > 0).withColumn(
+        "orig", F.col("region_spans")
+    ).withColumn("origin", F.element_at("region_spans", 1)["end"] + F.lit(7))
+    back = rebase_spans(rebase_spans(df, F.col("origin")), -F.col("origin"))
+    assert back.filter(F.col("region_spans") != F.col("orig")).count() == 0
+
+
+def test_sublevels_plan_is_narrow(extracted):
+    """Scale audit: word/line derivation adds ZERO Exchange beyond the
+    extraction plan itself (pure per-row expressions)."""
+    base = extracted.sparkSession.createDataFrame(
+        pages_pandas(8)
+    )
+    out = words_table(extract_pages(base), line_width=WIDTH)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
