@@ -126,6 +126,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # COCO AP/AR summary + frame rebase
     "eval_map_summary": L.q_eval_map_summary,
     "replace_rebase_roundtrip": L.q_replace_rebase_roundtrip,
+    # non-text (media) region candidates
+    "extract_media_regions": L.q_extract_media_regions,
 }
 
 _ORACLES: dict[str, str] = {
@@ -192,6 +194,7 @@ _ORACLES: dict[str, str] = {
     "g13_predicates": L.O_G13_PREDICATES,
     "eval_map_summary": L.O_EVAL_MAP,
     "replace_rebase_roundtrip": L.O_REBASE_ROUNDTRIP,
+    "extract_media_regions": L.O_MEDIA_REGIONS,
 }
 
 

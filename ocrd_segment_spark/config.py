@@ -51,5 +51,13 @@ class ExtractParams:
     # trailing-newline text sinks).
     region_separator: str = "\n"
 
+    # Emit zero-length media-region spans (image/separator/media) for
+    # non-text elements, so a bare <figure><img/></figure> survives
+    # extraction (reference project.py:50-65 region-type vocabulary:
+    # ImageRegion/SeparatorRegion/...). Off by default: media spans are
+    # additive metadata; the extracted text is byte-identical either
+    # way (kernel 1.3.0).
+    media_regions: bool = False
+
 
 DEFAULT_PARAMS = ExtractParams()

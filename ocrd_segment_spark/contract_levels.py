@@ -541,3 +541,45 @@ FROM c
 UNION ALL
 SELECT doc_id, 'r0011', 0, CAST(length(t) AS BIGINT), TRUE FROM c
 """
+
+
+def q_extract_media_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-text region candidates (reference project.py:50-65
+    ImageRegion/SeparatorRegion vocabulary): zero-length media spans
+    survive extraction when ``media_regions`` is on — a bare
+    <figure><img/></figure> no longer vanishes."""
+    from .config import ExtractParams
+
+    html_expr = (
+        "concat('<html><body>"
+        "<h1>', source, '</h1>"
+        "<figure><img src=\"/x.png\"/></figure>"
+        "<p>', text, '</p>"
+        "<hr/></body></html>')"
+    )
+    pages = _pages_from_documents(spark, sf_dir, html_expr)
+    out = extract_pages(pages, params=ExtractParams(media_regions=True))
+    r = out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.explode("region_spans").alias("r"),
+    ).filter(F.col("r.rtype").isin("image", "separator", "media"))
+    return r.select(
+        "doc_id",
+        F.col("r.region_id").alias("region_id"),
+        F.col("r.rtype").alias("rtype"),
+        F.col("r.subtype").alias("subtype"),
+        F.col("r.start").cast("long").alias("m_start"),
+        F.col("r.order").cast("int").alias("ord"),
+    )
+
+
+O_MEDIA_REGIONS = f"""
+WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE} AS t FROM documents)
+SELECT doc_id, 'm0000' AS region_id, 'image' AS rtype, 'img' AS subtype,
+       CAST(length(source) + 1 AS BIGINT) AS m_start, CAST(2 AS INT) AS ord
+FROM c
+UNION ALL
+SELECT doc_id, 'm0001', 'separator', 'hr',
+       CAST(length(source) + 1 + length(t) AS BIGINT), CAST(3 AS INT)
+FROM c
+"""

@@ -43,6 +43,22 @@ CANDIDATE_TAGS = LEAF_TAGS | CONTAINER_TAGS
 
 _HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 
+# Non-text elements that become zero-length media-region spans when
+# ``params.media_regions`` (reference project.py:50-65 vocabulary:
+# ImageRegion / SeparatorRegion / ... as region types without text).
+MEDIA_RTYPE = {
+    "img": "image",
+    "picture": "image",
+    "svg": "image",
+    "hr": "separator",
+    "video": "media",
+    "audio": "media",
+    "embed": "media",
+    "iframe": "media",
+    "object": "media",
+    "canvas": "media",
+}
+
 
 def _classify(node: Node) -> str:
     """Frozen rtype rule — analog of the region-type vocabulary
@@ -71,15 +87,18 @@ def _classify(node: Node) -> str:
     return "paragraph"
 
 
-def _walk(root: Node):
+def _walk(root: Node, collect_media: bool = False):
     """Single iterative DOM walk (document order). Returns
-    (tokens, tok_link, candidates) where candidates is a list of dicts
-    with tok_first/tok_last (token-index hull = G11 shrink analog),
-    depth, pre-order index, direct token count, node ref, and
-    has_candidate_desc — everything later stages need."""
+    (tokens, tok_link, candidates, media) where candidates is a list
+    of dicts with tok_first/tok_last (token-index hull = G11 shrink
+    analog), depth, pre-order index, direct token count, node ref, and
+    has_candidate_desc — everything later stages need. ``media`` is
+    the document-order list of non-text media elements (empty unless
+    ``collect_media``), each with the token index where it sits."""
     tokens: list[str] = []
     tok_link: list[bool] = []
     candidates: list[dict] = []
+    media: list[dict] = []
 
     # stack entries: [node, child_iter_index, depth, link_depth,
     #                 tok_first, direct_tokens, cand_desc, pre_index]
@@ -99,6 +118,13 @@ def _walk(root: Node):
                     tok_link.extend([in_link] * len(toks))
                     frame[5] += len(toks)
                 continue
+            if collect_media and child.tag in MEDIA_RTYPE:
+                # <picture><img/></picture> is ONE image: skip the
+                # inner img (the reference extracts each region once)
+                if not (child.tag == "img" and node.tag == "picture"):
+                    media.append(
+                        {"tag": child.tag, "tok_at": len(tokens), "node": child}
+                    )
             if child.tag in NONTEXT_TAGS:
                 continue
             pre_counter += 1
@@ -140,7 +166,44 @@ def _walk(root: Node):
     # post-order appended deepest-first; document (pre) order is the
     # frozen processing order (W1 analog)
     candidates.sort(key=lambda c: c["pre_index"])
-    return tokens, tok_link, candidates
+    return tokens, tok_link, candidates, media
+
+
+def _media_spans(media, out_pos_fn, cand_by_node, order_base):
+    """Zero-length media-region spans (kernel 1.3.0). Media spans skip
+    validity/plausibilize/classify by design — they carry position and
+    type, not extent (P8 zero-length filtering applies to TEXT regions
+    only). Output order continues after the text regions, sorted by
+    (position, document order)."""
+    out = []
+    for m_idx, m in enumerate(media):
+        pos = out_pos_fn(m)
+        parent_id = ""
+        anc = m["node"].parent
+        while anc is not None:
+            pid = cand_by_node.get(id(anc))
+            if pid is not None:
+                parent_id = pid
+                break
+            anc = anc.parent
+        out.append(
+            {
+                "region_id": f"m{m_idx:04d}",
+                "rtype": MEDIA_RTYPE[m["tag"]],
+                "subtype": m["tag"],
+                "start": pos,
+                "end": pos,
+                "parent_id": parent_id,
+                "order": 0,
+                "score": 1.0,
+                "_m_idx": m_idx,
+            }
+        )
+    out.sort(key=lambda r: (r["start"], r["_m_idx"]))
+    for j, r in enumerate(out):
+        r["order"] = order_base + j
+        del r["_m_idx"]
+    return out
 
 
 def extract_document(
@@ -160,8 +223,11 @@ def extract_document(
         metrics["parse_failed"] = True
         return "", [], metrics
 
-    tokens, tok_link, candidates = _walk(tree)
+    tokens, tok_link, candidates, media = _walk(tree, params.media_regions)
+    metrics["n_media"] = len(media)
     if not candidates or not tokens:
+        if media:
+            return "", _media_spans(media, lambda m: 0, {}, 0), metrics
         return "", [], metrics
 
     # document text + token char offsets (the 1-D coordinate frame)
@@ -223,6 +289,8 @@ def extract_document(
     metrics["n_kept"] = len(kept)
     metrics["n_dropped"] = n - len(kept)
     if not kept:
+        if media:
+            return "", _media_spans(media, lambda m: 0, {}, 0), metrics
         return "", [], metrics
 
     # stage 7 prep: reading order = span start (laminar ⇒ equivalent to
@@ -293,4 +361,21 @@ def extract_document(
             }
         )
         cursor += len(piece)
-    return sep.join(pieces), regions, metrics
+    text_out = sep.join(pieces)
+    if media:
+        # map each media element's token position (doc-text frame) into
+        # the output frame: the first kept region whose final span ends
+        # at/after it hosts the zero-length span; trailing media lands
+        # at the end of the output.
+        n_kept_final = len(kept)
+
+        def out_pos(m):
+            pos = int(tok_start[m["tok_at"]]) if m["tok_at"] < len(tokens) else doc_len
+            for out_order in range(n_kept_final):
+                ds, de = int(k_starts[out_order]), int(k_ends[out_order])
+                if pos <= de:
+                    return regions[out_order]["start"] + max(0, pos - ds)
+            return len(text_out)
+
+        regions.extend(_media_spans(media, out_pos, cand_by_node, n_kept_final))
+    return text_out, regions, metrics

@@ -17,6 +17,9 @@ Digest history:
   resolves to the nearest KEPT ancestor — referential integrity fix;
   no golden-corpus page has a dropped candidate between a kept child
   and its kept ancestor, so the digest is unchanged)
+- kernel 1.3.0 (fixtures v3): df6c272a…  (same digest; media-region
+  spans are gated behind params.media_regions, default OFF — default
+  output is bit-identical, verified by this test)
 """
 
 import hashlib
@@ -29,7 +32,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.2.0"
+GOLDEN_KERNEL = "1.3.0"
 GOLDEN_FIXTURES = 3
 
 

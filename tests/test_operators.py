@@ -136,3 +136,74 @@ def test_unaccounted_images_audit(spark, extracted):
     grouped = CC.import_coco(images, annotations)
     # audit + grouped partitions the image set exactly
     assert missing.count() + grouped.count() == images.count()
+
+
+def test_read_text_files_real_files(spark, extracted, tmp_path_factory):
+    """S6 end-to-end on REAL files (VERDICT r1 item 8): write .gt.txt
+    files to disk, drive the wholetext reader + suffix join, and check
+    content fidelity through the whole path."""
+    import pandas as pd
+    from ocrd_segment_spark.sources.text_files import read_text_files
+
+    gt_dir = tmp_path_factory.mktemp("gt")
+    # file-name-safe urls (the frozen suffix rule matches
+    # '/<url>_<region_id>.gt.txt' literally, like the reference's
+    # basename globbing replace_text.py:48-58)
+    pdf = pd.DataFrame(
+        {
+            "url": [f"doc{i}" for i in range(3)],
+            "html": [
+                f"<html><body><p>original text number {i}</p></body></html>".encode()
+                for i in range(3)
+            ],
+        }
+    )
+    ext = extract_pages(spark.createDataFrame(pdf))
+    rows = ext.collect()
+    expected = {}
+    for i, row in enumerate(rows):
+        rid = row["region_spans"][0]["region_id"]
+        content = f"corrected number {i}\nsecond line {i}"
+        (gt_dir / f"{row['url']}_{rid}.gt.txt").write_text(content, encoding="utf-8")
+        expected[(row["url"], rid)] = content
+    # a decoy that matches no region id — must be ignored
+    (gt_dir / "no-such-url_r9999.gt.txt").write_text("orphan", encoding="utf-8")
+
+    files = read_text_files(spark, f"{gt_dir}/*.gt.txt")
+    assert files.count() == 4
+    rep = replace_region_text(ext, files)
+    got = {(r["url"], r["region_id"]): r["new_text"] for r in rep.collect()}
+    assert got == expected
+
+
+def test_media_regions_through_pipeline(spark):
+    """Kernel 1.3.0 media spans survive the Spark pipeline: a bare
+    figure/img and an hr emit zero-length typed spans; default params
+    emit none."""
+    import pandas as pd
+    from ocrd_segment_spark.config import ExtractParams
+
+    html = (
+        b'<html><body><h1>Title words</h1>'
+        b'<figure><img src="/x.png"/></figure>'
+        b'<p>body paragraph of text</p><hr/></body></html>'
+    )
+    pdf = pd.DataFrame({"url": ["u1"], "html": [html]})
+    out = extract_pages(
+        spark.createDataFrame(pdf), params=ExtractParams(media_regions=True)
+    ).collect()[0]
+    media = [r for r in out["region_spans"] if r["region_id"].startswith("m")]
+    assert [(m["rtype"], m["subtype"]) for m in media] == [
+        ("image", "img"), ("separator", "hr"),
+    ]
+    assert all(m["start"] == m["end"] for m in media)
+    text_len = len(out["extracted_text"])
+    assert media[0]["start"] == len("Title words") + 1  # start of <p> region
+    assert media[1]["start"] == text_len                # trailing hr at end
+    # orders continue after the text regions
+    orders = [r["order"] for r in out["region_spans"]]
+    assert orders == list(range(len(orders)))
+    # default params: byte-identical text, no media spans
+    out_def = extract_pages(spark.createDataFrame(pdf)).collect()[0]
+    assert out_def["extracted_text"] == out["extracted_text"]
+    assert all(not r["region_id"].startswith("m") for r in out_def["region_spans"])
