@@ -25,6 +25,7 @@ from ocrd_segment_spark.session import build_session
 from ocrd_segment_spark.pipeline import extract_pages
 from ocrd_segment_spark import contract as C
 from ocrd_segment_spark import contract_ml as M
+from ocrd_segment_spark.functions.sublevels import words_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -88,6 +89,21 @@ def main() -> None:
         # sum(length) forces full kernel execution without driver collect
         df.agg(F.sum(F.length("extracted_text"))).collect()
 
+    def bench_word_spans():
+        # sublevel derivation throughput in isolation (pure column
+        # expressions over full-document spans; JVM-only, no Python)
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        df = d.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("text").alias("extracted_text"),
+            F.expr(
+                "array(named_struct('region_id','r0001','rtype','paragraph',"
+                "'subtype','p','start',0L,'end',cast(length(text) as bigint),"
+                "'parent_id','','order',0,'score',cast(1.0 as double)))"
+            ).alias("region_spans"),
+        )
+        words_table(df, 8).agg(F.count("*"), F.sum("start")).collect()
+
     # JVM-only queries first — mapInPandas stages spawn 16+ Python
     # worker processes whose residual memory pressure inflates later
     # JVM-side timings ~2× (measured); extraction runs last, after an
@@ -101,6 +117,7 @@ def main() -> None:
         "dedup_simhash": lambda: M.q_dedup_simhash(spark, SF_DIR).count(),
         "ann_cosine_topk": lambda: M.q_ann_cosine_topk(spark, SF_DIR).collect(),
         "events_hourly_window": lambda: M.q_events_hourly_window(spark, SF_DIR).collect(),
+        "word_spans_derive": bench_word_spans,
         "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
         and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
         "extract_pages": bench_extract,

@@ -21,9 +21,10 @@ extract_glyphs.py:163-168).
 Scale design: everything here is a pure Column expression over the
 extraction output — per-row compute, narrow, ZERO shuffle at any
 corpus size. Flat per-level tables are one ``explode`` away (still
-narrow). The per-region ``aggregate`` prefix-scan is O(words²) in
-array copies per region, bounded by per-region word counts (hundreds),
-exactly like the reference's per-segment loops.
+narrow). Word offsets come from separator POSITIONS (one linear pass
+zipped into spans), not an ``aggregate`` prefix-scan — the scan's
+``array_append`` is O(words²) in copies per region and measured 9×
+slower at ~1.3k words/region, diverging quadratically beyond that.
 
 Ids are composite ``region_id _l{line} _w{word}`` mirroring the
 reference's ``region.id + '_' + line.id + '_' + word.id`` file-name
@@ -35,44 +36,59 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# one whitespace char — tokens never contain whitespace (kernel
-# guarantee), so every separator is exactly one char wide and the
-# split is offset-exact. Empty tokens (possible only at span edges
-# after G10 spread) are dropped AFTER the prefix scan so offsets of
-# the surviving words stay exact.
-_WS = "\\s"
-
 WORD_FIELDS = "region_id string, line_id string, word_id string, start long, end long, w_order int"
 LINE_FIELDS = "region_id string, line_id string, start long, end long, l_order int, n_words int"
 
 
+def _is_ws(c: Column) -> Column:
+    """The Java-regex ``\\s`` class [ \\t\\n\\x0B\\f\\r] spelled out —
+    identical to what ``split(seg, '\\s')`` treats as a separator, so
+    switching from token-split to separator-positions changes nothing.
+    Tokens never contain whitespace (kernel guarantee), so every
+    separator is exactly one char wide and offsets are exact."""
+    return (
+        (c == " ") | (c == "\t") | (c == "\n") | (c == "\r")
+        | (c == "\x0b") | (c == "\x0c")
+    )
+
+
 def _raw_word_scan(text: Column, start: Column, end: Column) -> Column:
     """array<struct<s,e>> of token spans (ABSOLUTE offsets into the
-    document text) inside one region span, via an ``aggregate`` prefix
-    scan — the 1-D analog of per-word Coords (extract_words.py:96-117),
-    derived instead of re-measured."""
+    document text) inside one region span — the 1-D analog of per-word
+    Coords (extract_words.py:96-117), derived instead of re-measured.
+
+    Linear construction: word boundaries ARE the separator positions —
+    starts = 0 ∪ (sep+1), ends = sep ∪ len(seg), zipped pairwise. One
+    O(chars) pass; no aggregate prefix-scan (whose per-element
+    ``array_append`` copy is O(words²) per region — measured 9× slower
+    at ~1.3k words/region and diverging quadratically). Empty tokens
+    (possible only at span edges after G10 spread, where s == e) are
+    dropped at the end, offsets of survivors untouched."""
     seg = F.substring(text, (start + F.lit(1)).cast("int"), (end - start).cast("int"))
-    toks = F.split(seg, _WS)
-    zero = F.struct(
-        start.cast("long").alias("cur"),
-        F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)").alias("arr"),
-    )
-    scan = F.aggregate(
-        toks,
-        zero,
-        lambda acc, w: F.struct(
-            (acc["cur"] + F.length(w) + F.lit(1)).cast("long").alias("cur"),
-            F.array_append(
-                acc["arr"],
-                F.struct(
-                    acc["cur"].cast("long").alias("s"),
-                    (acc["cur"] + F.length(w)).cast("long").alias("e"),
-                ),
-            ).alias("arr"),
+    seps = F.filter(
+        F.transform(
+            F.split(seg, ""),
+            lambda c, i: F.when(_is_ws(c), i).otherwise(F.lit(-1)),
         ),
-        lambda acc: acc["arr"],
+        lambda p: p >= 0,
     )
-    return F.filter(scan, lambda x: x["e"] > x["s"])
+    starts = F.array_prepend(
+        F.transform(seps, lambda p: (p + F.lit(1)).cast("long")),
+        F.lit(0).cast("long"),
+    )
+    ends = F.array_append(
+        F.transform(seps, lambda p: p.cast("long")),
+        F.length(seg).cast("long"),
+    )
+    raw = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            (s + start).cast("long").alias("s"),
+            (e + start).cast("long").alias("e"),
+        ),
+    )
+    return F.filter(raw, lambda x: x["e"] > x["s"])
 
 
 def words_in_region(text: Column, region: Column, line_width: int) -> Column:
