@@ -128,6 +128,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "replace_rebase_roundtrip": L.q_replace_rebase_roundtrip,
     # non-text (media) region candidates
     "extract_media_regions": L.q_extract_media_regions,
+    # nested reading-order groups (flat adjacency encoding)
+    "reading_order_groups": L.q_reading_order_groups,
 }
 
 _ORACLES: dict[str, str] = {
@@ -195,6 +197,7 @@ _ORACLES: dict[str, str] = {
     "eval_map_summary": L.O_EVAL_MAP,
     "replace_rebase_roundtrip": L.O_REBASE_ROUNDTRIP,
     "extract_media_regions": L.O_MEDIA_REGIONS,
+    "reading_order_groups": L.O_RO_GROUPS,
 }
 
 

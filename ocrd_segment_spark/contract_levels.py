@@ -583,3 +583,45 @@ SELECT doc_id, 'm0001', 'separator', 'hr',
        CAST(length(source) + 1 + length(t) AS BIGINT), CAST(3 AS INT)
 FROM c
 """
+
+
+def q_reading_order_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested reading-order groups (reference repair.py:521-543
+    recursive Ordered/UnorderedGroup; extract_pages.py:435-467) as the
+    flat adjacency table: page → regions → lines → words, members
+    ordered by reading index."""
+    from .functions.sublevels import reading_order_groups
+
+    pages = _pages_from_documents(spark, sf_dir, _SINGLE_PARA)
+    out = extract_pages(pages)
+    g = reading_order_groups(out, line_width=_LINE_WIDTH)
+    return g.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "group_id", "level",
+        F.col("n_members").cast("int").alias("n_members"),
+        "member_ids",
+    )
+
+
+O_RO_GROUPS = f"""
+WITH {_O_WORDS},
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(ceil(count(*) / {_LINE_WIDTH}.0) AS BIGINT) AS n_lines
+  FROM o GROUP BY doc_id
+)
+SELECT doc_id, '#page' AS group_id, 'page' AS level,
+       CAST(1 AS INT) AS n_members, 'r0003' AS member_ids
+FROM per_doc
+UNION ALL
+SELECT doc_id, 'r0003', 'region', CAST(n_lines AS INT),
+       array_to_string(
+         list_transform(generate_series(0, CAST(n_lines - 1 AS INT)),
+                        x -> printf('r0003_l%03d', x)), ',')
+FROM per_doc
+UNION ALL
+SELECT doc_id, printf('r0003_l%03d', (i - 1) // {_LINE_WIDTH}), 'line',
+       CAST(count(*) AS INT),
+       string_agg(printf('r0003_w%04d', i - 1), ',' ORDER BY i)
+FROM o GROUP BY doc_id, (i - 1) // {_LINE_WIDTH}
+"""

@@ -223,3 +223,69 @@ def inherit_chain(*cols: Column) -> Column:
     line.get_TextStyle() or ...``, extract_words.py:127), never
     per-field, and so does this."""
     return F.coalesce(*cols)
+
+
+def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
+    """Nested reading-order group structure (reference
+    repair.py:521-543 recursive Ordered/UnorderedGroup flatten;
+    extract_pages.py:435-467 builds the same tree) re-expressed as a
+    FLAT adjacency table — the standard relational encoding of a
+    recursive type: one row per group, ``members`` ordered by the
+    child's reading index (RegionRefIndexed/@index analog).
+
+    Levels: ``#page`` → regions (OrderedGroup per page), each region →
+    its lines, each line → its words. All derivation is row-local
+    (nested transforms over the span arrays — zero shuffle); the final
+    explode is narrow. Per-doc cost is O(lines × words) comparisons,
+    bounded by per-document word counts exactly like the reference's
+    per-page recursion."""
+    sub = with_sublevels(df, line_width)
+    member = lambda rid, idx: F.struct(  # noqa: E731
+        rid.alias("ref_id"), idx.cast("int").alias("index")
+    )
+    page_groups = F.array(
+        F.struct(
+            F.lit("#page").alias("group_id"),
+            F.lit("page").alias("level"),
+            F.transform(
+                F.col("region_spans"), lambda r: member(r["region_id"], r["order"])
+            ).alias("members"),
+        )
+    )
+    region_groups = F.transform(
+        F.col("region_spans"),
+        lambda r: F.struct(
+            r["region_id"].alias("group_id"),
+            F.lit("region").alias("level"),
+            F.transform(
+                F.filter(
+                    F.col("line_spans"), lambda l: l["region_id"] == r["region_id"]
+                ),
+                lambda l: member(l["line_id"], l["l_order"]),
+            ).alias("members"),
+        ),
+    )
+    line_groups = F.transform(
+        F.col("line_spans"),
+        lambda l: F.struct(
+            l["line_id"].alias("group_id"),
+            F.lit("line").alias("level"),
+            F.transform(
+                F.filter(
+                    F.col("word_spans"), lambda w: w["line_id"] == l["line_id"]
+                ),
+                lambda w: member(w["word_id"], w["w_order"]),
+            ).alias("members"),
+        ),
+    )
+    groups = F.concat(page_groups, region_groups, line_groups)
+    out = sub.select("url", F.explode(groups).alias("g"))
+    return out.select(
+        "url",
+        F.col("g.group_id").alias("group_id"),
+        F.col("g.level").alias("level"),
+        F.size("g.members").alias("n_members"),
+        F.array_join(
+            F.transform(F.col("g.members"), lambda m: m["ref_id"]), ","
+        ).alias("member_ids"),
+    )

@@ -163,3 +163,39 @@ def test_sublevels_plan_is_narrow(extracted):
     out = words_table(extract_pages(base), line_width=WIDTH)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_reading_order_groups_nesting(extracted):
+    """Group tree invariants: every line group's id appears as a member
+    of exactly one region group; word memberships partition the words;
+    member order equals reading order."""
+    from ocrd_segment_spark.functions.sublevels import reading_order_groups
+
+    g = reading_order_groups(extracted, line_width=WIDTH).cache()
+    rows = g.collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    for url, grs in by_url.items():
+        page = [r for r in grs if r["level"] == "page"]
+        regions = [r for r in grs if r["level"] == "region"]
+        lines = [r for r in grs if r["level"] == "line"]
+        assert len(page) == 1
+        # page members = exactly the region group ids
+        page_members = page[0]["member_ids"].split(",") if page[0]["member_ids"] else []
+        assert sorted(page_members) == sorted(r["group_id"] for r in regions)
+        # every line group referenced by exactly one region group
+        region_members = [
+            m for r in regions for m in (r["member_ids"].split(",") if r["member_ids"] else [])
+        ]
+        assert sorted(region_members) == sorted(r["group_id"] for r in lines)
+        assert len(set(region_members)) == len(region_members)
+        # line members count matches n_members and words are unique
+        word_members = [
+            m for r in lines for m in (r["member_ids"].split(",") if r["member_ids"] else [])
+        ]
+        assert len(set(word_members)) == len(word_members)
+        for r in grs:
+            n = len(r["member_ids"].split(",")) if r["member_ids"] else 0
+            assert n == r["n_members"]
+    g.unpersist()
