@@ -130,6 +130,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_media_regions": L.q_extract_media_regions,
     # nested reading-order groups (flat adjacency encoding)
     "reading_order_groups": L.q_reading_order_groups,
+    # S13 colordict sink + S2/P5 feature chains
+    "s13_colordict": L.q_s13_colordict,
+    "s2_feature_chain": L.q_s2_feature_chain,
 }
 
 _ORACLES: dict[str, str] = {
@@ -198,6 +201,8 @@ _ORACLES: dict[str, str] = {
     "replace_rebase_roundtrip": L.O_REBASE_ROUNDTRIP,
     "extract_media_regions": L.O_MEDIA_REGIONS,
     "reading_order_groups": L.O_RO_GROUPS,
+    "s13_colordict": L.O_S13_COLORDICT,
+    "s2_feature_chain": L.O_S2_FEATURE_CHAIN,
 }
 
 

@@ -625,3 +625,67 @@ SELECT doc_id, printf('r0003_l%03d', (i - 1) // {_LINE_WIDTH}), 'line',
        string_agg(printf('r0003_w%04d', i - 1), ',' ORDER BY i)
 FROM o GROUP BY doc_id, (i - 1) // {_LINE_WIDTH}
 """
+
+
+def q_s13_colordict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 colordict sink (reference extract_pages.py:39-98): the
+    observed category vocabulary mapped to deterministic colors, with
+    the G18 hex→rgb split applied."""
+    from .functions.misc import color_hex_to_rgb, colordict
+
+    pages = _pages_from_documents(spark, sf_dir, _BOILER)
+    out = extract_pages(pages)
+    cats = (
+        out.select(F.explode("region_spans").alias("r"))
+        .select(
+            F.concat(F.col("r.rtype"), F.lit("."), F.col("r.subtype")).alias("name")
+        )
+        .distinct()
+    )
+    cd = colordict(cats)
+    return cd.select("name", "color", *color_hex_to_rgb("color"))
+
+
+O_S13_COLORDICT = """
+WITH cats AS (SELECT 'heading.h1' AS name UNION ALL SELECT 'paragraph.p'),
+cd AS (SELECT name, upper(substring(md5(name), 1, 6)) AS color FROM cats)
+SELECT name, color,
+       CAST(('0x' || substring(color, 1, 2))::INT AS INT) AS r,
+       CAST(('0x' || substring(color, 3, 2))::INT AS INT) AS g,
+       CAST(('0x' || substring(color, 5, 2))::INT AS INT) AS b
+FROM cd
+"""
+
+
+def q_s2_feature_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P5 feature selector/filter predicates (reference
+    repair.py:112-115 requires 'binarized', forbids 'clipped') over a
+    synthesized lineage features column — plain pushable predicate."""
+    from .functions.multimodal import feature_chain_predicate
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit("cropped")),
+            F.when(d.doc_id % 2 == 0, F.array(F.lit("binarized"))).otherwise(
+                F.array()
+            ),
+            F.when(d.doc_id % 3 == 0, F.array(F.lit("clipped"))).otherwise(F.array()),
+        ).alias("features"),
+    )
+    kept = feats.filter(
+        feature_chain_predicate(
+            F.col("features"), selector="binarized,cropped", feature_filter="clipped"
+        )
+    )
+    return kept.select(
+        "doc_id", F.array_join("features", ",").alias("features_csv")
+    )
+
+
+O_S2_FEATURE_CHAIN = """
+SELECT doc_id,
+       'cropped,binarized' AS features_csv
+FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 != 0
+"""

@@ -739,12 +739,14 @@ def q_tfidf_top_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.selectExpr("doc_id", f"explode({_TOKS}) as term")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    n_docs = d.count()  # small dim; literal into the plan
+    # corpus size as a broadcast 1-row aggregate, not a driver-side
+    # d.count() (no mid-build action; the whole job stays one plan)
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    scored = tf.join(df_, "term").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n)).withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -30,3 +30,14 @@ def numeric_page_id(col: str, fallback: Column | None = None) -> Column:
     digits = F.regexp_replace(F.col(col), "[^0-9]", "")
     out = F.when(digits != "", digits.cast("long"))
     return out.otherwise(fallback) if fallback is not None else out
+
+
+def colordict(categories, name_col: str = "name"):
+    """S13 colordict sink (reference extract_pages.py:39-98 fixed
+    type→color table; here derived): deterministic 'RRGGBB' per
+    category from md5(name) — stable across engines (md5 exists in
+    Spark AND DuckDB) and across partitionings."""
+    color = F.upper(F.substring(F.md5(F.col(name_col).cast("binary")), 1, 6))
+    return categories.select(
+        F.col(name_col).alias("name"), color.alias("color")
+    )

@@ -95,3 +95,26 @@ def extract_features(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_i
             )
 
     return df.select(id_col, blob_col).mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def feature_chain_predicate(features_col, selector: str = "", feature_filter: str = ""):
+    """S2/P5 feature-chain predicates (reference repair.py:112-115,
+    replace_original.py:41-45, ocrd-tool.json:179-182): over a lineage
+    ``features: array<string>`` column,
+
+    - ``selector``  (comma list): EVERY listed feature must be present;
+    - ``feature_filter`` (comma list): NO listed feature may be present.
+
+    Returns one boolean Column — pushes into the scan as an ordinary
+    predicate (no UDF)."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for feat in [s.strip() for s in selector.split(",") if s.strip()]:
+        cond = cond & F.array_contains(features_col, feat)
+    forbidden = [s.strip() for s in feature_filter.split(",") if s.strip()]
+    if forbidden:
+        cond = cond & ~F.arrays_overlap(
+            features_col, F.array([F.lit(x) for x in forbidden])
+        )
+    return cond
