@@ -265,16 +265,27 @@ def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
             ).alias("members"),
         ),
     )
+    # line→word membership is ARITHMETIC (word ids are index-derived,
+    # line l covers w_orders [l_order·W, l_order·W + n_words)), so the
+    # members come from a sequence(), not a filter over word_spans —
+    # the filter form is O(lines × words) per document and degrades
+    # quadratically on long documents; this is O(words) total.
     line_groups = F.transform(
         F.col("line_spans"),
         lambda l: F.struct(
             l["line_id"].alias("group_id"),
             F.lit("line").alias("level"),
             F.transform(
-                F.filter(
-                    F.col("word_spans"), lambda w: w["line_id"] == l["line_id"]
+                F.sequence(
+                    l["l_order"] * line_width,
+                    l["l_order"] * line_width + l["n_words"] - F.lit(1),
                 ),
-                lambda w: member(w["word_id"], w["w_order"]),
+                lambda i: member(
+                    F.concat(
+                        l["region_id"], F.lit("_w"), F.lpad(i.cast("string"), 4, "0")
+                    ),
+                    i,
+                ),
             ).alias("members"),
         ),
     )

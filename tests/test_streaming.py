@@ -220,3 +220,39 @@ def test_streaming_incremental_dedup_across_batches(spark, tmp_path):
     pairs = {(r["doc1"], r["doc2"]) for r in spark.read.parquet(out).collect()}
     assert (1, 3) in pairs
     assert all(p in {(1, 3)} for p in pairs), pairs
+
+
+def test_sublevel_derivation_is_streaming_capable(spark, tmp_path):
+    """word/line derivation is pure narrow column math, so it composes
+    with the streaming extract unchanged — the microbatch word table
+    equals the batch word table exactly."""
+    from ocrd_segment_spark.functions.sublevels import words_table
+    from ocrd_segment_spark.streaming.extract_stream import PAGES_SCHEMA
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "words_out")
+    ckpt = str(tmp_path / "words_ckpt")
+    pdf = pages_pandas(40)
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    words = words_table(extract_pages(pages), line_width=6)
+    q = (
+        words.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .select("url", "word_id", "start", "end", "word_text").collect()
+    )
+    batch = sorted(
+        tuple(r) for r in words_table(extract_pages(spark.read.parquet(src)), line_width=6)
+        .select("url", "word_id", "start", "end", "word_text").collect()
+    )
+    assert streamed == batch and len(batch) > 0
