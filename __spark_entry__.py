@@ -133,6 +133,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # S13 colordict sink + S2/P5 feature chains
     "s13_colordict": L.q_s13_colordict,
     "s2_feature_chain": L.q_s2_feature_chain,
+    # TextStyle runs from inline tags (kernel 1.4.0)
+    "extract_style_runs": L.q_extract_style_runs,
 }
 
 _ORACLES: dict[str, str] = {
@@ -203,6 +205,7 @@ _ORACLES: dict[str, str] = {
     "reading_order_groups": L.O_RO_GROUPS,
     "s13_colordict": L.O_S13_COLORDICT,
     "s2_feature_chain": L.O_S2_FEATURE_CHAIN,
+    "extract_style_runs": L.O_STYLE_RUNS,
 }
 
 

@@ -51,6 +51,14 @@ class ExtractParams:
     # trailing-newline text sinks).
     region_separator: str = "\n"
 
+    # Attach per-region TextStyle runs (reference TextStyle struct,
+    # extract_lines.py:201-219 / extract_words.py:127-145): contiguous
+    # styled char ranges derived from inline HTML tags (b/strong →
+    # bold, i/em → italic, code/tt/kbd/samp/pre → monospace, u →
+    # underlined, s/del → strikethrough, sub/sup). Off by default:
+    # additive metadata, text is byte-identical either way.
+    style_spans: bool = False
+
     # Emit zero-length media-region spans (image/separator/media) for
     # non-text elements, so a bare <figure><img/></figure> survives
     # extraction (reference project.py:50-65 region-type vocabulary:

@@ -689,3 +689,43 @@ SELECT doc_id,
        'cropped,binarized' AS features_csv
 FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 != 0
 """
+
+
+def q_extract_style_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextStyle runs (reference TextStyle struct,
+    extract_lines.py:201-219 / extract_words.py:127-145): inline
+    b/code tags become styled char ranges in the output frame."""
+    from .pipeline import extract_pages_styled
+
+    html_expr = (
+        "concat('<html><body><p><b>', source,"
+        " '</b> middle words <code>', text, '</code></p></body></html>')"
+    )
+    pages = _pages_from_documents(spark, sf_dir, html_expr)
+    out = extract_pages_styled(pages)
+    r = out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.explode("style_spans").alias("s"),
+    )
+    return r.select(
+        "doc_id",
+        F.col("s.start").cast("long").alias("run_start"),
+        F.col("s.end").cast("long").alias("run_end"),
+        F.col("s.bold").alias("bold"),
+        F.col("s.italic").alias("italic"),
+        F.col("s.monospace").alias("monospace"),
+    )
+
+
+O_STYLE_RUNS = f"""
+WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE} AS t FROM documents)
+SELECT doc_id, CAST(0 AS BIGINT) AS run_start,
+       CAST(length(source) AS BIGINT) AS run_end,
+       TRUE AS bold, FALSE AS italic, FALSE AS monospace
+FROM c
+UNION ALL
+SELECT doc_id, CAST(length(source) + 14 AS BIGINT),
+       CAST(length(source) + 14 + length(t) AS BIGINT),
+       FALSE, FALSE, TRUE
+FROM c
+"""

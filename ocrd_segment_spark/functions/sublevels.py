@@ -300,3 +300,19 @@ def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
             F.transform(F.col("g.members"), lambda m: m["ref_id"]), ","
         ).alias("member_ids"),
     )
+
+
+def word_style(word: Column, style_spans: Column) -> Column:
+    """Resolve a word's TextStyle from the document's style runs —
+    the word-level ``get_TextStyle()`` analog (extract_words.py:127):
+    the run containing the word, or NULL (inherit) when unstyled.
+    Row-local filter over the (short) runs array. ``F.get`` (0-based)
+    rather than ``element_at``: under ANSI mode element_at THROWS on
+    an empty array; get returns NULL."""
+    return F.get(
+        F.filter(
+            style_spans,
+            lambda s: (s["start"] <= word["start"]) & (word["end"] <= s["end"]),
+        ),
+        0,
+    )

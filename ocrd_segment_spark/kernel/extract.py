@@ -46,6 +46,39 @@ _HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 # Non-text elements that become zero-length media-region spans when
 # ``params.media_regions`` (reference project.py:50-65 vocabulary:
 # ImageRegion / SeparatorRegion / ... as region types without text).
+# Inline style tags → TextStyle bit (reference TextStyle fields
+# bold/italic/monospace/underlined/strikethrough/subscript/superscript,
+# extract_words.py:127-145). Cumulative OR down the tree: each DOM
+# frame carries the mask of all enclosing style tags.
+STYLE_BOLD, STYLE_ITALIC, STYLE_MONO = 1, 2, 4
+STYLE_UNDER, STYLE_STRIKE, STYLE_SUB, STYLE_SUP = 8, 16, 32, 64
+STYLE_TAGS = {
+    "b": STYLE_BOLD,
+    "strong": STYLE_BOLD,
+    "i": STYLE_ITALIC,
+    "em": STYLE_ITALIC,
+    "code": STYLE_MONO,
+    "tt": STYLE_MONO,
+    "kbd": STYLE_MONO,
+    "samp": STYLE_MONO,
+    "pre": STYLE_MONO,
+    "u": STYLE_UNDER,
+    "s": STYLE_STRIKE,
+    "del": STYLE_STRIKE,
+    "sub": STYLE_SUB,
+    "sup": STYLE_SUP,
+}
+
+STYLE_FLAG_NAMES = (
+    (STYLE_BOLD, "bold"),
+    (STYLE_ITALIC, "italic"),
+    (STYLE_MONO, "monospace"),
+    (STYLE_UNDER, "underlined"),
+    (STYLE_STRIKE, "strikethrough"),
+    (STYLE_SUB, "subscript"),
+    (STYLE_SUP, "superscript"),
+)
+
 MEDIA_RTYPE = {
     "img": "image",
     "picture": "image",
@@ -87,7 +120,7 @@ def _classify(node: Node) -> str:
     return "paragraph"
 
 
-def _walk(root: Node, collect_media: bool = False):
+def _walk(root: Node, collect_media: bool = False, collect_styles: bool = False):
     """Single iterative DOM walk (document order). Returns
     (tokens, tok_link, candidates, media) where candidates is a list
     of dicts with tok_first/tok_last (token-index hull = G11 shrink
@@ -97,13 +130,15 @@ def _walk(root: Node, collect_media: bool = False):
     ``collect_media``), each with the token index where it sits."""
     tokens: list[str] = []
     tok_link: list[bool] = []
+    tok_style: list[int] = []
     candidates: list[dict] = []
     media: list[dict] = []
 
     # stack entries: [node, child_iter_index, depth, link_depth,
-    #                 tok_first, direct_tokens, cand_desc, pre_index]
+    #                 tok_first, direct_tokens, cand_desc, pre_index,
+    #                 style_mask]
     pre_counter = 0
-    stack = [[root, 0, 0, 0, 0, 0, False, 0]]
+    stack = [[root, 0, 0, 0, 0, 0, False, 0, 0]]
     while stack:
         frame = stack[-1]
         node, ci = frame[0], frame[1]
@@ -116,6 +151,8 @@ def _walk(root: Node, collect_media: bool = False):
                     in_link = frame[3] > 0
                     tokens.extend(toks)
                     tok_link.extend([in_link] * len(toks))
+                    if collect_styles:
+                        tok_style.extend([frame[8]] * len(toks))
                     frame[5] += len(toks)
                 continue
             if collect_media and child.tag in MEDIA_RTYPE:
@@ -138,12 +175,13 @@ def _walk(root: Node, collect_media: bool = False):
                     0,
                     False,
                     pre_counter,
+                    frame[8] | STYLE_TAGS.get(child.tag, 0),
                 ]
             )
             continue
         # post-order: decide candidacy
         stack.pop()
-        node, _, depth, _, tok_first, direct, cand_desc, pre_index = frame
+        node, _, depth, _, tok_first, direct, cand_desc, pre_index, _ = frame
         tok_last = len(tokens)
         is_cand = False
         if (
@@ -166,7 +204,7 @@ def _walk(root: Node, collect_media: bool = False):
     # post-order appended deepest-first; document (pre) order is the
     # frozen processing order (W1 analog)
     candidates.sort(key=lambda c: c["pre_index"])
-    return tokens, tok_link, candidates, media
+    return tokens, tok_link, tok_style, candidates, media
 
 
 def _media_spans(media, out_pos_fn, cand_by_node, order_base):
@@ -223,7 +261,9 @@ def extract_document(
         metrics["parse_failed"] = True
         return "", [], metrics
 
-    tokens, tok_link, candidates, media = _walk(tree, params.media_regions)
+    tokens, tok_link, tok_style, candidates, media = _walk(
+        tree, params.media_regions, params.style_spans
+    )
     metrics["n_media"] = len(media)
     if not candidates or not tokens:
         if media:
@@ -348,18 +388,41 @@ def extract_document(
                 parent_id = pid
                 break
             anc = anc.parent
-        regions.append(
-            {
-                "region_id": f"r{c['pre_index']:04d}",
-                "rtype": c["rtype"],
-                "subtype": c["node"].tag,
-                "start": cursor,
-                "end": cursor + len(piece),
-                "parent_id": parent_id,
-                "order": out_order,
-                "score": c.get("score", 1.0),
-            }
-        )
+        region = {
+            "region_id": f"r{c['pre_index']:04d}",
+            "rtype": c["rtype"],
+            "subtype": c["node"].tag,
+            "start": cursor,
+            "end": cursor + len(piece),
+            "parent_id": parent_id,
+            "order": out_order,
+            "score": c.get("score", 1.0),
+        }
+        if params.style_spans:
+            # contiguous equal-mask token runs inside the FINAL span,
+            # re-offset to the output frame (TextStyle analog,
+            # reference extract_words.py:127-145; interior separators
+            # between same-mask tokens belong to the run)
+            ti = int(np.searchsorted(tok_start, s, side="left"))
+            tj = int(np.searchsorted(tok_end, e, side="right"))
+            runs = []
+            t = ti
+            while t < tj:
+                mask = tok_style[t]
+                t2 = t
+                while t2 + 1 < tj and tok_style[t2 + 1] == mask:
+                    t2 += 1
+                if mask:
+                    run = {
+                        "start": cursor + max(0, int(tok_start[t]) - s),
+                        "end": cursor + min(len(piece), int(tok_end[t2]) - s),
+                    }
+                    for bit, name in STYLE_FLAG_NAMES:
+                        run[name] = bool(mask & bit)
+                    runs.append(run)
+                t = t2 + 1
+            region["style_runs"] = runs
+        regions.append(region)
         cursor += len(piece)
     text_out = sep.join(pieces)
     if media:

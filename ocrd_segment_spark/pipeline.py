@@ -236,3 +236,79 @@ def run_extract(
         )
         metrics.write.mode("append").parquet(metrics_path)
         result.unpersist()
+
+
+STYLE_RUN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.LongType(), False),
+            T.StructField("end", T.LongType(), False),
+            T.StructField("bold", T.BooleanType(), False),
+            T.StructField("italic", T.BooleanType(), False),
+            T.StructField("monospace", T.BooleanType(), False),
+            T.StructField("underlined", T.BooleanType(), False),
+            T.StructField("strikethrough", T.BooleanType(), False),
+            T.StructField("subscript", T.BooleanType(), False),
+            T.StructField("superscript", T.BooleanType(), False),
+        ]
+    )
+)
+
+EXTRACT_STYLED_SCHEMA = T.StructType(
+    list(EXTRACT_SCHEMA.fields) + [T.StructField("style_spans", STYLE_RUN_TYPE, False)]
+)
+
+
+def extract_pages_styled(df: DataFrame, params: ExtractParams | None = None) -> DataFrame:
+    """Extraction + TextStyle runs (reference extract_lines.py:201-219
+    style struct per segment): same narrow mapInPandas plan with one
+    extra ``style_spans`` column (document-level, absolute output
+    offsets). ``params.style_spans`` is forced on."""
+    import dataclasses
+
+    params = dataclasses.replace(params or DEFAULT_PARAMS, style_spans=True)
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            texts, spans, lineages, styles = [], [], [], []
+            for html in htmls:
+                text, regions, metrics = extract_document(html, params)
+                texts.append(text)
+                spans.append(
+                    [
+                        (r["region_id"], r["rtype"], r["subtype"], r["start"],
+                         r["end"], r["parent_id"], r["order"], r["score"])
+                        for r in regions
+                    ]
+                )
+                styles.append(
+                    [
+                        (s["start"], s["end"], s["bold"], s["italic"],
+                         s["monospace"], s["underlined"], s["strikethrough"],
+                         s["subscript"], s["superscript"])
+                        for r in regions
+                        for s in r.get("style_runs", [])
+                    ]
+                )
+                lineages.append(
+                    (KERNEL_VERSION, pid, metrics["parse_failed"],
+                     metrics["n_candidates"], metrics["n_kept"],
+                     metrics["n_dropped"])
+                )
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "extracted_text": texts,
+                    "region_spans": spans,
+                    "lineage": lineages,
+                    "style_spans": styles,
+                }
+            )
+
+    return df.select("url", "html").mapInPandas(fn, EXTRACT_STYLED_SCHEMA)

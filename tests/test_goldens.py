@@ -20,6 +20,8 @@ Digest history:
 - kernel 1.3.0 (fixtures v3): df6c272a…  (same digest; media-region
   spans are gated behind params.media_regions, default OFF — default
   output is bit-identical, verified by this test)
+- kernel 1.4.0 (fixtures v3): df6c272a…  (same digest; TextStyle runs
+  gated behind params.style_spans, default OFF)
 """
 
 import hashlib
@@ -32,7 +34,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.3.0"
+GOLDEN_KERNEL = "1.4.0"
 GOLDEN_FIXTURES = 3
 
 

@@ -199,3 +199,40 @@ def test_reading_order_groups_nesting(extracted):
             n = len(r["member_ids"].split(",")) if r["member_ids"] else 0
             assert n == r["n_members"]
     g.unpersist()
+
+
+def test_style_runs_and_word_style(spark):
+    """TextStyle runs through the styled pipeline; per-word style
+    resolution (word inside a run gets its flags, outside gets NULL =
+    inherit, reference extract_words.py:127)."""
+    import pandas as pd
+    from ocrd_segment_spark.functions.sublevels import word_style
+    from ocrd_segment_spark.pipeline import extract_pages_styled
+
+    html = (
+        b"<html><body><p>plain <b>bold words</b> after "
+        b"<code>mono bit</code> tail</p></body></html>"
+    )
+    pdf = pd.DataFrame({"url": ["u1"], "html": [html]})
+    out = extract_pages_styled(spark.createDataFrame(pdf))
+    row = out.collect()[0]
+    text = row["extracted_text"]
+    runs = [(s["start"], s["end"], s["bold"], s["monospace"]) for s in row["style_spans"]]
+    assert [text[s:e] for s, e, _, _ in runs] == ["bold words", "mono bit"]
+    assert [(b, m) for _, _, b, m in runs] == [(True, False), (False, True)]
+
+    w = with_sublevels(out, line_width=4).select(
+        "style_spans", F.explode("word_spans").alias("w")
+    ).select(
+        F.col("w.w_order").alias("w_order"),
+        word_style(F.col("w"), F.col("style_spans")).alias("style"),
+    )
+    styles = {r["w_order"]: r["style"] for r in w.collect()}
+    # text: plain bold words after mono bit tail → w_order 0..6
+    assert styles[0] is None                      # plain → inherit
+    assert styles[1]["bold"] and not styles[1]["monospace"]
+    assert styles[2]["bold"]
+    assert styles[3] is None                      # after
+    assert styles[4]["monospace"] and not styles[4]["bold"]
+    assert styles[5]["monospace"]
+    assert styles[6] is None                      # tail
