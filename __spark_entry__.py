@@ -135,6 +135,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s2_feature_chain": L.q_s2_feature_chain,
     # TextStyle runs from inline tags (kernel 1.4.0)
     "extract_style_runs": L.q_extract_style_runs,
+    # full from-coco processor (apply imported segmentation)
+    "coco_apply_roundtrip": L.q_coco_apply_roundtrip,
 }
 
 _ORACLES: dict[str, str] = {
@@ -206,6 +208,7 @@ _ORACLES: dict[str, str] = {
     "s13_colordict": L.O_S13_COLORDICT,
     "s2_feature_chain": L.O_S2_FEATURE_CHAIN,
     "extract_style_runs": L.O_STYLE_RUNS,
+    "coco_apply_roundtrip": L.O_COCO_APPLY,
 }
 
 

@@ -729,3 +729,39 @@ SELECT doc_id, CAST(length(source) + 14 AS BIGINT),
        FALSE, FALSE, TRUE
 FROM c
 """
+
+
+def q_coco_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ocrd-segment-from-coco analog (reference
+    import_coco_segmentation.py:104-215): export the extracted
+    segmentation to COCO tables, re-apply them onto the pages, and the
+    applied spans must reproduce the originals exactly."""
+    from .sources.coco import apply_coco_segmentation, export_coco
+
+    pages = _pages_from_documents(spark, sf_dir, _BOILER)
+    out = extract_pages(pages)
+    images, annotations, categories = export_coco(out)
+    applied = apply_coco_segmentation(out, images, annotations, categories)
+    r = applied.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.explode("region_spans").alias("r"),
+    )
+    return r.select(
+        "doc_id",
+        F.col("r.rtype").alias("rtype"),
+        F.col("r.start").cast("long").alias("span_start"),
+        F.col("r.end").cast("long").alias("span_end"),
+        F.col("r.order").cast("int").alias("ord"),
+    )
+
+
+O_COCO_APPLY = f"""
+WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE} AS t FROM documents)
+SELECT doc_id, 'heading.h1' AS rtype, CAST(0 AS BIGINT) AS span_start,
+       CAST(length(source) AS BIGINT) AS span_end, CAST(0 AS INT) AS ord
+FROM c
+UNION ALL
+SELECT doc_id, 'paragraph.p', CAST(length(source) + 1 AS BIGINT),
+       CAST(length(source) + 1 + length(t) AS BIGINT), CAST(1 AS INT)
+FROM c
+"""

@@ -103,3 +103,81 @@ def unaccounted_images(images: DataFrame, annotations: DataFrame) -> DataFrame:
     return images.join(
         annotations.select("image_id").distinct(), "image_id", "left_anti"
     )
+
+
+def apply_coco_segmentation(
+    pages: DataFrame,
+    images: DataFrame,
+    annotations: DataFrame,
+    categories: DataFrame,
+) -> DataFrame:
+    """The full ``ocrd-segment-from-coco`` processor analog (reference
+    import_coco_segmentation.py:104-215): REPLACE each page's
+    segmentation with the imported COCO annotations.
+
+    - images match pages by ``file_name == url`` with basename
+      fallback (J4 key-fallback, reference :152-159) — pages without a
+      match keep an empty segmentation, like the reference's
+      log-and-skip;
+    - annotations group per image (one shuffle), sorted by (start,
+      ann_id) for a deterministic reading order;
+    - output: pages with ``region_spans`` REPLACED by the imported
+      segmentation (region ids ``a{ann_id}``, rtype = category name,
+      order = position in the sorted list).
+
+    Scale: categories broadcast (bounded vocabulary); the annotation
+    groupBy and the page join both key on corpus-sized ids — they
+    co-partition, no corpus-wide single-partition stage anywhere."""
+    ann = annotations.join(
+        F.broadcast(categories.select("category_id", F.col("name").alias("cat_name"))),
+        "category_id",
+    )
+    grouped = ann.groupBy("image_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("start", "ann_id", "cat_name", "end", "score"))
+        ).alias("anns")
+    )
+    # primary key: exact file_name; fallback: basename (reference
+    # :152-159 tries imageFilename then its basename). The basename
+    # fallback applies only when UNAMBIGUOUS (one image per basename) —
+    # the reference resolves collisions by first-match luck; the frozen
+    # rule refuses instead, so the join can never fan out. (The third,
+    # numeric-pageId level of the reference chain is the J4 pattern,
+    # contract.q_j4_key_fallback_join.)
+    img = images.select("image_id", "file_name").join(grouped, "image_id")
+    by_name = img.select(F.col("file_name").alias("url"), "anns")
+    base = F.element_at(F.split(F.col("file_name"), "/"), -1)
+    by_base = (
+        img.select(base.alias("burl"), "anns")
+        .groupBy("burl")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("anns").alias("anns_base"))
+        .filter(F.col("n") == 1)
+        .drop("n")
+    )
+    direct = pages.join(by_name, "url", "left")
+    direct = direct.join(
+        by_base,
+        F.element_at(F.split(F.col("url"), "/"), -1) == F.col("burl"),
+        "left",
+    ).drop("burl")
+    spans = F.transform(
+        F.coalesce(
+            F.col("anns"),
+            F.col("anns_base"),
+            F.expr(
+                "CAST(array() AS ARRAY<STRUCT<start: BIGINT, ann_id: BIGINT,"
+                " cat_name: STRING, end: BIGINT, score: DOUBLE>>)"
+            ),
+        ),
+        lambda a, i: F.struct(
+            F.concat(F.lit("a"), a["ann_id"].cast("string")).alias("region_id"),
+            a["cat_name"].alias("rtype"),
+            F.lit("coco").alias("subtype"),
+            a["start"].cast("long").alias("start"),
+            a["end"].cast("long").alias("end"),
+            F.lit("").alias("parent_id"),
+            i.cast("int").alias("order"),
+            a["score"].cast("double").alias("score"),
+        ),
+    )
+    return direct.withColumn("region_spans", spans).drop("anns", "anns_base")

@@ -207,3 +207,37 @@ def test_media_regions_through_pipeline(spark):
     out_def = extract_pages(spark.createDataFrame(pdf)).collect()[0]
     assert out_def["extracted_text"] == out["extracted_text"]
     assert all(not r["region_id"].startswith("m") for r in out_def["region_spans"])
+
+
+def test_apply_coco_segmentation_key_fallback(spark):
+    """from-coco processor: exact file_name match, unambiguous basename
+    fallback, ambiguous basename refused, unmatched page → empty."""
+    from ocrd_segment_spark.sources.coco import apply_coco_segmentation
+
+    pages = spark.createDataFrame(
+        [("u/exact.html", "x" * 30), ("base7.html", "y" * 30),
+         ("amb.html", "z" * 30), ("lonely.html", "w" * 30)],
+        "url string, extracted_text string",
+    )
+    images = spark.createDataFrame(
+        [(1, "u/exact.html"), (2, "imported/dir/base7.html"),
+         (3, "a/amb.html"), (4, "b/amb.html")],
+        "image_id long, file_name string",
+    )
+    annotations = spark.createDataFrame(
+        [(10, 1, 1, 0, 10, 1.0), (11, 1, 1, 12, 20, 0.5),
+         (12, 2, 1, 3, 9, 1.0), (13, 3, 1, 0, 5, 1.0), (14, 4, 1, 0, 5, 1.0)],
+        "ann_id long, image_id long, category_id long, start long, end long, score double",
+    )
+    categories = spark.createDataFrame(
+        [(1, "paragraph.p")], "category_id long, name string"
+    )
+    out = {
+        r["url"]: r["region_spans"]
+        for r in apply_coco_segmentation(pages, images, annotations, categories).collect()
+    }
+    assert [(s["region_id"], s["start"], s["end"], s["order"])
+            for s in out["u/exact.html"]] == [("a10", 0, 10, 0), ("a11", 12, 20, 1)]
+    assert [(s["rtype"], s["start"]) for s in out["base7.html"]] == [("paragraph.p", 3)]
+    assert out["amb.html"] == []     # ambiguous basename refused
+    assert out["lonely.html"] == []  # no match → log-and-skip analog
