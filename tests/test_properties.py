@@ -121,3 +121,31 @@ def test_spread_no_overlap_within_bounds(raw, dist):
     assert all(s[i + 1] >= e[i] for i in range(len(s) - 1))
     # spans only grow
     assert (s <= starts).all() and (e >= ends).all()
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_sublevels_reconstruct_region_text(data):
+    """Property (kernel mirror): joining a region's word slices with
+    single spaces reconstructs the region text exactly; line hulls
+    tile the words; ids are dense."""
+    from ocrd_segment_spark.kernel.sublevels import sublevels_document
+
+    body = data.draw(_html())
+    width = data.draw(st.integers(min_value=1, max_value=9))
+    text, regions, _ = extract_document(body.encode())
+    lines, words = sublevels_document(text, regions, line_width=width)
+    by_region = {}
+    for w in words:
+        by_region.setdefault(w["region_id"], []).append(w)
+    for r in regions:
+        ws = by_region.get(r["region_id"], [])
+        seg = text[r["start"]:r["end"]]
+        # reconstruction: word slices joined by single separators
+        assert " ".join(text[w["start"]:w["end"]] for w in ws) == seg
+        assert [w["w_order"] for w in ws] == list(range(len(ws)))
+    for li in lines:
+        member_ws = [w for w in words if w["line_id"] == li["line_id"]]
+        assert len(member_ws) == li["n_words"] <= width
+        assert li["start"] == member_ws[0]["start"]
+        assert li["end"] == member_ws[-1]["end"]
