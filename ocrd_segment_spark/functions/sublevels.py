@@ -117,7 +117,14 @@ def words_in_region(text: Column, region: Column, line_width: int) -> Column:
 def lines_from_words(words: Column, region: Column, line_width: int) -> Column:
     """array<struct LINE_FIELDS> grouping a region's words into
     fixed-width lines (first word's start .. last word's end — the
-    token hull, same shrink discipline as regions)."""
+    token hull, same shrink discipline as regions).
+
+    PERF CONTRACT: pass ``words`` as a LAMBDA VARIABLE (zip_with /
+    transform binding) or a plain column reference, never the raw
+    ``words_in_region(...)`` expression tree — interpreted HOFs
+    re-evaluate an inline expression at every reference, and this
+    function indexes ``words`` twice per line (measured 13× slowdown
+    at 10k docs when inlined; see with_sublevels)."""
     n = F.size(words)
     rid = region["region_id"]
     idx = F.sequence(F.lit(0), ((n - F.lit(1)) / line_width).cast("int"))
@@ -140,23 +147,28 @@ def lines_from_words(words: Column, region: Column, line_width: int) -> Column:
 def with_sublevels(df: DataFrame, line_width: int = 8) -> DataFrame:
     """Add ``word_spans``/``line_spans`` arrays (all regions flattened,
     document order) to extraction output ``(url, extracted_text,
-    region_spans, ...)``. Narrow — zero shuffle at any scale."""
+    region_spans, ...)``. Narrow — zero shuffle at any scale.
+
+    The per-region word arrays are computed ONCE and bound through
+    ``zip_with`` lambda variables; the line derivation then indexes
+    them in O(1) per line. Referencing the word expression tree inside
+    the per-line lambdas instead re-evaluates the whole word scan per
+    line (interpreted HOFs have no common-subexpression elimination) —
+    measured 13 s vs 0.7 s on 10k realistic pages."""
     text = F.col("extracted_text")
-    words = F.flatten(
-        F.transform(
-            F.col("region_spans"), lambda r: words_in_region(text, r, line_width)
-        )
+    nested = F.transform(
+        F.col("region_spans"), lambda r: words_in_region(text, r, line_width)
     )
-    df = df.withColumn("word_spans", words)
     lines = F.flatten(
-        F.transform(
+        F.zip_with(
             F.col("region_spans"),
-            lambda r: lines_from_words(
-                words_in_region(text, r, line_width), r, line_width
-            ),
+            nested,
+            lambda r, ws: lines_from_words(ws, r, line_width),
         )
     )
-    return df.withColumn("line_spans", lines)
+    return df.withColumn("word_spans", F.flatten(nested)).withColumn(
+        "line_spans", lines
+    )
 
 
 def words_table(df: DataFrame, line_width: int = 8) -> DataFrame:

@@ -181,6 +181,19 @@ kernel tasks each):
 
 The path is shuffle-free, so this scales linearly with executors until
 the input filesystem, not Spark, is the bottleneck.
+
+## Hierarchy levels at scale (round 2)
+
+word/line derivation + nested reading-order groups over the SAME 100k
+corpus (pure column expressions, still zero shuffle): 7.08M words /
+1.07M lines derived in **17.5 s** (sublevels) and **9.4 s** (group
+tree) on local[32] including the extraction pass — i.e. the sublevel
+math adds well under 1× the extraction cost. Two measured traps are
+documented in functions/sublevels.py: the aggregate+array_append
+prefix scan (O(words²) per region, 9× slower at 1.3k words/region)
+and inlining a word-array expression into per-line lambdas
+(interpreted HOFs re-evaluate it per line — 13 s vs 0.7 s per 10k
+docs; fixed by zip_with lambda binding).
 """
 
 
