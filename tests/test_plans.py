@@ -86,3 +86,42 @@ def test_narrow_query_is_codegen(spark):
         .select("doc_id", (F.col("n_chars") * 2).alias("x"))
     )
     assert audit.whole_stage_codegen_subtrees(docs) >= 1
+
+
+def test_map_summary_broadcasts_thresholds(spark):
+    """eval AP/AR sweep: the thresholds side must broadcast (nested-
+    loop on iou > t), never shuffle the pair table against it."""
+    from ocrd_segment_spark.contract import _gt_dt_from_documents
+    from ocrd_segment_spark.operators.evaluate import map_summary
+
+    gt, dt = _gt_dt_from_documents(spark, SF)
+    plan = audit.physical_plan(map_summary(gt, dt))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_apply_coco_has_no_global_window(spark, tmp_path):
+    """from-coco processor scale audit: no unpartitioned window over a
+    corpus-scale input; categories side broadcast."""
+    from ocrd_segment_spark.fixtures import pages_pandas
+    from ocrd_segment_spark.sources.coco import apply_coco_segmentation, export_coco
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages_pandas(30)).write.parquet(src)
+    out = extract_pages(spark.read.parquet(src))
+    images, annotations, categories = export_coco(out)
+    applied = apply_coco_segmentation(out, images, annotations, categories)
+    for inp in audit.unpartitioned_window_inputs(applied):
+        assert "url#" not in inp and "html" not in inp, inp
+        assert "_cnt#" in inp or "cat_name#" in inp or "name#" in inp, inp
+    assert audit.broadcast_join_count(applied) >= 1
+
+
+def test_styled_extract_path_has_no_exchange(spark, tmp_path):
+    """TextStyle pipeline is the same narrow plan as plain extraction."""
+    from ocrd_segment_spark.fixtures import pages_pandas
+    from ocrd_segment_spark.pipeline import extract_pages_styled
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages_pandas(12)).write.parquet(src)
+    df = extract_pages_styled(spark.read.parquet(src))
+    assert not audit.has_exchange(df), audit.physical_plan(df)
