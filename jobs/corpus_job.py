@@ -1,0 +1,134 @@
+"""End-to-end training-corpus job: raw pages → clean deduplicated
+training documents. The composition a 100 TB data pipeline actually
+runs, as one spark-submit entrypoint:
+
+    spark-submit --master <cluster> --py-files dist/engine.zip \\
+        jobs/corpus_job.py \\
+        --input  /path/to/pages_parquet \\
+        --output /path/to/corpus \\
+        [--min-quality 0.5] [--min-tokens 5] [--langs en,de] \\
+        [--stats /path/to/stats] [--python-parallelism N]
+
+Stages (each narrow or one bounded shuffle):
+
+1. extract     — HTML → (extracted_text, region_spans, lineage); the
+                 shuffle-free mapInPandas kernel path.
+2. score       — quality + language id (operators/textstats): pure
+                 column math, still narrow.
+3. filter      — quality/token/lang thresholds: pushable predicates.
+4. exact dedup — keep the canonical (min url) copy per content hash:
+                 ONE shuffle on md5(extracted_text); near-dup passes
+                 (MinHash LSH) run as a separate offline audit because
+                 they need a human-reviewed threshold.
+5. write       — training docs + a per-stage accounting table so every
+                 dropped document is attributable (the A8/A9 audit
+                 discipline applied to the corpus funnel).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--stats", default=None)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--langs", default=None, help="comma list; default: keep all")
+    ap.add_argument("--python-parallelism", type=int, default=None)
+    args = ap.parse_args()
+
+    from ocrd_segment_spark.session import submit_session
+
+    spark = submit_session("ocrd-segment-corpus")
+    build_corpus(
+        spark,
+        args.input,
+        args.output,
+        stats_path=args.stats,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        langs=args.langs.split(",") if args.langs else None,
+        python_parallelism=args.python_parallelism,
+    )
+    spark.stop()
+
+
+def build_corpus(
+    spark,
+    input_path: str,
+    output_path: str,
+    stats_path: str | None = None,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    langs: list[str] | None = None,
+    python_parallelism: int | None = None,
+) -> dict:
+    """The pipeline body (importable for tests). Returns the funnel
+    counts dict that is also written to ``stats_path``."""
+    from pyspark.sql import Window as W, functions as F
+
+    from ocrd_segment_spark.operators.textstats import with_lang_id, with_quality
+    from ocrd_segment_spark.pipeline import extract_pages
+
+    pages = spark.read.parquet(input_path)
+    extracted = extract_pages(pages, python_parallelism=python_parallelism)
+    scored = with_lang_id(
+        with_quality(extracted, text_col="extracted_text"),
+        text_col="extracted_text",
+    )
+    # one pass computes the funnel counts AND materializes scored rows
+    scored = scored.withColumn(
+        "keep_quality",
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens),
+    )
+    if langs:
+        scored = scored.withColumn("keep_lang", F.col("pred_lang").isin(langs))
+    else:
+        scored = scored.withColumn("keep_lang", F.lit(True))
+    kept = scored.filter(F.col("keep_quality") & F.col("keep_lang"))
+
+    # exact dedup, canonical row kept: rank within content hash by url
+    # (deterministic) — one shuffle, fine-grained key, no global sort
+    w = W.partitionBy(F.md5("extracted_text")).orderBy("url")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("_rn") == 1)
+    )
+    out = deduped.filter("is_canonical").drop(
+        "_rn", "is_canonical", "keep_quality", "keep_lang"
+    )
+    out.write.mode("overwrite").parquet(output_path)
+
+    # funnel accounting from the written output + one agg over scored
+    # (scored is recomputed — acceptable: the job is batch and the
+    # funnel numbers are an audit artifact, not the hot path)
+    counts = scored.agg(
+        F.count("*").alias("pages"),
+        F.sum((~F.col("keep_quality")).cast("long")).alias("dropped_quality"),
+        F.sum(
+            (F.col("keep_quality") & ~F.col("keep_lang")).cast("long")
+        ).alias("dropped_lang"),
+        F.sum(
+            (F.col("keep_quality") & F.col("keep_lang")).cast("long")
+        ).alias("kept_after_filters"),
+    ).collect()[0]
+    n_out = spark.read.parquet(output_path).count()
+    funnel = {
+        "pages": counts["pages"],
+        "dropped_quality": counts["dropped_quality"],
+        "dropped_lang": counts["dropped_lang"],
+        "kept_after_filters": counts["kept_after_filters"],
+        "dropped_exact_dup": counts["kept_after_filters"] - n_out,
+        "corpus_docs": n_out,
+    }
+    if stats_path is not None:
+        spark.createDataFrame([funnel]).write.mode("append").parquet(stats_path)
+    return funnel
+
+
+if __name__ == "__main__":
+    main()

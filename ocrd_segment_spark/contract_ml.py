@@ -278,13 +278,10 @@ def q_lang_id_heuristic(spark, sf_dir):
     """Character-n-gram language-id heuristic (frequency of 'th' vs
     'er' — an honest toy; the structure, regexp_count + argmax, is the
     real operator) vs the labeled lang column."""
+    from .operators.textstats import with_lang_id
+
     d = _t(spark, sf_dir, "documents")
-    pred = d.withColumn(
-        "pred_lang",
-        F.when(
-            F.expr("regexp_count(text, 'th') >= regexp_count(text, 'er')"), F.lit("en")
-        ).otherwise(F.lit("de")),
-    )
+    pred = with_lang_id(d)
     return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
 
 
@@ -300,27 +297,10 @@ FROM documents GROUP BY 1, 2
 def q_quality_score(spark, sf_dir):
     """Quality scoring: token count, short-token ratio, composite
     score — all JVM-side column math."""
+    from .operators.textstats import with_quality
+
     d = _t(spark, sf_dir, "documents")
-    # tokenize ONCE per row (Catalyst does not CSE interpreted
-    # higher-order lambdas — see operators/dedup.py minhash note)
-    return d.selectExpr(
-        "doc_id",
-        f"{_TOKS} as toks",
-    ).selectExpr(
-        "doc_id",
-        "size(toks) as n_toks",
-        "size(filter(toks, t -> length(t) <= 3)) as n_short",
-    ).selectExpr(
-        # Spark parses bare `1.0` in selectExpr as DECIMAL(2,1) which
-        # propagates DECIMAL(…,6) outputs; the oracle emits DOUBLE.
-        # Use `D`-suffixed double literals so both sides are IEEE
-        # doubles computed in the same operation order.
-        "doc_id",
-        "cast(n_toks as bigint) as n_tokens",
-        "round(n_short * 1.0D / n_toks, 6) as short_ratio",
-        "round(0.4D * least(n_toks / 100.0D, 1.0D)"
-        " + 0.6D * (1.0D - n_short * 1.0D / n_toks), 6) as quality",
-    )
+    return with_quality(d).select("doc_id", "n_tokens", "short_ratio", "quality")
 
 
 O_QUALITY = f"""

@@ -241,3 +241,36 @@ def test_apply_coco_segmentation_key_fallback(spark):
     assert [(s["rtype"], s["start"]) for s in out["base7.html"]] == [("paragraph.p", 3)]
     assert out["amb.html"] == []     # ambiguous basename refused
     assert out["lonely.html"] == []  # no match → log-and-skip analog
+
+
+def test_corpus_job_funnel(spark, tmp_path):
+    """End-to-end training-corpus job: extract -> score -> filter ->
+    exact-dedup -> write, with attributable funnel accounting."""
+    import pandas as pd
+    from jobs.corpus_job import build_corpus
+
+    rows = []
+    body = "good long paragraph with many meaningful tokens " * 4
+    for i in range(6):
+        rows.append((f"doc{i}", f"<html><body><p>{body}{i}</p></body></html>".encode()))
+    # exact duplicate of doc0's content
+    rows.append(("dup0", f"<html><body><p>{body}0</p></body></html>".encode()))
+    # low quality: too short
+    rows.append(("tiny", b"<html><body><p>ok go</p></body></html>"))
+    pdf = pd.DataFrame(rows, columns=["url", "html"])
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "corpus")
+    stats = str(tmp_path / "stats")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    funnel = build_corpus(spark, src, out, stats_path=stats, min_tokens=5)
+    assert funnel["pages"] == 8
+    assert funnel["dropped_quality"] == 1      # 'tiny'
+    assert funnel["dropped_exact_dup"] == 1    # 'dup0' vs 'doc0'
+    assert funnel["corpus_docs"] == 6
+    got = spark.read.parquet(out)
+    urls = {r["url"] for r in got.select("url").collect()}
+    assert urls == {f"doc{i}" for i in range(6)}  # canonical = min url
+    assert {"extracted_text", "quality", "pred_lang", "n_tokens"} <= set(got.columns)
+    st = spark.read.parquet(stats).collect()[0]
+    assert st["corpus_docs"] == 6
