@@ -69,7 +69,7 @@ def build_corpus(
 ) -> dict:
     """The pipeline body (importable for tests). Returns the funnel
     counts dict that is also written to ``stats_path``."""
-    from pyspark.sql import Window as W, functions as F
+    from pyspark.sql import Observation, Window as W, functions as F
 
     from ocrd_segment_spark.operators.textstats import with_lang_id, with_quality
     from ocrd_segment_spark.pipeline import extract_pages
@@ -80,7 +80,6 @@ def build_corpus(
         with_quality(extracted, text_col="extracted_text"),
         text_col="extracted_text",
     )
-    # one pass computes the funnel counts AND materializes scored rows
     scored = scored.withColumn(
         "keep_quality",
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens),
@@ -89,6 +88,26 @@ def build_corpus(
         scored = scored.withColumn("keep_lang", F.col("pred_lang").isin(langs))
     else:
         scored = scored.withColumn("keep_lang", F.lit(True))
+
+    # funnel counters ride the write action as an Observation — the
+    # extraction (the expensive stage) runs exactly ONCE; coalesce
+    # guards the zero-row input (sum over no rows is NULL)
+    obs = Observation("funnel")
+    scored = scored.observe(
+        obs,
+        F.count(F.lit(1)).alias("pages"),
+        F.coalesce(
+            F.sum((~F.col("keep_quality")).cast("long")), F.lit(0)
+        ).alias("dropped_quality"),
+        F.coalesce(
+            F.sum((F.col("keep_quality") & ~F.col("keep_lang")).cast("long")),
+            F.lit(0),
+        ).alias("dropped_lang"),
+        F.coalesce(
+            F.sum((F.col("keep_quality") & F.col("keep_lang")).cast("long")),
+            F.lit(0),
+        ).alias("kept_after_filters"),
+    )
     kept = scored.filter(F.col("keep_quality") & F.col("keep_lang"))
 
     # exact dedup, canonical row kept: rank within content hash by url
@@ -103,19 +122,7 @@ def build_corpus(
     )
     out.write.mode("overwrite").parquet(output_path)
 
-    # funnel accounting from the written output + one agg over scored
-    # (scored is recomputed — acceptable: the job is batch and the
-    # funnel numbers are an audit artifact, not the hot path)
-    counts = scored.agg(
-        F.count("*").alias("pages"),
-        F.sum((~F.col("keep_quality")).cast("long")).alias("dropped_quality"),
-        F.sum(
-            (F.col("keep_quality") & ~F.col("keep_lang")).cast("long")
-        ).alias("dropped_lang"),
-        F.sum(
-            (F.col("keep_quality") & F.col("keep_lang")).cast("long")
-        ).alias("kept_after_filters"),
-    ).collect()[0]
+    counts = obs.get
     n_out = spark.read.parquet(output_path).count()
     funnel = {
         "pages": counts["pages"],

@@ -26,6 +26,9 @@ zipped into spans), not an ``aggregate`` prefix-scan — the scan's
 ``array_append`` is O(words²) in copies per region and measured 9×
 slower at ~1.3k words/region, diverging quadratically beyond that.
 
+Ids use ``format_string('%0Nd')`` — Spark ``lpad`` silently TRUNCATES
+past the pad width (lpad('1000',3,'0') = '100'), which would collide
+ids and diverge from the Python mirror on 10k-word regions.
 Ids are composite ``region_id _l{line} _w{word}`` mirroring the
 reference's ``region.id + '_' + line.id + '_' + word.id`` file-name
 scheme (extract_words.py:190-193) — deterministic under any
@@ -102,10 +105,11 @@ def words_in_region(text: Column, region: Column, line_width: int) -> Column:
         lambda x, i: F.struct(
             rid.alias("region_id"),
             F.concat(
-                rid, F.lit("_l"), F.lpad((i / line_width).cast("int").cast("string"), 3, "0")
+                rid, F.lit("_l"),
+                F.format_string("%03d", (i / line_width).cast("int")),
             ).alias("line_id"),
             F.concat(
-                rid, F.lit("_w"), F.lpad(i.cast("string"), 4, "0")
+                rid, F.lit("_w"), F.format_string("%04d", i.cast("int"))
             ).alias("word_id"),
             x["s"].alias("start"),
             x["e"].alias("end"),
@@ -132,7 +136,7 @@ def lines_from_words(words: Column, region: Column, line_width: int) -> Column:
         idx,
         lambda i: F.struct(
             rid.alias("region_id"),
-            F.concat(rid, F.lit("_l"), F.lpad(i.cast("string"), 3, "0")).alias("line_id"),
+            F.concat(rid, F.lit("_l"), F.format_string("%03d", i.cast("int"))).alias("line_id"),
             F.element_at(words, (i * line_width + F.lit(1)).cast("int"))["start"].alias("start"),
             F.element_at(words, F.least((i + F.lit(1)) * line_width, n).cast("int"))["end"].alias("end"),
             i.cast("int").alias("l_order"),
@@ -294,7 +298,8 @@ def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
                 ),
                 lambda i: member(
                     F.concat(
-                        l["region_id"], F.lit("_w"), F.lpad(i.cast("string"), 4, "0")
+                        l["region_id"], F.lit("_w"),
+                        F.format_string("%04d", i.cast("int")),
                     ),
                     i,
                 ),

@@ -122,12 +122,14 @@ def _classify(node: Node) -> str:
 
 def _walk(root: Node, collect_media: bool = False, collect_styles: bool = False):
     """Single iterative DOM walk (document order). Returns
-    (tokens, tok_link, candidates, media) where candidates is a list
-    of dicts with tok_first/tok_last (token-index hull = G11 shrink
-    analog), depth, pre-order index, direct token count, node ref, and
-    has_candidate_desc — everything later stages need. ``media`` is
-    the document-order list of non-text media elements (empty unless
-    ``collect_media``), each with the token index where it sits."""
+    (tokens, tok_link, tok_style, candidates, media): candidates is a
+    list of dicts with tok_first/tok_last (token-index hull = G11
+    shrink analog), depth, pre-order index, direct token count, node
+    ref, and has_candidate_desc — everything later stages need.
+    ``tok_style`` is the per-token style bitmask (empty unless
+    ``collect_styles``); ``media`` is the document-order list of
+    non-text media elements (empty unless ``collect_media``), each
+    with the token index where it sits."""
     tokens: list[str] = []
     tok_link: list[bool] = []
     tok_style: list[int] = []

@@ -21,8 +21,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def tokens_col(text_col: str = "text") -> Column:
-    """Whitespace tokens, empties dropped."""
-    return F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    """Whitespace tokens, empties dropped. Splits on the ``\\s`` CLASS,
+    not the space char — extraction output joins regions with '\\n'
+    (config.region_separator), so a space-only split would merge the
+    last token of one region with the first of the next and skew every
+    downstream count."""
+    return F.expr(f"filter(split({text_col}, '\\\\s'), x -> x != '')")
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -70,10 +70,12 @@ EXTRACT_SCHEMA = T.StructType(
 )
 
 
-def _extract_batches(params: ExtractParams):
+def _extract_batches(params: ExtractParams, with_styles: bool = False):
     """Returns the mapInPandas function. The kernel import happens at
     module import on the worker; params is a small frozen dataclass
-    captured in the closure (broadcast via task serialization)."""
+    captured in the closure (broadcast via task serialization).
+    ``with_styles`` adds the flattened ``style_spans`` column (one
+    packing loop serves both pipelines — no drift between them)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -83,7 +85,7 @@ def _extract_batches(params: ExtractParams):
         for pdf in batches:
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
-            texts, spans, lineages = [], [], []
+            texts, spans, lineages, styles = [], [], [], []
             for html in htmls:
                 text, regions, metrics = extract_document(html, params)
                 texts.append(text)
@@ -102,6 +104,19 @@ def _extract_batches(params: ExtractParams):
                         for r in regions
                     ]
                 )
+                if with_styles:
+                    styles.append(
+                        [
+                            (
+                                s["start"], s["end"], s["bold"], s["italic"],
+                                s["monospace"], s["underlined"],
+                                s["strikethrough"], s["subscript"],
+                                s["superscript"],
+                            )
+                            for r in regions
+                            for s in r.get("style_runs", [])
+                        ]
+                    )
                 lineages.append(
                     (
                         KERNEL_VERSION,
@@ -112,14 +127,15 @@ def _extract_batches(params: ExtractParams):
                         metrics["n_dropped"],
                     )
                 )
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "extracted_text": texts,
-                    "region_spans": spans,
-                    "lineage": lineages,
-                }
-            )
+            cols = {
+                "url": urls,
+                "extracted_text": texts,
+                "region_spans": spans,
+                "lineage": lineages,
+            }
+            if with_styles:
+                cols["style_spans"] = styles
+            yield pd.DataFrame(cols)
 
     return fn
 
@@ -263,52 +279,11 @@ def extract_pages_styled(df: DataFrame, params: ExtractParams | None = None) -> 
     """Extraction + TextStyle runs (reference extract_lines.py:201-219
     style struct per segment): same narrow mapInPandas plan with one
     extra ``style_spans`` column (document-level, absolute output
-    offsets). ``params.style_spans`` is forced on."""
+    offsets). ``params.style_spans`` is forced on; the row packing is
+    the SAME ``_extract_batches`` loop as the plain pipeline."""
     import dataclasses
 
     params = dataclasses.replace(params or DEFAULT_PARAMS, style_spans=True)
-
-    def fn(batches):
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else -1
-        for pdf in batches:
-            urls = pdf["url"].tolist()
-            htmls = pdf["html"].tolist()
-            texts, spans, lineages, styles = [], [], [], []
-            for html in htmls:
-                text, regions, metrics = extract_document(html, params)
-                texts.append(text)
-                spans.append(
-                    [
-                        (r["region_id"], r["rtype"], r["subtype"], r["start"],
-                         r["end"], r["parent_id"], r["order"], r["score"])
-                        for r in regions
-                    ]
-                )
-                styles.append(
-                    [
-                        (s["start"], s["end"], s["bold"], s["italic"],
-                         s["monospace"], s["underlined"], s["strikethrough"],
-                         s["subscript"], s["superscript"])
-                        for r in regions
-                        for s in r.get("style_runs", [])
-                    ]
-                )
-                lineages.append(
-                    (KERNEL_VERSION, pid, metrics["parse_failed"],
-                     metrics["n_candidates"], metrics["n_kept"],
-                     metrics["n_dropped"])
-                )
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "extracted_text": texts,
-                    "region_spans": spans,
-                    "lineage": lineages,
-                    "style_spans": styles,
-                }
-            )
-
-    return df.select("url", "html").mapInPandas(fn, EXTRACT_STYLED_SCHEMA)
+    return df.select("url", "html").mapInPandas(
+        _extract_batches(params, with_styles=True), EXTRACT_STYLED_SCHEMA
+    )

@@ -145,7 +145,16 @@ def apply_coco_segmentation(
     # numeric-pageId level of the reference chain is the J4 pattern,
     # contract.q_j4_key_fallback_join.)
     img = images.select("image_id", "file_name").join(grouped, "image_id")
-    by_name = img.select(F.col("file_name").alias("url"), "anns")
+    # file_name is NOT a key in COCO (image_id is) — merged annotation
+    # files can repeat it; an unguarded join would fan pages out. Same
+    # unambiguous-only rule as the basename level.
+    by_name = (
+        img.select(F.col("file_name").alias("url"), "anns")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("anns").alias("anns"))
+        .filter(F.col("n") == 1)
+        .drop("n")
+    )
     base = F.element_at(F.split(F.col("file_name"), "/"), -1)
     by_base = (
         img.select(base.alias("burl"), "anns")

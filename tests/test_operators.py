@@ -274,3 +274,39 @@ def test_corpus_job_funnel(spark, tmp_path):
     assert {"extracted_text", "quality", "pred_lang", "n_tokens"} <= set(got.columns)
     st = spark.read.parquet(stats).collect()[0]
     assert st["corpus_docs"] == 6
+
+
+def test_apply_coco_duplicate_file_name_refused(spark):
+    """file_name is NOT a key in COCO — a duplicated exact name must
+    not fan the page join out (frozen rule: ambiguous → refused)."""
+    from ocrd_segment_spark.sources.coco import apply_coco_segmentation
+
+    pages = spark.createDataFrame([("a.html", "t" * 20)], "url string, extracted_text string")
+    images = spark.createDataFrame(
+        [(1, "a.html"), (2, "a.html")], "image_id long, file_name string"
+    )
+    annotations = spark.createDataFrame(
+        [(10, 1, 1, 0, 5, 1.0), (11, 2, 1, 5, 9, 1.0)],
+        "ann_id long, image_id long, category_id long, start long, end long, score double",
+    )
+    categories = spark.createDataFrame([(1, "x")], "category_id long, name string")
+    rows = apply_coco_segmentation(pages, images, annotations, categories).collect()
+    assert len(rows) == 1           # no fan-out
+    assert rows[0]["region_spans"] == []  # ambiguous → refused
+
+
+def test_corpus_job_empty_input(spark, tmp_path):
+    """Zero-row input: the funnel records zeros instead of crashing."""
+    import pandas as pd
+    from jobs.corpus_job import build_corpus
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        pd.DataFrame({"url": pd.Series(dtype="str"), "html": pd.Series(dtype="object")}),
+        "url string, html binary",
+    ).write.parquet(src)
+    funnel = build_corpus(spark, src, str(tmp_path / "corpus"))
+    assert funnel == {
+        "pages": 0, "dropped_quality": 0, "dropped_lang": 0,
+        "kept_after_filters": 0, "dropped_exact_dup": 0, "corpus_docs": 0,
+    }
