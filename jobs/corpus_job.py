@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--langs", default=None, help="comma list; default: keep all")
+    ap.add_argument(
+        "--near-dup-audit",
+        default=None,
+        help="optional path: write MinHash-LSH candidate pairs over the"
+        " final corpus for human-thresholded near-dup review",
+    )
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
 
@@ -52,6 +58,7 @@ def main() -> None:
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
+        near_dup_audit=args.near_dup_audit,
         python_parallelism=args.python_parallelism,
     )
     spark.stop()
@@ -65,6 +72,7 @@ def build_corpus(
     min_quality: float = 0.5,
     min_tokens: int = 5,
     langs: list[str] | None = None,
+    near_dup_audit: str | None = None,
     python_parallelism: int | None = None,
 ) -> dict:
     """The pipeline body (importable for tests). Returns the funnel
@@ -132,6 +140,19 @@ def build_corpus(
         "dropped_exact_dup": counts["kept_after_filters"] - n_out,
         "corpus_docs": n_out,
     }
+    if near_dup_audit is not None:
+        # MinHash-LSH candidate pairs over the WRITTEN corpus — the
+        # near-dup threshold needs human review, so this is an audit
+        # table, not an automatic drop stage (bucketed, hot-bucket
+        # capped; reads the committed parquet, not the live lineage)
+        from ocrd_segment_spark.operators.dedup import minhash_lsh_candidates
+
+        corpus = spark.read.parquet(output_path)
+        cands = minhash_lsh_candidates(
+            corpus, id_col="url", text_col="extracted_text"
+        )
+        cands.write.mode("overwrite").parquet(near_dup_audit)
+        funnel["near_dup_candidates"] = spark.read.parquet(near_dup_audit).count()
     if stats_path is not None:
         spark.createDataFrame([funnel]).write.mode("append").parquet(stats_path)
     return funnel

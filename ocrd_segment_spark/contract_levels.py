@@ -765,3 +765,39 @@ SELECT doc_id, 'paragraph.p', CAST(length(source) + 1 AS BIGINT),
        CAST(length(source) + 1 + length(t) AS BIGINT), CAST(1 AS INT)
 FROM c
 """
+
+
+def q_extract_word_spans_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word level across MULTIPLE regions (boiler template: heading +
+    paragraph): absolute offsets must account for each region's start
+    and the separator between regions."""
+    pages = _pages_from_documents(spark, sf_dir, _BOILER)
+    out = extract_pages(pages)
+    wt = words_table(out, line_width=_LINE_WIDTH)
+    return wt.groupBy(F.col("url").cast("long").alias("doc_id"), "region_id").agg(
+        F.count("*").alias("n_words"),
+        F.min("start").cast("long").alias("first_start"),
+        F.max("end").cast("long").alias("last_end"),
+        F.sum(F.col("end") - F.col("start")).cast("long").alias("char_sum"),
+    )
+O_WORD_SPANS_MULTI = f"""
+WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE} AS t FROM documents),
+h AS (  -- heading region r0008: words of `source` at offset 0
+  SELECT doc_id, 'r0008' AS region_id,
+         CAST(len(string_split(source, ' ')) AS BIGINT) AS n_words,
+         CAST(0 AS BIGINT) AS first_start,
+         CAST(length(source) AS BIGINT) AS last_end,
+         CAST(length(source) - len(string_split(source, ' ')) + 1 AS BIGINT)
+           AS char_sum
+  FROM c
+),
+p AS (  -- paragraph region r0011: words of t at offset len(source)+1
+  SELECT doc_id, 'r0011',
+         CAST(len(string_split(t, ' ')) AS BIGINT),
+         CAST(length(source) + 1 AS BIGINT),
+         CAST(length(source) + 1 + length(t) AS BIGINT),
+         CAST(length(t) - len(string_split(t, ' ')) + 1 AS BIGINT)
+  FROM c
+)
+SELECT * FROM h UNION ALL SELECT * FROM p
+"""

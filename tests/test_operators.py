@@ -263,7 +263,10 @@ def test_corpus_job_funnel(spark, tmp_path):
     stats = str(tmp_path / "stats")
     spark.createDataFrame(pdf).write.parquet(src)
 
-    funnel = build_corpus(spark, src, out, stats_path=stats, min_tokens=5)
+    audit = str(tmp_path / "neardup")
+    funnel = build_corpus(
+        spark, src, out, stats_path=stats, min_tokens=5, near_dup_audit=audit
+    )
     assert funnel["pages"] == 8
     assert funnel["dropped_quality"] == 1      # 'tiny'
     assert funnel["dropped_exact_dup"] == 1    # 'dup0' vs 'doc0'
@@ -274,6 +277,11 @@ def test_corpus_job_funnel(spark, tmp_path):
     assert {"extracted_text", "quality", "pred_lang", "n_tokens"} <= set(got.columns)
     st = spark.read.parquet(stats).collect()[0]
     assert st["corpus_docs"] == 6
+    # near-dup audit table exists; docs share heavy boilerplate so the
+    # LSH stage must surface candidate pairs without dropping anything
+    pairs = spark.read.parquet(audit)
+    assert funnel["near_dup_candidates"] == pairs.count() > 0
+    assert spark.read.parquet(out).count() == 6  # audit-only, no drops
 
 
 def test_apply_coco_duplicate_file_name_refused(spark):
