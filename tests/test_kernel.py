@@ -249,3 +249,74 @@ def test_parent_id_referential_integrity_and_region_antichain():
         spans = sorted((sp["start"], sp["end"]) for sp in regions)
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 <= s2
+
+
+# --------------------------------------------------- kernel 1.3/1.4 combos
+def test_media_and_style_params_compose():
+    """media_regions + style_spans + simplify + spread together: media
+    spans stay zero-length and positioned; style runs stay inside
+    their regions; text is byte-identical to default params."""
+    from ocrd_segment_spark.config import ExtractParams
+    from ocrd_segment_spark.kernel.extract import extract_document
+
+    html = (
+        b"<html><body><h1>One <b>bold</b> title</h1>"
+        b"<figure><img src='/x.png'/></figure>"
+        b"<p>first <i>styled run</i> paragraph</p>"
+        b"<p>second paragraph of <code>mono words</code> here</p>"
+        b"<hr/></body></html>"
+    )
+    base_text, _, _ = extract_document(
+        html, ExtractParams(simplify_gap_tolerance=2, spread_chars=1)
+    )
+    P = ExtractParams(
+        media_regions=True, style_spans=True,
+        simplify_gap_tolerance=2, spread_chars=1,
+    )
+    text, regions, metrics = extract_document(html, P)
+    # media/style are ADDITIVE: same simplify/spread params with the
+    # flags on produce byte-identical text
+    assert text == base_text
+    media = [r for r in regions if r["region_id"].startswith("m")]
+    assert [(m["rtype"], m["subtype"]) for m in media] == [
+        ("image", "img"), ("separator", "hr")
+    ]
+    assert all(m["start"] == m["end"] and 0 <= m["start"] <= len(text) for m in media)
+    text_regions = [r for r in regions if not r["region_id"].startswith("m")]
+    n_styled = 0
+    for r in text_regions:
+        runs = r["style_runs"]
+        prev_end = r["start"]
+        for run in runs:
+            assert r["start"] <= run["start"] < run["end"] <= r["end"]
+            assert run["start"] >= prev_end  # sorted, non-overlapping
+            prev_end = run["end"]
+            flags = [v for k, v in run.items() if k not in ("start", "end")]
+            assert any(flags)  # zero-mask runs are never emitted
+            n_styled += 1
+    assert n_styled >= 2  # bold + italic + mono runs survive the combos
+    # styled slices carry the styled words
+    joined = " ".join(
+        text[run["start"]:run["end"]]
+        for r in text_regions for run in r["style_runs"]
+    )
+    assert "bold" in joined and "styled run" in joined and "mono words" in joined
+
+
+def test_style_runs_survive_gap_merge():
+    """Gap-merge absorbs an interior dropped candidate; style runs of
+    the MERGED region still index the output frame correctly."""
+    from ocrd_segment_spark.config import ExtractParams
+    from ocrd_segment_spark.kernel.extract import extract_document
+
+    html = (
+        b"<html><body>"
+        b"<p>alpha <b>beta</b> gamma</p>"
+        b"<p>delta <b>epsilon</b> zeta</p>"
+        b"</body></html>"
+    )
+    P = ExtractParams(style_spans=True, simplify_gap_tolerance=10)
+    text, regions, _ = extract_document(html, P)
+    assert len(regions) == 1  # merged
+    bold = [text[r["start"]:r["end"]] for r in regions[0]["style_runs"] if r["bold"]]
+    assert bold == ["beta", "epsilon"]
