@@ -114,6 +114,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
+    "word_reconstruct_digest": L.q_word_reconstruct_digest,
     "extract_line_spans": L.q_extract_line_spans,
     "extract_glyph_spans": L.q_extract_glyph_spans,
     "inherit_fallback_chain": L.q_inherit_fallback_chain,
@@ -194,6 +195,7 @@ _ORACLES: dict[str, str] = {
     "ann_kmeans_iterations": M.O_KMEANS,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
+    "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,
     "extract_line_spans": L.O_LINE_SPANS,
     "extract_glyph_spans": L.O_GLYPH_SPANS,
     "inherit_fallback_chain": L.O_INHERIT_CHAIN,

@@ -801,3 +801,29 @@ p AS (  -- paragraph region r0011: words of t at offset len(source)+1
 )
 SELECT * FROM h UNION ALL SELECT * FROM p
 """
+
+
+def q_word_reconstruct_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 byte-identity pushed one level down: re-joining the word
+    slices with single spaces must reproduce the region text exactly —
+    digest-checked per document (words are a lossless decomposition)."""
+    pages = _pages_from_documents(spark, sf_dir, _SINGLE_PARA)
+    out = extract_pages(pages)
+    wt = words_table(out, line_width=_LINE_WIDTH)
+    rebuilt = wt.groupBy(F.col("url").cast("long").alias("doc_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("start", "word_text"))),
+                lambda x: x["word_text"],
+            ),
+            " ",
+        ).alias("rebuilt")
+    )
+    return rebuilt.select(
+        "doc_id", F.md5(F.col("rebuilt").cast("binary")).alias("digest")
+    )
+
+
+O_WORD_RECONSTRUCT = f"""
+SELECT doc_id, md5({_SQL_COLLAPSE}) AS digest FROM documents
+"""

@@ -149,3 +149,25 @@ def test_sublevels_reconstruct_region_text(data):
         assert len(member_ws) == li["n_words"] <= width
         assert li["start"] == member_ws[0]["start"]
         assert li["end"] == member_ws[-1]["end"]
+
+
+@given(st.data())
+@settings(max_examples=50, deadline=None)
+def test_style_run_invariants_on_arbitrary_html(data):
+    """Style runs on arbitrary HTML: inside their region, sorted,
+    non-overlapping, at least one flag set, token-aligned slices."""
+    from ocrd_segment_spark.config import ExtractParams
+
+    body = data.draw(_html())
+    text, regions, _ = extract_document(
+        body.encode(), ExtractParams(style_spans=True)
+    )
+    for r in regions:
+        prev = r["start"]
+        for run in r["style_runs"]:
+            assert r["start"] <= run["start"] < run["end"] <= r["end"]
+            assert run["start"] >= prev
+            prev = run["end"]
+            assert any(v for k, v in run.items() if k not in ("start", "end"))
+            piece = text[run["start"]:run["end"]]
+            assert piece == piece.strip()  # runs never start/end on a separator
