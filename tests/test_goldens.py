@@ -80,3 +80,36 @@ def test_digest_stable_across_hash_seeds():
         assert out.returncode == 0, out.stderr[-500:]
         digests.add(out.stdout.strip().splitlines()[-1])
     assert len(digests) == 1, digests
+
+
+# Second digest: the ADDITIVE kernel surfaces (media regions + style
+# runs, kernel 1.3/1.4) over the same corpus — params on, style_runs
+# and media spans folded into the hash. Pins the new paths against
+# drift the default-params digest cannot see.
+GOLDEN_SHA256_FULL = "1f29a173bbb423299c7eefca8e3f5a723d058a7ec87d6fb355bad3594993e7a6"
+
+
+def corpus_digest_full(n_pages: int = 200, seed: int = 42) -> str:
+    from ocrd_segment_spark.config import ExtractParams
+    from ocrd_segment_spark.kernel.extract import extract_document
+
+    params = ExtractParams(media_regions=True, style_spans=True)
+    h = hashlib.sha256()
+    for r in sorted(gen_pages(n_pages, seed), key=lambda r: r["url"]):
+        text, regions, _ = extract_document(r["html"], params)
+        h.update(r["url"].encode())
+        h.update(b"\x00")
+        h.update(text.encode())
+        for sp in regions:
+            h.update(
+                repr(
+                    (sp["region_id"], sp["rtype"], sp["subtype"], sp["start"],
+                     sp["end"], sp["parent_id"], sp["order"], sp["score"],
+                     sorted(map(tuple, (run.items() for run in sp.get("style_runs", [])))))
+                ).encode()
+            )
+    return h.hexdigest()
+
+
+def test_golden_digest_full_pins_additive_surfaces():
+    assert corpus_digest_full() == GOLDEN_SHA256_FULL
