@@ -256,3 +256,35 @@ def test_sublevel_derivation_is_streaming_capable(spark, tmp_path):
         .select("url", "word_id", "start", "end", "word_text").collect()
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_quality_scoring_is_streaming_capable(spark, tmp_path):
+    """The corpus-job scoring stage (quality + lang id) is narrow
+    column math, so it composes with streaming extraction — microbatch
+    scores equal batch scores."""
+    from ocrd_segment_spark.operators.textstats import with_lang_id, with_quality
+    from ocrd_segment_spark.streaming.extract_stream import PAGES_SCHEMA
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "scored_out")
+    ckpt = str(tmp_path / "scored_ckpt")
+    spark.createDataFrame(pages_pandas(30)).write.parquet(src)
+
+    def score(df):
+        return with_lang_id(
+            with_quality(df, text_col="extracted_text"),
+            text_col="extracted_text",
+        ).select("url", "n_tokens", "quality", "pred_lang")
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (
+        score(extract_pages(pages)).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    streamed = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        tuple(r) for r in score(extract_pages(spark.read.parquet(src))).collect()
+    )
+    assert streamed == batch and len(batch) == 30
