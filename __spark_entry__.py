@@ -115,6 +115,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
     "word_reconstruct_digest": L.q_word_reconstruct_digest,
+    # S5 from-masks analog: label-run segmentation import
+    "s5_label_segmentation": L.q_s5_label_segmentation,
+    # ocrd-segment-project analog: per-level hull shrink
+    "project_hull_roundtrip": L.q_project_hull_roundtrip,
     "extract_line_spans": L.q_extract_line_spans,
     "extract_glyph_spans": L.q_extract_glyph_spans,
     "inherit_fallback_chain": L.q_inherit_fallback_chain,
@@ -196,6 +200,8 @@ _ORACLES: dict[str, str] = {
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,
+    "s5_label_segmentation": L.O_S5_LABELS,
+    "project_hull_roundtrip": L.O_PROJECT_HULL,
     "extract_line_spans": L.O_LINE_SPANS,
     "extract_glyph_spans": L.O_GLYPH_SPANS,
     "inherit_fallback_chain": L.O_INHERIT_CHAIN,

@@ -827,3 +827,90 @@ def q_word_reconstruct_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_WORD_RECONSTRUCT = f"""
 SELECT doc_id, md5({_SQL_COLLAPSE}) AS digest FROM documents
 """
+
+
+def q_s5_label_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 from-masks analog (reference import_image_segmentation.py):
+    per-char label mask → equal-label runs → typed regions via a
+    colordict; unmapped labels surface as 'unknown'."""
+    from .sources.labels import import_label_segmentation
+
+    d = _t(spark, sf_dir, "documents")
+    masked = d.select(
+        "doc_id",
+        F.expr(
+            "concat(repeat('h', n_chars % 7 + 1), repeat('p', n_chars % 5 + 2),"
+            " repeat(CASE WHEN doc_id % 4 = 0 THEN 'x' ELSE 't' END,"
+            " n_chars % 3 + 1))"
+        ).alias("labels"),
+    )
+    out = import_label_segmentation(
+        masked, {"h": "heading", "p": "paragraph", "t": "table"}
+    )
+    r = out.select("doc_id", F.explode("region_spans").alias("r"))
+    return r.select(
+        "doc_id",
+        F.col("r.region_id").alias("region_id"),
+        F.col("r.rtype").alias("rtype"),
+        F.col("r.label").alias("label"),
+        F.col("r.start").cast("long").alias("m_start"),
+        F.col("r.end").cast("long").alias("m_end"),
+    )
+
+
+O_S5_LABELS = """
+WITH m AS (
+  SELECT doc_id,
+         n_chars % 7 + 1 AS k, n_chars % 5 + 2 AS p, n_chars % 3 + 1 AS r,
+         CASE WHEN doc_id % 4 = 0 THEN 'x' ELSE 't' END AS last_label
+  FROM documents
+)
+SELECT doc_id, 's0000' AS region_id, 'heading' AS rtype, 'h' AS label,
+       CAST(0 AS BIGINT) AS m_start, CAST(k AS BIGINT) AS m_end FROM m
+UNION ALL
+SELECT doc_id, 's0001', 'paragraph', 'p', CAST(k AS BIGINT),
+       CAST(k + p AS BIGINT) FROM m
+UNION ALL
+SELECT doc_id, 's0002',
+       CASE WHEN last_label = 'x' THEN 'unknown' ELSE 'table' END,
+       last_label, CAST(k + p AS BIGINT), CAST(k + p + r AS BIGINT) FROM m
+"""
+
+
+def q_project_hull_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ocrd-segment-project analog (reference project.py:31-46): after
+    G10 spread grows spans into the separator gap, projecting each
+    region to the hull of its words restores the exact token hulls —
+    i.e. the default (unspread) extraction spans."""
+    from .config import ExtractParams
+    from .operators.repair import project_hull
+
+    pages = _pages_from_documents(spark, sf_dir, _BOILER)
+    out = extract_pages(pages, params=ExtractParams(spread_chars=1))
+    hulled = project_hull(out)
+    r = hulled.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.explode("region_spans").alias("r"),
+    )
+    return r.select(
+        "doc_id",
+        F.col("r.region_id").alias("region_id"),
+        F.col("r.start").cast("long").alias("span_start"),
+        F.col("r.end").cast("long").alias("span_end"),
+    )
+
+
+# spread(1) grows each span one char into its doc-frame gaps (which
+# hold the DROPPED nav/link-farm tokens, so the grown char is a space):
+# heading piece ' source ' spans [0, ls+2], para piece ' t' spans
+# [ls+3, ls+4+lt]; the hulls strip the spaces back off.
+O_PROJECT_HULL = f"""
+WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE} AS t FROM documents)
+SELECT doc_id, 'r0008' AS region_id, CAST(1 AS BIGINT) AS span_start,
+       CAST(1 + length(source) AS BIGINT) AS span_end
+FROM c
+UNION ALL
+SELECT doc_id, 'r0011', CAST(length(source) + 4 AS BIGINT),
+       CAST(length(source) + 4 + length(t) AS BIGINT)
+FROM c
+"""

@@ -111,3 +111,34 @@ def rebase_spans(df: DataFrame, origin) -> DataFrame:
             ),
         ),
     )
+
+
+def project_hull(df: DataFrame) -> DataFrame:
+    """``ocrd-segment-project`` analog (reference project.py:31-46):
+    update every region's coordinates to the minimal hull of its
+    constituent words — in 1-D the convex hull IS (first word start,
+    last word end), so the shapely MST/alpha-shape machinery
+    degenerates to two array lookups. Regions with no word
+    constituents keep their span unchanged (reference: 'unless no such
+    constituents exist' — e.g. zero-length media regions).
+
+    Narrow: per-region word scans bound through zip_with lambda
+    variables (no per-element re-evaluation), zero shuffle."""
+    from ..functions.sublevels import _raw_word_scan
+
+    text = F.col("extracted_text")
+    nested = F.transform(
+        F.col("region_spans"),
+        lambda r: _raw_word_scan(text, r["start"], r["end"]),
+    )
+    new_spans = F.zip_with(
+        F.col("region_spans"),
+        nested,
+        lambda r, ws: F.when(
+            F.size(ws) > 0,
+            r.withField("start", F.element_at(ws, 1)["s"]).withField(
+                "end", F.element_at(ws, -1)["e"]
+            ),
+        ).otherwise(r),
+    )
+    return df.withColumn("region_spans", new_spans)
