@@ -119,6 +119,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s5_label_segmentation": L.q_s5_label_segmentation,
     # ocrd-segment-project analog: per-level hull shrink
     "project_hull_roundtrip": L.q_project_hull_roundtrip,
+    # S11 xlsx-sink analog: editable GT review table
+    "s11_gt_review_table": L.q_s11_gt_review_table,
     "extract_line_spans": L.q_extract_line_spans,
     "extract_glyph_spans": L.q_extract_glyph_spans,
     "inherit_fallback_chain": L.q_inherit_fallback_chain,
@@ -202,6 +204,7 @@ _ORACLES: dict[str, str] = {
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,
     "s5_label_segmentation": L.O_S5_LABELS,
     "project_hull_roundtrip": L.O_PROJECT_HULL,
+    "s11_gt_review_table": L.O_S11_REVIEW,
     "extract_line_spans": L.O_LINE_SPANS,
     "extract_glyph_spans": L.O_GLYPH_SPANS,
     "inherit_fallback_chain": L.O_INHERIT_CHAIN,

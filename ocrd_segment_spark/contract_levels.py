@@ -914,3 +914,33 @@ SELECT doc_id, 'r0011', CAST(length(source) + 4 AS BIGINT),
        CAST(length(source) + 4 + length(t) AS BIGINT)
 FROM c
 """
+
+
+def q_s11_gt_review_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 xlsx-sink analog: the editable per-line GT review table
+    (transcription + type + validation vocabulary + stable ids)."""
+    from .sources.text_files import gt_review_table
+
+    pages = _pages_from_documents(spark, sf_dir, _SINGLE_PARA)
+    out = extract_pages(pages)
+    t = gt_review_table(out, line_width=_LINE_WIDTH)
+    return t.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "region_id", "line_id", "transcription", "rtype", "n_words", "validation",
+    )
+
+
+O_S11_REVIEW = f"""
+WITH {_O_WORDS},
+l AS (
+  SELECT doc_id, any_value(t) AS t, (i - 1) // {_LINE_WIDTH} AS li,
+         min(s) AS l_start, max(s + length(word)) AS l_end,
+         CAST(count(*) AS INT) AS n_words
+  FROM o GROUP BY doc_id, (i - 1) // {_LINE_WIDTH}
+)
+SELECT doc_id, 'r0003' AS region_id, printf('r0003_l%03d', li) AS line_id,
+       substring(t, CAST(l_start + 1 AS INT), CAST(l_end - l_start AS INT))
+         AS transcription,
+       'paragraph' AS rtype, n_words, 'paragraph' AS validation
+FROM l
+"""

@@ -72,3 +72,44 @@ def replace_region_text(extracted: DataFrame, files: DataFrame) -> DataFrame:
 def update_level_accounting(replaced: DataFrame) -> DataFrame:
     """A8 (reference replace_text.py:64-80): updates per level."""
     return replaced.groupBy("level").agg(F.count("*").alias("n_updated"))
+
+
+def gt_review_table(extracted: DataFrame, line_width: int = 8) -> DataFrame:
+    """S11 xlsx-sink analog (reference extract_lines.py:108-156,
+    264-275: an editable ground-truth spreadsheet — one row per line
+    with the transcription, a type dropdown, and locked metadata).
+    The spreadsheet machinery is presentation; the DATA contract is
+    this table: one row per line, transcription editable, region type
+    validated against the observed vocabulary, stable composite ids
+    for writing corrections back (replace_region_text consumes the
+    same id scheme). Write with ``df.write.csv(header=True)`` or any
+    tabular sink."""
+    from ..functions.sublevels import lines_table, with_sublevels  # noqa: F401
+
+    lt = lines_table(extracted, line_width=line_width)
+    regions = extracted.select(
+        "url", F.explode("region_spans").alias("r")
+    ).select(
+        "url",
+        F.col("r.region_id").alias("region_id"),
+        F.col("r.rtype").alias("rtype"),
+        F.col("r.score").alias("score"),
+    )
+    # vocabulary = the validation dropdown (bounded, broadcast)
+    vocab = regions.select("rtype").distinct().agg(
+        F.array_join(F.array_sort(F.collect_list("rtype")), "|").alias("validation")
+    )
+    return (
+        lt.join(regions, ["url", "region_id"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "url",
+            "region_id",
+            "line_id",
+            F.col("line_text").alias("transcription"),
+            "rtype",
+            F.round("score", 6).alias("score"),
+            "n_words",
+            "validation",
+        )
+    )
