@@ -140,6 +140,10 @@ def build_corpus(
         "dropped_exact_dup": counts["kept_after_filters"] - n_out,
         "corpus_docs": n_out,
     }
+    # stats schema is FIXED regardless of flags (append-mode parquet
+    # readback resolves the schema from one file footer — conditional
+    # keys would be nondeterministically dropped); -1 = audit not run
+    funnel["near_dup_candidates"] = -1
     if near_dup_audit is not None:
         # MinHash-LSH candidate pairs over the WRITTEN corpus — the
         # near-dup threshold needs human review, so this is an audit

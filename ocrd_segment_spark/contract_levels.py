@@ -852,7 +852,7 @@ def q_s5_label_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("r.region_id").alias("region_id"),
         F.col("r.rtype").alias("rtype"),
-        F.col("r.label").alias("label"),
+        F.col("r.subtype").alias("label"),
         F.col("r.start").cast("long").alias("m_start"),
         F.col("r.end").cast("long").alias("m_end"),
     )

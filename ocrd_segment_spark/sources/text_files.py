@@ -74,42 +74,63 @@ def update_level_accounting(replaced: DataFrame) -> DataFrame:
     return replaced.groupBy("level").agg(F.count("*").alias("n_updated"))
 
 
-def gt_review_table(extracted: DataFrame, line_width: int = 8) -> DataFrame:
+def gt_review_table(
+    extracted: DataFrame,
+    line_width: int = 8,
+    vocabulary: list[str] | None = None,
+) -> DataFrame:
     """S11 xlsx-sink analog (reference extract_lines.py:108-156,
     264-275: an editable ground-truth spreadsheet — one row per line
     with the transcription, a type dropdown, and locked metadata).
     The spreadsheet machinery is presentation; the DATA contract is
     this table: one row per line, transcription editable, region type
-    validated against the observed vocabulary, stable composite ids
-    for writing corrections back (replace_region_text consumes the
-    same id scheme). Write with ``df.write.csv(header=True)`` or any
-    tabular sink."""
-    from ..functions.sublevels import lines_table, with_sublevels  # noqa: F401
+    validated against a vocabulary, and the region_id needed to write
+    corrections back through ``replace_region_text`` (whose file-name
+    key is ``<url>_<region_id>.gt.txt`` — REGION granularity; line_id
+    is review granularity only). Write with ``df.write.csv`` or any
+    tabular sink.
 
-    lt = lines_table(extracted, line_width=line_width)
-    regions = extracted.select(
-        "url", F.explode("region_spans").alias("r")
-    ).select(
-        "url",
-        F.col("r.region_id").alias("region_id"),
-        F.col("r.rtype").alias("rtype"),
-        F.col("r.score").alias("score"),
-    )
-    # vocabulary = the validation dropdown (bounded, broadcast)
-    vocab = regions.select("rtype").distinct().agg(
-        F.array_join(F.array_sort(F.collect_list("rtype")), "|").alias("validation")
-    )
-    return (
-        lt.join(regions, ["url", "region_id"])
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "url",
-            "region_id",
-            "line_id",
-            F.col("line_text").alias("transcription"),
-            "rtype",
-            F.round("score", 6).alias("score"),
-            "n_words",
-            "validation",
+    Single-pass: rtype/score attach row-locally from ``region_spans``
+    (no self-join — extraction is the expensive stage and must run
+    once). ``vocabulary=None`` derives the dropdown from the observed
+    rtypes, which costs ONE extra pass over ``extracted``; pass a
+    static list (or cache the input) to avoid it."""
+    from ..functions.sublevels import with_sublevels
+
+    if vocabulary is None:
+        rows = (
+            extracted.select(
+                F.explode(
+                    F.transform("region_spans", lambda r: r["rtype"])
+                ).alias("rtype")
+            )
+            .distinct()
+            .collect()
         )
+        vocabulary = sorted(r["rtype"] for r in rows)
+    validation = "|".join(vocabulary)
+
+    # region_id → (rtype, score) as a per-row map, carried through the
+    # line explode — row-local, no shuffle
+    meta = F.map_from_arrays(
+        F.transform("region_spans", lambda r: r["region_id"]),
+        F.transform("region_spans", lambda r: F.struct(r["rtype"], r["score"])),
+    )
+    src = extracted.withColumn("_rmeta", meta)
+    out = with_sublevels(src, line_width).select(
+        "url", "extracted_text", "_rmeta", F.explode("line_spans").alias("l")
+    )
+    looked = F.element_at(F.col("_rmeta"), F.col("l.region_id"))
+    return out.select(
+        "url",
+        F.col("l.region_id").alias("region_id"),
+        F.col("l.line_id").alias("line_id"),
+        F.expr(
+            "substring(extracted_text, CAST(l.start + 1 AS INT),"
+            " CAST(l.end - l.start AS INT))"
+        ).alias("transcription"),
+        looked["rtype"].alias("rtype"),
+        F.round(looked["score"], 6).alias("score"),
+        F.col("l.n_words").alias("n_words"),
+        F.lit(validation).alias("validation"),
     )

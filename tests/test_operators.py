@@ -317,4 +317,27 @@ def test_corpus_job_empty_input(spark, tmp_path):
     assert funnel == {
         "pages": 0, "dropped_quality": 0, "dropped_lang": 0,
         "kept_after_filters": 0, "dropped_exact_dup": 0, "corpus_docs": 0,
+        "near_dup_candidates": -1,
     }
+
+
+def test_label_import_is_kernel_schema_compatible(spark):
+    """Imported label segmentations are drop-in for downstream
+    consumers that read the full kernel region schema (the from-coco
+    contract): export_coco and gt_review_table must both work."""
+    from ocrd_segment_spark.sources.coco import export_coco
+    from ocrd_segment_spark.sources.labels import import_label_segmentation
+    from ocrd_segment_spark.sources.text_files import gt_review_table
+
+    df = spark.createDataFrame(
+        [("u1", "head text body words here", "hhhhhhhhhppppppppppppppp")],
+        "url string, extracted_text string, labels string",
+    )
+    seg = import_label_segmentation(df, {"h": "heading", "p": "paragraph"})
+    images, annotations, categories = export_coco(seg)
+    assert annotations.count() == 2
+    assert {r["name"] for r in categories.collect()} == {"heading.h", "paragraph.p"}
+    review = gt_review_table(seg, line_width=2).collect()
+    assert {r["rtype"] for r in review} == {"heading", "paragraph"}
+    assert all(r["validation"] == "heading|paragraph" for r in review)
+    assert all(r["score"] == 1.0 for r in review)
