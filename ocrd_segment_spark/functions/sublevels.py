@@ -250,64 +250,100 @@ def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
     child's reading index (RegionRefIndexed/@index analog).
 
     Levels: ``#page`` → regions (OrderedGroup per page), each region →
-    its lines, each line → its words. All derivation is row-local
-    (nested transforms over the span arrays — zero shuffle); the final
-    explode is narrow. Per-doc cost is O(lines × words) comparisons,
-    bounded by per-document word counts exactly like the reference's
-    per-page recursion."""
-    sub = with_sublevels(df, line_width)
+    its lines, each line → its words. All derivation is row-local and
+    FULLY ARITHMETIC after ONE per-region word scan (line/word ids are
+    index-derived, so every membership list is a ``sequence()`` — no
+    filters, O(output) total); the scan is bound through a transform
+    lambda variable (interpreted-HOF CSE trap, see with_sublevels)."""
     member = lambda rid, idx: F.struct(  # noqa: E731
         rid.alias("ref_id"), idx.cast("int").alias("index")
     )
-    page_groups = F.array(
-        F.struct(
-            F.lit("#page").alias("group_id"),
-            F.lit("page").alias("level"),
-            F.transform(
-                F.col("region_spans"), lambda r: member(r["region_id"], r["order"])
-            ).alias("members"),
-        )
-    )
-    region_groups = F.transform(
+    text = F.col("extracted_text")
+    nested_words = F.transform(
         F.col("region_spans"),
-        lambda r: F.struct(
-            r["region_id"].alias("group_id"),
-            F.lit("region").alias("level"),
-            F.transform(
-                F.filter(
-                    F.col("line_spans"), lambda l: l["region_id"] == r["region_id"]
-                ),
-                lambda l: member(l["line_id"], l["l_order"]),
-            ).alias("members"),
-        ),
+        lambda r: _raw_word_scan(text, r["start"], r["end"]),
     )
-    # line→word membership is ARITHMETIC (word ids are index-derived,
-    # line l covers w_orders [l_order·W, l_order·W + n_words)), so the
-    # members come from a sequence(), not a filter over word_spans —
-    # the filter form is O(lines × words) per document and degrades
-    # quadratically on long documents; this is O(words) total.
-    line_groups = F.transform(
-        F.col("line_spans"),
-        lambda l: F.struct(
-            l["line_id"].alias("group_id"),
-            F.lit("line").alias("level"),
-            F.transform(
-                F.sequence(
-                    l["l_order"] * line_width,
-                    l["l_order"] * line_width + l["n_words"] - F.lit(1),
-                ),
-                lambda i: member(
-                    F.concat(
-                        l["region_id"], F.lit("_w"),
-                        F.format_string("%04d", i.cast("int")),
+
+    def n_lines(ws):
+        return F.when(
+            F.size(ws) > 0, ((F.size(ws) - F.lit(1)) / line_width).cast("int") + F.lit(1)
+        ).otherwise(F.lit(0))
+
+    def line_id(rid, li):
+        return F.concat(rid, F.lit("_l"), F.format_string("%03d", li.cast("int")))
+
+    def groups_from(nw):
+        page_groups = F.array(
+            F.struct(
+                F.lit("#page").alias("group_id"),
+                F.lit("page").alias("level"),
+                F.transform(
+                    F.col("region_spans"),
+                    lambda r: member(r["region_id"], r["order"]),
+                ).alias("members"),
+            )
+        )
+        region_groups = F.zip_with(
+            F.col("region_spans"),
+            nw,
+            lambda r, ws: F.struct(
+                r["region_id"].alias("group_id"),
+                F.lit("region").alias("level"),
+                F.when(
+                    F.size(ws) > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), n_lines(ws) - F.lit(1)),
+                        lambda li: member(line_id(r["region_id"], li), li),
                     ),
-                    i,
+                )
+                .otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<ref_id: STRING, index: INT>>)"))
+                .alias("members"),
+            ),
+        )
+        line_groups = F.flatten(
+            F.zip_with(
+                F.col("region_spans"),
+                nw,
+                lambda r, ws: F.when(
+                    F.size(ws) > 0,
+                    F.transform(
+                        F.sequence(F.lit(0), n_lines(ws) - F.lit(1)),
+                        lambda li: F.struct(
+                            line_id(r["region_id"], li).alias("group_id"),
+                            F.lit("line").alias("level"),
+                            F.transform(
+                                F.sequence(
+                                    li * line_width,
+                                    F.least(
+                                        (li + F.lit(1)) * line_width, F.size(ws)
+                                    )
+                                    - F.lit(1),
+                                ),
+                                lambda i: member(
+                                    F.concat(
+                                        r["region_id"], F.lit("_w"),
+                                        F.format_string("%04d", i.cast("int")),
+                                    ),
+                                    i,
+                                ),
+                            ).alias("members"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.expr(
+                        "CAST(array() AS ARRAY<STRUCT<group_id: STRING,"
+                        " level: STRING,"
+                        " members: ARRAY<STRUCT<ref_id: STRING, index: INT>>>>)"
+                    )
                 ),
-            ).alias("members"),
-        ),
+            )
+        )
+        return F.concat(page_groups, region_groups, line_groups)
+
+    groups = F.get(
+        F.transform(F.array(nested_words), lambda nw: groups_from(nw)), 0
     )
-    groups = F.concat(page_groups, region_groups, line_groups)
-    out = sub.select("url", F.explode(groups).alias("g"))
+    out = df.select("url", F.explode(groups).alias("g"))
     return out.select(
         "url",
         F.col("g.group_id").alias("group_id"),
