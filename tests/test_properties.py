@@ -171,3 +171,33 @@ def test_style_run_invariants_on_arbitrary_html(data):
             assert any(v for k, v in run.items() if k not in ("start", "end"))
             piece = text[run["start"]:run["end"]]
             assert piece == piece.strip()  # runs never start/end on a separator
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=12), min_size=1, max_size=24
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_label_runs_match_python_rle(spark, labels_list):
+    """Property: label_runs equals a trivial Python run-length encoding
+    for arbitrary label strings (incl. empty). (spark is the
+    session-scoped fixture — allowed inside @given.)"""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from ocrd_segment_spark.sources.labels import label_runs
+
+    df = spark.createDataFrame([(s,) for s in labels_list], "labels string")
+    got = {
+        r["labels"]: [(x["label"], x["s"], x["e"]) for x in r["r"]]
+        for r in df.select("labels", label_runs(F.col("labels")).alias("r")).collect()
+    }
+    for s in labels_list:
+        exp, pos = [], 0
+        for ch, grp in itertools.groupby(s):
+            n = len(list(grp))
+            exp.append((ch, pos, pos + n))
+            pos += n
+        assert got[s] == exp, s
