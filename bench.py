@@ -91,8 +91,11 @@ def main() -> None:
 
     def bench_word_spans():
         # sublevel derivation throughput in isolation (pure column
-        # expressions over full-document spans; JVM-only, no Python)
-        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        # expressions over full-document spans; JVM-only, no Python).
+        # documents.parquet is a single ~1.5 MB split — repartition so
+        # the measurement covers the operator across cores, not one
+        # task (at corpus scale the input arrives pre-split).
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
         df = d.select(
             F.col("doc_id").cast("string").alias("url"),
             F.col("text").alias("extracted_text"),
