@@ -157,7 +157,7 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 
 
 _STATIC_SECTIONS = """
-## Kill-and-resume (process-level, evidenced round 1)
+## Kill-and-resume (process-level, re-evidenced round 2 on kernel 1.4.0)
 
 `spark-submit` extract of the 100k corpus was SIGKILLed mid-write
 (state observed: only `out/_temporary`, zero committed parquet files —
