@@ -94,3 +94,53 @@ def test_fast_parser_rawtext_and_entities():
     assert tags == ["script", "p"]
     p = body.children[1]
     assert "".join(c for c in p.children if isinstance(c, str)) == "x & y A"
+
+
+# balanced-HTML strategy: properly nested tags over normal text — the
+# domain where fast/stdlib equivalence IS claimed; covers tag combos
+# the fixture corpus lacks (style inlines, media elements, tables).
+_WORDS = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=7), min_size=1, max_size=6
+).map(" ".join)
+_INLINE = ["b", "strong", "i", "em", "code", "u", "s", "sub", "sup", "a"]
+_BLOCK = ["p", "div", "li", "h1", "h2", "blockquote", "pre", "td"]
+
+
+@st.composite
+def _balanced(draw, depth=0):
+    parts = []
+    for _ in range(draw(st.integers(0, 3))):
+        kind = draw(st.integers(0, 3 if depth < 3 else 1))
+        if kind == 0:
+            parts.append(draw(_WORDS))
+        elif kind == 1:
+            parts.append(draw(st.sampled_from(["<img src='/x'/>", "<hr/>", "<br/>"])))
+        elif kind == 2:
+            t = draw(st.sampled_from(_INLINE))
+            attr = " href='/q'" if t == "a" else ""
+            parts.append(f"<{t}{attr}>{draw(_balanced(depth + 1))}</{t}>")
+        else:
+            t = draw(st.sampled_from(_BLOCK))
+            parts.append(f"<{t}>{draw(_balanced(depth + 1))}</{t}>")
+    return "".join(parts)
+
+
+@given(_balanced())
+@settings(max_examples=200, deadline=None)
+def test_equivalent_to_stdlib_on_balanced_html(body):
+    """fast ≡ stdlib on well-formed HTML, INCLUDING the media/style
+    kernel surfaces (params on) — the equivalence contract extended to
+    tag combinations the fixture corpus never produces."""
+    from ocrd_segment_spark.config import ExtractParams
+
+    html = f"<html><body>{body}</body></html>"
+    P = ExtractParams(media_regions=True, style_spans=True)
+    orig = X.parse_html
+    try:
+        X.parse_html = parse_stdlib
+        a = extract_document(html, P)
+        X.parse_html = parse_html_fast
+        b = extract_document(html, P)
+    finally:
+        X.parse_html = orig
+    assert a == b
