@@ -41,6 +41,30 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 WORD_FIELDS = "region_id string, line_id string, word_id string, start long, end long, w_order int"
 LINE_FIELDS = "region_id string, line_id string, start long, end long, l_order int, n_words int"
+MEMBER_FIELDS = "ref_id string, index int"
+GROUP_FIELDS = (
+    f"group_id string, level string, members array<struct<{MEMBER_FIELDS}>>"
+)
+
+
+def _line_id(rid: Column, li) -> Column:
+    """Composite line id — the ONE format shared by words_in_region,
+    lines_from_words, and reading_order_groups (format_string, never
+    lpad: lpad truncates past the pad width)."""
+    li = li if isinstance(li, Column) else F.lit(li)
+    return F.concat(rid, F.lit("_l"), F.format_string("%03d", li.cast("int")))
+
+
+def _word_id(rid: Column, wi) -> Column:
+    wi = wi if isinstance(wi, Column) else F.lit(wi)
+    return F.concat(rid, F.lit("_w"), F.format_string("%04d", wi.cast("int")))
+
+
+def _n_lines(n: Column, line_width: int) -> Column:
+    """ceil(n / line_width) for n >= 0 — the ONE wrap rule."""
+    return F.when(
+        n > 0, ((n - F.lit(1)) / line_width).cast("int") + F.lit(1)
+    ).otherwise(F.lit(0))
 
 
 def _is_ws(c: Column) -> Column:
@@ -104,13 +128,8 @@ def words_in_region(text: Column, region: Column, line_width: int) -> Column:
         raw,
         lambda x, i: F.struct(
             rid.alias("region_id"),
-            F.concat(
-                rid, F.lit("_l"),
-                F.format_string("%03d", (i / line_width).cast("int")),
-            ).alias("line_id"),
-            F.concat(
-                rid, F.lit("_w"), F.format_string("%04d", i.cast("int"))
-            ).alias("word_id"),
+            _line_id(rid, (i / line_width)).alias("line_id"),
+            _word_id(rid, i).alias("word_id"),
             x["s"].alias("start"),
             x["e"].alias("end"),
             i.cast("int").alias("w_order"),
@@ -131,12 +150,12 @@ def lines_from_words(words: Column, region: Column, line_width: int) -> Column:
     at 10k docs when inlined; see with_sublevels)."""
     n = F.size(words)
     rid = region["region_id"]
-    idx = F.sequence(F.lit(0), ((n - F.lit(1)) / line_width).cast("int"))
+    idx = F.sequence(F.lit(0), _n_lines(n, line_width) - F.lit(1))
     make = F.transform(
         idx,
         lambda i: F.struct(
             rid.alias("region_id"),
-            F.concat(rid, F.lit("_l"), F.format_string("%03d", i.cast("int"))).alias("line_id"),
+            _line_id(rid, i).alias("line_id"),
             F.element_at(words, (i * line_width + F.lit(1)).cast("int"))["start"].alias("start"),
             F.element_at(words, F.least((i + F.lit(1)) * line_width, n).cast("int"))["end"].alias("end"),
             i.cast("int").alias("l_order"),
@@ -265,12 +284,7 @@ def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
     )
 
     def n_lines(ws):
-        return F.when(
-            F.size(ws) > 0, ((F.size(ws) - F.lit(1)) / line_width).cast("int") + F.lit(1)
-        ).otherwise(F.lit(0))
-
-    def line_id(rid, li):
-        return F.concat(rid, F.lit("_l"), F.format_string("%03d", li.cast("int")))
+        return _n_lines(F.size(ws), line_width)
 
     def groups_from(nw):
         page_groups = F.array(
@@ -293,10 +307,10 @@ def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
                     F.size(ws) > 0,
                     F.transform(
                         F.sequence(F.lit(0), n_lines(ws) - F.lit(1)),
-                        lambda li: member(line_id(r["region_id"], li), li),
+                        lambda li: member(_line_id(r["region_id"], li), li),
                     ),
                 )
-                .otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<ref_id: STRING, index: INT>>)"))
+                .otherwise(F.expr(f"CAST(array() AS ARRAY<STRUCT<{MEMBER_FIELDS}>>)"))
                 .alias("members"),
             ),
         )
@@ -309,7 +323,7 @@ def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
                     F.transform(
                         F.sequence(F.lit(0), n_lines(ws) - F.lit(1)),
                         lambda li: F.struct(
-                            line_id(r["region_id"], li).alias("group_id"),
+                            _line_id(r["region_id"], li).alias("group_id"),
                             F.lit("line").alias("level"),
                             F.transform(
                                 F.sequence(
@@ -320,21 +334,13 @@ def reading_order_groups(df: DataFrame, line_width: int = 8) -> DataFrame:
                                     - F.lit(1),
                                 ),
                                 lambda i: member(
-                                    F.concat(
-                                        r["region_id"], F.lit("_w"),
-                                        F.format_string("%04d", i.cast("int")),
-                                    ),
-                                    i,
+                                    _word_id(r["region_id"], i), i
                                 ),
                             ).alias("members"),
                         ),
                     ),
                 ).otherwise(
-                    F.expr(
-                        "CAST(array() AS ARRAY<STRUCT<group_id: STRING,"
-                        " level: STRING,"
-                        " members: ARRAY<STRUCT<ref_id: STRING, index: INT>>>>)"
-                    )
+                    F.expr(f"CAST(array() AS ARRAY<STRUCT<{GROUP_FIELDS}>>)")
                 ),
             )
         )

@@ -175,10 +175,10 @@ def test_style_run_invariants_on_arbitrary_html(data):
 
 @given(
     st.lists(
-        st.text(alphabet="abc", min_size=0, max_size=12), min_size=1, max_size=24
+        st.text(alphabet="abc", min_size=0, max_size=24), min_size=8, max_size=64
     )
 )
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_label_runs_match_python_rle(spark, labels_list):
     """Property: label_runs equals a trivial Python run-length encoding
     for arbitrary label strings (incl. empty). (spark is the
