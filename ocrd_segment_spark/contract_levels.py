@@ -458,23 +458,52 @@ FROM p GROUP BY lang
 
 def q_eval_map_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COCO summarize analog (reference evaluate.py:531-548): AP/AR
-    over the IoU threshold sweep 0.50:0.05:0.95 per category."""
+    over the IoU threshold sweep 0.50:0.05:0.95 per category.
+
+    Includes deliberately one-sided categories (``gtonly`` appears only
+    in GT, ``dtonly`` only in DT) so the full-outer category alignment
+    of :func:`operators.evaluate.map_summary` is actually exercised —
+    pycocotools likewise reports categories with zero detections
+    (AP = 0) rather than dropping them."""
     gt, dt = _gt_dt_from_documents(spark, sf_dir)
-    return ev.map_summary(gt, dt)
+    d = _t(spark, sf_dir, "documents")
+    gx = d.filter(F.col("doc_id") % 37 == 0).selectExpr(
+        "cast(doc_id as string) as url", "'gx' as region_id",
+        "'gtonly' as cat", "0L as start", "cast(n_chars as long) as end",
+        "cast(1.0 as double) as score",
+    )
+    dx = d.filter(F.col("doc_id") % 41 == 0).selectExpr(
+        "cast(doc_id as string) as url", "'dx' as region_id",
+        "'dtonly' as cat", "0L as start", "cast(n_chars as long) as end",
+        "cast(1.0 as double) as score",
+    )
+    return ev.map_summary(gt.unionByName(gx), dt.unionByName(dx))
 
 
 O_EVAL_MAP = f"""
 WITH {_O_GT_DT},
+gt2 AS (
+  SELECT url, cat, region_id, s, e FROM gt
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'gtonly', 'gx', 0, n_chars
+  FROM documents WHERE doc_id % 37 = 0
+),
+dt2 AS (
+  SELECT url, cat, region_id, s, e FROM dt
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'dtonly', 'dx', 0, n_chars
+  FROM documents WHERE doc_id % 41 = 0
+),
 thr AS (
   SELECT unnest(generate_series(50, 95, 5)) / 100.0 AS t
 ),
 pairs AS (
-  SELECT gt.url AS url, gt.cat AS cat, gt.region_id AS gt_id,
-         dt.region_id AS dt_id,
-         greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s)) * 1.0 /
-           ((gt.e - gt.s) + (dt.e - dt.s)
-            - greatest(0, least(gt.e, dt.e) - greatest(gt.s, dt.s))) AS iou
-  FROM gt JOIN dt ON gt.url = dt.url AND gt.cat = dt.cat
+  SELECT gt2.url AS url, gt2.cat AS cat, gt2.region_id AS gt_id,
+         dt2.region_id AS dt_id,
+         greatest(0, least(gt2.e, dt2.e) - greatest(gt2.s, dt2.s)) * 1.0 /
+           ((gt2.e - gt2.s) + (dt2.e - dt2.s)
+            - greatest(0, least(gt2.e, dt2.e) - greatest(gt2.s, dt2.s))) AS iou
+  FROM gt2 JOIN dt2 ON gt2.url = dt2.url AND gt2.cat = dt2.cat
 ),
 hits AS (
   SELECT cat, t,
@@ -484,9 +513,10 @@ hits AS (
   GROUP BY cat, t
 ),
 totals AS (
-  SELECT g.cat AS cat, g.n_gt AS n_gt, d.n_dt AS n_dt FROM
-    (SELECT cat, count(*) AS n_gt FROM gt GROUP BY cat) g
-  JOIN (SELECT cat, count(*) AS n_dt FROM dt GROUP BY cat) d
+  SELECT coalesce(g.cat, d.cat) AS cat,
+         coalesce(g.n_gt, 0) AS n_gt, coalesce(d.n_dt, 0) AS n_dt FROM
+    (SELECT cat, count(*) AS n_gt FROM gt2 GROUP BY cat) g
+  FULL OUTER JOIN (SELECT cat, count(*) AS n_dt FROM dt2 GROUP BY cat) d
     ON g.cat = d.cat
 ),
 grid AS (SELECT cat, n_gt, n_dt, t FROM totals CROSS JOIN thr),
@@ -496,8 +526,8 @@ per_t AS (
   FROM grid LEFT JOIN hits ON grid.cat = hits.cat AND grid.t = hits.t
 )
 SELECT cat, count(*) AS n_thresholds,
-       round(avg(tp_dt * 1.0 / n_dt), 6) AS map,
-       round(avg(tp_gt * 1.0 / n_gt), 6) AS mar,
+       round(avg(CASE WHEN n_dt > 0 THEN tp_dt * 1.0 / n_dt ELSE 0.0 END), 6) AS map,
+       round(avg(CASE WHEN n_gt > 0 THEN tp_gt * 1.0 / n_gt ELSE 0.0 END), 6) AS mar,
        CAST(max(n_gt) AS BIGINT) AS n_gt, CAST(max(n_dt) AS BIGINT) AS n_dt
 FROM per_t GROUP BY cat
 """

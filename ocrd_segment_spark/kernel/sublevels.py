@@ -6,10 +6,14 @@ extract_words.py:90-201 are the semantics source).
 
 Frozen rules (must match functions/sublevels.py exactly):
 
-- words: split the region's text slice on single whitespace chars;
-  offsets are the prefix sum of token lengths (+1 separator); empty
-  tokens (possible only at spread-grown span edges) are dropped AFTER
-  the scan so surviving offsets stay exact;
+- words: split the region's text slice on single whitespace chars —
+  the six-char ASCII class [ \\t\\n\\r\\x0b\\x0c] EXACTLY, matching
+  functions/sublevels._is_ws (NOT Python ``\\s``, which also matches
+  Unicode whitespace like NBSP/U+2028 and would diverge on externally
+  supplied region text, e.g. replace_region_text or imported
+  segmentations); offsets are the prefix sum of token lengths (+1
+  separator); empty tokens (possible only at spread-grown span edges)
+  are dropped AFTER the scan so surviving offsets stay exact;
 - lines: fixed-width wrap of ``line_width`` consecutive words; line
   span = first word's start .. last word's end;
 - ids: ``{region_id}_l{l_order:03d}`` / ``{region_id}_w{w_order:04d}``.
@@ -19,7 +23,7 @@ from __future__ import annotations
 
 import re
 
-_WS = re.compile(r"\s")
+_WS = re.compile(r"[ \t\n\r\x0b\x0c]")
 
 
 def sublevels_document(

@@ -155,15 +155,22 @@ def extract_pages(
     32 concurrent tasks = 8.2k pages/s vs 12-16 tasks = 24k pages/s.
     On a real cluster the same logic caps cores-per-executor for
     UDF-heavy stages; cores//2 is the default sweet spot."""
-    src = df.select("url", "html")
-    if python_parallelism is not None:
-        cur = src.rdd.getNumPartitions()
-        src = (
-            src.coalesce(python_parallelism)
-            if python_parallelism < cur
-            else src.repartition(python_parallelism)
-        )
+    src = _cap_python_tasks(df.select("url", "html"), python_parallelism)
     return src.mapInPandas(_extract_batches(params), EXTRACT_SCHEMA)
+
+
+def _cap_python_tasks(src: DataFrame, python_parallelism: int | None) -> DataFrame:
+    """Apply the cores//2 Python-task cap (see extract_pages docstring)
+    ahead of a mapInPandas stage — shared by the plain and styled
+    pipelines so neither can silently lose the oversubscription guard."""
+    if python_parallelism is None:
+        return src
+    cur = src.rdd.getNumPartitions()
+    return (
+        src.coalesce(python_parallelism)
+        if python_parallelism < cur
+        else src.repartition(python_parallelism)
+    )
 
 
 def with_host_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
@@ -275,15 +282,22 @@ EXTRACT_STYLED_SCHEMA = T.StructType(
 )
 
 
-def extract_pages_styled(df: DataFrame, params: ExtractParams | None = None) -> DataFrame:
+def extract_pages_styled(
+    df: DataFrame,
+    params: ExtractParams | None = None,
+    python_parallelism: int | None = None,
+) -> DataFrame:
     """Extraction + TextStyle runs (reference extract_lines.py:201-219
     style struct per segment): same narrow mapInPandas plan with one
     extra ``style_spans`` column (document-level, absolute output
     offsets). ``params.style_spans`` is forced on; the row packing is
-    the SAME ``_extract_batches`` loop as the plain pipeline."""
+    the SAME ``_extract_batches`` loop as the plain pipeline, and
+    ``python_parallelism`` applies the same cores//2 oversubscription
+    cap as :func:`extract_pages`."""
     import dataclasses
 
     params = dataclasses.replace(params or DEFAULT_PARAMS, style_spans=True)
-    return df.select("url", "html").mapInPandas(
+    src = _cap_python_tasks(df.select("url", "html"), python_parallelism)
+    return src.mapInPandas(
         _extract_batches(params, with_styles=True), EXTRACT_STYLED_SCHEMA
     )

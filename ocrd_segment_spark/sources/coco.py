@@ -144,7 +144,13 @@ def apply_coco_segmentation(
     # rule refuses instead, so the join can never fan out. (The third,
     # numeric-pageId level of the reference chain is the J4 pattern,
     # contract.q_j4_key_fallback_join.)
-    img = images.select("image_id", "file_name").join(grouped, "image_id")
+    # LEFT join: uniqueness must be judged over ALL images, not only
+    # annotated ones — a file_name shared by several images where just
+    # one happens to carry annotations is still ambiguous (which image
+    # did the annotator mean?) and must be refused, not silently
+    # matched. Unannotated survivors carry anns = NULL and fall through
+    # coalesce() to the empty segmentation below.
+    img = images.select("image_id", "file_name").join(grouped, "image_id", "left")
     # file_name is NOT a key in COCO (image_id is) — merged annotation
     # files can repeat it; an unguarded join would fan pages out. Same
     # unambiguous-only rule as the basename level.

@@ -303,6 +303,36 @@ def test_apply_coco_duplicate_file_name_refused(spark):
     assert rows[0]["region_spans"] == []  # ambiguous → refused
 
 
+def test_apply_coco_one_sided_duplicate_still_refused(spark):
+    """A name shared by several images where only ONE carries
+    annotations is STILL ambiguous (which image did the annotator
+    mean?) — uniqueness is judged over all images, not just annotated
+    ones. Covers both the exact-name and basename guard levels."""
+    from ocrd_segment_spark.sources.coco import apply_coco_segmentation
+
+    pages = spark.createDataFrame(
+        [("a.html", "t" * 20), ("b.html", "u" * 20)],
+        "url string, extracted_text string",
+    )
+    images = spark.createDataFrame(
+        # a.html duplicated at the exact-name level (only image 1
+        # annotated); b.html duplicated at the basename level (only
+        # image 3 annotated)
+        [(1, "a.html"), (2, "a.html"), (3, "x/b.html"), (4, "y/b.html")],
+        "image_id long, file_name string",
+    )
+    annotations = spark.createDataFrame(
+        [(10, 1, 1, 0, 5, 1.0), (11, 3, 1, 2, 8, 1.0)],
+        "ann_id long, image_id long, category_id long, start long, end long, score double",
+    )
+    categories = spark.createDataFrame([(1, "x")], "category_id long, name string")
+    out = {
+        r["url"]: r["region_spans"]
+        for r in apply_coco_segmentation(pages, images, annotations, categories).collect()
+    }
+    assert out == {"a.html": [], "b.html": []}
+
+
 def test_corpus_job_empty_input(spark, tmp_path):
     """Zero-row input: the funnel records zeros instead of crashing."""
     import pandas as pd

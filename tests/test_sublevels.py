@@ -236,3 +236,28 @@ def test_style_runs_and_word_style(spark):
     assert styles[4]["monospace"] and not styles[4]["bold"]
     assert styles[5]["monospace"]
     assert styles[6] is None                      # tail
+
+
+def test_external_text_unicode_whitespace_parity(spark):
+    """Externally supplied region text (replace_region_text, imported
+    segmentations) can contain Unicode whitespace the kernel never
+    emits (NBSP, U+2028). Both sides must split on the SAME six-char
+    ASCII class — NBSP stays inside the token on the mirror too
+    (ADVICE r2: mirror used Python \\s, which also matches NBSP)."""
+    text = "alpha beta gamma delta end"
+    regions = [{"region_id": "r0", "start": 0, "end": len(text)}]
+    _lines, words = sublevels_document(text, regions, line_width=WIDTH)
+    mirror_tokens = [text[w["start"]:w["end"]] for w in words]
+    assert mirror_tokens == ["alpha beta", "gamma delta", "end"]
+
+    df = spark.createDataFrame(
+        [("ext", text, [("r0", "p", "ext", 0, len(text), "", 0, 1.0)])],
+        "url string, extracted_text string, region_spans array<struct<"
+        "region_id:string, rtype:string, subtype:string, start:bigint,"
+        "end:bigint, parent_id:string, order:int, score:double>>",
+    )
+    got = [
+        (r["start"], r["end"], r["word_text"])
+        for r in words_table(df, line_width=WIDTH).orderBy("start").collect()
+    ]
+    assert got == [(w["start"], w["end"], text[w["start"]:w["end"]]) for w in words]
