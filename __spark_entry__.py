@@ -91,6 +91,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": M.q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": M.q_dedup_minhash_lsh,
     "dedup_minhash_capped": M.q_dedup_minhash_capped,
+    "dedup_jaccard_verify": M.q_dedup_jaccard_verify,
     "dedup_simhash": M.q_dedup_simhash,
     "fingerprint_rolling": M.q_fingerprint_rolling,
     "dedup_components": M.q_dedup_components,
@@ -182,6 +183,7 @@ _ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": M.O_DEDUP_JACCARD,
     "dedup_minhash_lsh": M.O_DEDUP_MINHASH,
     "dedup_minhash_capped": M.O_DEDUP_MINHASH_CAPPED,
+    "dedup_jaccard_verify": M.O_DEDUP_JACCARD_VERIFY,
     "dedup_simhash": M.O_DEDUP_SIMHASH,
     "fingerprint_rolling": M.O_FINGERPRINT,
     "dedup_components": M.O_DEDUP_COMPONENTS,

@@ -128,10 +128,15 @@ def build_corpus(
     out = deduped.filter("is_canonical").drop(
         "_rn", "is_canonical", "keep_quality", "keep_lang"
     )
+    # the corpus row count rides the SAME write action as a second
+    # Observation — no re-scan of the written output (at 100 TB a
+    # readback .count() is a full extra pass over the corpus)
+    out_obs = Observation("out_count")
+    out = out.observe(out_obs, F.count(F.lit(1)).alias("n_out"))
     out.write.mode("overwrite").parquet(output_path)
 
     counts = obs.get
-    n_out = spark.read.parquet(output_path).count()
+    n_out = out_obs.get["n_out"]
     funnel = {
         "pages": counts["pages"],
         "dropped_quality": counts["dropped_quality"],
@@ -145,18 +150,29 @@ def build_corpus(
     # keys would be nondeterministically dropped); -1 = audit not run
     funnel["near_dup_candidates"] = -1
     if near_dup_audit is not None:
-        # MinHash-LSH candidate pairs over the WRITTEN corpus — the
-        # near-dup threshold needs human review, so this is an audit
-        # table, not an automatic drop stage (bucketed, hot-bucket
-        # capped; reads the committed parquet, not the live lineage)
-        from ocrd_segment_spark.operators.dedup import minhash_lsh_candidates
+        # LSH-then-verify over the WRITTEN corpus: MinHash-LSH proposes
+        # candidate pairs (bucketed, hot-bucket capped), exact 3-gram
+        # Jaccard is scored for just those pairs — so the audit table
+        # carries the similarity a human thresholds on, and no corpus
+        # self-join exists in the plan. Audit-only, not an automatic
+        # drop stage (reads the committed parquet, not live lineage);
+        # the pair count rides the write as an Observation (no re-scan).
+        from ocrd_segment_spark.operators.dedup import (
+            jaccard_verify_pairs,
+            minhash_lsh_candidates,
+        )
 
         corpus = spark.read.parquet(output_path)
         cands = minhash_lsh_candidates(
             corpus, id_col="url", text_col="extracted_text"
         )
-        cands.write.mode("overwrite").parquet(near_dup_audit)
-        funnel["near_dup_candidates"] = spark.read.parquet(near_dup_audit).count()
+        verified = jaccard_verify_pairs(
+            corpus, cands, id_col="url", text_col="extracted_text"
+        )
+        nd_obs = Observation("near_dup")
+        verified = verified.observe(nd_obs, F.count(F.lit(1)).alias("n_pairs"))
+        verified.write.mode("overwrite").parquet(near_dup_audit)
+        funnel["near_dup_candidates"] = nd_obs.get["n_pairs"]
     if stats_path is not None:
         spark.createDataFrame([funnel]).write.mode("append").parquet(stats_path)
     return funnel

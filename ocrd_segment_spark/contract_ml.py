@@ -209,6 +209,67 @@ FROM bands b1 JOIN bands b2
 """
 
 
+def q_dedup_jaccard_verify(spark, sf_dir):
+    """LSH-then-verify (operators/dedup.near_duplicates): MinHash+LSH
+    candidate pairs over a corpus with planted duplicates, exact
+    3-gram Jaccard scored for just those pairs, thresholded at 0.5.
+    This is the 100 TB near-dup shape — the verify stage is two
+    doc-id equi-joins (linear in |pairs|), never a block self-join;
+    the planted exact dups must survive with jaccard = 1.0."""
+    d = _t(spark, sf_dir, "documents")
+    from .operators import dedup as D
+
+    corpus = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return D.near_duplicates(corpus, threshold=0.5, k=8, bands=4)
+
+
+O_DEDUP_JACCARD_VERIFY = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+), t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM corpus
+), tokh AS (
+  SELECT doc_id,
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
+  FROM t WHERE len(toks) >= 3
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 1),
+           i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) AS hs
+  FROM tokh
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i -> list_min(list_transform(hs,
+           h -> ((2*i + 3) * h + 5*i + 7) % {P}))) AS sig
+  FROM hs
+), bands AS (
+  SELECT doc_id, j AS band_idx,
+         sig[2*j + 1] * {P} + sig[2*j + 2] AS band_val
+  FROM sig, range(0, 4) r(j)
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) <= 1024
+), pairs AS (
+  SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+  FROM bands b1 JOIN bands b2
+    ON b1.band_idx = b2.band_idx AND b1.band_val = b2.band_val
+   AND b1.doc_id < b2.doc_id
+)
+SELECT p.doc1 AS doc1, p.doc2 AS doc2,
+       round(len(list_intersect(a.hs, b.hs)) * 1.0 /
+             len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard
+FROM pairs p
+JOIN hs a ON a.doc_id = p.doc1
+JOIN hs b ON b.doc_id = p.doc2
+WHERE round(len(list_intersect(a.hs, b.hs)) * 1.0 /
+            len(list_distinct(list_concat(a.hs, b.hs))), 6) >= 0.5
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """16-bit SimHash per document (bit-majority over token hashes).
     Pure column math; at scale, near-dup candidates come from grouping

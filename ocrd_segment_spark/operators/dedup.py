@@ -116,13 +116,18 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_cols: tuple[str, ...] = ("lang",),
+    *,
+    block_cols: tuple[str, ...],
     n: int = 3,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard within blocking keys. Blocking turns
-    the quadratic pair space into per-block quadratics — choose block
-    cols so blocks stay small; the join is an equi-join on the block
-    key, shuffle-partitioned by it."""
+    """Exact word-n-gram Jaccard within EXPLICIT blocking keys — the
+    small-block form. ``block_cols`` is deliberately keyword-only with
+    no default: each block is an a×b self-join, quadratic in the block
+    size, so the caller must choose keys that bound blocks (a coarse
+    key like ``lang`` alone is billions of docs per block at 100 TB).
+    For corpus-scale near-dup detection use the LSH-then-verify path
+    instead: :func:`minhash_lsh_candidates` →
+    :func:`jaccard_verify_pairs` (linear in candidate pairs)."""
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"), *block_cols)
         .withColumn("toks", H.tokens("text"))
@@ -143,6 +148,74 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("a.sh", "b.sh")),
             6,
         ).alias("jaccard"),
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard scored over a CANDIDATE-PAIR table —
+    the verify half of LSH-then-verify, the standard 100 TB near-dup
+    shape: a cheap recall-oriented blocker (:func:`minhash_lsh_candidates`)
+    proposes pairs, this operator computes the exact similarity for
+    just those pairs.
+
+    Physical shape: shingle sets are derived once per document
+    (narrow), then the pair table is equi-joined to them twice on the
+    doc id — cost is linear in |pairs| + |docs|, never quadratic in
+    any block. Both joins key on corpus-sized ids, so at scale they
+    co-partition; no self-join of the corpus exists anywhere in the
+    plan. Documents with fewer than ``n`` tokens have no shingle set —
+    pairs referencing them drop out (inner join), mirroring the
+    blocker's own ``size(toks) >= 3`` floor.
+
+    Returns (doc1, doc2, jaccard); filter on a threshold downstream
+    (e.g. ``>= 0.8``) to get verified duplicates for
+    :func:`connected_components`."""
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("toks", H.tokens("text"))
+        .filter(F.size("toks") >= n)
+        .withColumn("th", H.token_hashes("toks"))
+        .select("doc_id", H.shingle_hashes("th", n).alias("sh"))
+    )
+    return (
+        pairs.select("doc1", "doc2")
+        .join(sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1")), "doc1")
+        .join(sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                F.size(F.array_intersect("sh1", "sh2"))
+                / F.size(F.array_union("sh1", "sh2")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """End-to-end LSH-then-verify: MinHash+LSH candidates, exact
+    3-gram Jaccard per candidate, thresholded. The one-call corpus
+    near-dup operator (doc1, doc2, jaccard)."""
+    cand = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands, max_bucket=max_bucket
+    )
+    return jaccard_verify_pairs(df, cand, id_col=id_col, text_col=text_col).filter(
+        F.col("jaccard") >= threshold
     )
 
 

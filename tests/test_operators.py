@@ -104,11 +104,19 @@ def test_dedup_operators(spark):
     assert sh[1] == sh[2] != sh[4]
     jac = {
         (r["doc1"], r["doc2"]): r["jaccard"]
-        for r in D.ngram_jaccard_pairs(df).collect()
+        for r in D.ngram_jaccard_pairs(df, block_cols=("lang",)).collect()
     }
     assert jac[(1, 2)] == 1.0
     assert jac[(1, 3)] < 1.0 and jac[(1, 3)] > 0.2
     assert jac[(1, 4)] == 0.0
+    # LSH-then-verify: candidates scored exactly, threshold applied —
+    # (1,2) survives at 1.0; the unrelated doc 4 never pairs
+    nd = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in D.near_duplicates(df, threshold=0.5).collect()
+    }
+    assert nd[(1, 2)] == 1.0
+    assert all(4 not in pair for pair in nd)
 
 
 # -------------------------------------------------------------- multimodal

@@ -125,3 +125,26 @@ def test_styled_extract_path_has_no_exchange(spark, tmp_path):
     spark.createDataFrame(pages_pandas(12)).write.parquet(src)
     df = extract_pages_styled(spark.read.parquet(src))
     assert not audit.has_exchange(df), audit.physical_plan(df)
+
+
+def test_near_duplicates_plan_has_no_theta_join(spark):
+    """LSH-then-verify scale audit: every join in the near-dup plan is
+    an equi-join (band-bucket collision or doc-id pair attach) — no
+    cartesian/nested-loop corpus self-join anywhere, unlike blocked
+    ngram_jaccard_pairs whose blocks are quadratic."""
+    from ocrd_segment_spark.operators.dedup import near_duplicates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = audit.physical_plan(near_duplicates(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_requires_explicit_blocking(spark):
+    """The all-pairs footgun is no longer reachable by default:
+    block_cols must be chosen by the caller."""
+    from ocrd_segment_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(TypeError):
+        ngram_jaccard_pairs(docs)  # no block_cols → refuse
