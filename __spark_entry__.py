@@ -142,8 +142,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # S13 colordict sink + S2/P5 feature chains
     "s13_colordict": L.q_s13_colordict,
     "s2_feature_chain": L.q_s2_feature_chain,
-    # TextStyle runs from inline tags (kernel 1.4.0)
+    # TextStyle runs from inline tags + CSS (kernel 1.5.0)
     "extract_style_runs": L.q_extract_style_runs,
+    # dir/rtl reading-direction inheritance (orientation analog)
+    "extract_reading_direction": L.q_extract_reading_direction,
     # full from-coco processor (apply imported segmentation)
     "coco_apply_roundtrip": L.q_coco_apply_roundtrip,
 }
@@ -223,6 +225,7 @@ _ORACLES: dict[str, str] = {
     "s13_colordict": L.O_S13_COLORDICT,
     "s2_feature_chain": L.O_S2_FEATURE_CHAIN,
     "extract_style_runs": L.O_STYLE_RUNS,
+    "extract_reading_direction": L.O_READING_DIRECTION,
     "coco_apply_roundtrip": L.O_COCO_APPLY,
 }
 

@@ -59,6 +59,23 @@ class ExtractParams:
     # additive metadata, text is byte-identical either way.
     style_spans: bool = False
 
+    # Full TextStyle struct from inline CSS ``style=`` attributes
+    # (reference extract_lines.py:201-219's 15-field vocabulary:
+    # fontFamily, fontSize, kerning, serif, smallCaps, letterSpaced,
+    # underlineStyle + the seven tag-derived booleans; xHeight is
+    # raster-only, justified omission). Requires ``style_spans``;
+    # frozen parsing rules in kernel/cssstyle.py. Off by default:
+    # kernel 1.5.0, default output byte-identical (golden-pinned).
+    css_styles: bool = False
+
+    # Per-region reading direction from HTML ``dir=`` attributes —
+    # the orientation/readingDirection analog (reference
+    # extract_pages.py:300 page orientation; extract_words.py:150-168
+    # readingDirection fallback chains). Nearest ancestor with a VALID
+    # dir (ltr|rtl|auto, case-insensitive) wins; none → null =
+    # unspecified. Off by default (kernel 1.5.0, additive field).
+    reading_direction: bool = False
+
     # Emit zero-length media-region spans (image/separator/media) for
     # non-text elements, so a bare <figure><img/></figure> survives
     # extraction (reference project.py:50-65 region-type vocabulary:

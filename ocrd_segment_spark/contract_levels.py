@@ -722,17 +722,22 @@ FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 != 0
 
 
 def q_extract_style_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextStyle runs (reference TextStyle struct,
-    extract_lines.py:201-219 / extract_words.py:127-145): inline
-    b/code tags become styled char ranges in the output frame."""
+    """Full TextStyle struct (reference extract_lines.py:201-219 /
+    extract_words.py:127-145): inline b/code tags AND inline-CSS
+    ``style=`` attributes (kernel 1.5.0 css_styles) become styled char
+    ranges in the output frame — the bold run carries
+    fontFamily/fontSize/serif from its style attribute, the code run
+    leaves them null (unspecified)."""
+    from .config import ExtractParams
     from .pipeline import extract_pages_styled
 
     html_expr = (
-        "concat('<html><body><p><b>', source,"
+        "concat('<html><body><p>"
+        "<b style=\"font-family: Georgia, serif; font-size: 16px\">', source,"
         " '</b> middle words <code>', text, '</code></p></body></html>')"
     )
     pages = _pages_from_documents(spark, sf_dir, html_expr)
-    out = extract_pages_styled(pages)
+    out = extract_pages_styled(pages, ExtractParams(css_styles=True))
     r = out.select(
         F.col("url").cast("long").alias("doc_id"),
         F.explode("style_spans").alias("s"),
@@ -744,6 +749,10 @@ def q_extract_style_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.bold").alias("bold"),
         F.col("s.italic").alias("italic"),
         F.col("s.monospace").alias("monospace"),
+        F.col("s.font_family").alias("font_family"),
+        F.col("s.font_size").alias("font_size"),
+        F.col("s.serif").alias("serif"),
+        F.col("s.small_caps").alias("small_caps"),
     )
 
 
@@ -751,13 +760,52 @@ O_STYLE_RUNS = f"""
 WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE} AS t FROM documents)
 SELECT doc_id, CAST(0 AS BIGINT) AS run_start,
        CAST(length(source) AS BIGINT) AS run_end,
-       TRUE AS bold, FALSE AS italic, FALSE AS monospace
+       TRUE AS bold, FALSE AS italic, FALSE AS monospace,
+       'Georgia' AS font_family, 12.0 AS font_size,
+       TRUE AS serif, CAST(NULL AS BOOLEAN) AS small_caps
 FROM c
 UNION ALL
 SELECT doc_id, CAST(length(source) + 14 AS BIGINT),
        CAST(length(source) + 14 + length(t) AS BIGINT),
-       FALSE, FALSE, TRUE
+       FALSE, FALSE, TRUE,
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
 FROM c
+"""
+
+
+def q_extract_reading_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orientation analog (reference extract_pages.py:300 page
+    orientation; extract_words.py:150-168 readingDirection fallback
+    chains): per-region ``dir`` resolved from the nearest valid
+    ``dir=`` ancestor (kernel 1.5.0, params.reading_direction).
+    Region 0 inherits the body's rtl; region 1 overrides with its own
+    LTR (case-insensitive); region 2 carries an invalid value, which
+    the ancestor walk skips → rtl again."""
+    from .config import ExtractParams
+
+    html_expr = (
+        "concat('<html><body dir=\"rtl\"><p>', source, '</p>"
+        "<p dir=\"LTR\">', text, '</p>"
+        "<p dir=\"bogus\">trailing paragraph words</p></body></html>')"
+    )
+    pages = _pages_from_documents(spark, sf_dir, html_expr)
+    out = extract_pages(pages, ExtractParams(reading_direction=True))
+    r = out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.explode("region_spans").alias("r"),
+    )
+    return r.select(
+        "doc_id",
+        F.col("r.order").cast("int").alias("ord"),
+        F.col("r.dir").alias("rdir"),
+    )
+
+
+O_READING_DIRECTION = """
+SELECT doc_id, 0 AS ord, 'rtl' AS rdir FROM documents
+UNION ALL SELECT doc_id, 1, 'ltr' FROM documents
+UNION ALL SELECT doc_id, 2, 'rtl' FROM documents
 """
 
 

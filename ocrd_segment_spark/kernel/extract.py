@@ -43,41 +43,20 @@ CANDIDATE_TAGS = LEAF_TAGS | CONTAINER_TAGS
 
 _HEADINGS = frozenset("h1 h2 h3 h4 h5 h6".split())
 
-# Non-text elements that become zero-length media-region spans when
-# ``params.media_regions`` (reference project.py:50-65 vocabulary:
-# ImageRegion / SeparatorRegion / ... as region types without text).
-# Inline style tags → TextStyle bit (reference TextStyle fields
-# bold/italic/monospace/underlined/strikethrough/subscript/superscript,
+# Inline style tags → TextStyle bit (reference TextStyle fields,
 # extract_words.py:127-145). Cumulative OR down the tree: each DOM
-# frame carries the mask of all enclosing style tags.
-STYLE_BOLD, STYLE_ITALIC, STYLE_MONO = 1, 2, 4
-STYLE_UNDER, STYLE_STRIKE, STYLE_SUB, STYLE_SUP = 8, 16, 32, 64
-STYLE_TAGS = {
-    "b": STYLE_BOLD,
-    "strong": STYLE_BOLD,
-    "i": STYLE_ITALIC,
-    "em": STYLE_ITALIC,
-    "code": STYLE_MONO,
-    "tt": STYLE_MONO,
-    "kbd": STYLE_MONO,
-    "samp": STYLE_MONO,
-    "pre": STYLE_MONO,
-    "u": STYLE_UNDER,
-    "s": STYLE_STRIKE,
-    "del": STYLE_STRIKE,
-    "sub": STYLE_SUB,
-    "sup": STYLE_SUP,
-}
-
-STYLE_FLAG_NAMES = (
-    (STYLE_BOLD, "bold"),
-    (STYLE_ITALIC, "italic"),
-    (STYLE_MONO, "monospace"),
-    (STYLE_UNDER, "underlined"),
-    (STYLE_STRIKE, "strikethrough"),
-    (STYLE_SUB, "subscript"),
-    (STYLE_SUP, "superscript"),
+# frame carries the mask of all enclosing style tags. With
+# ``params.css_styles`` the frame state widens to the css tuple
+# (kernel/cssstyle.py) and inline ``style=`` attributes fold in with
+# CSS override semantics (an explicit ``font-weight: normal`` clears
+# an enclosing <b>'s bit).
+from .cssstyle import (  # noqa: E402  (kernel-internal re-export)
+    CSS_DEFAULT,
+    STYLE_FLAG_NAMES,
+    STYLE_TAGS,
+    apply_css,
 )
+from .htmlparse import node_attrs  # noqa: E402
 
 MEDIA_RTYPE = {
     "img": "image",
@@ -120,27 +99,35 @@ def _classify(node: Node) -> str:
     return "paragraph"
 
 
-def _walk(root: Node, collect_media: bool = False, collect_styles: bool = False):
+def _walk(
+    root: Node,
+    collect_media: bool = False,
+    collect_styles: bool = False,
+    css_styles: bool = False,
+):
     """Single iterative DOM walk (document order). Returns
     (tokens, tok_link, tok_style, candidates, media): candidates is a
     list of dicts with tok_first/tok_last (token-index hull = G11
     shrink analog), depth, pre-order index, direct token count, node
     ref, and has_candidate_desc — everything later stages need.
-    ``tok_style`` is the per-token style bitmask (empty unless
-    ``collect_styles``); ``media`` is the document-order list of
-    non-text media elements (empty unless ``collect_media``), each
-    with the token index where it sits."""
+    ``tok_style`` is the per-token style state (empty unless
+    ``collect_styles``): a bare bitmask int, or the full css tuple
+    (kernel/cssstyle.py CSS_DEFAULT layout) when ``css_styles``;
+    ``media`` is the document-order list of non-text media elements
+    (empty unless ``collect_media``), each with the token index where
+    it sits."""
     tokens: list[str] = []
     tok_link: list[bool] = []
-    tok_style: list[int] = []
+    tok_style: list = []
     candidates: list[dict] = []
     media: list[dict] = []
 
     # stack entries: [node, child_iter_index, depth, link_depth,
     #                 tok_first, direct_tokens, cand_desc, pre_index,
-    #                 style_mask]
+    #                 style_state]
     pre_counter = 0
-    stack = [[root, 0, 0, 0, 0, 0, False, 0, 0]]
+    style0 = CSS_DEFAULT if css_styles else 0
+    stack = [[root, 0, 0, 0, 0, 0, False, 0, style0]]
     while stack:
         frame = stack[-1]
         node, ci = frame[0], frame[1]
@@ -167,6 +154,14 @@ def _walk(root: Node, collect_media: bool = False, collect_styles: bool = False)
             if child.tag in NONTEXT_TAGS:
                 continue
             pre_counter += 1
+            if css_styles:
+                st = frame[8]
+                tag_bit = STYLE_TAGS.get(child.tag, 0)
+                if tag_bit:
+                    st = (st[0] | tag_bit, *st[1:])
+                child_style = apply_css(st, node_attrs(child).get("style"))
+            else:
+                child_style = frame[8] | STYLE_TAGS.get(child.tag, 0)
             stack.append(
                 [
                     child,
@@ -177,7 +172,7 @@ def _walk(root: Node, collect_media: bool = False, collect_styles: bool = False)
                     0,
                     False,
                     pre_counter,
-                    frame[8] | STYLE_TAGS.get(child.tag, 0),
+                    child_style,
                 ]
             )
             continue
@@ -209,7 +204,28 @@ def _walk(root: Node, collect_media: bool = False, collect_styles: bool = False)
     return tokens, tok_link, tok_style, candidates, media
 
 
-def _media_spans(media, out_pos_fn, cand_by_node, order_base):
+# HTML dir attribute vocabulary; anything else is invalid and the
+# ancestor walk continues past it (frozen rule).
+_DIR_VALUES = frozenset(("ltr", "rtl", "auto"))
+
+
+def _resolve_dir(node: Node) -> str | None:
+    """Nearest self-or-ancestor VALID ``dir=`` value (reading-direction
+    inheritance, the reference's readingDirection fallback chain
+    extract_words.py:150-168 grafted onto the DOM)."""
+    n: Node | None = node
+    while n is not None:
+        if n.tag != "#document":
+            v = node_attrs(n).get("dir")
+            if v:
+                v = v.strip().lower()
+                if v in _DIR_VALUES:
+                    return v
+        n = n.parent
+    return None
+
+
+def _media_spans(media, out_pos_fn, cand_by_node, order_base, with_dir=False):
     """Zero-length media-region spans (kernel 1.3.0). Media spans skip
     validity/plausibilize/classify by design — they carry position and
     type, not extent (P8 zero-length filtering applies to TEXT regions
@@ -226,19 +242,20 @@ def _media_spans(media, out_pos_fn, cand_by_node, order_base):
                 parent_id = pid
                 break
             anc = anc.parent
-        out.append(
-            {
-                "region_id": f"m{m_idx:04d}",
-                "rtype": MEDIA_RTYPE[m["tag"]],
-                "subtype": m["tag"],
-                "start": pos,
-                "end": pos,
-                "parent_id": parent_id,
-                "order": 0,
-                "score": 1.0,
-                "_m_idx": m_idx,
-            }
-        )
+        span = {
+            "region_id": f"m{m_idx:04d}",
+            "rtype": MEDIA_RTYPE[m["tag"]],
+            "subtype": m["tag"],
+            "start": pos,
+            "end": pos,
+            "parent_id": parent_id,
+            "order": 0,
+            "score": 1.0,
+            "_m_idx": m_idx,
+        }
+        if with_dir:
+            span["dir"] = _resolve_dir(m["node"])
+        out.append(span)
     out.sort(key=lambda r: (r["start"], r["_m_idx"]))
     for j, r in enumerate(out):
         r["order"] = order_base + j
@@ -264,12 +281,17 @@ def extract_document(
         return "", [], metrics
 
     tokens, tok_link, tok_style, candidates, media = _walk(
-        tree, params.media_regions, params.style_spans
+        tree,
+        params.media_regions,
+        params.style_spans,
+        params.style_spans and params.css_styles,
     )
     metrics["n_media"] = len(media)
     if not candidates or not tokens:
         if media:
-            return "", _media_spans(media, lambda m: 0, {}, 0), metrics
+            return "", _media_spans(
+                media, lambda m: 0, {}, 0, params.reading_direction
+            ), metrics
         return "", [], metrics
 
     # document text + token char offsets (the 1-D coordinate frame)
@@ -332,7 +354,9 @@ def extract_document(
     metrics["n_dropped"] = n - len(kept)
     if not kept:
         if media:
-            return "", _media_spans(media, lambda m: 0, {}, 0), metrics
+            return "", _media_spans(
+                media, lambda m: 0, {}, 0, params.reading_direction
+            ), metrics
         return "", [], metrics
 
     # stage 7 prep: reading order = span start (laminar ⇒ equivalent to
@@ -400,27 +424,41 @@ def extract_document(
             "order": out_order,
             "score": c.get("score", 1.0),
         }
+        if params.reading_direction:
+            region["dir"] = _resolve_dir(c["node"])
         if params.style_spans:
-            # contiguous equal-mask token runs inside the FINAL span,
+            # contiguous equal-state token runs inside the FINAL span,
             # re-offset to the output frame (TextStyle analog,
             # reference extract_words.py:127-145; interior separators
-            # between same-mask tokens belong to the run)
+            # between same-state tokens belong to the run). State is a
+            # bitmask int, or the css tuple under params.css_styles —
+            # runs break whenever ANY TextStyle field changes.
+            css = params.css_styles
+            empty_state = CSS_DEFAULT if css else 0
             ti = int(np.searchsorted(tok_start, s, side="left"))
             tj = int(np.searchsorted(tok_end, e, side="right"))
             runs = []
             t = ti
             while t < tj:
-                mask = tok_style[t]
+                state = tok_style[t]
                 t2 = t
-                while t2 + 1 < tj and tok_style[t2 + 1] == mask:
+                while t2 + 1 < tj and tok_style[t2 + 1] == state:
                     t2 += 1
-                if mask:
+                if state != empty_state:
+                    mask = state[0] if css else state
                     run = {
                         "start": cursor + max(0, int(tok_start[t]) - s),
                         "end": cursor + min(len(piece), int(tok_end[t2]) - s),
                     }
                     for bit, name in STYLE_FLAG_NAMES:
                         run[name] = bool(mask & bit)
+                    if css:
+                        (
+                            run["font_family"], run["font_size"],
+                            run["underline_style"], run["small_caps"],
+                            run["letter_spaced"], run["serif"],
+                            run["kerning"],
+                        ) = state[1:]
                     runs.append(run)
                 t = t2 + 1
             region["style_runs"] = runs
@@ -442,5 +480,9 @@ def extract_document(
                     return regions[out_order]["start"] + max(0, pos - ds)
             return len(text_out)
 
-        regions.extend(_media_spans(media, out_pos, cand_by_node, n_kept_final))
+        regions.extend(
+            _media_spans(
+                media, out_pos, cand_by_node, n_kept_final, params.reading_direction
+            )
+        )
     return text_out, regions, metrics

@@ -39,18 +39,59 @@ BLOCK_TAGS = frozenset(
 
 class Node:
     """One element. ``children`` holds Node and str (text) entries in
-    document order; document order is the only order the kernel uses."""
+    document order; document order is the only order the kernel uses.
 
-    __slots__ = ("tag", "attrs", "children", "parent")
+    ``attrs`` is a dict for stdlib-built trees; the fast parser defers
+    attribute tokenization (``attrs = None`` + raw text in
+    ``attrs_raw``) because most elements' attributes are never read —
+    :func:`node_attrs` parses lazily on first access."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "attrs_raw")
 
     def __init__(self, tag: str, attrs=(), parent: "Node | None" = None):
         self.tag = tag
-        self.attrs = dict(attrs)
+        self.attrs = dict(attrs) if attrs is not None else None
+        self.attrs_raw: str | None = None
         self.children: list = []
         self.parent = parent
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<{self.tag} {len(self.children)} children>"
+
+
+import re as _re
+from html import unescape as _unescape
+
+# html.parser attribute grammar, frozen to the subset both parsers
+# must agree on: name, optionally = double-quoted | single-quoted |
+# unquoted value. Names lowercased, entity refs decoded, LAST
+# duplicate wins (dict(attrs) semantics above).
+_ATTR_RE = _re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+)
+
+
+def _parse_raw_attrs(raw: str) -> dict:
+    out: dict = {}
+    for m in _ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        v = m.group(2)
+        if v is not None:
+            if v[:1] in ("'", '"'):
+                v = v[1:-1]
+            if "&" in v:
+                v = _unescape(v)
+        out[name] = v
+    return out
+
+
+def node_attrs(node: Node) -> dict:
+    """Attribute dict of a node from either parser (lazy for the fast
+    parser's raw attribute text)."""
+    if node.attrs is None:
+        node.attrs = _parse_raw_attrs(node.attrs_raw or "")
+    return node.attrs
 
 
 class _TreeBuilder(HTMLParser):

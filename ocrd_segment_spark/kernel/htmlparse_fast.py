@@ -1,8 +1,10 @@
 """Fast regex-tokenizer HTML parser — drop-in for htmlparse.parse_html.
 
-The kernel never reads attributes (classification is tag-only), so a
-single compiled-regex scan over the document replaces the stdlib
-``html.parser`` state machine (~60% of per-page kernel time measured).
+The kernel reads attributes only on gated paths (css_styles /
+reading-direction), so a single compiled-regex scan over the document
+replaces the stdlib ``html.parser`` state machine (~60% of per-page
+kernel time measured); raw attribute text is stored unparsed on the
+node and tokenized lazily by ``htmlparse.node_attrs`` on first access.
 Behavior is equivalence-tested against the stdlib builder over the
 full fixture corpus (tests/test_fastparse.py) — same recovery rules:
 
@@ -93,7 +95,8 @@ def _parse(html: str) -> Node:
                     stack.pop()
                 elif top == "li" and tag == "li":
                     stack.pop()
-            node = Node(tag, (), stack[-1])
+            node = Node(tag, None, stack[-1])
+            node.attrs_raw = m.group(3) or ""
             stack[-1].children.append(node)
             # self-closing: the attrs group greedily consumes a trailing
             # '/', so inspect it — '/' counts only when alone or after

@@ -45,6 +45,10 @@ REGION_SPAN_TYPE = T.ArrayType(
             T.StructField("parent_id", T.StringType(), False),
             T.StructField("order", T.IntegerType(), False),
             T.StructField("score", T.DoubleType(), False),
+            # reading direction (ltr|rtl|auto) from the nearest valid
+            # dir= ancestor; null = unspecified / params.reading_direction
+            # off (kernel 1.5.0 orientation analog)
+            T.StructField("dir", T.StringType(), True),
         ]
     )
 )
@@ -100,6 +104,7 @@ def _extract_batches(params: ExtractParams, with_styles: bool = False):
                             r["parent_id"],
                             r["order"],
                             r["score"],
+                            r.get("dir"),
                         )
                         for r in regions
                     ]
@@ -112,6 +117,12 @@ def _extract_batches(params: ExtractParams, with_styles: bool = False):
                                 s["monospace"], s["underlined"],
                                 s["strikethrough"], s["subscript"],
                                 s["superscript"],
+                                # css fields are absent without
+                                # params.css_styles → nulls
+                                s.get("font_family"), s.get("font_size"),
+                                s.get("underline_style"), s.get("small_caps"),
+                                s.get("letter_spaced"), s.get("serif"),
+                                s.get("kerning"),
                             )
                             for r in regions
                             for s in r.get("style_runs", [])
@@ -261,6 +272,11 @@ def run_extract(
         result.unpersist()
 
 
+# Full TextStyle struct (reference extract_lines.py:201-219 field
+# vocabulary). The seven tag-derived booleans are always populated;
+# the CSS-derived fields (font_family … kerning) are nullable — null =
+# not specified by any enclosing style, real values only under
+# params.css_styles (xHeight is raster-only, justified omission).
 STYLE_RUN_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -273,6 +289,13 @@ STYLE_RUN_TYPE = T.ArrayType(
             T.StructField("strikethrough", T.BooleanType(), False),
             T.StructField("subscript", T.BooleanType(), False),
             T.StructField("superscript", T.BooleanType(), False),
+            T.StructField("font_family", T.StringType(), True),
+            T.StructField("font_size", T.DoubleType(), True),
+            T.StructField("underline_style", T.StringType(), True),
+            T.StructField("small_caps", T.BooleanType(), True),
+            T.StructField("letter_spaced", T.BooleanType(), True),
+            T.StructField("serif", T.BooleanType(), True),
+            T.StructField("kerning", T.BooleanType(), True),
         ]
     )
 )

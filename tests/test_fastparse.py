@@ -144,3 +144,87 @@ def test_equivalent_to_stdlib_on_balanced_html(body):
     finally:
         X.parse_html = orig
     assert a == b
+
+
+_ATTR_CASES = [
+    "<p style='font-weight: bold'>x</p>",
+    '<p style="font-size: 12px; color:red">x</p>',
+    "<p style=font-style:italic>x</p>",             # unquoted value
+    "<p STYLE='a:b' Dir=RTL>x</p>",                  # case-insensitive names
+    "<p style='a:&quot;q&quot;'>x</p>",              # entity in value
+    "<p style='one' style='two'>x</p>",              # duplicate: last wins
+    "<p disabled style='s:1'>x</p>",                 # bare attr before
+    "<p style = 'spaced'>x</p>",
+    "<img src='/x' style='s:2'/>",                   # self-closing
+]
+
+
+def test_attr_parity_between_parsers():
+    """node_attrs() must agree between the stdlib builder (eager dict)
+    and the fast parser (lazy raw-text tokenization) on every
+    attribute syntax the kernel's gated paths read (kernel 1.5.0)."""
+    from ocrd_segment_spark.kernel.htmlparse import node_attrs
+
+    for case in _ATTR_CASES:
+        html = f"<html><body>{case}</body></html>"
+        got = []
+        for parse in (parse_stdlib, parse_html_fast):
+            body = parse(html).children[0]
+            el = next(c for c in body.children if not isinstance(c, str))
+            got.append(node_attrs(el))
+        assert got[0] == got[1], (case, got)
+    # values survive: spot-check one
+    body = parse_html_fast("<body><p style='font-weight: bold' dir=rtl>x</p></body>").children[0]
+    from ocrd_segment_spark.kernel.htmlparse import node_attrs as na
+    attrs = na(body.children[0])
+    assert attrs["style"] == "font-weight: bold" and attrs["dir"] == "rtl"
+
+
+_STYLE_ATTRS = [
+    "", "", "",  # most elements unstyled
+    ' style="font-weight: bold"',
+    ' style="font-style: normal; font-size: 14px"',
+    " style='font-family: Georgia, serif'",
+    ' style="text-decoration: underline dashed"',
+    ' style="vertical-align: super; letter-spacing: 2px"',
+]
+
+
+@st.composite
+def _balanced_styled(draw, depth=0):
+    parts = []
+    for _ in range(draw(st.integers(0, 3))):
+        kind = draw(st.integers(0, 3 if depth < 3 else 1))
+        if kind == 0:
+            parts.append(draw(_WORDS))
+        elif kind == 1:
+            parts.append(draw(st.sampled_from(["<img src='/x'/>", "<hr/>", "<br/>"])))
+        elif kind == 2:
+            t = draw(st.sampled_from(_INLINE))
+            attr = " href='/q'" if t == "a" else draw(st.sampled_from(_STYLE_ATTRS))
+            parts.append(f"<{t}{attr}>{draw(_balanced_styled(depth + 1))}</{t}>")
+        else:
+            t = draw(st.sampled_from(_BLOCK))
+            attr = draw(st.sampled_from(_STYLE_ATTRS))
+            parts.append(f"<{t}{attr}>{draw(_balanced_styled(depth + 1))}</{t}>")
+    return "".join(parts)
+
+
+@given(_balanced_styled())
+@settings(max_examples=150, deadline=None)
+def test_equivalent_to_stdlib_with_css_styles(body):
+    """fast ≡ stdlib with the css_styles surface on: lazy attribute
+    parsing must yield the same TextStyle runs as the stdlib dicts."""
+    from ocrd_segment_spark.config import ExtractParams
+
+    html = f"<html><body>{body}</body></html>"
+    P = ExtractParams(media_regions=True, style_spans=True, css_styles=True)
+    orig = X.parse_html
+    try:
+        X.parse_html = parse_stdlib
+        a = extract_document(html, P)
+        X.parse_html = parse_html_fast
+        b = extract_document(html, P)
+    finally:
+        X.parse_html = orig
+    assert a == b

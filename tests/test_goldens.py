@@ -22,6 +22,11 @@ Digest history:
   output is bit-identical, verified by this test)
 - kernel 1.4.0 (fixtures v3): df6c272a…  (same digest; TextStyle runs
   gated behind params.style_spans, default OFF)
+- kernel 1.5.0 (fixtures v3): df6c272a…  (same digest, and the
+  full-params digest 1f29a173… is ALSO unchanged; inline-CSS TextStyle
+  fields gated behind params.css_styles, default OFF — the css path
+  gets its own third digest below over a styled mini-corpus, since the
+  fixture corpus carries no style= attributes)
 """
 
 import hashlib
@@ -34,7 +39,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.4.0"
+GOLDEN_KERNEL = "1.5.0"
 GOLDEN_FIXTURES = 3
 
 
@@ -113,3 +118,55 @@ def corpus_digest_full(n_pages: int = 200, seed: int = 42) -> str:
 
 def test_golden_digest_full_pins_additive_surfaces():
     assert corpus_digest_full() == GOLDEN_SHA256_FULL
+
+
+# Third digest: the inline-CSS TextStyle path (kernel 1.5.0,
+# params.css_styles). The fixture corpus carries no style= attributes,
+# so this digest runs over a deterministic styled mini-corpus that
+# exercises every frozen CSS rule (kernel/cssstyle.py): weight
+# set/clear, sizes px/pt, families incl. generic tokens, decoration
+# lines+styles, vertical-align, small-caps, letter-spacing, kerning.
+GOLDEN_SHA256_CSS = "fcfc987ab02f7f308058f7ce0cfd670ec0ec9f6843c76729dc050963c513bb9d"
+
+_CSS_PAGES = [
+    '<html><body><p>plain <b style="font-family: Georgia, serif; '
+    'font-size: 16px">serif georgia</b> tail</p></body></html>',
+    '<html><body><p><span style="font-weight: 700; font-variant: '
+    "small-caps; letter-spacing: 0.1em\">caps spaced</span> and "
+    '<b style="font-weight: normal !important">unbolded</b></p></body></html>',
+    '<html><body><p><u style="text-decoration-style: dashed">dashed '
+    'underline</u> <s>struck</s> <span style="text-decoration: '
+    'line-through wavy">wavy strike</span></p></body></html>',
+    '<html><body><p><span style="vertical-align: sub">subscripted '
+    'bit</span> <sup style="vertical-align: baseline">cleared sup</sup> '
+    '<code style="font-family: \'Fira Code\', monospace; font-size: '
+    '10pt; font-kerning: none">mono fira</code></p></body></html>',
+    '<html><body><div style="font-style: italic"><p>inherited italic '
+    '<em style="font-style: normal">unitalic</em> words</p></div>'
+    "</body></html>",
+]
+
+
+def corpus_digest_css() -> str:
+    from ocrd_segment_spark.config import ExtractParams
+    from ocrd_segment_spark.kernel.extract import extract_document
+
+    params = ExtractParams(style_spans=True, css_styles=True)
+    h = hashlib.sha256()
+    for i, html in enumerate(_CSS_PAGES):
+        text, regions, _ = extract_document(html.encode(), params)
+        h.update(f"css{i}".encode())
+        h.update(b"\x00")
+        h.update(text.encode())
+        for sp in regions:
+            h.update(
+                repr(
+                    (sp["region_id"], sp["start"], sp["end"],
+                     sorted(map(tuple, (run.items() for run in sp.get("style_runs", [])))))
+                ).encode()
+            )
+    return h.hexdigest()
+
+
+def test_golden_digest_css_pins_style_parsing():
+    assert corpus_digest_css() == GOLDEN_SHA256_CSS

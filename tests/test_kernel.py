@@ -320,3 +320,39 @@ def test_style_runs_survive_gap_merge():
     assert len(regions) == 1  # merged
     bold = [text[r["start"]:r["end"]] for r in regions[0]["style_runs"] if r["bold"]]
     assert bold == ["beta", "epsilon"]
+
+
+def test_reading_direction_inheritance():
+    """dir/rtl orientation analog (kernel 1.5.0): nearest VALID
+    dir= ancestor wins; invalid values are skipped; absent -> None;
+    media spans resolve through their own node; default params emit
+    no 'dir' key at all (digest safety)."""
+    from ocrd_segment_spark.config import ExtractParams
+    from ocrd_segment_spark.kernel.extract import extract_document
+
+    html = (
+        b'<html><body dir="rtl"><p>first paragraph words</p>'
+        b'<p dir=" LTR ">second paragraph words</p>'
+        b'<p dir="bogus">third paragraph words</p>'
+        b'<div dir="auto"><p>fourth paragraph words<img src="/x"/></p></div>'
+        b"</body></html>"
+    )
+    _, regions, _ = extract_document(
+        html, ExtractParams(reading_direction=True, media_regions=True)
+    )
+    by_order = {r["order"]: r for r in regions if r["rtype"] != "image"}
+    assert by_order[0]["dir"] == "rtl"
+    assert by_order[1]["dir"] == "ltr"   # own attr, trimmed+lowercased
+    assert by_order[2]["dir"] == "rtl"   # invalid skipped -> body
+    assert by_order[3]["dir"] == "auto"  # div ancestor
+    img = next(r for r in regions if r["rtype"] == "image")
+    assert img["dir"] == "auto"
+    # no dir attribute anywhere -> None
+    _, regs, _ = extract_document(
+        b"<html><body><p>plain words here</p></body></html>",
+        ExtractParams(reading_direction=True),
+    )
+    assert regs[0]["dir"] is None
+    # default params: key absent entirely
+    _, regs, _ = extract_document(html)
+    assert all("dir" not in r for r in regs)
