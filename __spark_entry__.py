@@ -134,6 +134,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g13_predicates": L.q_g13_predicates,
     # COCO AP/AR summary + frame rebase
     "eval_map_summary": L.q_eval_map_summary,
+    # foreground-masked (only-fg) evaluation
+    "eval_only_fg": L.q_eval_only_fg,
     "replace_rebase_roundtrip": L.q_replace_rebase_roundtrip,
     # non-text (media) region candidates
     "extract_media_regions": L.q_extract_media_regions,
@@ -148,6 +150,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_reading_direction": L.q_extract_reading_direction,
     # full from-coco processor (apply imported segmentation)
     "coco_apply_roundtrip": L.q_coco_apply_roundtrip,
+    # TextEquiv history-preserving replace (insert at index 0)
+    "replace_textequiv_history": L.q_replace_textequiv_history,
 }
 
 _ORACLES: dict[str, str] = {
@@ -219,6 +223,7 @@ _ORACLES: dict[str, str] = {
     "g10_spread": L.O_G10_SPREAD,
     "g13_predicates": L.O_G13_PREDICATES,
     "eval_map_summary": L.O_EVAL_MAP,
+    "eval_only_fg": L.O_EVAL_ONLY_FG,
     "replace_rebase_roundtrip": L.O_REBASE_ROUNDTRIP,
     "extract_media_regions": L.O_MEDIA_REGIONS,
     "reading_order_groups": L.O_RO_GROUPS,
@@ -227,6 +232,7 @@ _ORACLES: dict[str, str] = {
     "extract_style_runs": L.O_STYLE_RUNS,
     "extract_reading_direction": L.O_READING_DIRECTION,
     "coco_apply_roundtrip": L.O_COCO_APPLY,
+    "replace_textequiv_history": L.O_TEXTEQUIV_HISTORY,
 }
 
 

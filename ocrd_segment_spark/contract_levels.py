@@ -533,6 +533,69 @@ FROM per_t GROUP BY cat
 """
 
 
+def q_eval_only_fg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreground-masked evaluation — the reference's only-fg mode
+    (evaluate.py:575-591: polygons ANDed with the binarized page
+    before IoU). 1-D: every length counts non-whitespace chars only,
+    so the masked IoU diverges from the raw interval IoU wherever a
+    span boundary cuts through separator runs."""
+    gt, dt = _gt_dt_from_documents(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    j = ev.pair_iou_masked(docs, gt, dt)
+    matched = (
+        F.coalesce(F.col("iou_fg") > 0.5, F.lit(False))
+        | F.coalesce(F.col("io_gt_fg") > 0.5, F.lit(False))
+        | F.coalesce(F.col("io_dt_fg") > 0.5, F.lit(False))
+    )
+    return j.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "gt_id",
+        "dt_id",
+        F.round("iou", 6).alias("iou"),
+        F.col("fg_inter").alias("fg_inter"),
+        F.round("iou_fg", 6).alias("iou_fg"),
+        matched.alias("matched_fg"),
+    )
+
+
+O_EVAL_ONLY_FG = f"""
+WITH {_O_GT_DT},
+tx AS (SELECT CAST(doc_id AS VARCHAR) AS url, text FROM documents),
+p AS (
+  SELECT gt.url AS url, gt.region_id AS gt_id, dt.region_id AS dt_id,
+         gt.s AS gs, gt.e AS ge, dt.s AS ds, dt.e AS de
+  FROM gt JOIN dt ON gt.url = dt.url AND gt.cat = dt.cat
+), m AS (
+  SELECT p.url, gt_id, dt_id, gs, ge, ds, de,
+    CASE WHEN ge > gs THEN length(regexp_replace(
+      substring(text, gs + 1, ge - gs), '[ \t\n\r\x0B\f]', '', 'g'))
+      ELSE 0 END AS fg_gt,
+    CASE WHEN de > ds THEN length(regexp_replace(
+      substring(text, ds + 1, de - ds), '[ \t\n\r\x0B\f]', '', 'g'))
+      ELSE 0 END AS fg_dt,
+    CASE WHEN least(ge, de) > greatest(gs, ds) THEN length(regexp_replace(
+      substring(text, greatest(gs, ds) + 1, least(ge, de) - greatest(gs, ds)),
+      '[ \t\n\r\x0B\f]', '', 'g'))
+      ELSE 0 END AS fg_inter
+  FROM p JOIN tx ON p.url = tx.url
+)
+SELECT CAST(url AS BIGINT) AS doc_id, gt_id, dt_id,
+  round(greatest(0, least(ge, de) - greatest(gs, ds)) * 1.0 /
+        ((ge - gs) + (de - ds)
+         - greatest(0, least(ge, de) - greatest(gs, ds))), 6) AS iou,
+  CAST(fg_inter AS BIGINT) AS fg_inter,
+  CASE WHEN fg_gt + fg_dt - fg_inter > 0
+       THEN round(fg_inter * 1.0 / (fg_gt + fg_dt - fg_inter), 6)
+       END AS iou_fg,
+  (coalesce(fg_inter * 1.0 / nullif(fg_gt + fg_dt - fg_inter, 0) > 0.5, FALSE)
+   OR coalesce(fg_inter * 1.0 / nullif(fg_gt, 0) > 0.5, FALSE)
+   OR coalesce(fg_inter * 1.0 / nullif(fg_dt, 0) > 0.5, FALSE)) AS matched_fg
+FROM m
+"""
+
+
 def q_replace_rebase_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """replace_original / replace_page analog (reference
     replace_original.py:60-76 forward, replace_page.py:50-73 inverse):
@@ -806,6 +869,47 @@ O_READING_DIRECTION = """
 SELECT doc_id, 0 AS ord, 'rtl' AS rdir FROM documents
 UNION ALL SELECT doc_id, 1, 'ltr' FROM documents
 UNION ALL SELECT doc_id, 2, 'rtl' FROM documents
+"""
+
+
+def q_replace_textequiv_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextEquiv history roundtrip (reference replace_text.py:62
+    ``insert_TextEquiv_at(0, …)``): the correction is PREPENDED at
+    index 0 and the prior text PRESERVED at index 1 — selecting
+    index 1 after the replace returns the ORIGINAL heading, selecting
+    first returns the correction, and indices stay dense."""
+    from .functions.textequiv import textequiv_text
+    from .sources.text_files import replace_region_text
+
+    pages = _pages_from_documents(spark, sf_dir, _BOILER)
+    out = extract_pages(pages)
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("/gt/"), F.col("doc_id").cast("string"), F.lit("_r0008.gt.txt")
+        ).alias("path"),
+        F.lit("fixed heading").alias("content"),
+    )
+    replaced = replace_region_text(out, files)
+    return replaced.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "region_id",
+        textequiv_text("alternatives", "first").alias("current_text"),
+        textequiv_text("alternatives", "1").alias("prior_text"),
+        F.size("alternatives").alias("n_alts"),
+        (
+            textequiv_text("alternatives", "1") == F.col("old_text")
+        ).alias("history_preserved"),
+    )
+
+
+O_TEXTEQUIV_HISTORY = """
+SELECT doc_id, 'r0008' AS region_id,
+       'fixed heading' AS current_text,
+       source AS prior_text,
+       2 AS n_alts,
+       TRUE AS history_preserved
+FROM documents WHERE doc_id % 3 = 0
 """
 
 

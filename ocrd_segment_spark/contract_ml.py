@@ -544,24 +544,66 @@ FROM best WHERE rn = 1 GROUP BY cid
 # ---------------------------------------------------------------------------
 
 def q_multimodal_meta(spark, sf_dir):
-    """Multimodal plumbing: an opaque binary column + typed metadata
-    extracted by a vectorized mapInPandas stage. The actual media
-    decode is STUBBED (no codec libs in this container) — the Spark
-    plumbing (binary schema, Arrow batching, UDF signature) is real
-    and verified; ``decode_image``/``decode_audio`` raise
-    NotImplementedError by design (see functions/multimodal.py)."""
+    """Multimodal metadata: an opaque binary column with REAL
+    container-header decode — synthesized PNG/GIF/JPEG headers
+    (dimensions derived from document columns) plus raw text bytes,
+    sniffed and measured by functions/multimodal.sniff_image in one
+    vectorized mapInPandas pass. Only the pixel decode stays stubbed
+    (no codec libs in this container); magic, width, height and bit
+    depth are parsed from the actual header bytes and verified
+    value-exact against the closed-form oracle."""
     from .functions import multimodal as MM
 
-    d = _t(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "cast(text as binary) as blob"
+    # w/h/bit-depth wire formats: PNG IHDR is big-endian u32, GIF's
+    # logical screen is little-endian u16, JPEG SOF0 is big-endian u16
+    be32 = "lpad(hex({c}), 8, '0')"
+    be16 = "lpad(hex({c}), 4, '0')"
+    le16 = (
+        "concat(substring(lpad(hex({c}), 4, '0'), 3, 2),"
+        " substring(lpad(hex({c}), 4, '0'), 1, 2))"
     )
-    return MM.binary_meta(d)
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "n_chars % 500 + 1 as w",
+        "doc_id % 300 + 1 as h",
+        "text",
+    ).selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 4 AS INT)"
+        " WHEN 0 THEN unhex(concat('89504E470D0A1A0A0000000D49484452', "
+        f"{be32.format(c='w')}, {be32.format(c='h')}, '0806000000'))"
+        f" WHEN 1 THEN unhex(concat('474946383961', {le16.format(c='w')},"
+        f" {le16.format(c='h')}, '870000'))"
+        f" WHEN 2 THEN unhex(concat('FFD8FFC0001108', {be16.format(c='h')},"
+        f" {be16.format(c='w')}, '03'))"
+        " ELSE cast(text as binary) END as blob",
+    )
+    meta = MM.binary_meta(d)
+    # DuckDB's md5() is VARCHAR-only, so the hash is oracle-checkable
+    # only where the blob is valid UTF-8 (the raw-text rows); the
+    # image rows' md5 is pinned by pytest instead
+    return meta.withColumn(
+        "content_md5",
+        F.when(F.col("doc_id") % 4 == 3, F.col("content_md5")),
+    )
 
 
 O_MULTIMODAL = """
-SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5, 'binary-stub' AS modality
-FROM documents
+WITH m AS (
+  SELECT doc_id, n_chars % 500 + 1 AS w, doc_id % 300 + 1 AS h, text,
+         doc_id % 4 AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE k WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 12
+            ELSE length(text) END AS BIGINT) AS n_bytes,
+       CASE WHEN k = 3 THEN md5(text) END AS content_md5,
+       CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
+              ELSE 'binary' END AS modality,
+       CASE WHEN k < 3 THEN CAST(w AS INT) END AS width,
+       CASE WHEN k < 3 THEN CAST(h AS INT) END AS height,
+       CASE WHEN k < 3 THEN CAST(8 AS INT) END AS bit_depth
+FROM m
 """
 
 

@@ -2,12 +2,15 @@
 
 Media are opaque ``binary`` columns with typed metadata. The Spark
 side — schema, Arrow batching, partitioning, UDF signatures, batch
-shapes — is real and tested; the codec step is STUBBED because no
-image/audio libraries exist in this container: ``decode_image`` /
-``decode_audio`` / ``sample_frames`` raise NotImplementedError by
-design, and ``fake_decode`` provides a deterministic stand-in so the
-downstream plumbing (feature vectors, resize dims) can be exercised
-end-to-end.
+shapes — is real and tested, and so is the CONTAINER-HEADER decode:
+:func:`sniff_image` parses PNG/GIF/JPEG/BMP magic + dimensions +
+bit depth in pure Python (no codec needed — the sizes live in the
+container header, the pixel data does not have to be decoded). Only
+the pixel/PCM decode step is STUBBED because no image/audio libraries
+exist in this container: ``decode_image`` / ``decode_audio`` /
+``sample_frames`` raise NotImplementedError by design, and
+``fake_decode`` provides a deterministic stand-in so the downstream
+plumbing (feature vectors, resize dims) can be exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -19,8 +22,67 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 META_SCHEMA = (
-    "doc_id long, n_bytes long, content_md5 string, modality string"
+    "doc_id long, n_bytes long, content_md5 string, modality string,"
+    " width int, height int, bit_depth int"
 )
+
+# JPEG start-of-frame markers that carry dimensions (C4/C8/CC are
+# huffman/arithmetic/extension tables, not frames)
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def sniff_image(blob) -> tuple[str, int, int, int] | None:
+    """(format, width, height, bit_depth) from the container header of
+    PNG / GIF / JPEG / BMP bytes, or None if no magic matches. Pure
+    header arithmetic — never decodes pixels, never raises on
+    truncated/garbage input (returns None instead)."""
+    b = bytes(blob)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+                b[24],
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 11:
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+                (b[10] & 0x07) + 1,
+            )
+        if b[:2] == b"BM" and len(b) >= 30:
+            return (
+                "bmp",
+                int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+                int.from_bytes(b[28:30], "little"),
+            )
+        if b[:2] == b"\xff\xd8":
+            pos, n = 2, len(b)
+            while pos + 4 <= n and b[pos] == 0xFF:
+                marker = b[pos + 1]
+                if marker == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                if 0xD0 <= marker <= 0xD9:  # standalone (RSTn/SOI/EOI)
+                    pos += 2
+                    continue
+                if marker in _SOF_MARKERS and pos + 9 <= n:
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[pos + 7 : pos + 9], "big"),
+                        int.from_bytes(b[pos + 5 : pos + 7], "big"),
+                        b[pos + 4],
+                    )
+                seglen = int.from_bytes(b[pos + 2 : pos + 4], "big")
+                if seglen < 2:
+                    break
+                pos += 2 + seglen
+    except (IndexError, ValueError):  # pragma: no cover - defensive
+        return None
+    return None
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, feature array<double>, width int, height int"
@@ -53,17 +115,30 @@ def fake_decode(blob: bytes, dim: int = 8) -> tuple[list[float], int, int]:
 
 def binary_meta(df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
     """Typed metadata over a binary column via one vectorized
-    mapInPandas pass (the S2 derived-image-scan analog)."""
+    mapInPandas pass (the S2 derived-image-scan analog): size, hash,
+    sniffed modality, and REAL image dimensions/bit depth from the
+    container header (:func:`sniff_image`); non-image bytes get
+    modality 'binary' with null dims."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = pdf[blob_col]
+            sniffed = [sniff_image(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": blobs.map(len).astype("int64"),
                     "content_md5": blobs.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "modality": "binary-stub",
+                    "modality": [s[0] if s else "binary" for s in sniffed],
+                    "width": pd.array(
+                        [s[1] if s else None for s in sniffed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [s[2] if s else None for s in sniffed], dtype="Int32"
+                    ),
+                    "bit_depth": pd.array(
+                        [s[3] if s else None for s in sniffed], dtype="Int32"
+                    ),
                 }
             )
 

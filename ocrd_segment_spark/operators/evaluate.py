@@ -187,6 +187,83 @@ def per_cat_stats(gt: DataFrame, dt: DataFrame, matches: DataFrame) -> DataFrame
     )
 
 
+# Java/RE2-portable 6-char ASCII whitespace class (same vocabulary as
+# functions/sublevels._is_ws) — the 1-D "background" of a document.
+_WS_CLASS = r"[ \t\n\r\x0B\f]"
+
+
+def pair_iou_masked(docs: DataFrame, gt: DataFrame, dt: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """Foreground-masked pair IoU — the reference's "only-fg" mode
+    (evaluate.py:575-591: each segment polygon is ANDed with the
+    binarized page image before the IoU matrix is built, so background
+    pixels inside a polygon don't count). 1-D re-derivation:
+    foreground = non-whitespace chars of the document text; every
+    length in the IoU is the count of foreground chars inside the
+    interval, not its raw width.
+
+    Returns :func:`pair_iou`'s columns plus (fg_gt, fg_dt, fg_inter,
+    iou_fg, io_gt_fg, io_dt_fg). Degenerate masked spans (zero
+    foreground chars) yield NULL masked ratios — the reference skips
+    all-background masks the same way (empty mask → no match entry).
+
+    Scale: ONE extra equi-join on url to attach the text (corpus-keyed,
+    co-partitions with the pair join); the char math is substring +
+    regexp_replace inside whole-stage codegen, no UDF. Texts travel to
+    pairs once per (url, cat) pair — per-page pair counts are small,
+    exactly like the reference's per-page mask matrices."""
+    j = pair_iou(gt, dt).withColumn(
+        "_is", F.greatest("gs", "ds")
+    ).withColumn("_ie", F.least("ge", "de"))
+    j = j.join(docs.select("url", F.col(text_col).alias("_t")), "url")
+
+    def fg_count(s, e):
+        s, e = F.col(s), F.col(e)
+        return F.when(
+            e > s,
+            F.length(
+                F.regexp_replace(
+                    F.substring(F.col("_t"), (s + 1).cast("int"), (e - s).cast("int")),
+                    _WS_CLASS,
+                    "",
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    j = (
+        j.withColumn("fg_gt", fg_count("gs", "ge"))
+        .withColumn("fg_dt", fg_count("ds", "de"))
+        .withColumn("fg_inter", fg_count("_is", "_ie"))
+        .drop("_is", "_ie", "_t")
+    )
+    denom = F.col("fg_gt") + F.col("fg_dt") - F.col("fg_inter")
+    return (
+        j.withColumn(
+            "iou_fg", F.when(denom > 0, F.col("fg_inter") / denom)
+        )
+        .withColumn(
+            "io_gt_fg",
+            F.when(F.col("fg_gt") > 0, F.col("fg_inter") / F.col("fg_gt")),
+        )
+        .withColumn(
+            "io_dt_fg",
+            F.when(F.col("fg_dt") > 0, F.col("fg_inter") / F.col("fg_dt")),
+        )
+    )
+
+
+def match_spans_masked(docs: DataFrame, gt: DataFrame, dt: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """The triple 0.5-threshold matching rule (evaluate.py:398-399)
+    applied to the FOREGROUND-masked ratios — only-fg matching."""
+    j = pair_iou_masked(docs, gt, dt, text_col)
+    return j.filter(
+        (F.col("iou_fg") > 0.5)
+        | (F.col("io_gt_fg") > 0.5)
+        | (F.col("io_dt_fg") > 0.5)
+    )
+
+
 # the stock COCO IoU sweep: 0.50:0.05:0.95 (reference evaluate.py:531-548
 # summarize defaults, via pycocotools Params.setDetParams)
 EVAL_THRESHOLDS = tuple(t / 100.0 for t in range(50, 96, 5))

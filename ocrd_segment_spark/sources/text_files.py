@@ -35,9 +35,16 @@ def replace_region_text(extracted: DataFrame, files: DataFrame) -> DataFrame:
     """Update per-region text from a corrections table
     ``(path, content)`` where the path suffix encodes
     ``<url>_<region_id>.gt.txt``. Returns
-    (url, region_id, old_text, new_text, level) for accounting (A8);
-    unmatched files are ignored like the reference logs-and-skips
-    (replace_text.py:56-58)."""
+    (url, region_id, old_text, new_text, level, alternatives) for
+    accounting (A8); unmatched files are ignored like the reference
+    logs-and-skips (replace_text.py:56-58).
+
+    ``alternatives`` is the TextEquiv HISTORY (reference
+    replace_text.py:62 ``insert_TextEquiv_at(0, …)`` — the correction
+    is PREPENDED at index 0, prior alternatives shift up and are
+    PRESERVED, never overwritten): ``[(0, new_text, 1.0),
+    (1, old_text, old_score)]`` — P4 selection (functions/textequiv)
+    then reads any level of the history."""
     regions = extracted.select(
         "url",
         F.explode("region_spans").alias("r"),
@@ -47,6 +54,7 @@ def replace_region_text(extracted: DataFrame, files: DataFrame) -> DataFrame:
         F.col("r.region_id").alias("region_id"),
         F.col("r.rtype").alias("level"),
         F.expr("substring(extracted_text, r.start + 1, r.end - r.start)").alias("old_text"),
+        F.col("r.score").alias("old_score"),
         F.concat(F.lit("_"), F.col("r.region_id"), F.lit(".gt.txt")).alias("suffix"),
     )
     # the '/' anchor disambiguates numeric-suffix collisions (url '2'
@@ -58,14 +66,27 @@ def replace_region_text(extracted: DataFrame, files: DataFrame) -> DataFrame:
         F.expr("endswith(path, concat('/', url, suffix))"),
         "inner",
     )
+    from ..functions.textequiv import textequiv_insert
+
     w = W.partitionBy("url", "region_id").orderBy("path")  # first match wins
-    return (
+    matched = (
         j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(
-            "url", "region_id", "level", "old_text",
-            F.col("content").alias("new_text"),
+        .withColumn(
+            "_prior",
+            F.array(
+                F.struct(
+                    F.lit(0).alias("index"),
+                    F.col("old_text").alias("unicode"),
+                    F.col("old_score").alias("conf"),
+                )
+            ),
         )
+    )
+    return matched.select(
+        "url", "region_id", "level", "old_text",
+        F.col("content").alias("new_text"),
+        textequiv_insert("_prior", F.col("content")).alias("alternatives"),
     )
 
 

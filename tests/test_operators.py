@@ -128,6 +128,7 @@ def test_multimodal_stub_plumbing(spark):
     meta = {r["doc_id"]: r.asDict() for r in MM.binary_meta(df).collect()}
     assert meta[1]["n_bytes"] == 3 and meta[2]["n_bytes"] == 4
     assert meta[1]["content_md5"] == "900150983cd24fb0d6963f7d28e17f72"
+    assert meta[1]["modality"] == "binary" and meta[1]["width"] is None
     feats = {r["doc_id"]: r.asDict() for r in MM.extract_features(df, dim=8).collect()}
     assert len(feats[1]["feature"]) == 8
     assert all(0 <= v <= 1 for v in feats[1]["feature"])
@@ -379,3 +380,32 @@ def test_label_import_is_kernel_schema_compatible(spark):
     assert {r["rtype"] for r in review} == {"heading", "paragraph"}
     assert all(r["validation"] == "heading|paragraph" for r in review)
     assert all(r["score"] == 1.0 for r in review)
+
+
+def test_sniff_image_headers():
+    """Real container-header decode (no codec): PNG/GIF/JPEG/BMP magic,
+    dimensions and bit depth parsed from the actual header bytes;
+    truncated/garbage input returns None instead of raising."""
+    from ocrd_segment_spark.functions.multimodal import sniff_image
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + bytes([8, 6, 0, 0, 0]))
+    assert sniff_image(png) == ("png", 640, 480, 8)
+    gif = (b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+           + bytes([0x87, 0, 0]))
+    assert sniff_image(gif) == ("gif", 320, 200, 8)
+    # JPEG with an APP0 (JFIF) segment BEFORE the SOF0 frame — the
+    # segment walk must skip non-frame markers by their length
+    jfif = (b"\xff\xd8"
+            + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+            + b"\xff\xc0" + (17).to_bytes(2, "big") + bytes([8])
+            + (480).to_bytes(2, "big") + (640).to_bytes(2, "big") + bytes([3]))
+    assert sniff_image(jfif) == ("jpeg", 640, 480, 8)
+    bmp = (b"BM" + bytes(16) + (800).to_bytes(4, "little")
+           + (-600).to_bytes(4, "little", signed=True)  # top-down: negative h
+           + bytes(2) + (24).to_bytes(2, "little"))
+    assert sniff_image(bmp) == ("bmp", 800, 600, 24)
+    for junk in (b"", b"\x89PNG", png[:20], b"\xff\xd8\xff", b"GIF89a\x01",
+                 b"plain text", b"\xff\xd8" + b"\xff\xc4\x00\x02"):
+        assert sniff_image(junk) is None, junk
