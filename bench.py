@@ -68,6 +68,61 @@ def ensure_pages(spark) -> str:
     return PAGES_DIR
 
 
+# realistic-size corpus: Common-Crawl-ish mean page is ~18 KB of HTML;
+# the fixture pages are ~1 KB, so bytes/sec there flatters nothing —
+# this corpus pins the MB/s headline the 100 TB projection rests on
+# (BENCH/BASELINE.md "Realistic page sizes").
+N_BIG = 10_000
+BIG_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench", f"big_pages_{N_BIG}_v1"
+)
+
+
+def _gen_big_shard(args):
+    import random
+
+    i, n = args
+    rows = []
+    for k in range(n):
+        rng = random.Random(7_000_000 + i * 1_000_000 + k)
+        vocab = [
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randint(3, 9)))
+            for _ in range(500)
+        ]
+        paras = [
+            "<p>" + " ".join(rng.choices(vocab, k=60)) + "</p>" for _ in range(40)
+        ]
+        rows.append(
+            {
+                "url": f"big-s{i}p{k}",
+                "html": (
+                    f"<html><body><h1>section {i} page {k}</h1>"
+                    f"{''.join(paras)}</body></html>"
+                ).encode(),
+            }
+        )
+    return rows
+
+
+def ensure_big_pages(spark) -> str:
+    if not os.path.exists(os.path.join(BIG_DIR, "_SUCCESS")):
+        import multiprocessing as mp
+
+        import pandas as pd
+
+        n_shards = 16
+        with mp.Pool(n_shards) as p:
+            shards = p.map(
+                _gen_big_shard, [(i, N_BIG // n_shards) for i in range(n_shards)]
+            )
+        pdf = pd.DataFrame([r for s in shards for r in s])
+        spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(
+            BIG_DIR
+        )
+    return BIG_DIR
+
+
 def main() -> None:
     spark = build_session(
         app="bench",
@@ -81,6 +136,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages_path = ensure_pages(spark)
+    big_path = ensure_big_pages(spark)
 
     def bench_extract():
         df = extract_pages(
@@ -88,6 +144,51 @@ def main() -> None:
         )
         # sum(length) forces full kernel execution without driver collect
         df.agg(F.sum(F.length("extracted_text"))).collect()
+
+    def bench_corpus():
+        # whole training-corpus pipeline: extract → score → filter →
+        # exact dedup → write, plus the LSH-then-verify near-dup audit
+        # — the non-extract surface as ONE standing number so
+        # regressions there are visible round-over-round
+        import shutil
+        import tempfile
+
+        from jobs.corpus_job import build_corpus
+
+        outdir = tempfile.mkdtemp(prefix="bench_corpus_")
+        try:
+            build_corpus(
+                spark,
+                pages_path,
+                os.path.join(outdir, "corpus"),
+                near_dup_audit=os.path.join(outdir, "neardup"),
+                python_parallelism=max(2, CPUS // 2),
+            )
+        finally:
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    def corpus_warmup():
+        # untimed: the FIRST audited corpus run in a JVM pays one-time
+        # JIT/shuffle-codegen cost for the LSH+verify machinery
+        # (measured 66 s cold vs 18 s warm); a 5k-page pass absorbs it
+        import shutil
+        import tempfile
+
+        from jobs.corpus_job import build_corpus
+
+        wdir = tempfile.mkdtemp(prefix="bench_corpus_warm_")
+        try:
+            sub = os.path.join(wdir, "pages")
+            spark.read.parquet(pages_path).limit(5000).coalesce(8).write.parquet(sub)
+            build_corpus(
+                spark,
+                sub,
+                os.path.join(wdir, "corpus"),
+                near_dup_audit=os.path.join(wdir, "neardup"),
+                python_parallelism=max(2, CPUS // 2),
+            )
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
 
     def bench_word_spans():
         # sublevel derivation throughput in isolation (pure column
@@ -124,6 +225,10 @@ def main() -> None:
         "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
         and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
         "extract_pages": bench_extract,
+        "extract_pages_18kb": lambda: extract_pages(
+            spark.read.parquet(big_path), python_parallelism=max(2, CPUS // 2)
+        ).agg(F.sum(F.length("extracted_text"))).collect(),
+        "corpus_job": bench_corpus,
     }
 
     # untimed JVM warmup: file-index build, parquet footer reads, and
@@ -135,6 +240,11 @@ def main() -> None:
         df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
         df.agg(*[F.count(c) for c in df.columns[:3]]).collect()
 
+    # untimed GC before each timed run: mapInPandas stages leave Arrow /
+    # direct buffers that stall later shuffle-heavy JVM stages until
+    # collected (measured 72 s vs 12 s on the corpus audit; the
+    # System.gc() itself takes ~0.1 s and frees the cleaner-backed
+    # direct ByteBuffers)
     timings: dict[str, float] = {}
     for name, fn in heavies.items():
         if name == "extract_pages":
@@ -143,11 +253,28 @@ def main() -> None:
                 spark.read.parquet(pages_path).limit(1000),
                 python_parallelism=max(2, CPUS // 2),
             ).agg(F.count("*")).collect()
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        elif name == "corpus_job":
+            corpus_warmup()
+        runs = 2 if name == "corpus_job" else 1  # noisiest headline:
+        # ~25 shuffle/write stages → most exposed to host-level load
+        # spikes on a shared box; best-of-2 like tools/bench_scaling
+        best = None
+        for _ in range(runs):
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # input volumes for the MB/s headlines (untimed length scans)
+    html_bytes = (
+        spark.read.parquet(pages_path).agg(F.sum(F.length("html"))).collect()[0][0]
+    )
+    big_bytes = (
+        spark.read.parquet(big_path).agg(F.sum(F.length("html"))).collect()[0][0]
+    )
     print(
         json.dumps(
             {
@@ -158,6 +285,13 @@ def main() -> None:
                 "sf": _SF,
                 "pages": N_PAGES,
                 "pages_per_sec": round(N_PAGES / timings["extract_pages"], 1),
+                "html_mb_per_sec": round(
+                    html_bytes / 1e6 / timings["extract_pages"], 1
+                ),
+                "mb_per_sec_18kb_pages": round(
+                    big_bytes / 1e6 / timings["extract_pages_18kb"], 1
+                ),
+                "corpus_pages_per_sec": round(N_PAGES / timings["corpus_job"], 1),
                 "cpus": CPUS,
             }
         )

@@ -195,15 +195,27 @@ and inlining a word-array expression into per-line lambdas
 (interpreted HOFs re-evaluate it per line — 13 s vs 0.7 s per 10k
 docs; fixed by zip_with lambda binding).
 
-## End-to-end corpus pipeline (round 2)
+## End-to-end corpus pipeline (round 3)
 
 jobs/corpus_job.py (extract → quality/lang score → filter → exact
-dedup → MinHash-LSH near-dup audit) over the same 100k corpus on
-local[32]: **20.7 s ≈ 4.8k pages/s for the WHOLE pipeline**, funnel
-100000 → 3627 quality-dropped → 96373 corpus docs, 344k near-dup
-candidate pairs. Funnel counters ride the write action as an
-Observation (zero recompute); the only shuffles are the md5-keyed
-dedup window and the LSH band join, both fine-grained keys.
+dedup → LSH-then-VERIFY near-dup audit) over the same 100k corpus on
+local[32]: **24.7 s ≈ 4.1k pages/s for the WHOLE pipeline** — now a
+standing bench.py headline (`corpus_job`). Round 3 upgraded the audit
+from raw LSH candidates to exact 3-gram Jaccard scored per candidate
+pair (344k pairs verified, doc-keyed equi-joins only), and removed the
+two output re-scans: corpus count and pair count both ride their
+writes as Observations. Funnel 100000 → 3627 quality-dropped → 96373
+corpus docs. The only shuffles are the md5-keyed dedup window, the
+LSH band join, and the pair-attach joins — all fine-grained keys.
+
+## Bench hygiene finding (round 3, affects any mixed UDF/JVM workload)
+
+A mapInPandas stage leaves Arrow/direct byte buffers that are only
+reclaimed at the next GC; a shuffle-heavy JVM stage scheduled right
+after one ran 72 s vs 12 s after an explicit 0.1 s System.gc().
+bench.py now GCs untimed before each timed query. On a real cluster
+the analog is executor memoryOverhead headroom for UDF-heavy stages —
+the buffers live off-heap, outside spark.memory.fraction.
 """
 
 
