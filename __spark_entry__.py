@@ -112,6 +112,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_counts": M.q_sliding_window_counts,
     "tfidf_top_terms": M.q_tfidf_top_terms,
     "ann_kmeans_iterations": M.q_ann_kmeans_iterations,
+    # deterministic sampling / leakage-safe splits
+    "sample_hash_deterministic": M.q_sample_hash_deterministic,
+    "sample_stratified": M.q_sample_stratified,
+    "split_leakage_safe": M.q_split_leakage_safe,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
@@ -207,6 +211,9 @@ _ORACLES: dict[str, str] = {
     "sliding_window_counts": M.O_SLIDING_WINDOW,
     "tfidf_top_terms": M.O_TFIDF,
     "ann_kmeans_iterations": M.O_KMEANS,
+    "sample_hash_deterministic": M.O_SAMPLE_HASH,
+    "sample_stratified": M.O_SAMPLE_STRATIFIED,
+    "split_leakage_safe": M.O_SPLIT_LEAKAGE,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,

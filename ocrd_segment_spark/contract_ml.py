@@ -608,6 +608,89 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / splits (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def q_sample_hash_deterministic(spark, sf_dir):
+    """Content-addressed 10% sample (operators/sampling.hash_sample):
+    membership = polynomial_hash(key) mod 1e6 < 100000 — identical
+    row set on any engine/partitioning, no RNG state; the predicate is
+    plain arithmetic evaluated narrow in the scan stage."""
+    from .operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, 0.1, key_col="doc_id", salt="dev").select(
+        "doc_id", "lang"
+    )
+
+
+O_SAMPLE_HASH = f"""
+SELECT doc_id, lang FROM documents
+WHERE (({_D_STR_HASH.format(s="concat('dev', CAST(doc_id AS VARCHAR))")})
+      * 48271 + 11) % {P} % 1000000 < 100000
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language rebalancing (operators/sampling.stratified_sample):
+    keep 100% of 'de', 20% of 'en', 50% of everything else — the
+    low-resource-language upweighting pass of a corpus pipeline, as
+    one narrow predicate."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, {"de": 1.0, "en": 0.2}, strata_col="lang",
+        key_col="doc_id", salt="strat", default_fraction=0.5,
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+O_SAMPLE_STRATIFIED = f"""
+SELECT lang, count(*) AS n_kept FROM documents
+WHERE (({_D_STR_HASH.format(s="concat('strat', CAST(doc_id AS VARCHAR))")})
+      * 48271 + 11) % {P} % 1000000
+      < CASE lang WHEN 'de' THEN 1000000 WHEN 'en' THEN 200000
+                  ELSE 500000 END
+GROUP BY lang
+"""
+
+
+def q_split_leakage_safe(spark, sf_dir):
+    """Group-keyed train/val/test split
+    (operators/sampling.train_val_test_split with group_col): every
+    document of a source lands in ONE split (n_splits = 1 per source —
+    the contamination guard), split chosen by the source's hash."""
+    from .operators.sampling import train_val_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = train_val_test_split(
+        d, key_col="doc_id", weights=(0.6, 0.2, 0.2), group_col="source"
+    )
+    return out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.min("split").alias("split"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+O_SPLIT_LEAKAGE = f"""
+WITH b AS (
+  SELECT source, count(*) AS n_docs,
+         (({_D_STR_HASH.format(s="concat('split', source)")})
+         * 48271 + 11) % {P} % 1000000 AS bucket
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(1 AS BIGINT) AS n_splits,
+       CASE WHEN bucket < 600000 THEN 'train'
+            WHEN bucket < 800000 THEN 'val'
+            ELSE 'test' END AS split,
+       n_docs
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-time windowing (batch equivalent; streaming variant in streaming/)
 # ---------------------------------------------------------------------------
 

@@ -409,3 +409,49 @@ def test_sniff_image_headers():
     for junk in (b"", b"\x89PNG", png[:20], b"\xff\xd8\xff", b"GIF89a\x01",
                  b"plain text", b"\xff\xd8" + b"\xff\xc4\x00\x02"):
         assert sniff_image(junk) is None, junk
+
+
+def test_deterministic_sampling_and_split(spark):
+    """operators/sampling: membership is a pure function of the key —
+    identical rows under any partitioning; stratified thresholds hold;
+    group-keyed split keeps whole groups together (leakage guard) and
+    the plan stays narrow (no Exchange)."""
+    from ocrd_segment_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+        train_val_test_split,
+    )
+    from ocrd_segment_spark.plans import audit
+
+    df = spark.range(2000).selectExpr(
+        "id as doc_id",
+        "concat('site', cast(id % 37 as string)) as source",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END as lang",
+    )
+    s1 = {r["doc_id"] for r in hash_sample(df, 0.2, salt="x").collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df.repartition(13), 0.2, salt="x").collect()}
+    assert s1 == s2 and 200 < len(s1) < 600  # deterministic, ~20%
+    assert not audit.has_exchange(hash_sample(df, 0.2, salt="x"))
+    # different salt → decorrelated (not identical) sample
+    s3 = {r["doc_id"] for r in hash_sample(df, 0.2, salt="y").collect()}
+    assert s3 != s1
+    # stratified: 'en' kept fully, 'de' ~10%
+    strat = stratified_sample(df, {"en": 1.0, "de": 0.1}, key_col="doc_id")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] == 667 and 50 < by_lang.get("de", 0) < 250
+    # split: every source in exactly one split; weights roughly hold
+    sp = train_val_test_split(df, group_col="source", weights=(0.6, 0.2, 0.2))
+    per_src = sp.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    ).collect()
+    assert all(r["k"] == 1 for r in per_src)
+    counts = {r["split"]: r["n"] for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"} and counts["train"] > counts.get("val", 0)
+    # invalid inputs refuse
+    with pytest.raises(ValueError):
+        hash_sample(df, 1.5)
+    with pytest.raises(ValueError):
+        train_val_test_split(df, weights=(0.9, 0.3, 0.2))
