@@ -255,10 +255,19 @@ def run_extract(
             done = spark.read.parquet(output_path).select("url")
             pages = pages.join(done, "url", "left_anti")
         except AnalysisException as ex:
-            # only "no output yet" disables the anti-join; any other
-            # read failure (corruption, transient FS error) must abort
-            # rather than silently re-append every url
-            if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+            # Two states mean "no committed output yet" and disable the
+            # anti-join: the path is absent (never ran), or the path
+            # exists but holds zero committed parquet footers —
+            # UNABLE_TO_INFER_SCHEMA, the state a SIGKILL during the
+            # FIRST write attempt leaves behind (only `_temporary/`;
+            # FileOutputCommitter commits nothing before job commit).
+            # Any other read failure (corruption, transient FS error)
+            # must abort rather than silently re-append every url.
+            msg = str(ex)
+            if not any(
+                tag in msg
+                for tag in ("PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA")
+            ):
                 raise
     result = extract_pages(pages, params, python_parallelism)
     if metrics_path is not None:

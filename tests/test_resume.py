@@ -42,6 +42,23 @@ def test_resume_completes_partial_run(spark, tmp_path):
     assert resumed == single
 
 
+def test_resume_from_uncommitted_temporary_only(spark, tmp_path):
+    """SIGKILL during the FIRST write attempt leaves the output dir with
+    only `_temporary/` (zero committed footers). The resume read then
+    raises UNABLE_TO_INFER_SCHEMA, which must be treated as "no output
+    yet" — observed live in the round-3 process-level kill experiment."""
+    pdf = pages_pandas(20)
+    src = str(tmp_path / "pages")
+    out = tmp_path / "out"
+    spark.createDataFrame(pdf).write.parquet(src)
+    # simulate the killed first attempt: dir exists, only _temporary
+    attempt = out / "_temporary" / "0" / "_temporary" / "attempt_0_m_000000_0"
+    attempt.mkdir(parents=True)
+    (attempt / "part-00000.snappy.parquet").write_bytes(b"PAR1partial")
+    run_extract(spark, src, str(out), resume=True)
+    assert spark.read.parquet(str(out)).count() == 20
+
+
 def test_resume_is_idempotent_noop_when_done(spark, tmp_path):
     pdf = pages_pandas(20)
     src = str(tmp_path / "pages")

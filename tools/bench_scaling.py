@@ -157,15 +157,20 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 
 
 _STATIC_SECTIONS = """
-## Kill-and-resume (process-level, re-evidenced round 2 on kernel 1.4.0)
+## Kill-and-resume (process-level, re-evidenced round 3 on kernel 1.5.0)
 
 `spark-submit` extract of the 100k corpus was SIGKILLed mid-write
 (state observed: only `out/_temporary`, zero committed parquet files —
 FileOutputCommitter job-level atomicity). Resubmitting the identical
 command (resume = output-manifest anti-join) completed the run;
 `url + md5(extracted_text)` of the resumed output differs from a clean
-single run in **0 of 100,000 rows**. The in-test variant (prefix-input
-"crash") is tests/test_resume.py.
+single run in **0 of 100,000 rows**. The round-3 re-run surfaced and
+fixed a first-attempt crash window: an output dir holding ONLY
+`_temporary` makes the resume read raise UNABLE_TO_INFER_SCHEMA, which
+run_extract now treats as "no committed output yet" (pipeline.py;
+regression test tests/test_resume.py
+test_resume_from_uncommitted_temporary_only). The in-test variant
+(prefix-input "crash") is tests/test_resume.py.
 
 ## Realistic page sizes & the 100 TB projection
 
