@@ -116,6 +116,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash_deterministic": M.q_sample_hash_deterministic,
     "sample_stratified": M.q_sample_stratified,
     "split_leakage_safe": M.q_split_leakage_safe,
+    "gopher_quality_rules": M.q_gopher_quality_rules,
+    "paragraph_dedup": M.q_paragraph_dedup,
+    "url_canonicalize": M.q_url_canonicalize,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
@@ -214,6 +217,9 @@ _ORACLES: dict[str, str] = {
     "sample_hash_deterministic": M.O_SAMPLE_HASH,
     "sample_stratified": M.O_SAMPLE_STRATIFIED,
     "split_leakage_safe": M.O_SPLIT_LEAKAGE,
+    "gopher_quality_rules": M.O_GOPHER,
+    "paragraph_dedup": M.O_PARAGRAPH_DEDUP,
+    "url_canonicalize": M.O_URL_CANON,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,

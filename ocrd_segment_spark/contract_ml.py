@@ -1057,3 +1057,253 @@ WITH e AS (
 )
 SELECT cid AS centroid, count(*) AS n_assigned FROM a2 GROUP BY cid
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality rules, boilerplate removal, url canonicalization (round 3)
+# ---------------------------------------------------------------------------
+
+# documents.text is single-line; both engines synthesize multi-line text
+# with the SAME regexp (newline after every 5th token) so the line-level
+# signals are exercised on real repetition. Java regex and RE2 agree on
+# this pattern (non-capturing group, greedy \S+, leftmost non-overlap).
+_SYNTH_LINES = "regexp_replace(text, '((?:\\\\S+ ){4}\\\\S+) ', '$1\\n')"
+_D_SYNTH_LINES = (
+    r"regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g')"
+)
+
+
+def q_gopher_quality_rules(spark, sf_dir):
+    """Gopher-style repetition/quality signals + pass flag
+    (operators/textstats.with_repetition_signals / top_ngram_stats /
+    gopher_filter). All signals are narrow column math except the
+    top-2-gram multiplicity, which is the explode → two-hash-agg shape
+    (fine-grained keys, no corpus-wide aggregation)."""
+    from .operators.textstats import (
+        gopher_filter,
+        top_ngram_stats,
+        with_repetition_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SYNTH_LINES} as text"
+    )
+    sig = gopher_filter(
+        with_repetition_signals(d), min_tokens=20, max_dup_2gram_fraction=0.03
+    )
+    top = top_ngram_stats(d).withColumnRenamed("id", "doc_id")
+    return (
+        sig.join(top, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_lines",
+            "n_tokens",
+            "dup_line_fraction",
+            "dup_line_char_fraction",
+            "mean_word_length",
+            "symbol_word_ratio",
+            "alpha_word_fraction",
+            "dup_2gram_fraction",
+            "coalesce(top_ngram_fraction, 0.0D) as top_2gram_fraction",
+            "cast(passes as int) as passes",
+        )
+    )
+
+
+O_GOPHER = f"""
+WITH ml AS (SELECT doc_id, {_D_SYNTH_LINES} AS text FROM documents),
+base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(string_split_regex(text, '\\s'), x -> x <> '') AS toks
+  FROM ml
+),
+g AS (
+  SELECT doc_id, text, lines, toks,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1]) END AS grams,
+         coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'sum'), 0) AS lchars,
+         coalesce(list_aggregate(list_transform(list_distinct(lines), x -> length(x)), 'sum'), 0) AS dchars
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+           round((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 6) END
+           AS dup_line_fraction,
+         CASE WHEN lchars = 0 THEN 0.0 ELSE
+           round((lchars - dchars) * 1.0 / lchars, 6) END AS dup_line_char_fraction,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           round(coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0)
+                 * 1.0 / len(toks), 6) END AS mean_word_length,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           round((len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(text, '\\.\\.\\.'))
+                  + len(regexp_extract_all(text, '…'))) * 1.0 / len(toks), 6) END
+           AS symbol_word_ratio,
+         CASE WHEN len(toks) = 0 THEN 1.0 ELSE
+           round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                 * 1.0 / len(toks), 6) END AS alpha_word_fraction,
+         CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+           round((len(grams) - len(list_distinct(grams))) * 1.0 / len(grams), 6) END
+           AS dup_2gram_fraction,
+         grams
+  FROM g
+),
+top AS (
+  SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 6) AS top_2gram_fraction
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM sig)
+    GROUP BY doc_id, gram
+  )
+  GROUP BY doc_id
+)
+SELECT s.doc_id, n_lines, n_tokens, dup_line_fraction, dup_line_char_fraction,
+       mean_word_length, symbol_word_ratio, alpha_word_fraction,
+       dup_2gram_fraction,
+       coalesce(t.top_2gram_fraction, 0.0) AS top_2gram_fraction,
+       CAST(n_tokens >= 20 AND n_tokens <= 100000
+            AND mean_word_length >= 3.0 AND mean_word_length <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND alpha_word_fraction >= 0.8
+            AND dup_line_fraction <= 0.3
+            AND dup_2gram_fraction <= 0.03 AS INT) AS passes
+FROM sig s LEFT JOIN top t ON s.doc_id = t.doc_id
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-frequency boilerplate removal
+    (operators/paragraphs.remove_frequent_units): lines occurring in
+    >= 5 distinct documents are dropped from every document; clean
+    text rebuilt in original order (md5 digest keeps the compare
+    light). The doc-frequency count is two-phase (distinct pairs →
+    partial-agg count) so viral boilerplate lines never serialize
+    through a single reducer."""
+    from .operators.paragraphs import remove_frequent_units
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SYNTH_LINES} as text"
+    )
+    out = remove_frequent_units(d, min_doc_freq=5)
+    return out.selectExpr(
+        "doc_id", "md5(clean_text) as clean_md5", "n_kept", "n_removed"
+    )
+
+
+O_PARAGRAPH_DEDUP = f"""
+WITH ml AS (SELECT doc_id, {_D_SYNTH_LINES} AS text FROM documents),
+units AS (
+  SELECT doc_id, u.pos, u.unit
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (s, i) -> {{'pos': i, 'unit': s}})) AS u
+    FROM ml
+  )
+  WHERE u.unit <> ''
+),
+freq AS (
+  SELECT unit, count(DISTINCT doc_id) AS doc_freq FROM units GROUP BY unit
+),
+kept AS (
+  SELECT u.doc_id, u.pos, u.unit
+  FROM units u JOIN freq f ON u.unit = f.unit
+  WHERE f.doc_freq < 5
+),
+removed AS (
+  SELECT u.doc_id, count(*) AS n_removed
+  FROM units u JOIN freq f ON u.unit = f.unit
+  WHERE f.doc_freq >= 5 GROUP BY u.doc_id
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(unit, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(coalesce(r.clean_text, '')) AS clean_md5,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(x.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+LEFT JOIN removed x ON d.doc_id = x.doc_id
+"""
+
+
+# messy-url synthesis: CASE arms chosen to hit every canonicalization
+# step (mixed case, default + non-default ports, trackers in first /
+# middle / last / only position, fragments, multi-label public suffix)
+_SYNTH_URL = """concat(
+  CASE doc_id % 3 WHEN 0 THEN 'HTTP://' WHEN 1 THEN 'https://' ELSE 'http://' END,
+  CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.COM:80' WHEN 1 THEN 'news.Example.co.uk:443'
+       WHEN 2 THEN 'cdn.site.org' WHEN 3 THEN 'Sub.Host.COM:8080' ELSE 'a.b.co.jp' END,
+  '/Path/', cast(doc_id as string),
+  CASE doc_id % 4 WHEN 0 THEN '?q=1&utm_source=x&b=2' WHEN 1 THEN '?utm_a=1&utm_b=2&q=3'
+       WHEN 2 THEN '?fbclid=zz' ELSE '' END,
+  CASE doc_id % 2 WHEN 0 THEN '#Frag' ELSE '' END)"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization chain (functions/urls): fragment strip,
+    authority lowercasing, default-port removal, tracking-param
+    removal, trailing-separator cleanup; plus host + registered-domain
+    extraction. Pure narrow regexp expressions — the canonical url is
+    computed inline in the scan stage, making it free to key dedup /
+    splits on at 100 TB."""
+    from .functions.urls import canonicalize_url, host_of, registered_domain
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SYNTH_URL} as url"
+    )
+    return (
+        d.withColumn("canonical_url", canonicalize_url("url"))
+        .withColumn("host", host_of("url"))
+        .withColumn("reg_domain", registered_domain("host"))
+        .select("doc_id", "url", "canonical_url", "host", "reg_domain")
+    )
+
+
+_D_SYNTH_URL = _SYNTH_URL.replace("cast(doc_id as string)", "CAST(doc_id AS VARCHAR)")
+
+O_URL_CANON = f"""
+WITH u0 AS (SELECT doc_id, {_D_SYNTH_URL} AS url FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM u0),
+s2 AS (SELECT doc_id, url, nf,
+              regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS sh
+       FROM s1),
+s3 AS (SELECT doc_id, url,
+              lower(sh) || substr(nf, length(sh) + 1) AS lowered, sh, nf
+       FROM s2),
+s4 AS (SELECT doc_id, url,
+              regexp_replace(regexp_replace(lowered,
+                '^(http://[^/:?#]+):80($|[/?#])', '\\1\\2'),
+                '^(https://[^/:?#]+):443($|[/?#])', '\\1\\2') AS np
+       FROM s3),
+s5 AS (SELECT doc_id, url,
+              regexp_replace(np, '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g') AS t1
+       FROM s4),
+s6 AS (SELECT doc_id, url,
+              regexp_replace(regexp_replace(t1,
+                '\\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&', '?'),
+                '\\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$', '') AS t2
+       FROM s5),
+canon AS (SELECT doc_id, url, regexp_replace(t2, '[?&]+$', '') AS canonical_url
+          FROM s6),
+h AS (SELECT doc_id, url, canonical_url,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+      FROM canon),
+lab AS (SELECT doc_id, url, canonical_url, host, string_split(host, '.') AS ls FROM h)
+SELECT doc_id, url, canonical_url, host,
+       CASE WHEN len(ls) <= 2 THEN host
+            WHEN array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.') IN
+                 ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au', 'net.au', 'org.au',
+                  'co.jp', 'ne.jp', 'or.jp', 'co.nz', 'com.br', 'com.cn', 'co.in', 'co.kr')
+            THEN array_to_string(list_slice(ls, len(ls) - 2, len(ls)), '.')
+            ELSE array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.') END AS reg_domain
+FROM lab
+"""

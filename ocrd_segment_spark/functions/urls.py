@@ -1,0 +1,98 @@
+"""URL canonicalization for web-corpus keys.
+
+Dedup and leakage-safe splitting key on the url (BASELINE.json
+input_hint), and raw crawl urls carry noise that splinters those keys:
+mixed-case scheme/host, default ports, fragments, tracking parameters.
+This module pins a FROZEN canonicalization so the same page always
+produces the same key — the operators are regexp chains written in the
+common subset of Java regex (Spark) and RE2 (DuckDB): no lookaround,
+no backreferences in patterns, non-capturing groups only.
+
+Frozen steps of :func:`canonicalize_url`, in order:
+1. strip the fragment (``#...``);
+2. lowercase ``scheme://authority`` (path/query case is preserved —
+   paths are case-sensitive per RFC 3986);
+3. drop default ports (``http://h:80`` → ``http://h``, ``https://h:443``);
+4. drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``) wherever
+   they appear in the query;
+5. strip a trailing ``?`` / ``&`` left by step 4.
+
+Deliberate non-steps (documented semantics, not omissions): no
+``www.`` stripping and no query-parameter reordering — both change
+which resource is referenced or reorder server-meaningful parameters.
+
+Everything is a narrow column expression — evaluated in the scan
+stage, zero shuffle, safe to apply inline before any url-keyed
+groupBy/join at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# authority matcher: scheme '://' then everything up to path/query/frag
+_SCHEME_AUTH = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+_TRACKERS = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)"
+
+# two-level public suffixes where the registered domain is three labels
+# (a pragmatic builtin subset of the public-suffix list; extend as data
+# demands — the STRUCTURE, last-2-vs-last-3 labels, is the operator)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.nz", "com.br", "com.cn", "co.in", "co.kr",
+)
+
+
+def canonicalize_url(col: str) -> Column:
+    """Canonical url (see module docstring for the frozen five steps)."""
+    return F.expr(canonicalize_url_sql(col))
+
+
+def canonicalize_url_sql(col: str) -> str:
+    """The Spark-SQL expression string (shared with tests/docs)."""
+    no_frag = f"regexp_replace({col}, '#.*$', '')"
+    sh = f"regexp_extract({no_frag}, '{_SCHEME_AUTH}', 0)"
+    # lowercase the authority, keep the rest byte-for-byte
+    lowered = (
+        f"concat(lower({sh}), substring({no_frag}, length({sh}) + 1))"
+    )
+    no_port = (
+        f"regexp_replace(regexp_replace({lowered},"
+        f" '^(http://[^/:?#]+):80($|[/?#])', '$1$2'),"
+        f" '^(https://[^/:?#]+):443($|[/?#])', '$1$2')"
+    )
+    # non-first trackers ('&utm_x=...'): each match starts at its own
+    # '&', so adjacent trackers are consecutive non-overlapping matches
+    no_amp_trk = f"regexp_replace({no_port}, '&{_TRACKERS}=[^&#]*', '')"
+    # first-position tracker: followed by more params, or the only param
+    no_q_trk = (
+        f"regexp_replace(regexp_replace({no_amp_trk},"
+        f" '\\\\?{_TRACKERS}=[^&#]*&', '?'),"
+        f" '\\\\?{_TRACKERS}=[^&#]*$', '')"
+    )
+    return f"regexp_replace({no_q_trk}, '[?&]+$', '')"
+
+
+def host_of(col: str) -> Column:
+    """Lowercased host (no port, no userinfo beyond '@' handling is
+    frozen OUT: crawl urls with userinfo are rejected upstream)."""
+    return F.expr(
+        f"lower(regexp_extract({col}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))"
+    )
+
+
+def registered_domain(host_col: str) -> Column:
+    """Registered domain from a host: last two labels, or last three
+    when the last two are a known two-level public suffix."""
+    suffixes = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return F.expr(
+        f"CASE WHEN size(split({host_col}, '\\\\.')) <= 2 THEN {host_col}"
+        f" WHEN array_join(slice(split({host_col}, '\\\\.'),"
+        f"      size(split({host_col}, '\\\\.')) - 1, 2), '.') IN ({suffixes})"
+        f" THEN array_join(slice(split({host_col}, '\\\\.'),"
+        f"      size(split({host_col}, '\\\\.')) - 2, 3), '.')"
+        f" ELSE array_join(slice(split({host_col}, '\\\\.'),"
+        f"      size(split({host_col}, '\\\\.')) - 1, 2), '.') END"
+    )

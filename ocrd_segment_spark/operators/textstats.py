@@ -71,3 +71,170 @@ def lang_id_col(text_col: str = "text") -> Column:
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", lang_id_col(text_col))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate quality signals (Gopher-style rules)
+# ---------------------------------------------------------------------------
+# Public heuristics from the large-LM data-curation literature (Gopher /
+# MassiveText, C4): natural text is penalized for duplicated lines and
+# over-frequent n-grams, degenerate symbol runs, and non-alphabetic
+# tokens. The reference has no corpus-quality surface (it is page-
+# complete); this is the training-data-pipeline operator the engine
+# adds on top. Frozen semantics (contract oracle states the same math):
+#
+# - lines: split on '\n', empties dropped (extraction output joins
+#   regions with '\n' — config.region_separator);
+# - dup_line_fraction      = 1 - distinct_lines / lines
+# - dup_line_char_fraction = chars in 2nd+ occurrences / total line chars
+# - mean_word_length       = token chars / tokens
+# - symbol_word_ratio      = (count '#' + count '...' + count '…') / tokens
+# - alpha_word_fraction    = tokens containing [A-Za-z] / tokens
+# - dup_2gram_fraction     = 1 - distinct adjacent word-2-grams / 2-grams
+# all doubles rounded to 6; zero-denominator cases pinned (no ANSI
+# divide error): no lines/tokens → ratios 0.0, except alpha_word_
+# fraction → 1.0 (an empty doc has no non-alpha evidence).
+#
+# Everything here is pure column math — narrow, zero shuffle, evaluated
+# inside the scan stage. The one counting signal that genuinely needs
+# an aggregation (top single 2-gram multiplicity) is the separate
+# explode-shaped ``top_ngram_stats``.
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add the narrow Gopher-style signal columns. Intermediates are
+    materialized as columns (interpreted HOFs have no CSE — the
+    measured trap), then dropped."""
+    d = (
+        df.withColumn("_lines", F.expr(f"filter(split({text_col}, '\\n'), x -> x != '')"))
+        .withColumn("_dlines", F.expr("array_distinct(_lines)"))
+        .withColumn("_toks", tokens_col(text_col))
+        .withColumn("_n_toks", F.expr("size(_toks)"))
+        .withColumn(
+            "_grams",
+            F.expr(
+                "CASE WHEN _n_toks < 2 THEN array()"
+                " ELSE zip_with(slice(_toks, 1, _n_toks - 1),"
+                "               slice(_toks, 2, _n_toks - 1),"
+                "               (a, b) -> concat(a, ' ', b)) END"
+            ),
+        )
+        .withColumn("_lchars", F.expr("aggregate(_lines, 0L, (a, x) -> a + length(x))"))
+        .withColumn("_dchars", F.expr("aggregate(_dlines, 0L, (a, x) -> a + length(x))"))
+    )
+    out = (
+        d.withColumn("n_lines", F.expr("cast(size(_lines) as bigint)"))
+        .withColumn("n_tokens", F.expr("cast(_n_toks as bigint)"))
+        .withColumn(
+            "dup_line_fraction",
+            F.expr(
+                "CASE WHEN size(_lines) = 0 THEN 0.0D ELSE"
+                " round((size(_lines) - size(_dlines)) * 1.0D / size(_lines), 6) END"
+            ),
+        )
+        .withColumn(
+            "dup_line_char_fraction",
+            F.expr(
+                "CASE WHEN _lchars = 0 THEN 0.0D ELSE"
+                " round((_lchars - _dchars) * 1.0D / _lchars, 6) END"
+            ),
+        )
+        .withColumn(
+            "mean_word_length",
+            F.expr(
+                "CASE WHEN _n_toks = 0 THEN 0.0D ELSE"
+                " round(aggregate(_toks, 0L, (a, t) -> a + length(t)) * 1.0D / _n_toks, 6) END"
+            ),
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            F.expr(
+                f"CASE WHEN _n_toks = 0 THEN 0.0D ELSE"
+                f" round((regexp_count({text_col}, '#')"
+                f" + regexp_count({text_col}, '\\\\.\\\\.\\\\.')"
+                f" + regexp_count({text_col}, '…')) * 1.0D / _n_toks, 6) END"
+            ),
+        )
+        .withColumn(
+            "alpha_word_fraction",
+            F.expr(
+                "CASE WHEN _n_toks = 0 THEN 1.0D ELSE"
+                " round(size(filter(_toks, t -> t rlike '[A-Za-z]')) * 1.0D / _n_toks, 6) END"
+            ),
+        )
+        .withColumn(
+            "dup_2gram_fraction",
+            F.expr(
+                "CASE WHEN size(_grams) = 0 THEN 0.0D ELSE"
+                " round((size(_grams) - size(array_distinct(_grams))) * 1.0D"
+                " / size(_grams), 6) END"
+            ),
+        )
+    )
+    return out.drop("_lines", "_dlines", "_toks", "_n_toks", "_grams", "_lchars", "_dchars")
+
+
+def top_ngram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(id, n_ngrams, top_ngram_count, top_ngram_fraction): multiplicity
+    of the single most frequent adjacent word-n-gram — the Gopher
+    "fraction in the most common n-gram" rule (count-based variant: no
+    argmax content, so ties cannot make the result nondeterministic).
+
+    Shape at scale: explode → two hash aggregations. The first groups
+    on (id, gram) — fine-grained keys, partial map-side combine; the
+    second on id. No corpus-wide key exists anywhere, so no skew:
+    a viral gram is still spread across its documents. Documents with
+    fewer than n tokens produce no row (left-join + coalesce 0
+    downstream if every doc must appear)."""
+    toked = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).withColumn(
+        "_toks", tokens_col("text")
+    )
+    win = n - 1
+    grams = toked.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_toks) <= {win} THEN array()"
+                f" ELSE zip_with(slice(_toks, 1, size(_toks) - {win}),"
+                f"               slice(_toks, {n}, size(_toks) - {win}),"
+                f"               (a, b) -> concat(a, ' ', b)) END"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.max("cnt").alias("top_ngram_count"),
+        F.round(F.max("cnt") * F.lit(1.0) / F.sum("cnt"), 6).alias("top_ngram_fraction"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    *,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_length: float = 3.0,
+    max_mean_word_length: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_fraction: float = 0.8,
+    max_dup_line_fraction: float = 0.3,
+    max_dup_2gram_fraction: float = 0.2,
+) -> DataFrame:
+    """Add a ``passes`` flag from the signal columns (call
+    ``with_repetition_signals`` first). Thresholds default to the
+    published Gopher rules; tune per corpus. Pure predicate — stays in
+    the same narrow stage as the signals."""
+    return df.withColumn(
+        "passes",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_word_length") >= min_mean_word_length)
+        & (F.col("mean_word_length") <= max_mean_word_length)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("alpha_word_fraction") >= min_alpha_word_fraction)
+        & (F.col("dup_line_fraction") <= max_dup_line_fraction)
+        & (F.col("dup_2gram_fraction") <= max_dup_2gram_fraction),
+    )

@@ -1,0 +1,156 @@
+"""Corpus-quality operators: Gopher-style repetition signals,
+corpus-frequency boilerplate removal, url canonicalization."""
+
+from pyspark.sql import functions as F
+
+from ocrd_segment_spark.functions.urls import (
+    canonicalize_url,
+    host_of,
+    registered_domain,
+)
+from ocrd_segment_spark.operators.paragraphs import remove_frequent_units
+from ocrd_segment_spark.operators.textstats import (
+    gopher_filter,
+    top_ngram_stats,
+    with_repetition_signals,
+)
+
+
+def _sig_row(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return with_repetition_signals(df).collect()[0]
+
+
+def test_repetition_signals_duplicate_lines(spark):
+    r = _sig_row(spark, "the cat sat\nthe cat sat\nhello world now")
+    assert r["n_lines"] == 3 and r["n_tokens"] == 9
+    assert r["dup_line_fraction"] == 0.333333
+    # dup chars = 11 of 37 total line chars (2nd "the cat sat")
+    assert r["dup_line_char_fraction"] == round(11 / 37, 6)
+    assert r["alpha_word_fraction"] == 1.0
+
+
+def test_repetition_signals_degenerate_and_empty(spark):
+    r = _sig_row(spark, "a b a b a b a b")
+    assert r["dup_2gram_fraction"] == round(5 / 7, 6)  # 7 grams, 2 distinct
+    e = _sig_row(spark, "")
+    # zero-denominator pins: ratios 0, alpha 1 (no non-alpha evidence)
+    assert e["n_tokens"] == 0 and e["dup_line_fraction"] == 0.0
+    assert e["alpha_word_fraction"] == 1.0 and e["mean_word_length"] == 0.0
+
+
+def test_repetition_signals_symbols(spark):
+    r = _sig_row(spark, "### ... … word here")
+    assert r["symbol_word_ratio"] == round(5 / 5, 6)  # 3x'#' + '...' + '…'
+    assert r["alpha_word_fraction"] == 0.4
+
+
+def test_top_ngram_is_count_based_and_tie_safe(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "one two"), (3, "w")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in top_ngram_stats(df).collect()}
+    # doc 1: grams [x y, y x, x y, y x, x y] -> top 3 of 5
+    assert rows[1]["top_ngram_count"] == 3 and rows[1]["n_ngrams"] == 5
+    assert rows[1]["top_ngram_fraction"] == 0.6
+    assert rows[2]["top_ngram_count"] == 1
+    assert 3 not in rows  # <2 tokens: no row (documented)
+
+
+def test_gopher_filter_thresholds(spark):
+    df = spark.createDataFrame(
+        [(1, "normal sentence with several reasonable english words okay"),
+         (2, "a a a a a a a a a a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["passes"]
+        for r in gopher_filter(
+            with_repetition_signals(df), min_tokens=5
+        ).collect()
+    }
+    assert out[1] is True
+    assert out[2] is False  # mean word length 1, dup 2-grams 8/9
+
+
+def test_remove_frequent_units_order_and_counts(spark):
+    rows = [
+        (1, "keep one\nboiler\nkeep two"),
+        (2, "boiler\nunique a"),
+        (3, "unique b\nboiler"),
+        (4, "boiler\nboiler\nsolo"),  # in-doc repeat counts once for freq
+        (5, "boiler only\nboiler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_frequent_units(df, min_doc_freq=3).collect()
+    }
+    assert out[1]["clean_text"] == "keep one\nkeep two"  # order preserved
+    assert out[4]["clean_text"] == "solo" and out[4]["n_removed"] == 2
+    assert out[5]["clean_text"] == "boiler only"
+    assert all(out[i]["n_kept"] + out[i]["n_removed"] >= 1 for i in out)
+
+
+def test_remove_frequent_units_keeps_emptied_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "spam"), (2, "spam"), (3, "spam"), (4, "real content")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_frequent_units(df, min_doc_freq=3).collect()}
+    assert len(out) == 4  # emptied docs keep their row
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[4]["clean_text"] == "real content"
+
+
+def test_canonicalize_url_steps(spark):
+    cases = {
+        # fragment + case + default port + mid-query tracker
+        "HTTP://WWW.Example.COM:80/Path/Page?q=1&utm_source=x#frag":
+            "http://www.example.com/Path/Page?q=1",
+        # https default port + adjacent trackers first
+        "https://news.example.co.uk:443/a?utm_a=1&utm_b=2&q=3":
+            "https://news.example.co.uk/a?q=3",
+        # tracker as only param; path case preserved
+        "https://Sub.Host.COM/CaseKept?fbclid=abc": "https://sub.host.com/CaseKept",
+        # non-default port kept; non-matching scheme/port combo kept
+        "http://h.com:8080/p": "http://h.com:8080/p",
+        "https://h.com:80/p": "https://h.com:80/p",
+        # not a url: unchanged
+        "not a url": "not a url",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).withColumn("c", canonicalize_url("url"))
+    got = {r["url"]: r["c"] for r in df.collect()}
+    assert got == cases
+
+
+def test_host_and_registered_domain(spark):
+    df = (
+        spark.createDataFrame(
+            [("https://a.b.news.example.co.uk:443/x",),
+             ("http://single.org/p",), ("http://localhost/x",)],
+            "url string",
+        )
+        .withColumn("h", host_of("url"))
+        .withColumn("rd", registered_domain("h"))
+    )
+    rows = {r["url"]: (r["h"], r["rd"]) for r in df.collect()}
+    assert rows["https://a.b.news.example.co.uk:443/x"] == (
+        "a.b.news.example.co.uk", "example.co.uk")
+    assert rows["http://single.org/p"] == ("single.org", "single.org")
+    assert rows["http://localhost/x"] == ("localhost", "localhost")
+
+
+def test_quality_ops_stay_narrow(spark):
+    """Signals and canonicalization must not introduce a shuffle."""
+    df = spark.createDataFrame([(1, "a b c", "http://X.com/p")],
+                               "doc_id long, text string, url string")
+    plan = (
+        with_repetition_signals(df)
+        .withColumn("c", canonicalize_url("url"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
