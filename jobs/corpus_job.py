@@ -15,7 +15,9 @@ Stages (each narrow or one bounded shuffle):
                  shuffle-free mapInPandas kernel path.
 2. score       — quality + language id (operators/textstats): pure
                  column math, still narrow.
-3. filter      — quality/token/lang thresholds: pushable predicates.
+3. filter      — quality/token/lang thresholds: pushable predicates;
+                 ``--gopher`` adds the repetition-rule drop stage
+                 (still the same narrow pass).
 4. exact dedup — keep the canonical (min url) copy per content hash:
                  ONE shuffle on md5(extracted_text); near-dup passes
                  (MinHash LSH) run as a separate offline audit because
@@ -23,6 +25,11 @@ Stages (each narrow or one bounded shuffle):
 5. write       — training docs + a per-stage accounting table so every
                  dropped document is attributable (the A8/A9 audit
                  discipline applied to the corpus funnel).
+6. post-write (optional, each reads the committed parquet rather than
+   branching the live DAG — re-extraction is never triggered):
+   ``--boilerplate-min-df N`` writes ``<output>_clean`` with
+   cross-document frequent lines removed; ``--near-dup-audit`` writes
+   LSH-then-verify candidate pairs.
 """
 
 from __future__ import annotations
@@ -38,6 +45,19 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--langs", default=None, help="comma list; default: keep all")
+    ap.add_argument(
+        "--gopher",
+        action="store_true",
+        help="apply the Gopher-style repetition/quality rules"
+        " (operators/textstats.gopher_filter defaults) as a drop stage",
+    )
+    ap.add_argument(
+        "--boilerplate-min-df",
+        type=int,
+        default=None,
+        help="remove lines occurring in >= N distinct corpus documents"
+        " (C4-style cross-document boilerplate strip); adds clean_text",
+    )
     ap.add_argument(
         "--near-dup-audit",
         default=None,
@@ -58,6 +78,8 @@ def main() -> None:
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
+        gopher=args.gopher,
+        boilerplate_min_df=args.boilerplate_min_df,
         near_dup_audit=args.near_dup_audit,
         python_parallelism=args.python_parallelism,
     )
@@ -72,6 +94,8 @@ def build_corpus(
     min_quality: float = 0.5,
     min_tokens: int = 5,
     langs: list[str] | None = None,
+    gopher: bool = False,
+    boilerplate_min_df: int | None = None,
     near_dup_audit: str | None = None,
     python_parallelism: int | None = None,
 ) -> dict:
@@ -79,7 +103,12 @@ def build_corpus(
     counts dict that is also written to ``stats_path``."""
     from pyspark.sql import Observation, Window as W, functions as F
 
-    from ocrd_segment_spark.operators.textstats import with_lang_id, with_quality
+    from ocrd_segment_spark.operators.textstats import (
+        gopher_filter,
+        with_lang_id,
+        with_quality,
+        with_repetition_signals,
+    )
     from ocrd_segment_spark.pipeline import extract_pages
 
     pages = spark.read.parquet(input_path)
@@ -96,6 +125,27 @@ def build_corpus(
         scored = scored.withColumn("keep_lang", F.col("pred_lang").isin(langs))
     else:
         scored = scored.withColumn("keep_lang", F.lit(True))
+    if gopher:
+        # the repetition signals are pure column math — this stage stays
+        # inside the same narrow pass as quality/lang scoring (no join:
+        # a url-keyed self-join here would branch the lineage and run
+        # the mapInPandas extraction twice). with_repetition_signals
+        # re-derives n_tokens with the identical tokenization
+        # with_quality used, so the column replacement is value-exact.
+        _sig_cols = (
+            "n_lines", "dup_line_fraction", "dup_line_char_fraction",
+            "mean_word_length", "symbol_word_ratio", "alpha_word_fraction",
+            "dup_2gram_fraction",
+        )
+        scored = (
+            gopher_filter(
+                with_repetition_signals(scored, text_col="extracted_text")
+            )
+            .withColumnRenamed("passes", "keep_gopher")
+            .drop(*_sig_cols)
+        )
+    else:
+        scored = scored.withColumn("keep_gopher", F.lit(True))
 
     # funnel counters ride the write action as an Observation — the
     # extraction (the expensive stage) runs exactly ONCE; coalesce
@@ -112,11 +162,29 @@ def build_corpus(
             F.lit(0),
         ).alias("dropped_lang"),
         F.coalesce(
-            F.sum((F.col("keep_quality") & F.col("keep_lang")).cast("long")),
+            F.sum(
+                (
+                    F.col("keep_quality")
+                    & F.col("keep_lang")
+                    & ~F.col("keep_gopher")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("dropped_gopher"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("keep_quality")
+                    & F.col("keep_lang")
+                    & F.col("keep_gopher")
+                ).cast("long")
+            ),
             F.lit(0),
         ).alias("kept_after_filters"),
     )
-    kept = scored.filter(F.col("keep_quality") & F.col("keep_lang"))
+    kept = scored.filter(
+        F.col("keep_quality") & F.col("keep_lang") & F.col("keep_gopher")
+    )
 
     # exact dedup, canonical row kept: rank within content hash by url
     # (deterministic) — one shuffle, fine-grained key, no global sort
@@ -126,7 +194,7 @@ def build_corpus(
         .withColumn("is_canonical", F.col("_rn") == 1)
     )
     out = deduped.filter("is_canonical").drop(
-        "_rn", "is_canonical", "keep_quality", "keep_lang"
+        "_rn", "is_canonical", "keep_quality", "keep_lang", "keep_gopher"
     )
     # the corpus row count rides the SAME write action as a second
     # Observation — no re-scan of the written output (at 100 TB a
@@ -141,14 +209,38 @@ def build_corpus(
         "pages": counts["pages"],
         "dropped_quality": counts["dropped_quality"],
         "dropped_lang": counts["dropped_lang"],
+        "dropped_gopher": counts["dropped_gopher"],
         "kept_after_filters": counts["kept_after_filters"],
         "dropped_exact_dup": counts["kept_after_filters"] - n_out,
         "corpus_docs": n_out,
     }
     # stats schema is FIXED regardless of flags (append-mode parquet
     # readback resolves the schema from one file footer — conditional
-    # keys would be nondeterministically dropped); -1 = audit not run
+    # keys would be nondeterministically dropped); -1 = stage not run
     funnel["near_dup_candidates"] = -1
+    funnel["boilerplate_units_removed"] = -1
+    if boilerplate_min_df is not None:
+        # C4-style cross-document line removal, run over the WRITTEN
+        # corpus (like the near-dup audit: reading committed parquet is
+        # one cheap column scan; deriving it from live lineage would
+        # branch the DAG and re-run the mapInPandas extraction). Writes
+        # a sibling table (url, clean_text, n_kept, n_removed) — span
+        # offsets in the main table keep referring to extracted_text.
+        from ocrd_segment_spark.operators.paragraphs import remove_frequent_units
+
+        corpus = spark.read.parquet(output_path)
+        cleaned = remove_frequent_units(
+            corpus,
+            id_col="url",
+            text_col="extracted_text",
+            min_doc_freq=boilerplate_min_df,
+        )
+        b_obs = Observation("boiler")
+        cleaned = cleaned.observe(
+            b_obs, F.coalesce(F.sum("n_removed"), F.lit(0)).alias("n")
+        )
+        cleaned.write.mode("overwrite").parquet(output_path + "_clean")
+        funnel["boilerplate_units_removed"] = b_obs.get["n"]
     if near_dup_audit is not None:
         # LSH-then-verify over the WRITTEN corpus: MinHash-LSH proposes
         # candidate pairs (bucketed, hot-bucket capped), exact 3-gram

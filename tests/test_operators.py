@@ -293,6 +293,45 @@ def test_corpus_job_funnel(spark, tmp_path):
     assert spark.read.parquet(out).count() == 6  # audit-only, no drops
 
 
+def test_corpus_job_gopher_and_boilerplate_stages(spark, tmp_path):
+    """--gopher drops repetition-degenerate pages (attributed in the
+    funnel); --boilerplate-min-df writes <output>_clean with corpus-
+    frequent lines removed, without touching the main table."""
+    import pandas as pd
+    from jobs.corpus_job import build_corpus
+
+    rows = []
+    # 4 good pages sharing a boilerplate paragraph + a unique one;
+    # the body must be repetition-free or the gopher dup-2-gram rule
+    # (correctly) fires on it
+    words = " ".join(f"abc{j} defg{j}" for j in range(30))
+    for i in range(4):
+        html = (f"<html><body><p>cookie banner accept all</p>"
+                f"<p>{words} unique{i}</p></body></html>")
+        rows.append((f"doc{i}", html.encode()))
+    # degenerate page: one token repeated — passes the basic quality
+    # score (4-char tokens are not "short", 80 tokens), fails the
+    # gopher dup-2-gram rule
+    rows.append(("spam", ("<html><body><p>" + "spam " * 80 + "</p></body></html>").encode()))
+    pdf = pd.DataFrame(rows, columns=["url", "html"])
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "corpus")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    funnel = build_corpus(
+        spark, src, out, min_tokens=5, gopher=True, boilerplate_min_df=3
+    )
+    assert funnel["dropped_gopher"] == 1 and funnel["corpus_docs"] == 4
+    main = spark.read.parquet(out)
+    assert "clean_text" not in main.columns  # main table untouched
+    clean = {r["url"]: r for r in spark.read.parquet(out + "_clean").collect()}
+    assert len(clean) == 4
+    assert all(r["n_removed"] == 1 for r in clean.values())  # the banner
+    assert all("cookie banner" not in r["clean_text"] for r in clean.values())
+    assert all(f"unique{i}" in clean[f"doc{i}"]["clean_text"] for i in range(4))
+    assert funnel["boilerplate_units_removed"] == 4
+
+
 def test_apply_coco_duplicate_file_name_refused(spark):
     """file_name is NOT a key in COCO — a duplicated exact name must
     not fan the page join out (frozen rule: ambiguous → refused)."""
@@ -355,8 +394,9 @@ def test_corpus_job_empty_input(spark, tmp_path):
     funnel = build_corpus(spark, src, str(tmp_path / "corpus"))
     assert funnel == {
         "pages": 0, "dropped_quality": 0, "dropped_lang": 0,
-        "kept_after_filters": 0, "dropped_exact_dup": 0, "corpus_docs": 0,
-        "near_dup_candidates": -1,
+        "dropped_gopher": 0, "kept_after_filters": 0,
+        "dropped_exact_dup": 0, "corpus_docs": 0,
+        "near_dup_candidates": -1, "boilerplate_units_removed": -1,
     }
 
 
