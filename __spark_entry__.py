@@ -119,6 +119,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_rules": M.q_gopher_quality_rules,
     "paragraph_dedup": M.q_paragraph_dedup,
     "url_canonicalize": M.q_url_canonicalize,
+    "pii_redaction": M.q_pii_redaction,
+    "decontaminate_benchmark": M.q_decontaminate,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
@@ -220,6 +222,8 @@ _ORACLES: dict[str, str] = {
     "gopher_quality_rules": M.O_GOPHER,
     "paragraph_dedup": M.O_PARAGRAPH_DEDUP,
     "url_canonicalize": M.O_URL_CANON,
+    "pii_redaction": M.O_PII,
+    "decontaminate_benchmark": M.O_DECONTAMINATE,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,

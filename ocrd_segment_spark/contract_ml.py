@@ -1307,3 +1307,126 @@ SELECT doc_id, url, canonical_url, host,
             ELSE array_to_string(list_slice(ls, len(ls) - 1, len(ls)), '.') END AS reg_domain
 FROM lab
 """
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub (functions/pii): frozen email → IPv4 → phone regexp
+    chain + per-type counts. Narrow — redaction happens inside the
+    scan stage. PII is synthesized onto the documents so every chain
+    step is exercised."""
+    from .functions.pii import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat(text, CASE doc_id % 5"
+        " WHEN 0 THEN ' contact bob@example.com or x.y+z@sub.site.org now'"
+        " WHEN 1 THEN ' call +1 (555) 123-4567 soon'"
+        " WHEN 2 THEN ' host 10.0.0.77 up'"
+        " WHEN 3 THEN ' mixed a@b.co 10.0.0.1 +49 30 1234567'"
+        " ELSE '' END) as text",
+    )
+    return (
+        d.withColumn("red", F.expr("md5(" + _redact_sql("text") + ")"))
+        .withColumn("c", pii_counts("text"))
+        .select(
+            "doc_id",
+            F.col("red").alias("red_md5"),
+            "c.n_emails",
+            "c.n_ips",
+            "c.n_phones",
+        )
+    )
+
+
+def _redact_sql(col):
+    from .functions import pii
+
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({col},"
+        f" '{pii.EMAIL_RE}', '<EMAIL>'),"
+        f" '{pii.IPV4_RE}', '<IP>'),"
+        f" '{pii.PHONE_RE}', '<PHONE>')"
+    )
+
+
+def _pii_oracle():
+    from .functions import pii
+
+    # Spark SQL string literals process backslash escapes; DuckDB's do
+    # not — strip one escaping level for the RE2 side
+    em = pii.EMAIL_RE.replace("\\\\", "\\")
+    ip = pii.IPV4_RE.replace("\\\\", "\\")
+    ph = pii.PHONE_RE.replace("\\\\", "\\")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' contact bob@example.com or x.y+z@sub.site.org now'
+           WHEN 1 THEN ' call +1 (555) 123-4567 soon'
+           WHEN 2 THEN ' host 10.0.0.77 up'
+           WHEN 3 THEN ' mixed a@b.co 10.0.0.1 +49 30 1234567'
+           ELSE '' END AS text
+  FROM documents
+),
+st AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{em}', '<EMAIL>', 'g') AS ae
+  FROM t
+),
+st2 AS (SELECT doc_id, text, ae, regexp_replace(ae, '{ip}', '<IP>', 'g') AS ai FROM st)
+SELECT doc_id,
+       md5(regexp_replace(ai, '{ph}', '<PHONE>', 'g')) AS red_md5,
+       CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(ae, '{ip}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(ai, '{ph}')) AS BIGINT) AS n_phones
+FROM st2
+"""
+
+
+O_PII = _pii_oracle()
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontaminate): corpus docs
+    sharing any distinct word-5-gram shingle with the benchmark slice
+    (every 50th doc stands in for the eval set). The benchmark shingle
+    set is broadcast — the corpus side is a narrow scan + broadcast
+    semi-join + doc-keyed agg, no corpus-wide shuffle key."""
+    from .operators.decontaminate import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter("doc_id % 50 = 0")
+    out = contamination_flags(d, bench, n=5)
+    return out.selectExpr(
+        "doc_id", "n_overlap", "cast(contaminated as int) as contaminated"
+    )
+
+
+_D_COMPOSE5 = (
+    f"((((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P}"
+    f" * 131 + th[i+3]) % {P} * 131 + th[i+4]) % {P}"
+)
+
+O_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+th AS (
+  SELECT doc_id, list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
+  FROM t WHERE len(toks) >= 5
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 3),
+                                      i -> {_D_COMPOSE5})) AS shs
+  FROM th
+),
+ds AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+bs AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT d.doc_id, count(DISTINCT d.sh) AS n_overlap
+  FROM ds d JOIN bs USING (sh) GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(coalesce(h.n_overlap, 0) >= 1 AS INT) AS contaminated
+FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+"""

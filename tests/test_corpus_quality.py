@@ -154,3 +154,54 @@ def test_quality_ops_stay_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_redact_pii_chain(spark):
+    from ocrd_segment_spark.functions.pii import pii_counts, redact_pii
+
+    cases = {
+        "contact bob@example.com or j.d+x@sub.org today":
+            "contact <EMAIL> or <EMAIL> today",
+        "server at 192.168.1.77 and 999.1.2.3 up":  # syntactic IPs (frozen)
+            "server at <IP> and <IP> up",
+        "call +1 (555) 123-4567 or 020 7946 0958":
+            "call <PHONE> or <PHONE>",
+        "year 2026 and version 1.2.3 stay":  # no false positives
+            "year 2026 and version 1.2.3 stay",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {
+        r["text"]: r["red"]
+        for r in df.withColumn("red", redact_pii("text")).collect()
+    }
+    assert got == cases
+    c = (
+        df.withColumn("c", pii_counts("text"))
+        .selectExpr("sum(c.n_emails) e", "sum(c.n_ips) i", "sum(c.n_phones) p")
+        .collect()[0]
+    )
+    assert (c["e"], c["i"], c["p"]) == (2, 2, 2)
+
+
+def test_contamination_flags_broadcast_and_zero_rows_kept(spark):
+    from ocrd_segment_spark.operators.decontaminate import contamination_flags
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated clean training document text here"),
+         (3, "tiny")],  # < n tokens: no shingles, stays clean
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox jumps maybe")],
+        "doc_id long, text string",
+    )
+    out = contamination_flags(docs, bench, n=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 3  # every doc keeps its row
+    assert rows[1]["contaminated"] and rows[1]["n_overlap"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_overlap"] == 0
+    assert not rows[3]["contaminated"]
+    # benchmark side must be broadcast (never a corpus-wide shuffle)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
