@@ -29,7 +29,11 @@ Stages (each narrow or one bounded shuffle):
    branching the live DAG — re-extraction is never triggered):
    ``--boilerplate-min-df N`` writes ``<output>_clean`` with
    cross-document frequent lines removed; ``--near-dup-audit`` writes
-   LSH-then-verify candidate pairs.
+   LSH-then-verify candidate pairs; ``--decontaminate <bench>`` writes
+   ``<output>_contaminated`` (eval-set n-gram overlap, broadcast).
+   PII scrubbing (functions/pii.redact_pii) composes downstream on the
+   clean table — it rewrites text, so it must not touch the span-
+   aligned main table.
 """
 
 from __future__ import annotations
@@ -59,6 +63,13 @@ def main() -> None:
         " (C4-style cross-document boilerplate strip); adds clean_text",
     )
     ap.add_argument(
+        "--decontaminate",
+        default=None,
+        help="optional path: parquet of benchmark/eval documents"
+        " (doc_id, text); corpus docs sharing word-5-gram shingles with"
+        " it are written to <output>_contaminated for exclusion",
+    )
+    ap.add_argument(
         "--near-dup-audit",
         default=None,
         help="optional path: write MinHash-LSH candidate pairs over the"
@@ -80,6 +91,7 @@ def main() -> None:
         langs=args.langs.split(",") if args.langs else None,
         gopher=args.gopher,
         boilerplate_min_df=args.boilerplate_min_df,
+        decontaminate_path=args.decontaminate,
         near_dup_audit=args.near_dup_audit,
         python_parallelism=args.python_parallelism,
     )
@@ -96,6 +108,7 @@ def build_corpus(
     langs: list[str] | None = None,
     gopher: bool = False,
     boilerplate_min_df: int | None = None,
+    decontaminate_path: str | None = None,
     near_dup_audit: str | None = None,
     python_parallelism: int | None = None,
 ) -> dict:
@@ -219,6 +232,29 @@ def build_corpus(
     # keys would be nondeterministically dropped); -1 = stage not run
     funnel["near_dup_candidates"] = -1
     funnel["boilerplate_units_removed"] = -1
+    funnel["contaminated_docs"] = -1
+    if decontaminate_path is not None:
+        # benchmark decontamination over the WRITTEN corpus (post-write
+        # pattern again): the eval set's shingle hashes are broadcast,
+        # flagged urls land in <output>_contaminated so downstream
+        # training excludes them — an audit table, like the near-dup
+        # pairs, because dropping eval-overlapping docs is a reviewed
+        # decision, not an automatic one.
+        from ocrd_segment_spark.operators.decontaminate import contamination_flags
+
+        corpus = spark.read.parquet(output_path)
+        bench = spark.read.parquet(decontaminate_path)
+        flags = contamination_flags(
+            corpus,
+            bench,
+            id_col="url",
+            text_col="extracted_text",
+            benchmark_text_col="text",
+        ).filter("contaminated")
+        c_obs = Observation("contaminated")
+        flags = flags.observe(c_obs, F.count(F.lit(1)).alias("n"))
+        flags.write.mode("overwrite").parquet(output_path + "_contaminated")
+        funnel["contaminated_docs"] = c_obs.get["n"]
     if boilerplate_min_df is not None:
         # C4-style cross-document line removal, run over the WRITTEN
         # corpus (like the near-dup audit: reading committed parquet is

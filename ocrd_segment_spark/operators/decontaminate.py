@@ -49,11 +49,14 @@ def contamination_flags(
 
     Every corpus document keeps its row (overlap 0 when clean), so the
     output is a drop-mask joinable back by id."""
+    # the benchmark side needs no id — only its distinct shingle set
     bench_sh = (
-        _shingle_table(
-            benchmark, id_col, benchmark_text_col or text_col, n
+        benchmark.select(
+            F.col(benchmark_text_col or text_col).alias("text")
         )
-        .select("sh")
+        .withColumn("toks", H.tokens("text"))
+        .withColumn("th", H.token_hashes("toks"))
+        .select(F.explode(H.shingle_hashes("th", n)).alias("sh"))
         .distinct()
     )
     doc_sh = _shingle_table(docs, id_col, text_col, n)

@@ -318,8 +318,15 @@ def test_corpus_job_gopher_and_boilerplate_stages(spark, tmp_path):
     out = str(tmp_path / "corpus")
     spark.createDataFrame(pdf).write.parquet(src)
 
+    bench_path = str(tmp_path / "bench")
+    # benchmark shares doc1's unique token run -> doc1 is contaminated
+    spark.createDataFrame(
+        [(100, f"{words} unique1 extra benchmark phrasing")],
+        "doc_id long, text string",
+    ).write.parquet(bench_path)
     funnel = build_corpus(
-        spark, src, out, min_tokens=5, gopher=True, boilerplate_min_df=3
+        spark, src, out, min_tokens=5, gopher=True, boilerplate_min_df=3,
+        decontaminate_path=bench_path,
     )
     assert funnel["dropped_gopher"] == 1 and funnel["corpus_docs"] == 4
     main = spark.read.parquet(out)
@@ -330,6 +337,9 @@ def test_corpus_job_gopher_and_boilerplate_stages(spark, tmp_path):
     assert all("cookie banner" not in r["clean_text"] for r in clean.values())
     assert all(f"unique{i}" in clean[f"doc{i}"]["clean_text"] for i in range(4))
     assert funnel["boilerplate_units_removed"] == 4
+    cont = spark.read.parquet(out + "_contaminated").collect()
+    assert funnel["contaminated_docs"] == len(cont)
+    assert {r["url"] for r in cont} >= {"doc1"}  # shared 5-grams flagged
 
 
 def test_apply_coco_duplicate_file_name_refused(spark):
@@ -397,6 +407,7 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "dropped_gopher": 0, "kept_after_filters": 0,
         "dropped_exact_dup": 0, "corpus_docs": 0,
         "near_dup_candidates": -1, "boilerplate_units_removed": -1,
+        "contaminated_docs": -1,
     }
 
 
