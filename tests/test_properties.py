@@ -11,6 +11,7 @@
 
 import numpy as np
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from ocrd_segment_spark.kernel import intervals as iv
 from ocrd_segment_spark.kernel.extract import extract_document
@@ -201,3 +202,76 @@ def test_label_runs_match_python_rle(spark, labels_list):
             exp.append((ch, pos, pos + n))
             pos += n
         assert got[s] == exp, s
+
+
+# ------------------------------------------------- corpus-quality operators
+_urlish = st.text(
+    alphabet="abcXY019.:/?&=#%+-_()@ <>",
+    min_size=0,
+    max_size=40,
+)
+_piiish = st.text(
+    alphabet="abz AB09.@+-()<>#…",
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(st.lists(_urlish, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None)
+def test_canonicalize_url_idempotent(spark, urls):
+    """canonicalize ∘ canonicalize = canonicalize — the property that
+    makes the canonical url safe to use as a stored key (re-running the
+    pipeline over already-canonical urls must not change them)."""
+    from ocrd_segment_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.withColumn("c1", canonicalize_url("url"))
+    twice = once.withColumn("c2", canonicalize_url("c1"))
+    for r in twice.collect():
+        assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
+
+
+@given(st.lists(_piiish, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None)
+def test_redact_pii_idempotent_and_clean(spark, texts):
+    """Redaction is a fixpoint (re-scrubbing changes nothing) and the
+    output matches none of the three PII patterns."""
+    from ocrd_segment_spark.functions import pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.withColumn("r1", pii.redact_pii("text"))
+    twice = once.withColumn("r2", pii.redact_pii("r1"))
+    out = twice.withColumn(
+        "leftover",
+        F.expr(
+            f"regexp_count(r1, '{pii.EMAIL_RE}')"
+            f" + regexp_count(r1, '{pii.IPV4_RE}')"
+            f" + regexp_count(r1, '{pii.PHONE_RE}')"
+        ),
+    )
+    for r in out.collect():
+        assert r["r2"] == r["r1"], (r["text"], r["r1"], r["r2"])
+        assert r["leftover"] == 0, (r["text"], r["r1"])
+
+
+@given(st.lists(st.text(alphabet="ab \n", max_size=30), min_size=1, max_size=6))
+@settings(max_examples=15, deadline=None)
+def test_remove_frequent_units_identity_below_threshold(spark, texts):
+    """With min_doc_freq above the corpus size nothing is removed:
+    clean_text is the original modulo empty-unit normalization."""
+    from ocrd_segment_spark.operators.paragraphs import remove_frequent_units
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_frequent_units(
+            df, min_doc_freq=len(texts) + 1
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        expected = "\n".join(u for u in t.split("\n") if u != "")
+        assert out[i]["clean_text"] == expected
+        assert out[i]["n_removed"] == 0
