@@ -205,3 +205,66 @@ def test_contamination_flags_broadcast_and_zero_rows_kept(spark):
     # benchmark side must be broadcast (never a corpus-wide shuffle)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_url_and_pii_chains_match_duckdb_on_fuzz(spark):
+    """The contract oracles restate the url/PII regexp chains in RE2
+    (DuckDB) — this pins the Java-regex/RE2 common-subset claim on
+    deterministic fuzz input well beyond the synthesized contract urls
+    (quote/backslash/degenerate-port/empty-value cases included)."""
+    import random
+
+    import duckdb
+
+    from ocrd_segment_spark.functions import pii
+
+    rng = random.Random(42)
+    alpha = "abXY019.:/?&=#%+-_()@ <>'\\"
+    urls = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 50)))
+            for _ in range(150)]
+    urls += [
+        "http://a.com:80?utm_=1", "https://A.B:443#", "ftp://X.Y:80/p",
+        "http://:80/", "http://h:80:80/x", "HTTPS://h.co:443?utm_a=&utm_b=#f",
+        "http://h/??utm_x=1", "http://h/?&&utm_a=1&&",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.withColumn("c", canonicalize_url("url")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("create table t(i bigint, url varchar)")
+    con.executemany("insert into t values (?, ?)", list(enumerate(urls)))
+    want = dict(con.sql(r"""
+WITH s1 AS (SELECT i, regexp_replace(url, '#.*$', '') AS nf FROM t),
+s2 AS (SELECT i, nf, regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS sh FROM s1),
+s3 AS (SELECT i, lower(sh) || substr(nf, length(sh) + 1) AS lowered FROM s2),
+s4 AS (SELECT i, regexp_replace(regexp_replace(lowered,
+        '^(http://[^/:?#]+):80($|[/?#])', '\1\2'),
+        '^(https://[^/:?#]+):443($|[/?#])', '\1\2') AS np FROM s3),
+s5 AS (SELECT i, regexp_replace(np, '&(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g') AS t1 FROM s4),
+s6 AS (SELECT i, regexp_replace(regexp_replace(t1,
+        '\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&', '?'),
+        '\?(?:utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$', '') AS t2 FROM s5)
+SELECT i, regexp_replace(t2, '[?&]+$', '') FROM s6
+""").fetchall())
+    assert got == want
+
+    texts = ["".join(rng.choice("abz AB09.@+-()<>#…\\'") for _ in range(rng.randint(0, 60)))
+             for _ in range(150)]
+    texts += ["a@b.cd e@f.ghij", "1.2.3.4.5.6.7.8", "+((1234567))9",
+              "x@y.z", "..1.1.1.1..", "a@@b.com"]
+    from ocrd_segment_spark.functions.pii import redact_pii
+
+    df2 = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got2 = {r["i"]: r["r"] for r in df2.withColumn("r", redact_pii("text")).collect()}
+    em = pii.EMAIL_RE.replace("\\\\", "\\")
+    ip = pii.IPV4_RE.replace("\\\\", "\\")
+    ph = pii.PHONE_RE.replace("\\\\", "\\")
+    con.execute("create table p(i bigint, text varchar)")
+    con.executemany("insert into p values (?, ?)", list(enumerate(texts)))
+    want2 = dict(con.sql(f"""
+SELECT i, regexp_replace(regexp_replace(regexp_replace(text,
+  '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{ph}', '<PHONE>', 'g') FROM p
+""").fetchall())
+    assert got2 == want2
