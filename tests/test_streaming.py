@@ -288,3 +288,41 @@ def test_quality_scoring_is_streaming_capable(spark, tmp_path):
         tuple(r) for r in score(extract_pages(spark.read.parquet(src))).collect()
     )
     assert streamed == batch and len(batch) == 30
+
+
+def test_gopher_signals_are_streaming_capable(spark, tmp_path):
+    """The Gopher rule stage (repetition signals + pass flag) is pure
+    column math — it composes with streaming extraction exactly like
+    quality scoring: microbatch output equals batch output."""
+    from ocrd_segment_spark.operators.textstats import (
+        gopher_filter,
+        with_repetition_signals,
+    )
+    from ocrd_segment_spark.streaming.extract_stream import PAGES_SCHEMA
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "sig_out")
+    ckpt = str(tmp_path / "sig_ckpt")
+    spark.createDataFrame(pages_pandas(30)).write.parquet(src)
+
+    def rules(df):
+        return gopher_filter(
+            with_repetition_signals(df, text_col="extracted_text"),
+            min_tokens=5,
+        ).select(
+            "url", "n_tokens", "dup_line_fraction", "dup_2gram_fraction",
+            "mean_word_length", "passes",
+        )
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+    q = (
+        rules(extract_pages(pages)).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    streamed = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        tuple(r) for r in rules(extract_pages(spark.read.parquet(src))).collect()
+    )
+    assert streamed == batch and len(batch) == 30
