@@ -257,9 +257,12 @@ def main() -> None:
             ).agg(F.count("*")).collect()
         elif name == "corpus_job":
             corpus_warmup()
-        runs = 2 if name == "corpus_job" else 1  # noisiest headline:
-        # ~25 shuffle/write stages → most exposed to host-level load
-        # spikes on a shared box; best-of-2 like tools/bench_scaling
+        # best-of-2 for every query: the box is shared, and external
+        # co-tenant load (observed loadavg 15+ with this container
+        # idle) inflates single-shot timings up to ~6x; the second run
+        # usually lands in a quieter window. The corpus job is the
+        # noisiest (~25 shuffle/write stages) but all are exposed.
+        runs = 2
         best = None
         for _ in range(runs):
             spark._jvm.System.gc()
@@ -295,6 +298,11 @@ def main() -> None:
                 ),
                 "corpus_pages_per_sec": round(N_PAGES / timings["corpus_job"], 1),
                 "cpus": CPUS,
+                # host 1-min loadavg at finish: the box is shared, and
+                # external load inflates timings — read regressions
+                # against this (idle box ~= CPUS during a bench run;
+                # anything far above means co-tenant contention)
+                "load_1m": round(os.getloadavg()[0], 1),
             }
         )
     )
