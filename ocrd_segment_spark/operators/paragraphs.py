@@ -10,7 +10,9 @@ boilerplate heuristics (kernel stage 5 drops nav/link-farm regions
 WITHIN a page; this drops repeated text ACROSS pages).
 
 Frozen semantics:
-- units: split on ``sep``, EMPTY UNITS DROPPED (they carry no content
+- units: split on the LITERAL ``sep`` (escaped before reaching the
+  regex-based split — '.' or '|' separators must not explode into
+  per-character units), EMPTY UNITS DROPPED (they carry no content
   and would otherwise dominate doc-frequency);
 - doc_freq(unit) = number of distinct documents containing the unit
   (repeats inside one document count once);
@@ -34,6 +36,8 @@ Scale shape (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -46,7 +50,7 @@ def unit_doc_frequency(
     """(unit, doc_freq): distinct-document frequency of every text unit."""
     units = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), sep)).alias("unit"),
+        F.explode(F.split(F.col(text_col), re.escape(sep))).alias("unit"),
     ).filter(F.col("unit") != "")
     return (
         units.select("unit", "id")
@@ -69,7 +73,7 @@ def remove_frequent_units(
     ids = df.select(F.col(id_col).alias("id"))
     units = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "unit"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "unit"),
     ).filter(F.col("unit") != "")
     freq = unit_doc_frequency(df, id_col, text_col, sep)
     tagged = units.join(freq, "unit")
