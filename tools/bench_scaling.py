@@ -200,6 +200,30 @@ and inlining a word-array expression into per-line lambdas
 (interpreted HOFs re-evaluate it per line — 13 s vs 0.7 s per 10k
 docs; fixed by zip_with lambda binding).
 
+## Corpus curation at scale (round 3)
+
+The training-data curation surface added this round, with its 100 TB
+shape and the measured sf0.1 numbers (quiet-host best-of-2; the box is
+shared, read regressions against bench.py's load_1m field):
+
+- **corpus_job end-to-end** (extract → score → filter → exact dedup →
+  write + LSH-then-verify near-dup audit): **13.2 s / 100k pages**
+  on local[32] (~7.6k pages/s whole-pipeline). Funnel counters ride
+  the writes as Observations — zero re-scans.
+- **Gopher rules** (--gopher): pure column math inside the existing
+  scoring pass — adds no stage, no shuffle, no lineage branch.
+- **boilerplate strip** (--boilerplate-min-df): post-write over the
+  committed parquet; frequency = distinct (unit, doc) pairs →
+  partial-agg count, so a line in a billion docs combines map-side.
+  0.58 s over the sf0.1 documents table as a standing headline.
+- **benchmark decontamination** (--decontaminate): benchmark shingle
+  set broadcast; corpus side is scan + broadcast semi-join + doc-keyed
+  agg — no corpus-wide shuffle key. 0.35 s standing headline.
+- **url canonicalization / PII redaction**: narrow regexp chains in
+  the Java-regex/RE2 common subset, pinned byte-equal to the DuckDB
+  restatement on 300+ fuzz strings (tests/test_corpus_quality.py).
+
+
 ## End-to-end corpus pipeline (round 3)
 
 jobs/corpus_job.py (extract → quality/lang score → filter → exact
