@@ -121,6 +121,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonicalize": M.q_url_canonicalize,
     "pii_redaction": M.q_pii_redaction,
     "decontaminate_benchmark": M.q_decontaminate,
+    "ann_ivf_search": M.q_ann_ivf_search,
+    "domain_stats": M.q_domain_stats,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
@@ -224,6 +226,8 @@ _ORACLES: dict[str, str] = {
     "url_canonicalize": M.O_URL_CANON,
     "pii_redaction": M.O_PII,
     "decontaminate_benchmark": M.O_DECONTAMINATE,
+    "ann_ivf_search": M.O_ANN_IVF_SEARCH,
+    "domain_stats": M.O_DOMAIN_STATS,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,

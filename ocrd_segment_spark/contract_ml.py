@@ -1430,3 +1430,105 @@ SELECT doc.doc_id,
        CAST(coalesce(h.n_overlap, 0) >= 1 AS INT) AS contaminated
 FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
 """
+
+
+def q_ann_ivf_search(spark, sf_dir):
+    """Full IVF search path (operators/ann.ivf_search): probe the 2
+    nearest of 8 inverted lists per query, exact cosine within those
+    lists only, top-3 per query — the recall/cost dial the brute-force
+    baseline (ann_cosine_topk) is measured against. Centroids broadcast
+    to both sides; the only corpus-sized shuffle keys on the
+    centroid id."""
+    from .operators.ann import ivf_search
+
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    cents = e.filter(F.col("vec_id") < 8).selectExpr("vec_id as cid", "v as cv")
+    queries = e.filter("vec_id >= 8 and vec_id < 13").selectExpr(
+        "vec_id as qid", "v as qv"
+    )
+    return ivf_search(
+        e.selectExpr("vec_id as id", "v"), queries, cents, nprobe=2, k=3
+    )
+
+
+O_ANN_IVF_SEARCH = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13
+), assign AS (
+  SELECT vec_id AS id, v, cid, row_number() OVER (
+           PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+             (x, y) -> x + y) AS dist2
+    FROM e, c
+  )
+), lists AS (SELECT id, v, cid FROM assign WHERE rn = 1),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid, row_number() OVER (
+             PARTITION BY q.qid ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))),
+               (x, y) -> x + y) ASC, c.cid ASC) AS rn
+    FROM q, c
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.qid, l.id AS nid,
+         {_D_DOT.format(a="qv", b="v")} /
+         (sqrt({_D_DOT.format(a="qv", b="qv")}) * sqrt({_D_DOT.format(a="v", b="v")}))
+           AS cos
+  FROM lists l JOIN probes p ON l.cid = p.cid
+  WHERE l.id <> p.qid
+)
+SELECT qid, nid,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rnk,
+       round(cos, 6) AS cos
+FROM scored QUALIFY rnk <= 3
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus stats: the url functions feeding a
+    fine-grained aggregation (the shape of a per-site reputation pass;
+    at 100 TB the group key is the registered domain — millions of
+    keys, partial-agg combines map-side, hot domains ride AQE skew
+    splitting or the engine's salting operator)."""
+    from .functions.urls import canonicalize_url, host_of, registered_domain
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars", f"{_SYNTH_URL} as url"
+    )
+    return (
+        d.withColumn("canonical_url", canonicalize_url("url"))
+        .withColumn("host", host_of("url"))
+        .withColumn("reg_domain", registered_domain("host"))
+        .groupBy("reg_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("canonical_url").alias("n_urls"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+O_DOMAIN_STATS = f"""
+WITH u AS ({O_URL_CANON.replace('FROM documents', 'FROM documents').strip()}),
+j AS (
+  SELECT u.doc_id, u.canonical_url, u.host, u.reg_domain, d.n_chars
+  FROM u JOIN documents d ON u.doc_id = d.doc_id
+)
+SELECT reg_domain, count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts,
+       count(DISTINCT canonical_url) AS n_urls,
+       round(avg(n_chars), 6) AS avg_chars
+FROM j GROUP BY reg_domain
+"""

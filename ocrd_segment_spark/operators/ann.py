@@ -1,0 +1,96 @@
+"""Approximate-nearest-neighbor search operators over embedding columns.
+
+The engine's similarity-search ladder (SURVEY.md LLM-pipeline table):
+
+- brute-force cosine top-k — the EXACT baseline (contract_ml
+  ann_cosine_topk): q × N dot products, broadcast query side;
+- LSH buckets / IVF assignment — the bucketing halves;
+- :func:`ivf_search` (here) — the full scale path: probe the ``nprobe``
+  nearest inverted lists per query, score exactly WITHIN those lists
+  only, take per-query top-k. Recall/cost is dialed by ``nprobe``.
+
+Scale shape: centroids are broadcast to both sides (a centroid table
+is k·dim doubles — thousands of rows at 100 TB, never corpus-sized).
+The only corpus-sized shuffle keys on the centroid id; with the usual
+k ≈ √N centroids the lists are balanced by construction (k-means), and
+residual hot lists split under AQE. Per-query top-k windows on qid —
+fine-grained. All vector math is JVM-side column expressions
+(zip_with/aggregate dot products), no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# dot product of two array<double> columns, bound through zip_with so
+# the expression tree is evaluated once per element (HOF-CSE trap)
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0.0 as double), (acc, t) -> acc + t)"
+)
+_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0.0 as double), (acc, t) -> acc + t)"
+)
+
+
+def assign_to_centroids(
+    vectors: DataFrame, centroids: DataFrame, out_id: str = "id"
+) -> DataFrame:
+    """Nearest centroid (L2, ties to the smaller cid) for every vector:
+    (id, v, cid). ``vectors``: (id, v); ``centroids``: (cid, cv)."""
+    pairs = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2", F.expr(_L2.format(a="v", b="cv"))
+    )
+    w = W.partitionBy("id").orderBy(F.asc("dist2"), F.asc("cid"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id").alias(out_id), "v", "cid")
+    )
+
+
+def ivf_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(qid, nid, rnk, cos): exact cosine top-k per query, restricted
+    to the ``nprobe`` nearest inverted lists — the IVF search.
+
+    ``vectors``: (id, v array<double>); ``queries``: (qid, qv);
+    ``centroids``: (cid, cv). A query never returns itself (nid != qid;
+    ids share one space in the contract fixtures). Ties break
+    deterministically (dist2/cid on probe, cos desc/nid asc on rank)."""
+    lists = assign_to_centroids(vectors, centroids)
+    qpairs = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist2", F.expr(_L2.format(a="qv", b="cv"))
+    )
+    qw = W.partitionBy("qid").orderBy(F.asc("dist2"), F.asc("cid"))
+    probes = (
+        qpairs.withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    cand = lists.join(probes, "cid").filter(F.col("id") != F.col("qid"))
+    scored = cand.withColumn(
+        "cos",
+        F.expr(
+            f"{DOT.format(a='qv', b='v')} /"
+            f" (sqrt({DOT.format(a='qv', b='qv')})"
+            f" * sqrt({DOT.format(a='v', b='v')}))"
+        ),
+    )
+    rw = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("id").alias("nid"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

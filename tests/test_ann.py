@@ -1,0 +1,109 @@
+"""IVF search (operators/ann): correctness vs the exact baseline,
+recall behavior of the nprobe dial, and the broadcast plan shape."""
+
+import math
+import random
+
+from pyspark.sql import Window as W, functions as F
+
+from ocrd_segment_spark.operators.ann import assign_to_centroids, ivf_search
+
+
+def _clustered_vectors(spark, n_clusters=4, per_cluster=30, dim=8, seed=7):
+    """Well-separated clusters: IVF with enough probes must match the
+    exact baseline on them."""
+    rng = random.Random(seed)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [10.0 * (1 if (c >> b) & 1 else -1) for b in range(dim)]
+        for _ in range(per_cluster):
+            rows.append((vid, c, [x + rng.uniform(-1, 1) for x in center]))
+            vid += 1
+    return spark.createDataFrame(rows, "id long, true_c long, v array<double>")
+
+
+def _brute_topk(vectors, queries, k):
+    pairs = vectors.crossJoin(F.broadcast(queries)).filter("id != qid")
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, t) -> acc + t)"
+    )
+    scored = pairs.withColumn(
+        "cos",
+        F.expr(
+            f"{dot.format(a='qv', b='v')} / (sqrt({dot.format(a='qv', b='qv')})"
+            f" * sqrt({dot.format(a='v', b='v')}))"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("id").alias("nid"), "rnk")
+    )
+
+
+def test_assign_to_centroids_recovers_clusters(spark):
+    vecs = _clustered_vectors(spark)
+    # centroids = first member of each cluster (good enough: clusters
+    # are 20 units apart, jitter is ±1)
+    firsts = (
+        vecs.withColumn(
+            "rn", F.row_number().over(W.partitionBy("true_c").orderBy("id"))
+        )
+        .filter("rn = 1")
+        .selectExpr("true_c as cid", "v as cv")
+    )
+    assigned = assign_to_centroids(vecs.select("id", "v"), firsts)
+    joined = assigned.join(vecs.select("id", "true_c"), "id")
+    assert joined.filter("cid != true_c").count() == 0
+
+
+def test_ivf_search_matches_brute_force_with_full_probe(spark):
+    """nprobe = n_centroids degenerates IVF to the exact search."""
+    vecs = _clustered_vectors(spark)
+    firsts = (
+        vecs.withColumn(
+            "rn", F.row_number().over(W.partitionBy("true_c").orderBy("id"))
+        )
+        .filter("rn = 1")
+        .selectExpr("true_c as cid", "v as cv")
+    )
+    queries = vecs.filter("id % 17 = 0").selectExpr("id as qid", "v as qv")
+    exact = {
+        (r["qid"], r["rnk"]): r["nid"]
+        for r in _brute_topk(vecs.select("id", "v"), queries, 3).collect()
+    }
+    ivf = {
+        (r["qid"], r["rnk"]): r["nid"]
+        for r in ivf_search(
+            vecs.select("id", "v"), queries, firsts, nprobe=4, k=3
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_search_recall_and_plan(spark):
+    """nprobe=1 on well-separated clusters still finds the true
+    neighbors (they live in the query's own list), and the centroid
+    table is broadcast — never shuffled at corpus size."""
+    vecs = _clustered_vectors(spark)
+    firsts = (
+        vecs.withColumn(
+            "rn", F.row_number().over(W.partitionBy("true_c").orderBy("id"))
+        )
+        .filter("rn = 1")
+        .selectExpr("true_c as cid", "v as cv")
+    )
+    queries = vecs.filter("id % 23 = 0").selectExpr("id as qid", "v as qv")
+    out = ivf_search(vecs.select("id", "v"), queries, firsts, nprobe=1, k=3)
+    exact = {
+        (r["qid"], r["rnk"]): r["nid"]
+        for r in _brute_topk(vecs.select("id", "v"), queries, 3).collect()
+    }
+    got = {(r["qid"], r["rnk"]): r["nid"] for r in out.collect()}
+    hits = sum(1 for key, nid in exact.items() if got.get(key) == nid)
+    assert hits / len(exact) == 1.0  # separated clusters: full recall
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
