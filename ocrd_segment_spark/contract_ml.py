@@ -1339,14 +1339,9 @@ def q_pii_redaction(spark, sf_dir):
 
 
 def _redact_sql(col):
-    from .functions import pii
+    from .functions.pii import redact_pii_sql
 
-    return (
-        f"regexp_replace(regexp_replace(regexp_replace({col},"
-        f" '{pii.EMAIL_RE}', '<EMAIL>'),"
-        f" '{pii.IPV4_RE}', '<IP>'),"
-        f" '{pii.PHONE_RE}', '<PHONE>')"
-    )
+    return redact_pii_sql(col)
 
 
 def _pii_oracle():

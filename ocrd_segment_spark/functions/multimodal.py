@@ -36,8 +36,10 @@ def sniff_image(blob) -> tuple[str, int, int, int] | None:
     PNG / GIF / JPEG / BMP bytes, or None if no magic matches. Pure
     header arithmetic — never decodes pixels, never raises on
     truncated/garbage input (returns None instead)."""
-    b = bytes(blob)
+    if blob is None:
+        return None
     try:
+        b = bytes(blob)
         if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
             return (
                 "png",
@@ -50,7 +52,11 @@ def sniff_image(blob) -> tuple[str, int, int, int] | None:
                 "gif",
                 int.from_bytes(b[6:8], "little"),
                 int.from_bytes(b[8:10], "little"),
-                (b[10] & 0x07) + 1,
+                # bit depth: global-color-table size bits when the
+                # GCT-present flag (bit 7) is set; otherwise the
+                # colour-resolution field — the size bits are only
+                # meaningful with a GCT present
+                ((b[10] & 0x07) + 1) if b[10] & 0x80 else (((b[10] >> 4) & 0x07) + 1),
             )
         if b[:2] == b"BM" and len(b) >= 30:
             return (
@@ -80,7 +86,7 @@ def sniff_image(blob) -> tuple[str, int, int, int] | None:
                 if seglen < 2:
                     break
                 pos += 2 + seglen
-    except (IndexError, ValueError):  # pragma: no cover - defensive
+    except (IndexError, ValueError, TypeError):  # pragma: no cover - defensive
         return None
     return None
 

@@ -32,14 +32,22 @@ IPV4_RE = "\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b"
 PHONE_RE = "\\\\+?[0-9][0-9() -]{6,}[0-9]"
 
 
-def redact_pii(col: str) -> Column:
-    """Apply the frozen email → IPv4 → phone redaction chain."""
-    return F.expr(
+def redact_pii_sql(col: str) -> str:
+    """The Spark-SQL expression string for the frozen chain — the
+    single source the operator AND the contract query both build from
+    (same pattern as urls.canonicalize_url_sql), so a chain change
+    cannot leave the oracle checking a stale order."""
+    return (
         f"regexp_replace(regexp_replace(regexp_replace({col},"
         f" '{EMAIL_RE}', '<EMAIL>'),"
         f" '{IPV4_RE}', '<IP>'),"
         f" '{PHONE_RE}', '<PHONE>')"
     )
+
+
+def redact_pii(col: str) -> Column:
+    """Apply the frozen email → IPv4 → phone redaction chain."""
+    return F.expr(redact_pii_sql(col))
 
 
 def pii_counts(col: str) -> Column:

@@ -119,6 +119,21 @@ def parse_css_style(style_text: str):
     set_mask = 0
     clear_mask = 0
     overrides: dict = {}
+
+    # CSS is last-declaration-wins PER PROPERTY: a later set must undo
+    # an earlier clear of the same bit (and vice versa). Accumulating
+    # the two masks independently made clear-over-set order-blind —
+    # 'font-weight: normal; font-weight: bold' came out not-bold.
+    def _set(bits):
+        nonlocal set_mask, clear_mask
+        set_mask |= bits
+        clear_mask &= ~bits
+
+    def _clr(bits):
+        nonlocal set_mask, clear_mask
+        clear_mask |= bits
+        set_mask &= ~bits
+
     for decl in style_text.split(";"):
         if ":" not in decl:
             continue
@@ -131,26 +146,26 @@ def parse_css_style(style_text: str):
             continue
         if prop == "font-weight":
             if value in ("bold", "bolder"):
-                set_mask |= STYLE_BOLD
+                _set(STYLE_BOLD)
             elif value in ("normal", "lighter"):
-                clear_mask |= STYLE_BOLD
+                _clr(STYLE_BOLD)
             elif value.isdigit():
                 if int(value) >= 600:
-                    set_mask |= STYLE_BOLD
+                    _set(STYLE_BOLD)
                 else:
-                    clear_mask |= STYLE_BOLD
+                    _clr(STYLE_BOLD)
         elif prop == "font-style":
             if value == "italic" or value.startswith("oblique"):
-                set_mask |= STYLE_ITALIC
+                _set(STYLE_ITALIC)
             elif value == "normal":
-                clear_mask |= STYLE_ITALIC
+                _clr(STYLE_ITALIC)
         elif prop in ("text-decoration", "text-decoration-line"):
             if value == "none":
-                clear_mask |= STYLE_UNDER | STYLE_STRIKE
+                _clr(STYLE_UNDER | STYLE_STRIKE)
             else:
                 for tok in value.split():
                     if tok in _DECO_LINE:
-                        set_mask |= _DECO_LINE[tok]
+                        _set(_DECO_LINE[tok])
                     elif tok in _DECO_STYLE:
                         overrides["underline_style"] = tok
         elif prop == "text-decoration-style":
@@ -158,19 +173,19 @@ def parse_css_style(style_text: str):
                 overrides["underline_style"] = value
         elif prop == "vertical-align":
             if value == "sub":
-                set_mask |= STYLE_SUB
-                clear_mask |= STYLE_SUP
+                _set(STYLE_SUB)
+                _clr(STYLE_SUP)
             elif value == "super":
-                set_mask |= STYLE_SUP
-                clear_mask |= STYLE_SUB
+                _set(STYLE_SUP)
+                _clr(STYLE_SUB)
             elif value == "baseline":
-                clear_mask |= STYLE_SUB | STYLE_SUP
+                _clr(STYLE_SUB | STYLE_SUP)
         elif prop == "font-family":
             family, mono, serif = _first_family(value)
             if family is not None:
                 overrides["font_family"] = family
             if mono:
-                set_mask |= STYLE_MONO
+                _set(STYLE_MONO)
             if serif is not None:
                 overrides["serif"] = serif
         elif prop == "font-size":

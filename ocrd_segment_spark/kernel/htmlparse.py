@@ -65,10 +65,15 @@ from html import unescape as _unescape
 # html.parser attribute grammar, frozen to the subset both parsers
 # must agree on: name, optionally = double-quoted | single-quoted |
 # unquoted value. Names lowercased, entity refs decoded, LAST
-# duplicate wins (dict(attrs) semantics above).
+# duplicate wins (dict(attrs) semantics above). The unquoted branch
+# mirrors html.parser's tolerant rule — any run of non-space, non-'>'
+# chars not starting with a quote — so values like
+# ``style=font-family:a=b`` parse identically in both backends
+# (the earlier [^\s"'=<>`]+ class truncated at '=', observed as a
+# fast-vs-stdlib TextStyle divergence).
 _ATTR_RE = _re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
-    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'=<>`]+))?"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]+))?"
 )
 
 

@@ -75,7 +75,19 @@ def remove_frequent_units(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "unit"),
     ).filter(F.col("unit") != "")
-    freq = unit_doc_frequency(df, id_col, text_col, sep)
+    # frequency from the SAME exploded derivation (unit_doc_frequency(df)
+    # would restate the split+explode — a second copy to keep in sync,
+    # and a plan subtree Catalyst cannot recognize as shared). NOTE the
+    # physical plan still scans the source twice (both join inputs need
+    # the exploded rows and there is no common Exchange to reuse); at
+    # corpus scale that is the standard trade — a columnar re-scan is
+    # far cheaper than materializing the exploded corpus.
+    freq = (
+        units.select("unit", "id")
+        .distinct()
+        .groupBy("unit")
+        .agg(F.count("*").alias("doc_freq"))
+    )
     tagged = units.join(freq, "unit")
     kept = tagged.filter(F.col("doc_freq") < min_doc_freq)
     removed = tagged.filter(F.col("doc_freq") >= min_doc_freq)

@@ -27,6 +27,14 @@ Digest history:
   fields gated behind params.css_styles, default OFF — the css path
   gets its own third digest below over a styled mini-corpus, since the
   fixture corpus carries no style= attributes)
+- kernel 1.5.1 (fixtures v3): df6c272a…  (same digest; full-params and
+  css digests also unchanged — two review-found bug FIXES inside gated
+  paths whose pinned corpora are unaffected: the fast parser's
+  unquoted attribute values no longer truncate at '=', matching
+  html.parser; and duplicate CSS declarations of one property now
+  resolve last-declaration-wins instead of clear-over-set. Version
+  bumped so lineage.kernel_version distinguishes outputs for pages
+  that DO hit those cases)
 """
 
 import hashlib
@@ -39,7 +47,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.5.0"
+GOLDEN_KERNEL = "1.5.1"
 GOLDEN_FIXTURES = 3
 
 

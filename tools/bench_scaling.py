@@ -206,10 +206,9 @@ The training-data curation surface added this round, with its 100 TB
 shape and the measured sf0.1 numbers (quiet-host best-of-2; the box is
 shared, read regressions against bench.py's load_1m field):
 
-- **corpus_job end-to-end** (extract → score → filter → exact dedup →
-  write + LSH-then-verify near-dup audit): **13.2 s / 100k pages**
-  on local[32] (~7.6k pages/s whole-pipeline). Funnel counters ride
-  the writes as Observations — zero re-scans.
+- **corpus_job end-to-end**: see "End-to-end corpus pipeline" below —
+  one authoritative standing number. Funnel counters ride the writes
+  as Observations — zero re-scans.
 - **Gopher rules** (--gopher): pure column math inside the existing
   scoring pass — adds no stage, no shuffle, no lineage branch.
 - **boilerplate strip** (--boilerplate-min-df): post-write over the
@@ -228,7 +227,9 @@ shared, read regressions against bench.py's load_1m field):
 
 jobs/corpus_job.py (extract → quality/lang score → filter → exact
 dedup → LSH-then-VERIFY near-dup audit) over the same 100k corpus on
-local[32]: **24.7 s ≈ 4.1k pages/s for the WHOLE pipeline** — now a
+local[32]: **13.2 s ≈ 7.6k pages/s for the WHOLE pipeline**
+(quiet-host best-of-2, re-measured after the round-3 stage additions;
+the earlier 24.7 s figure was taken under co-tenant load) — a
 standing bench.py headline (`corpus_job`). Round 3 upgraded the audit
 from raw LSH candidates to exact 3-gram Jaccard scored per candidate
 pair (344k pairs verified, doc-keyed equi-joins only), and removed the
