@@ -94,3 +94,28 @@ def test_never_raises_and_caches_consistently(garbage):
     assert a == parse_css_style(garbage)
     st2 = apply_css(CSS_DEFAULT, garbage)
     assert isinstance(st2, tuple) and len(st2) == 8
+
+
+def test_duplicate_declarations_last_wins():
+    """CSS is last-declaration-wins per property: a later set must undo
+    an earlier clear of the same bit and vice versa (review-found:
+    clear-over-set made 'font-weight: normal; font-weight: bold'
+    resolve not-bold)."""
+    from ocrd_segment_spark.kernel.cssstyle import (
+        STYLE_BOLD,
+        STYLE_UNDER,
+        parse_css_style,
+    )
+
+    sm, cm, _ = parse_css_style("font-weight: normal; font-weight: bold")
+    assert sm & STYLE_BOLD and not cm & STYLE_BOLD
+    sm, cm, _ = parse_css_style("font-weight: bold; font-weight: normal")
+    assert cm & STYLE_BOLD and not sm & STYLE_BOLD
+    sm, cm, _ = parse_css_style(
+        "text-decoration: none; text-decoration: underline"
+    )
+    assert sm & STYLE_UNDER and not cm & STYLE_UNDER
+    sm, cm, _ = parse_css_style(
+        "text-decoration: underline; text-decoration: none"
+    )
+    assert cm & STYLE_UNDER and not sm & STYLE_UNDER

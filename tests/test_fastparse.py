@@ -156,6 +156,8 @@ _ATTR_CASES = [
     "<p disabled style='s:1'>x</p>",                 # bare attr before
     "<p style = 'spaced'>x</p>",
     "<img src='/x' style='s:2'/>",                   # self-closing
+    "<p style=font-family:a=b>x</p>",                # '=' in unquoted value
+    "<p data-x=a=b=c title=v>x</p>",                 # multiple '='
 ]
 
 

@@ -157,14 +157,16 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 
 
 _STATIC_SECTIONS = """
-## Kill-and-resume (process-level, re-evidenced round 3 on kernel 1.5.0)
+## Kill-and-resume (process-level, re-evidenced round 3 on kernel 1.5.1)
 
 `spark-submit` extract of the 100k corpus was SIGKILLed mid-write
 (state observed: only `out/_temporary`, zero committed parquet files —
 FileOutputCommitter job-level atomicity). Resubmitting the identical
 command (resume = output-manifest anti-join) completed the run;
 `url + md5(extracted_text)` of the resumed output differs from a clean
-single run in **0 of 100,000 rows**. The round-3 re-run surfaced and
+single run in **0 of 100,000 rows** (repeated on 1.5.1 after the
+review fixes, including the through-the-crash-window variant: SIGKILL
+with 5 in-flight task files, zero committed). The round-3 re-run surfaced and
 fixed a first-attempt crash window: an output dir holding ONLY
 `_temporary` makes the resume read raise UNABLE_TO_INFER_SCHEMA, which
 run_extract now treats as "no committed output yet" (pipeline.py;
