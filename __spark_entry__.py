@@ -123,6 +123,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_benchmark": M.q_decontaminate,
     "ann_ivf_search": M.q_ann_ivf_search,
     "domain_stats": M.q_domain_stats,
+    "dedup_incremental_merge": M.q_dedup_incremental_merge,
+    "dedup_cross_candidates": M.q_dedup_cross_candidates,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
@@ -228,6 +230,8 @@ _ORACLES: dict[str, str] = {
     "decontaminate_benchmark": M.O_DECONTAMINATE,
     "ann_ivf_search": M.O_ANN_IVF_SEARCH,
     "domain_stats": M.O_DOMAIN_STATS,
+    "dedup_incremental_merge": M.O_DEDUP_MERGE,
+    "dedup_cross_candidates": M.O_DEDUP_CROSS,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,

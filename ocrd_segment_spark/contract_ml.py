@@ -1527,3 +1527,95 @@ SELECT reg_domain, count(*) AS n_docs,
        round(avg(n_chars), 6) AS avg_chars
 FROM j GROUP BY reg_domain
 """
+
+
+def q_dedup_incremental_merge(spark, sf_dir):
+    """Incremental corpus merge (operators/dedup.merge_corpus): an
+    incoming crawl batch joins the corpus; exact-content duplicates of
+    existing docs (and later within-batch copies) are dropped. One
+    anti-join on the content hash — batch-vs-corpus, never
+    corpus-wide."""
+    from .operators.dedup import merge_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    existing = d.filter("doc_id % 3 != 0").select("doc_id", "text")
+    incoming = (
+        d.filter("doc_id % 5 = 0")
+        .selectExpr("doc_id + 100000 as doc_id", "text")
+        .unionByName(
+            d.filter("doc_id % 7 = 0").selectExpr(
+                "doc_id + 200000 as doc_id", "text || ' fresh' as text"
+            )
+        )
+    )
+    out = merge_corpus(existing, incoming)
+    return out.selectExpr("doc_id", "md5(text) as text_md5", "origin")
+
+
+O_DEDUP_MERGE = """
+WITH existing AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+incoming AS (
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' fresh' FROM documents WHERE doc_id % 7 = 0
+),
+batch AS (
+  SELECT doc_id, text, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM incoming
+),
+fresh AS (
+  SELECT doc_id, text FROM batch b
+  WHERE rn = 1
+    AND NOT EXISTS (SELECT 1 FROM existing e WHERE md5(e.text) = b.h)
+)
+SELECT doc_id, md5(text) AS text_md5, 'existing' AS origin FROM existing
+UNION ALL
+SELECT doc_id, md5(text), 'new' FROM fresh
+"""
+
+
+def q_dedup_cross_candidates(spark, sf_dir):
+    """Two-corpus LSH (operators/dedup.cross_corpus_candidates): band
+    tables of the incoming batch (odd doc ids) and the existing corpus
+    (even ids) are equi-joined — existing×existing pairs are never
+    generated, so the cost scales with the batch."""
+    from .operators.dedup import cross_corpus_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter("doc_id % 2 = 1")
+    existing = d.filter("doc_id % 2 = 0")
+    return cross_corpus_candidates(new, existing)
+
+
+O_DEDUP_CROSS = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), tokh AS (
+  SELECT doc_id,
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
+  FROM t WHERE len(toks) >= 3
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 1),
+           i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) AS hs
+  FROM tokh
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i -> list_min(list_transform(hs,
+           h -> ((2*i + 3) * h + 5*i + 7) % {P}))) AS sig
+  FROM hs
+), nb AS (
+  SELECT doc_id, j AS band_idx, sig[2*j + 1] * {P} + sig[2*j + 2] AS band_val
+  FROM sig, range(0, 4) r(j) WHERE doc_id % 2 = 1
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) <= 1024
+), eb AS (
+  SELECT doc_id, j AS band_idx, sig[2*j + 1] * {P} + sig[2*j + 2] AS band_val
+  FROM sig, range(0, 4) r(j) WHERE doc_id % 2 = 0
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) <= 1024
+)
+SELECT DISTINCT nb.doc_id AS new_id, eb.doc_id AS existing_id
+FROM nb JOIN eb ON nb.band_idx = eb.band_idx AND nb.band_val = eb.band_val
+"""

@@ -99,6 +99,124 @@ def minhash_lsh_candidates(
     )
 
 
+def _band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(doc_id, band_idx, band_val) with the per-bucket cap applied —
+    the LSH half shared by the self-join (minhash_lsh_candidates) and
+    the two-corpus join (cross_corpus_candidates). Same signature
+    math: explode shingles, all k lanes in one hash-aggregate."""
+    hs = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("toks", H.tokens("text"))
+        .filter(F.size("toks") >= 3)
+        .withColumn("th", H.token_hashes("toks"))
+        .select("doc_id", F.explode(H.shingle_hashes("th", 3)).alias("h"))
+    )
+    sig = hs.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"((2*{i} + 3) * h + 5*{i} + 7) % {H.P}")).alias(f"s{i}")
+            for i in range(k)
+        ]
+    )
+    bandvals = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col(f"s{2 * j}") * F.lit(H.P) + F.col(f"s{2 * j + 1}"))
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band_idx", "band_val").orderBy("doc_id")
+        bandvals = (
+            bandvals.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+    return bandvals
+
+
+def cross_corpus_candidates(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """(new_id, existing_id): near-dup candidates BETWEEN an incoming
+    batch and the existing corpus — the incremental-crawl shape.
+    Joining the two band tables (instead of banding their union and
+    self-joining) never generates existing×existing pairs, so the
+    dominant cost scales with the BATCH, not with the corpus the
+    pipeline has already deduplicated. The hot-bucket cap applies per
+    side (the existing corpus's viral buckets stay bounded even when
+    the batch keeps hitting them)."""
+    nb = _band_table(new_df, id_col, text_col, k, bands, max_bucket)
+    eb = _band_table(existing_df, id_col, text_col, k, bands, max_bucket)
+    return (
+        nb.alias("n")
+        .join(
+            eb.alias("e"),
+            (F.col("n.band_idx") == F.col("e.band_idx"))
+            & (F.col("n.band_val") == F.col("e.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("e.doc_id").alias("existing_id"),
+        )
+        .distinct()
+    )
+
+
+def merge_corpus(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-content incremental merge: (id_col, text_col, origin)
+    where origin is 'existing' or 'new'. An incoming document is
+    dropped iff its md5(text) already exists in the corpus, or an
+    earlier (smaller-id) member of the SAME batch carries it. The
+    near-dup layer composes on top: run
+    :func:`cross_corpus_candidates` on the survivors and
+    :func:`jaccard_verify_pairs` across the union.
+
+    Scale shape: one md5 per document (narrow), a within-batch
+    row_number on the content hash (batch-sized), and one anti-join of
+    batch hashes against corpus hashes — fine-grained hash keys, both
+    sides co-partition; nothing corpus-wide is collected or sorted."""
+    from pyspark.sql import Window as W
+
+    known = existing.select(F.md5(text_col).alias("_h")).distinct()
+    nh = new.withColumn("_h", F.md5(text_col))
+    w = W.partitionBy("_h").orderBy(id_col)
+    fresh = (
+        nh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(known, "_h", "left_anti")
+        .select(id_col, text_col)
+    )
+    return (
+        existing.select(id_col, text_col)
+        .withColumn("origin", F.lit("existing"))
+        .unionByName(fresh.withColumn("origin", F.lit("new")))
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -506,3 +506,43 @@ def test_deterministic_sampling_and_split(spark):
         hash_sample(df, 1.5)
     with pytest.raises(ValueError):
         train_val_test_split(df, weights=(0.9, 0.3, 0.2))
+
+
+def test_merge_corpus_incremental_dedup(spark):
+    """Batch-vs-corpus exact merge: duplicates of existing content and
+    later within-batch copies drop; genuinely new docs join."""
+    existing = spark.createDataFrame(
+        [(1, "alpha content here"), (2, "beta content here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha content here"),   # dup of corpus doc 1 -> dropped
+            (11, "gamma brand new doc"),  # new
+            (12, "gamma brand new doc"),  # within-batch dup of 11 -> dropped
+            (13, "delta also new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["origin"] for r in D.merge_corpus(existing, incoming).collect()}
+    assert out == {1: "existing", 2: "existing", 11: "new", 13: "new"}
+
+
+def test_cross_corpus_candidates_only_cross_pairs(spark):
+    """The two-corpus LSH join must propose batch-vs-corpus pairs only
+    — never existing-vs-existing (that's the cost guarantee)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(2, base), (4, base + " tail"), (6, "completely different corpus text here today")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (3, "unrelated fresh batch document words")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["new_id"], r["existing_id"])
+             for r in D.cross_corpus_candidates(new, existing).collect()}
+    assert (1, 2) in pairs                       # near-dup across corpora
+    assert all(n in (1, 3) for n, _ in pairs)    # new side only from batch
+    assert all(e in (2, 4, 6) for _, e in pairs)
+    assert (2, 4) not in pairs and (4, 2) not in pairs
