@@ -53,39 +53,7 @@ def minhash_lsh_candidates(
     Catalyst re-evaluate the shingle array once per lane — measured
     4× slower — and explode+agg is also the form that scales: partial
     mins combine, so the shuffle carries k longs per doc."""
-    hs = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("toks", H.tokens("text"))
-        .filter(F.size("toks") >= 3)
-        .withColumn("th", H.token_hashes("toks"))
-        .select("doc_id", F.explode(H.shingle_hashes("th", 3)).alias("h"))
-    )
-    sig = hs.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"((2*{i} + 3) * h + 5*{i} + 7) % {H.P}")).alias(f"s{i}")
-            for i in range(k)
-        ]
-    )
-    bandvals = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    (F.col(f"s{2 * j}") * F.lit(H.P) + F.col(f"s{2 * j + 1}"))
-                    for j in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("band_idx", "band_val").orderBy("doc_id")
-        bandvals = (
-            bandvals.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_bucket)
-            .drop("_rn")
-        )
+    bandvals = _band_table(df, id_col, text_col, k, bands, max_bucket)
     b1, b2 = bandvals.alias("b1"), bandvals.alias("b2")
     return (
         b1.join(
