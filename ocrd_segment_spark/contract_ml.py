@@ -1516,7 +1516,7 @@ def q_domain_stats(spark, sf_dir):
 
 
 O_DOMAIN_STATS = f"""
-WITH u AS ({O_URL_CANON.replace('FROM documents', 'FROM documents').strip()}),
+WITH u AS ({O_URL_CANON.strip()}),
 j AS (
   SELECT u.doc_id, u.canonical_url, u.host, u.reg_domain, d.n_chars
   FROM u JOIN documents d ON u.doc_id = d.doc_id

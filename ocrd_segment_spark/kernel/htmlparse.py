@@ -70,10 +70,11 @@ from html import unescape as _unescape
 # chars not starting with a quote — so values like
 # ``style=font-family:a=b`` parse identically in both backends
 # (the earlier [^\s"'=<>`]+ class truncated at '=', observed as a
-# fast-vs-stdlib TextStyle divergence).
+# fast-vs-stdlib TextStyle divergence). Like html.parser, '=' runs
+# collapse ('a==b' -> 'b') and an empty unquoted value yields ''.
 _ATTR_RE = _re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
-    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]+))?"
+    r"(?:\s*=+\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?"
 )
 
 

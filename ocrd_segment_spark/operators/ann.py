@@ -42,11 +42,17 @@ def assign_to_centroids(
     pairs = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "dist2", F.expr(_L2.format(a="v", b="cv"))
     )
-    w = W.partitionBy("id").orderBy(F.asc("dist2"), F.asc("cid"))
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("id").alias(out_id), "v", "cid")
+    # argmin as a hash aggregate, NOT a row_number window: min over
+    # struct(dist2, cid, v) combines map-side, so the shuffle carries
+    # one partial row per vector instead of sorting N x n_centroids
+    # rows per id. (dist2, cid) is unique per vector — cids are
+    # distinct — so v is never reached in the struct comparison and
+    # the (dist2 asc, cid asc) tie-break is identical to the window.
+    best = pairs.groupBy("id").agg(
+        F.min(F.struct("dist2", "cid", "v")).alias("_b")
+    )
+    return best.select(
+        F.col("id").alias(out_id), F.col("_b.v").alias("v"), F.col("_b.cid").alias("cid")
     )
 
 
@@ -74,14 +80,16 @@ def ivf_search(
         .filter(F.col("_rn") <= nprobe)
         .select("qid", "qv", "cid")
     )
-    cand = lists.join(probes, "cid").filter(F.col("id") != F.col("qid"))
+    # norms are per-vector/per-query: computed ONCE on each side and
+    # carried as scalar columns, not re-folded per candidate pair
+    # (same left-to-right fold, so the doubles are bit-identical and
+    # oracle parity is preserved)
+    lists_n = lists.withColumn("_vn", F.expr(f"sqrt({DOT.format(a='v', b='v')})"))
+    probes_n = probes.withColumn("_qn", F.expr(f"sqrt({DOT.format(a='qv', b='qv')})"))
+    cand = lists_n.join(probes_n, "cid").filter(F.col("id") != F.col("qid"))
     scored = cand.withColumn(
         "cos",
-        F.expr(
-            f"{DOT.format(a='qv', b='v')} /"
-            f" (sqrt({DOT.format(a='qv', b='qv')})"
-            f" * sqrt({DOT.format(a='v', b='v')}))"
-        ),
+        F.expr(f"{DOT.format(a='qv', b='v')} / (_qn * _vn)"),
     )
     rw = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
     return (

@@ -23,11 +23,15 @@ from ..functions import hashing as H
 
 
 def _shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str | None, text_col: str, n: int
 ) -> DataFrame:
-    """(id, sh): one row per distinct n-gram shingle hash per document."""
+    """(id, sh): one row per distinct n-gram shingle hash per document.
+    ``id_col=None`` derives shingles without any id (the benchmark
+    side, which only contributes its shingle SET) — one derivation of
+    the frozen hashing chain for both sides."""
+    idc = F.col(id_col) if id_col is not None else F.lit(0)
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        df.select(idc.alias("id"), F.col(text_col).alias("text"))
         .withColumn("toks", H.tokens("text"))
         .withColumn("th", H.token_hashes("toks"))
         .select("id", F.explode(H.shingle_hashes("th", n)).alias("sh"))
@@ -51,12 +55,8 @@ def contamination_flags(
     output is a drop-mask joinable back by id."""
     # the benchmark side needs no id — only its distinct shingle set
     bench_sh = (
-        benchmark.select(
-            F.col(benchmark_text_col or text_col).alias("text")
-        )
-        .withColumn("toks", H.tokens("text"))
-        .withColumn("th", H.token_hashes("toks"))
-        .select(F.explode(H.shingle_hashes("th", n)).alias("sh"))
+        _shingle_table(benchmark, None, benchmark_text_col or text_col, n)
+        .select("sh")
         .distinct()
     )
     doc_sh = _shingle_table(docs, id_col, text_col, n)

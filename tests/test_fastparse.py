@@ -158,6 +158,10 @@ _ATTR_CASES = [
     "<img src='/x' style='s:2'/>",                   # self-closing
     "<p style=font-family:a=b>x</p>",                # '=' in unquoted value
     "<p data-x=a=b=c title=v>x</p>",                 # multiple '='
+    "<p dir==rtl>x</p>",                             # '=' run collapses
+    "<p style=font-family:O'Neil>x</p>",             # quote mid-unquoted value
+    "<p dir=>x</p>",                                 # empty unquoted value
+    "<p title='a>b'>x</p>",                          # '>' inside quoted value
 ]
 
 

@@ -35,6 +35,11 @@ Digest history:
   resolve last-declaration-wins instead of clear-over-set. Version
   bumped so lineage.kernel_version distinguishes outputs for pages
   that DO hit those cases)
+- kernel 1.5.2 (fixtures v3): df6c272a…  (same digest; closes the rest
+  of the attr-grammar gap found by a second review pass: '=' runs
+  collapse, empty unquoted values yield '', and the fast tokenizer
+  tolerates lone quotes inside unquoted values — all matching
+  html.parser, verified case-by-case in tests/test_fastparse.py)
 """
 
 import hashlib
@@ -47,7 +52,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.5.1"
+GOLDEN_KERNEL = "1.5.2"
 GOLDEN_FIXTURES = 3
 
 

@@ -339,7 +339,10 @@ def test_corpus_job_gopher_and_boilerplate_stages(spark, tmp_path):
     assert funnel["boilerplate_units_removed"] == 4
     cont = spark.read.parquet(out + "_contaminated").collect()
     assert funnel["contaminated_docs"] == len(cont)
-    assert {r["url"] for r in cont} >= {"doc1"}  # shared 5-grams flagged
+    # every docN shares the 60-token body run with the benchmark, so
+    # the flagged set is EXACTLY the four corpus docs — an exact-set
+    # assert so over-flagging (e.g. a broken shingle join) fails too
+    assert {r["url"] for r in cont} == {f"doc{i}" for i in range(4)}
 
 
 def test_apply_coco_duplicate_file_name_refused(spark):
