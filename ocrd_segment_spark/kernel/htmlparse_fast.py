@@ -34,7 +34,7 @@ _TOKEN = re.compile(
     r"|</\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"      # end tag   (group 1)
     r"|</[^>]*>"                                  # bogus end tag: skipped
     r"|<([a-zA-Z][a-zA-Z0-9:-]*)"                # start tag (group 2)
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"']|[\"'])*)(/?)>?",  # attrs (3), self-close (4)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>])*)(/?)>?",  # attrs (3), self-close (4)
     re.DOTALL,
 )
 
