@@ -1619,3 +1619,42 @@ WITH t AS (
 SELECT DISTINCT nb.doc_id AS new_id, eb.doc_id AS existing_id
 FROM nb JOIN eb ON nb.band_idx = eb.band_idx AND nb.band_val = eb.band_val
 """
+
+
+def q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal
+    (operators/textstats.with_char_entropy): sorted-runs Shannon
+    entropy, fold order frozen to sorted-character order so the oracle
+    sums identically. Narrow, zero shuffle."""
+    from .operators.textstats import with_char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return with_char_entropy(d).selectExpr(
+        "doc_id", "cast(length(text) as bigint) as n_chars_text", "char_entropy"
+    )
+
+
+O_CHAR_ENTROPY = """
+WITH s0 AS (
+  SELECT doc_id, text, list_sort(string_split(text, '')) AS s FROM documents
+),
+s1 AS (
+  SELECT doc_id, text, s, len(s) AS n,
+         CASE WHEN len(s) = 0 THEN []
+              ELSE list_filter(generate_series(1, len(s)),
+                               x -> x = 1 OR s[x] != s[x-1]) END AS b
+  FROM s0
+),
+s2 AS (
+  SELECT doc_id, text, n,
+         list_transform(generate_series(1, len(b)),
+           j -> (CASE WHEN j = len(b) THEN n + 1 ELSE b[j+1] END) - b[j]) AS cnts
+  FROM s1
+)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
+       CASE WHEN n = 0 THEN 0.0 ELSE
+         round(abs(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(cnts, k -> (k * 1.0 / n) * log2(k * 1.0 / n))),
+           (a, x) -> a + x)), 6) END AS char_entropy
+FROM s2
+"""

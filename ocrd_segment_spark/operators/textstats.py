@@ -238,3 +238,43 @@ def gopher_filter(
         & (F.col("dup_line_fraction") <= max_dup_line_fraction)
         & (F.col("dup_2gram_fraction") <= max_dup_2gram_fraction),
     )
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``char_entropy``: Shannon entropy (bits) of the character
+    distribution — the degenerate-text signal (keyboard mash, repeated
+    fills) the token-level rules miss. Computed by the sorted-runs
+    trick: sort the characters, find run boundaries from separator
+    positions, fold -(k/n)·log2(k/n) over the runs IN SORTED-CHARACTER
+    ORDER — the fold order is part of the frozen semantics because
+    float addition is not associative and the DuckDB oracle must sum
+    in the same order. O(n log n) per row, pure column math, zero
+    shuffle. abs() pins the -0.0 a single-character document produces
+    (IEEE -0.0 vs 0.0 hash differently across engines)."""
+    d = (
+        df.withColumn("_s", F.expr(f"array_sort(split({text_col}, ''))"))
+        .withColumn("_n", F.expr("size(_s)"))
+        .withColumn(
+            "_b",
+            F.expr(
+                "CASE WHEN _n = 0 THEN array() ELSE"
+                " filter(sequence(1, _n),"
+                " i -> i = 1 or element_at(_s, i) != element_at(_s, i - 1)) END"
+            ),
+        )
+        .withColumn(
+            "_cnts",
+            F.expr(
+                "zip_with(_b, concat(slice(_b, 2, size(_b) - 1), array(_n + 1)),"
+                " (a, b) -> b - a)"
+            ),
+        )
+    )
+    return d.withColumn(
+        "char_entropy",
+        F.expr(
+            "CASE WHEN _n = 0 THEN 0.0D ELSE"
+            " round(abs(-aggregate(_cnts, 0.0D,"
+            " (a, k) -> a + (k * 1.0D / _n) * log2(k * 1.0D / _n))), 6) END"
+        ),
+    ).drop("_s", "_n", "_b", "_cnts")

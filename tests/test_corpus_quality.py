@@ -268,3 +268,25 @@ SELECT i, regexp_replace(regexp_replace(regexp_replace(text,
   '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{ph}', '<PHONE>', 'g') FROM p
 """).fetchall())
     assert got2 == want2
+
+
+def test_char_entropy_values_and_narrow_plan(spark):
+    import math
+    from collections import Counter
+
+    from ocrd_segment_spark.operators.textstats import with_char_entropy
+
+    texts = ["aaaa", "abab", "the quick brown fox", "", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    out = {r["i"]: r["char_entropy"] for r in with_char_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        n = len(t)
+        exp = 0.0 if n == 0 else round(
+            -sum((c / n) * math.log2(c / n) for c in Counter(t).values()), 6
+        )
+        assert abs(out[i] - exp) < 1e-6, (t, out[i], exp)
+        assert math.copysign(1.0, out[i]) == 1.0  # never -0.0
+    plan = with_char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
