@@ -126,6 +126,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_merge": M.q_dedup_incremental_merge,
     "dedup_cross_candidates": M.q_dedup_cross_candidates,
     "char_entropy": M.q_char_entropy,
+    "lm_bigram_score": M.q_lm_bigram_score,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
@@ -234,6 +235,7 @@ _ORACLES: dict[str, str] = {
     "dedup_incremental_merge": M.O_DEDUP_MERGE,
     "dedup_cross_candidates": M.O_DEDUP_CROSS,
     "char_entropy": M.O_CHAR_ENTROPY,
+    "lm_bigram_score": M.O_LM_BIGRAM,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,

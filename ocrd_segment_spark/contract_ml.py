@@ -1658,3 +1658,39 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
            (a, x) -> a + x)), 6) END AS char_entropy
 FROM s2
 """
+
+
+def q_lm_bigram_score(spark, sf_dir):
+    """CCNet-style LM quality signal (operators/textstats
+    bigram_lm_model + with_lm_score): train a char-bigram model on the
+    trusted slice (every 10th doc), score every document's average
+    add-one surprisal. Model + totals broadcast; the corpus side is
+    explode → broadcast join → doc-keyed agg."""
+    from .operators.textstats import bigram_lm_model, with_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    model = bigram_lm_model(d.filter("doc_id % 10 = 0"))
+    return with_lm_score(d, model)
+
+
+_D_BIGRAMS = (
+    "case when length(text) < 2 then [] else"
+    " list_transform(generate_series(1, length(text) - 1),"
+    " i -> text[i] || text[i+1]) end"
+)
+
+O_LM_BIGRAM = f"""
+WITH ref AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+rb AS (SELECT unnest({_D_BIGRAMS}) AS bg FROM ref),
+model AS (SELECT bg, count(*) AS cnt FROM rb GROUP BY bg),
+tv AS (SELECT sum(cnt) AS T, count(*) AS V FROM model),
+docs AS (SELECT doc_id, unnest({_D_BIGRAMS}) AS bg FROM documents),
+sc AS (
+  SELECT d.doc_id,
+         round(avg(-log2((coalesce(m.cnt, 0) + 1.0) / (tv.T + tv.V + 1.0))), 6)
+           AS bits_per_bigram
+  FROM docs d LEFT JOIN model m USING (bg), tv GROUP BY d.doc_id
+)
+SELECT t.doc_id, sc.bits_per_bigram
+FROM documents t LEFT JOIN sc ON t.doc_id = sc.doc_id
+"""

@@ -278,3 +278,68 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
             " (a, k) -> a + (k * 1.0D / _n) * log2(k * 1.0D / _n))), 6) END"
         ),
     ).drop("_s", "_n", "_b", "_cnts")
+
+
+# character-bigram expression shared by model building and scoring
+_BIGRAMS = (
+    "CASE WHEN length({col}) < 2 THEN array() ELSE"
+    " zip_with(slice(split({col}, ''), 1, length({col}) - 1),"
+    "          slice(split({col}, ''), 2, length({col}) - 1),"
+    " (a, b) -> concat(a, b)) END"
+)
+
+
+def bigram_lm_model(reference: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bg, cnt): character-bigram counts of a reference corpus — the
+    toy stand-in for CCNet's KenLM: the STRUCTURE (train a model on a
+    trusted slice, score the crawl by how surprising it looks) is the
+    operator; swap in a real LM per-language on a cluster. The model
+    is bounded by charset² regardless of corpus size."""
+    return (
+        reference.selectExpr(f"explode({_BIGRAMS.format(col=text_col)}) as bg")
+        .groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def with_lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, bits_per_bigram): average add-one-smoothed surprisal
+    of each document under the reference bigram model — high bits =
+    unlike the reference (gibberish, wrong language, encoding junk);
+    the CCNet-style perplexity filter signal.
+
+    Scale shape: the model and its 1-row totals are broadcast (charset²
+    rows — never corpus-sized, and NO driver-side collect); the corpus
+    side is explode → broadcast join → one doc-keyed aggregation.
+    Documents with fewer than 2 characters score NULL (no evidence)."""
+    totals = model.agg(
+        F.sum("cnt").alias("_t"), F.count("*").alias("_v")
+    )
+    scored = (
+        docs.selectExpr(
+            f"{id_col} as id", f"explode({_BIGRAMS.format(col=text_col)}) as bg"
+        )
+        .join(F.broadcast(model), "bg", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.expr(
+                        "-log2((coalesce(cnt, 0) + 1.0D) / (_t * 1.0D + _v + 1.0D))"
+                    )
+                ),
+                6,
+            ).alias("bits_per_bigram")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(F.col("id").alias(id_col), "bits_per_bigram")
+    )

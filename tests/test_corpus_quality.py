@@ -290,3 +290,25 @@ def test_char_entropy_values_and_narrow_plan(spark):
         assert math.copysign(1.0, out[i]) == 1.0  # never -0.0
     plan = with_char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lm_score_flags_gibberish_and_broadcasts(spark):
+    from ocrd_segment_spark.operators.textstats import (
+        bigram_lm_model,
+        with_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat and then the hat"),
+         (2, "zzqqxxjv wkqzx jjqz"),
+         (3, "the rat ran to the mat"),
+         (4, "a")],  # < 2 chars: NULL (no evidence)
+        "doc_id long, text string",
+    )
+    model = bigram_lm_model(docs.filter("doc_id in (1, 3)"))
+    out = with_lm_score(docs, model)
+    rows = {r["doc_id"]: r["bits_per_bigram"] for r in out.collect()}
+    assert rows[4] is None
+    assert rows[2] > rows[1] and rows[2] > rows[3]  # gibberish = high bits
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # model side broadcast
