@@ -85,7 +85,7 @@ def _parse(html: str) -> Node:
         if m.start() > pos:
             _append_text(stack[-1], html[pos : m.start()])
         pos = m.end()
-        end_tag, start_tag = m.group(1), m.group(2)
+        end_tag, start_tag = m.group(1, 2)
         if start_tag is not None:
             tag = start_tag.lower()
             # auto-close rules (match _TreeBuilder._auto_close)
