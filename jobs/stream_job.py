@@ -1,0 +1,132 @@
+"""Streaming corpus ingestion: the continuous counterpart of
+jobs/corpus_job.py, as one spark-submit entrypoint.
+
+    spark-submit --master <cluster> --py-files dist/engine.zip \\
+        jobs/stream_job.py \\
+        --input  /path/to/pages_parquet_dir \\
+        --output /path/to/corpus \\
+        --checkpoint /path/to/ckpt \\
+        [--min-quality 0.5] [--min-tokens 5] [--gopher] \\
+        [--available-now] [--python-parallelism N]
+
+New page files landing in ``--input`` are picked up by the file
+source; each microbatch runs the SAME narrow transform chain as the
+batch job (extract → quality/lang score → filters → optional Gopher
+rules — pytest pins microbatch == batch for every stage), and the
+checkpoint gives exactly-once output across restarts (file-source
+offsets + sink manifest — the streaming form of the batch job's
+resume anti-join).
+
+Exact dedup is deliberately NOT inline here: content-hash dedup
+across an unbounded stream is unbounded state. The engine's choice is
+the stateful MinHash dedup stream (streaming/dedup_stream.py) as a
+downstream stage, or periodic batch compaction with
+operators/dedup.merge_corpus — both documented, both tested.
+
+``--available-now`` drains what exists and stops (replay/backfill
+mode); omit it for a long-running job.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--langs", default=None, help="comma list; default: keep all")
+    ap.add_argument("--gopher", action="store_true")
+    ap.add_argument("--available-now", action="store_true")
+    ap.add_argument("--python-parallelism", type=int, default=None)
+    args = ap.parse_args()
+
+    from ocrd_segment_spark.session import submit_session
+
+    spark = submit_session("ocrd-segment-stream")
+    q = run_stream(
+        spark,
+        args.input,
+        args.output,
+        args.checkpoint,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        langs=args.langs.split(",") if args.langs else None,
+        gopher=args.gopher,
+        available_now=args.available_now,
+        python_parallelism=args.python_parallelism,
+    )
+    q.awaitTermination()
+    spark.stop()
+
+
+def run_stream(
+    spark,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    langs: list[str] | None = None,
+    gopher: bool = False,
+    available_now: bool = True,
+    python_parallelism: int | None = None,
+):
+    """Start the streaming query (importable for tests). Returns the
+    StreamingQuery handle."""
+    from pyspark.sql import functions as F
+
+    from ocrd_segment_spark.operators.textstats import (
+        gopher_filter,
+        with_lang_id,
+        with_quality,
+        with_repetition_signals,
+    )
+    from ocrd_segment_spark.pipeline import extract_pages
+    from ocrd_segment_spark.streaming.extract_stream import PAGES_SCHEMA
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+    scored = with_lang_id(
+        with_quality(
+            extract_pages(pages, python_parallelism=python_parallelism),
+            text_col="extracted_text",
+        ),
+        text_col="extracted_text",
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    if langs:
+        kept = kept.filter(F.col("pred_lang").isin(langs))
+    if gopher:
+        # same narrow-stage composition as the batch job (no n_tokens
+        # conflict: with_repetition_signals re-derives it value-exact)
+        sig_cols = (
+            "n_lines", "dup_line_fraction", "dup_line_char_fraction",
+            "mean_word_length", "symbol_word_ratio", "alpha_word_fraction",
+            "dup_2gram_fraction",
+        )
+        kept = (
+            gopher_filter(
+                with_repetition_signals(kept, text_col="extracted_text")
+            )
+            .filter("passes")
+            .drop("passes", *sig_cols)
+        )
+    writer = (
+        kept.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+if __name__ == "__main__":
+    main()

@@ -326,3 +326,49 @@ def test_gopher_signals_are_streaming_capable(spark, tmp_path):
         tuple(r) for r in rules(extract_pages(spark.read.parquet(src))).collect()
     )
     assert streamed == batch and len(batch) == 30
+
+
+def test_stream_job_matches_batch_corpus_filters(spark, tmp_path):
+    """jobs/stream_job.py end-to-end (availableNow drain): the
+    streaming corpus ingestion must keep exactly the documents the
+    batch filter chain keeps, and a second drain with the same
+    checkpoint must append nothing (exactly-once)."""
+    from jobs.stream_job import run_stream
+    from ocrd_segment_spark.operators.textstats import with_lang_id, with_quality
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(pages_pandas(40)).write.parquet(src)
+
+    q = run_stream(spark, src, out, ckpt, min_tokens=5, gopher=True)
+    q.awaitTermination(300)
+    streamed = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
+
+    # batch reference: same chain via the corpus job's stage functions
+    from ocrd_segment_spark.operators.textstats import (
+        gopher_filter,
+        with_repetition_signals,
+    )
+
+    scored = with_lang_id(
+        with_quality(
+            extract_pages(spark.read.parquet(src)), text_col="extracted_text"
+        ),
+        text_col="extracted_text",
+    ).filter("quality >= 0.5 and n_tokens >= 5")
+    batch = {
+        r["url"]
+        for r in gopher_filter(
+            with_repetition_signals(scored, text_col="extracted_text")
+        )
+        .filter("passes")
+        .select("url")
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+    # exactly-once: re-drain with the same checkpoint appends nothing
+    q2 = run_stream(spark, src, out, ckpt, min_tokens=5, gopher=True)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == len(batch)
