@@ -127,6 +127,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cross_candidates": M.q_dedup_cross_candidates,
     "char_entropy": M.q_char_entropy,
     "lm_bigram_score": M.q_lm_bigram_score,
+    "compression_ratio": M.q_compression_ratio,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,

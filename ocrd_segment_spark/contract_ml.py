@@ -1694,3 +1694,14 @@ sc AS (
 SELECT t.doc_id, sc.bits_per_bigram
 FROM documents t LEFT JOIN sc ON t.doc_id = sc.doc_id
 """
+
+
+def q_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (operators/textstats
+    compression_ratio): zlib is not SQL-expressible, so this is the
+    contract's one deliberately rows-only key — exact values are
+    pinned by pytest against the same zlib instead of DuckDB."""
+    from .operators.textstats import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio(d)

@@ -343,3 +343,54 @@ def with_lm_score(
         .join(scored, "id", "left")
         .select(F.col("id").alias(id_col), "bits_per_bigram")
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, n_bytes, compressed_bytes, compression_ratio):
+    zlib-level-6 compressed size over raw utf-8 size — the Dolma-style
+    repetition signal (heavily repetitive text compresses far below
+    natural text; ~0.3-0.6 is normal prose, <0.2 is a repetition red
+    flag, >0.9 is already-compressed/binary junk).
+
+    This is the engine's one deliberately-Python quality signal: zlib
+    is not expressible in SQL, so there is no DuckDB oracle — the
+    contract entry is rows-only and the exact values are pinned by
+    pytest against the same zlib. Arrow-batched mapInPandas (never
+    per-row Python); batches stay narrow, zero shuffle."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("compressed_bytes", T.LongType(), False),
+            T.StructField("compression_ratio", T.DoubleType(), False),
+        ]
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf[text_col]
+            ]
+            nb = [len(b) for b in raw]
+            cb = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "compressed_bytes": cb,
+                    "compression_ratio": [
+                        round(c / n, 6) if n else 0.0 for c, n in zip(cb, nb)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

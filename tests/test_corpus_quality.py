@@ -312,3 +312,29 @@ def test_lm_score_flags_gibberish_and_broadcasts(spark):
     assert rows[2] > rows[1] and rows[2] > rows[3]  # gibberish = high bits
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # model side broadcast
+
+
+def test_compression_ratio_pins_zlib_exactly(spark):
+    """The rows-only contract key's strong local oracle: values must
+    equal the same zlib computation done directly in Python, and the
+    signal must separate repetitive from natural text."""
+    import zlib
+
+    from ocrd_segment_spark.operators.textstats import compression_ratio
+
+    texts = {
+        1: "spam " * 200,
+        2: "the quick brown fox jumps over the lazy dog and keeps on "
+           "running through fields of varied unrepeated words entirely",
+        3: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for i, t in texts.items():
+        b = t.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        assert out[i]["n_bytes"] == len(b)
+        assert out[i]["compressed_bytes"] == c
+        exp = round(c / len(b), 6) if b else 0.0
+        assert out[i]["compression_ratio"] == exp
+    assert out[1]["compression_ratio"] < 0.05 < out[2]["compression_ratio"]
