@@ -117,10 +117,9 @@ def build_corpus(
     from pyspark.sql import Observation, Window as W, functions as F
 
     from ocrd_segment_spark.operators.textstats import (
-        gopher_filter,
+        with_gopher_passes,
         with_lang_id,
         with_quality,
-        with_repetition_signals,
     )
     from ocrd_segment_spark.pipeline import extract_pages
 
@@ -139,24 +138,13 @@ def build_corpus(
     else:
         scored = scored.withColumn("keep_lang", F.lit(True))
     if gopher:
-        # the repetition signals are pure column math — this stage stays
-        # inside the same narrow pass as quality/lang scoring (no join:
-        # a url-keyed self-join here would branch the lineage and run
-        # the mapInPandas extraction twice). with_repetition_signals
-        # re-derives n_tokens with the identical tokenization
-        # with_quality used, so the column replacement is value-exact.
-        _sig_cols = (
-            "n_lines", "dup_line_fraction", "dup_line_char_fraction",
-            "mean_word_length", "symbol_word_ratio", "alpha_word_fraction",
-            "dup_2gram_fraction",
-        )
-        scored = (
-            gopher_filter(
-                with_repetition_signals(scored, text_col="extracted_text")
-            )
-            .withColumnRenamed("passes", "keep_gopher")
-            .drop(*_sig_cols)
-        )
+        # pure column math — stays inside the same narrow pass as
+        # quality/lang scoring (no join: a url-keyed self-join here
+        # would branch the lineage and run the mapInPandas extraction
+        # twice). n_tokens is re-derived value-exact by the signals.
+        scored = with_gopher_passes(
+            scored, text_col="extracted_text"
+        ).withColumnRenamed("passes", "keep_gopher")
     else:
         scored = scored.withColumn("keep_gopher", F.lit(True))
 

@@ -81,10 +81,9 @@ def run_stream(
     from pyspark.sql import functions as F
 
     from ocrd_segment_spark.operators.textstats import (
-        gopher_filter,
+        with_gopher_passes,
         with_lang_id,
         with_quality,
-        with_repetition_signals,
     )
     from ocrd_segment_spark.pipeline import extract_pages
     from ocrd_segment_spark.streaming.extract_stream import PAGES_SCHEMA
@@ -103,19 +102,11 @@ def run_stream(
     if langs:
         kept = kept.filter(F.col("pred_lang").isin(langs))
     if gopher:
-        # same narrow-stage composition as the batch job (no n_tokens
-        # conflict: with_repetition_signals re-derives it value-exact)
-        sig_cols = (
-            "n_lines", "dup_line_fraction", "dup_line_char_fraction",
-            "mean_word_length", "symbol_word_ratio", "alpha_word_fraction",
-            "dup_2gram_fraction",
-        )
+        # same narrow-stage composition as the batch job
         kept = (
-            gopher_filter(
-                with_repetition_signals(kept, text_col="extracted_text")
-            )
+            with_gopher_passes(kept, text_col="extracted_text")
             .filter("passes")
-            .drop("passes", *sig_cols)
+            .drop("passes")
         )
     writer = (
         kept.writeStream.format("parquet")

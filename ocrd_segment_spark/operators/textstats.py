@@ -211,6 +211,24 @@ def top_ngram_stats(
     )
 
 
+# the columns with_repetition_signals ADDS (n_tokens is re-derived
+# value-exact and may pre-exist) — the set jobs drop after deciding
+REPETITION_SIGNAL_COLS = (
+    "n_lines", "dup_line_fraction", "dup_line_char_fraction",
+    "mean_word_length", "symbol_word_ratio", "alpha_word_fraction",
+    "dup_2gram_fraction",
+)
+
+
+def with_gopher_passes(df: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """signals → gopher_filter → drop the signal columns: the one-call
+    form both jobs use (df + a single ``passes`` boolean). Keyword
+    thresholds pass through to :func:`gopher_filter`."""
+    return gopher_filter(
+        with_repetition_signals(df, text_col=text_col), **thresholds
+    ).drop(*REPETITION_SIGNAL_COLS)
+
+
 def gopher_filter(
     df: DataFrame,
     *,
