@@ -128,6 +128,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": M.q_char_entropy,
     "lm_bigram_score": M.q_lm_bigram_score,
     "compression_ratio": M.q_compression_ratio,
+    "dedup_exact_substring": M.q_dedup_exact_substring,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
     "extract_word_spans": L.q_extract_word_spans,
     "extract_word_spans_multi": L.q_extract_word_spans_multi,
@@ -237,6 +238,7 @@ _ORACLES: dict[str, str] = {
     "dedup_cross_candidates": M.O_DEDUP_CROSS,
     "char_entropy": M.O_CHAR_ENTROPY,
     "lm_bigram_score": M.O_LM_BIGRAM,
+    "dedup_exact_substring": M.O_DEDUP_SUBSTRING,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,
     "word_reconstruct_digest": L.O_WORD_RECONSTRUCT,

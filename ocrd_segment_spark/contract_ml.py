@@ -1705,3 +1705,61 @@ def q_compression_ratio(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return compression_ratio(d)
+
+
+def q_dedup_exact_substring(spark, sf_dir):
+    """Exact duplicated-substring removal
+    (operators/dedup.exact_substring_dedup, the Lee-et-al. training-
+    data pass): 8-token windows occurring 2+ times in the corpus are
+    removed everywhere except the canonical (min doc, pos) occurrence.
+    Only duplicated occurrences are exploded to token indices, so the
+    amplification tracks the duplicated volume."""
+    from .operators.dedup import exact_substring_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = exact_substring_dedup(d, k=8)
+    return out.selectExpr(
+        "doc_id", "md5(clean_text) as clean_md5", "n_tokens", "n_tokens_removed"
+    )
+
+
+_D_COMPOSE8_AT = "th[i + 1]"
+for _j in range(1, 8):
+    _D_COMPOSE8_AT = f"({_D_COMPOSE8_AT} * 131 + th[i + {_j} + 1]) % {P}"
+
+O_DEDUP_SUBSTRING = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), th AS (
+  SELECT doc_id, toks,
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
+  FROM t
+), grams AS (
+  SELECT doc_id, i AS pos, {_D_COMPOSE8_AT} AS g
+  FROM th, LATERAL (SELECT unnest(generate_series(0, len(th) - 8)) AS i)
+  WHERE len(th) >= 8
+), dup AS (
+  SELECT g, min(ROW(doc_id, pos)) AS canon
+  FROM grams GROUP BY g HAVING count(*) >= 2
+), bad AS (
+  SELECT DISTINCT gr.doc_id, u.ti
+  FROM grams gr JOIN dup d USING (g),
+       LATERAL (SELECT unnest(generate_series(gr.pos, gr.pos + 7)) AS ti) u
+  WHERE ROW(gr.doc_id, gr.pos) <> d.canon
+), tok_rows AS (
+  SELECT doc_id, i - 1 AS ti, toks[i] AS tok
+  FROM th, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+), kept AS (
+  SELECT tr.doc_id, tr.ti, tr.tok
+  FROM tok_rows tr ANTI JOIN bad b ON tr.doc_id = b.doc_id AND tr.ti = b.ti
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       md5(coalesce(r.clean_text, '')) AS clean_md5,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""

@@ -549,3 +549,26 @@ def test_cross_corpus_candidates_only_cross_pairs(spark):
     assert all(n in (1, 3) for n, _ in pairs)    # new side only from batch
     assert all(e in (2, 4, 6) for _, e in pairs)
     assert (2, 4) not in pairs and (4, 2) not in pairs
+
+
+def test_exact_substring_dedup_canonical_and_overlap(spark):
+    """Lee-et-al. pass: the canonical (min doc, pos) occurrence keeps
+    its tokens; every other occurrence of a duplicated k-window loses
+    them, overlapping windows union, short docs pass through."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon unique one two"),
+        (2, "prefix alpha beta gamma delta epsilon zeta tail"),  # 2 overlapping 5-windows
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.exact_substring_dedup(df, k=5).collect()}
+    assert out[1]["n_tokens_removed"] == 0          # canonical 'alpha..epsilon'
+    # doc2: 'alpha..epsilon' (pos 1) duplicates doc1 pos 0 -> tokens
+    # 1..5 removed; 'beta..zeta' (pos 2) is CANONICAL ((2,2) < (3,1))
+    # so token 6 'zeta' survives the union
+    assert out[2]["clean_text"] == "prefix zeta tail"
+    assert out[2]["n_tokens_removed"] == 5
+    # doc3 is canonical for neither window -> loses every token
+    assert out[3]["clean_text"] == "" and out[3]["n_tokens_removed"] == 6
+    assert out[4]["clean_text"] == "tiny" and out[4]["n_tokens_removed"] == 0
