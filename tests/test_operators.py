@@ -572,3 +572,21 @@ def test_exact_substring_dedup_canonical_and_overlap(spark):
     # doc3 is canonical for neither window -> loses every token
     assert out[3]["clean_text"] == "" and out[3]["n_tokens_removed"] == 6
     assert out[4]["clean_text"] == "tiny" and out[4]["n_tokens_removed"] == 0
+
+
+def test_exact_substring_dedup_invariants(spark):
+    """Determinism across partitioning (the canonical pick must not
+    depend on physical layout), identity when nothing repeats, and
+    no-op below the occurrence threshold."""
+    rows = [(i, f"unique{i} words{i} only{i} here{i} now{i} end{i}") for i in range(8)]
+    rows += [(100, "dup one two three four five"), (101, "dup one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(tuple(r) for r in D.exact_substring_dedup(df.repartition(7), k=5).collect())
+    b = sorted(tuple(r) for r in D.exact_substring_dedup(df.repartition(2), k=5).collect())
+    assert a == b
+    out = {r[0]: r for r in a}
+    assert all(out[i][3] == 0 and out[i][1] == rows[i][1] for i in range(8))  # identity
+    assert out[100][3] == 0 and out[101][3] == 6  # canonical kept, dup emptied
+    # min_occurrences above the max multiplicity: full identity
+    none = D.exact_substring_dedup(df, k=5, min_occurrences=3).collect()
+    assert all(r["n_tokens_removed"] == 0 for r in none)
