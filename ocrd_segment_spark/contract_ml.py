@@ -1710,45 +1710,44 @@ def q_compression_ratio(spark, sf_dir):
 def q_dedup_exact_substring(spark, sf_dir):
     """Exact duplicated-substring removal
     (operators/dedup.exact_substring_dedup, the Lee-et-al. training-
-    data pass): 8-token windows occurring 2+ times in the corpus are
+    data pass): _K-token windows occurring 2+ times in the corpus are
     removed everywhere except the canonical (min doc, pos) occurrence.
-    Only duplicated occurrences are exploded to token indices, so the
-    amplification tracks the duplicated volume."""
+    Windows key on md5 of the window TEXT (collision-safe — the
+    operator is destructive); explode/rebuild runs only for affected
+    documents."""
     from .operators.dedup import exact_substring_dedup
 
     d = _t(spark, sf_dir, "documents")
-    out = exact_substring_dedup(d, k=8)
+    out = exact_substring_dedup(d, k=_K_SUBSTR)
     return out.selectExpr(
         "doc_id", "md5(clean_text) as clean_md5", "n_tokens", "n_tokens_removed"
     )
 
 
-_D_COMPOSE8_AT = "th[i + 1]"
-for _j in range(1, 8):
-    _D_COMPOSE8_AT = f"({_D_COMPOSE8_AT} * 131 + th[i + {_j} + 1]) % {P}"
+# ONE constant feeds the Spark call and every oracle site (window size,
+# series bounds, span width) — k drifting out of sync across them is a
+# silent wrong-oracle hazard
+_K_SUBSTR = 8
 
 O_DEDUP_SUBSTRING = f"""
 WITH t AS (
   SELECT doc_id, {_D_TOKS} AS toks FROM documents
-), th AS (
-  SELECT doc_id, toks,
-         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
-  FROM t
-), grams AS (
-  SELECT doc_id, i AS pos, {_D_COMPOSE8_AT} AS g
-  FROM th, LATERAL (SELECT unnest(generate_series(0, len(th) - 8)) AS i)
-  WHERE len(th) >= 8
+), occ AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(toks, i + 1, i + {_K_SUBSTR}), ' ')) AS g
+  FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - {_K_SUBSTR})) AS i)
+  WHERE len(toks) >= {_K_SUBSTR}
 ), dup AS (
   SELECT g, min(ROW(doc_id, pos)) AS canon
-  FROM grams GROUP BY g HAVING count(*) >= 2
+  FROM occ GROUP BY g HAVING count(*) >= 2
 ), bad AS (
-  SELECT DISTINCT gr.doc_id, u.ti
-  FROM grams gr JOIN dup d USING (g),
-       LATERAL (SELECT unnest(generate_series(gr.pos, gr.pos + 7)) AS ti) u
-  WHERE ROW(gr.doc_id, gr.pos) <> d.canon
+  SELECT DISTINCT o.doc_id, u.ti
+  FROM occ o JOIN dup d USING (g),
+       LATERAL (SELECT unnest(generate_series(o.pos, o.pos + {_K_SUBSTR} - 1)) AS ti) u
+  WHERE ROW(o.doc_id, o.pos) <> d.canon
 ), tok_rows AS (
   SELECT doc_id, i - 1 AS ti, toks[i] AS tok
-  FROM th, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
 ), kept AS (
   SELECT tr.doc_id, tr.ti, tr.tok
   FROM tok_rows tr ANTI JOIN bad b ON tr.doc_id = b.doc_id AND tr.ti = b.ti

@@ -391,75 +391,87 @@ def exact_substring_dedup(
     ``min_occurrences``-or-more times in the corpus (same doc included)
     is removed from every occurrence EXCEPT the canonical one — the
     smallest (doc id, position). Returns
-    (id_col, clean_text, n_tokens, n_tokens_removed); the surviving
-    tokens keep their original order.
+    (id_col, clean_text, n_tokens, n_tokens_removed); surviving tokens
+    keep their original order (clean_text is whitespace-normalized:
+    tokens joined by single spaces, for touched and untouched docs
+    alike).
 
-    Shape at scale: window hashes are composed from per-token hashes
-    (one char fold per token, reused across the k-window — the frozen
-    polynomial compose the other dedup ops share). Occurrences group on
-    the window hash — fine-grained keys; the canonical pick is a
-    map-side-combining min(struct(doc, pos)) per hash, NOT a window
-    sort. Only occurrences of ACTUALLY-DUPLICATED windows are exploded
-    to token indices (k rows each), so the amplification is
-    proportional to the duplicated volume, not the corpus. The
-    published suffix-array construction finds variable-length maximal
-    repeats; this fixed-k windowed form is the DataFrame-native
-    equivalent a cluster can run incrementally (larger duplicated runs
-    are covered by their overlapping k-windows).
+    Exactness: windows group on md5 OF THE WINDOW TEXT — 128 bits, the
+    same key discipline as the corpus exact dedup (md5(extracted_text))
+    — never on a short polynomial hash, because this operator is
+    terminal and destructive: a colliding group would silently delete
+    non-duplicated text.
 
-    O(tokens × k) compose per document — for the usual k≈20-50 that is
-    the dominant narrow cost; a Rabin-Karp rolling form would be O(n)
-    but needs modular subtraction state that SQL folds express poorly,
-    so the straightforward compose is the frozen semantics."""
-    toks = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .withColumn("toks", H.tokens("text"))
-        .withColumn("th", H.token_hashes("toks"))
+    Shape at scale: the window digests are a narrow O(tokens × k-chars)
+    pass; occurrences group on the digest (fine-grained keys) with a
+    map-side-combining min(struct(doc, pos)) canonical pick — no window
+    sort. The explode-to-token-indices and the per-doc rebuild run ONLY
+    for documents that actually contain a duplicated window (left-semi
+    restriction); untouched documents pass through as a pure column
+    expression. Corpus-wide cost is the narrow digest scan; shuffle
+    volume tracks the duplicated volume."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).withColumn("toks", H.tokens("text"))
+    wins = toks.withColumn(
+        "wins",
+        F.expr(
+            f"CASE WHEN size(toks) < {k} THEN cast(array() as array<string>)"
+            f" ELSE transform(sequence(0, size(toks) - {k}),"
+            f" i -> md5(array_join(slice(toks, i + 1, {k}), ' '))) END"
+        ),
     )
-    parts = "element_at(th, i + 1)"
-    for j in range(1, k):
-        parts = f"({parts} * 131 + element_at(th, i + {j} + 1)) % {H.P}"
-    grams = toks.select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN size(th) < {k} THEN cast(array() as array<bigint>)"
-                f" ELSE transform(sequence(0, size(th) - {k}), i -> {parts}) END"
-            )
-        ).alias("pos", "g"),
-    )
-    dup = grams.groupBy("g").agg(
+    occ = wins.select("id", F.posexplode("wins").alias("pos", "g"))
+    dup = occ.groupBy("g").agg(
         F.count("*").alias("occ"),
         F.min(F.struct("id", "pos")).alias("canon"),
     ).filter(F.col("occ") >= min_occurrences)
     bad = (
-        grams.join(dup, "g")
+        occ.join(dup, "g")
         .filter(
             (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
         )
         .select("id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("ti"))
         .distinct()
     )
-    tok_rows = toks.select(
+    affected = bad.select("id").distinct()
+    tok_rows = toks.join(affected, "id", "left_semi").select(
         "id", F.posexplode("toks").alias("ti", "tok")
     )
-    kept = tok_rows.join(bad, ["id", "ti"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.expr("transform(array_sort(collect_list(struct(ti, tok))), x -> x.tok)"),
-            " ",
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = toks.select("id", F.size("toks").alias("n_tokens"))
-    return (
-        totals.join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_tokens_removed"),
+    rebuilt = (
+        tok_rows.join(bad, ["id", "ti"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(ti, tok))), x -> x.tok)"
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
         )
+    )
+    touched = (
+        toks.join(affected, "id", "left_semi")
+        .select("id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            # a fully-duplicated doc loses every token: no rebuilt row
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+    untouched = toks.join(affected, "id", "left_anti").select(
+        "id",
+        F.expr("array_join(toks, ' ')").alias("clean_text"),
+        F.size("toks").alias("n_tokens"),
+        F.lit(0).alias("n_removed"),
+    )
+    return touched.unionByName(untouched).select(
+        F.col("id").alias(id_col),
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_tokens_removed"),
     )
