@@ -223,6 +223,7 @@ def main() -> None:
         "events_hourly_window": lambda: M.q_events_hourly_window(spark, SF_DIR).collect(),
         "paragraph_dedup": lambda: M.q_paragraph_dedup(spark, SF_DIR).count(),
         "decontaminate": lambda: M.q_decontaminate(spark, SF_DIR).count(),
+        "substring_dedup": lambda: M.q_dedup_exact_substring(spark, SF_DIR).count(),
         "word_spans_derive": bench_word_spans,
         "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
         and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
