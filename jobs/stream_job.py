@@ -85,38 +85,38 @@ def run_stream(
         with_lang_id,
         with_quality,
     )
-    from ocrd_segment_spark.pipeline import extract_pages
-    from ocrd_segment_spark.streaming.extract_stream import PAGES_SCHEMA
+    from ocrd_segment_spark.streaming.extract_stream import stream_extract
 
-    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
-    scored = with_lang_id(
-        with_quality(
-            extract_pages(pages, python_parallelism=python_parallelism),
+    def score_and_filter(extracted):
+        scored = with_lang_id(
+            with_quality(extracted, text_col="extracted_text"),
             text_col="extracted_text",
-        ),
-        text_col="extracted_text",
-    )
-    kept = scored.filter(
-        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
-    )
-    if langs:
-        kept = kept.filter(F.col("pred_lang").isin(langs))
-    if gopher:
-        # same narrow-stage composition as the batch job
-        kept = (
-            with_gopher_passes(kept, text_col="extracted_text")
-            .filter("passes")
-            .drop("passes")
         )
-    writer = (
-        kept.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
+        kept = scored.filter(
+            (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+        )
+        if langs:
+            kept = kept.filter(F.col("pred_lang").isin(langs))
+        if gopher:
+            # same narrow-stage composition as the batch job
+            kept = (
+                with_gopher_passes(kept, text_col="extracted_text")
+                .filter("passes")
+                .drop("passes")
+            )
+        return kept
+
+    # the exactly-once source/sink scaffolding lives in stream_extract;
+    # this job only supplies the score/filter chain
+    return stream_extract(
+        spark,
+        input_path,
+        output_path,
+        checkpoint,
+        available_now=available_now,
+        transform=score_and_filter,
+        python_parallelism=python_parallelism,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 if __name__ == "__main__":

@@ -1653,9 +1653,12 @@ s2 AS (
 )
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_text,
        CASE WHEN n = 0 THEN 0.0 ELSE
+         -- '+ 0.0' is load-bearing: DuckDB's abs(-0.0) RETURNS -0.0
+         -- (verified), and -0.0 vs Spark's +0.0 fails the typed gate
+         -- for any single-character-alphabet document
          round(abs(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list_transform(cnts, k -> (k * 1.0 / n) * log2(k * 1.0 / n))),
-           (a, x) -> a + x)), 6) END AS char_entropy
+           (a, x) -> a + x)) + 0.0, 6) END AS char_entropy
 FROM s2
 """
 
@@ -1686,10 +1689,17 @@ model AS (SELECT bg, count(*) AS cnt FROM rb GROUP BY bg),
 tv AS (SELECT sum(cnt) AS T, count(*) AS V FROM model),
 docs AS (SELECT doc_id, unnest({_D_BIGRAMS}) AS bg FROM documents),
 sc AS (
-  SELECT d.doc_id,
-         round(avg(-log2((coalesce(m.cnt, 0) + 1.0) / (tv.T + tv.V + 1.0))), 6)
-           AS bits_per_bigram
-  FROM docs d LEFT JOIN model m USING (bg), tv GROUP BY d.doc_id
+  -- sum by a fold over the SORTED surprisal list, not avg(): float
+  -- addition is order-sensitive and the engine folds sorted too
+  SELECT doc_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                           (a, x) -> a + x) / len(vals), 6) AS bits_per_bigram
+  FROM (
+    SELECT d.doc_id,
+           list_sort(list(-log2((coalesce(m.cnt, 0) + 1.0)
+                                / (tv.T + tv.V + 1.0)))) AS vals
+    FROM docs d LEFT JOIN model m USING (bg), tv GROUP BY d.doc_id
+  )
 )
 SELECT t.doc_id, sc.bits_per_bigram
 FROM documents t LEFT JOIN sc ON t.doc_id = sc.doc_id

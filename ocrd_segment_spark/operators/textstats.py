@@ -282,9 +282,13 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "_cnts",
+            # guard on the ARRAY being empty, not just _n: slice with a
+            # negative length throws under ANSI, so a future refactor
+            # that produces a genuinely empty _s must land here safely
             F.expr(
-                "zip_with(_b, concat(slice(_b, 2, size(_b) - 1), array(_n + 1)),"
-                " (a, b) -> b - a)"
+                "CASE WHEN size(_b) = 0 THEN cast(array() as array<int>) ELSE"
+                " zip_with(_b, concat(slice(_b, 2, size(_b) - 1), array(_n + 1)),"
+                " (a, b) -> b - a) END"
             ),
         )
     )
@@ -333,38 +337,47 @@ def with_lm_score(
 
     Scale shape: the model and its 1-row totals are broadcast (charset²
     rows — never corpus-sized, and NO driver-side collect); the corpus
-    side is explode → broadcast join → one doc-keyed aggregation.
-    Documents with fewer than 2 characters score NULL (no evidence)."""
+    side is ONE pass — explode_outer keeps a null-bigram row for
+    sub-2-char documents (they score NULL) so no second lineage walk or
+    id-join is needed to restore them. Per-doc surprisals are summed by
+    an aggregate-fold over the SORTED value list — float addition is
+    not associative, and the repo invariant is that cross-engine double
+    sums fold in a frozen order (the DuckDB oracle sorts identically)."""
     totals = model.agg(
         F.sum("cnt").alias("_t"), F.count("*").alias("_v")
     )
-    scored = (
+    return (
         docs.selectExpr(
-            f"{id_col} as id", f"explode({_BIGRAMS.format(col=text_col)}) as bg"
+            f"{id_col} as id",
+            f"explode_outer({_BIGRAMS.format(col=text_col)}) as bg",
         )
         .join(F.broadcast(model), "bg", "left")
         .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_s",
+            F.expr(
+                "CASE WHEN bg IS NULL THEN cast(null as double) ELSE"
+                " -log2((coalesce(cnt, 0) + 1.0D) / (_t * 1.0D + _v + 1.0D)) END"
+            ),
+        )
         .groupBy("id")
-        .agg(
-            F.round(
-                F.avg(
-                    F.expr(
-                        "-log2((coalesce(cnt, 0) + 1.0D) / (_t * 1.0D + _v + 1.0D))"
-                    )
-                ),
-                6,
-            ).alias("bits_per_bigram")
+        .agg(F.sort_array(F.collect_list("_s")).alias("_vals"))
+        .select(
+            F.col("id").alias(id_col),
+            F.expr(
+                "CASE WHEN size(_vals) = 0 THEN cast(null as double) ELSE"
+                " round(aggregate(_vals, 0.0D, (a, x) -> a + x) / size(_vals), 6) END"
+            ).alias("bits_per_bigram"),
         )
     )
-    return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(scored, "id", "left")
-        .select(F.col("id").alias(id_col), "bits_per_bigram")
-    )
+
 
 
 def compression_ratio(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    python_parallelism: int | None = None,
 ) -> DataFrame:
     """(id_col, n_bytes, compressed_bytes, compression_ratio):
     zlib-level-6 compressed size over raw utf-8 size — the Dolma-style
@@ -411,4 +424,9 @@ def compression_ratio(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(batches, schema)
+    # route through the centralized python-task cap (CLAUDE.md trap:
+    # each mapInPandas task costs ~2 hardware threads)
+    from ..pipeline import _cap_python_tasks
+
+    src = _cap_python_tasks(df.select(id_col, text_col), python_parallelism)
+    return src.mapInPandas(batches, schema)

@@ -40,13 +40,20 @@ def stream_extract(
     checkpoint: str,
     params: ExtractParams = DEFAULT_PARAMS,
     available_now: bool = True,
+    transform=None,
+    python_parallelism: int | None = None,
 ):
     """Continuous extraction with exactly-once semantics (checkpointed
     file-source offsets + parquet sink manifest). ``available_now``
     drains what exists and stops — the test/replay mode; leave False
-    for a long-running job."""
+    for a long-running job. ``transform`` (DataFrame → DataFrame) runs
+    between extraction and the sink — the hook jobs/stream_job.py uses
+    for its score/filter chain, so the exactly-once source/sink
+    scaffolding exists in exactly one place."""
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
-    out = extract_pages(pages, params)
+    out = extract_pages(pages, params, python_parallelism)
+    if transform is not None:
+        out = transform(out)
     writer = (
         out.writeStream.format("parquet")
         .option("path", output_path)
