@@ -396,38 +396,67 @@ def exact_substring_dedup(
     tokens joined by single spaces, for touched and untouched docs
     alike).
 
-    Exactness: windows group on md5 OF THE WINDOW TEXT — 128 bits, the
-    same key discipline as the corpus exact dedup (md5(extracted_text))
-    — never on a short polynomial hash, because this operator is
-    terminal and destructive: a colliding group would silently delete
-    non-duplicated text.
-
-    Shape at scale: the window digests are a narrow O(tokens × k-chars)
-    pass; occurrences group on the digest (fine-grained keys) with a
-    map-side-combining min(struct(doc, pos)) canonical pick — no window
-    sort. The explode-to-token-indices and the per-doc rebuild run ONLY
-    for documents that actually contain a duplicated window (left-semi
-    restriction); untouched documents pass through as a pure column
-    expression. Corpus-wide cost is the narrow digest scan; shuffle
-    volume tracks the duplicated volume."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).withColumn("toks", H.tokens("text"))
-    wins = toks.withColumn(
-        "wins",
-        F.expr(
-            f"CASE WHEN size(toks) < {k} THEN cast(array() as array<string>)"
-            f" ELSE transform(sequence(0, size(toks) - {k}),"
-            f" i -> md5(array_join(slice(toks, i + 1, {k}), ' '))) END"
-        ),
+    Two-level find-then-verify (the engine's LSH-then-verify shape,
+    applied to exactness): a cheap polynomial window hash groups ALL
+    occurrences (O(tokens·k) integer ops, narrow); only windows whose
+    cheap-hash group reaches ``min_occurrences`` are re-keyed by md5 OF
+    THE WINDOW TEXT (128 bits, the corpus exact-dedup key discipline)
+    — a polynomial collision therefore costs a little wasted md5 work,
+    never a false removal, while equal content can never be missed
+    (equal text ⇒ equal cheap hash). md5 cost and all downstream
+    shuffles track the DUPLICATED volume, not the corpus; the
+    token-explode rebuild is left-semi restricted to affected
+    documents, and untouched documents pass through as a pure column
+    expression."""
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .withColumn("toks", H.tokens("text"))
+        .withColumn("th", H.token_hashes("toks"))
     )
-    occ = wins.select("id", F.posexplode("wins").alias("pos", "g"))
-    dup = occ.groupBy("g").agg(
+    parts = "element_at(th, i + 1)"
+    for j in range(1, k):
+        parts = f"({parts} * 131 + element_at(th, i + {j} + 1)) % {H.P}"
+    occ = toks.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(th) < {k} THEN cast(array() as array<bigint>)"
+                f" ELSE transform(sequence(0, size(th) - {k}), i -> {parts}) END"
+            )
+        ).alias("pos", "gp"),
+    )
+    cand_groups = (
+        occ.groupBy("gp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_occurrences)
+        .select("gp")
+    )
+    # md5-verify ONLY candidate occurrences: one toks copy per affected
+    # doc (positions grouped first), window text sliced per position
+    cand_pos = (
+        occ.join(cand_groups, "gp")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("cpos"))
+    )
+    ver = (
+        toks.join(cand_pos, "id")
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    f"transform(cpos, p -> struct(p as pos,"
+                    f" md5(array_join(slice(toks, p + 1, {k}), ' ')) as g))"
+                )
+            ).alias("w"),
+        )
+        .select("id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+    )
+    dup = ver.groupBy("g").agg(
         F.count("*").alias("occ"),
         F.min(F.struct("id", "pos")).alias("canon"),
     ).filter(F.col("occ") >= min_occurrences)
     bad = (
-        occ.join(dup, "g")
+        ver.join(dup, "g")
         .filter(
             (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
         )
