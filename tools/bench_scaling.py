@@ -223,6 +223,11 @@ shared, read regressions against bench.py's load_1m field):
 - **url canonicalization / PII redaction**: narrow regexp chains in
   the Java-regex/RE2 common subset, pinned byte-equal to the DuckDB
   restatement on 300+ fuzz strings (tests/test_corpus_quality.py).
+- **exact-substring dedup** (Lee-et-al. k-window removal): two-level
+  find-then-verify — cheap polynomial window hash over the corpus,
+  md5-of-window-text verification only for candidate-duplicate groups
+  (collisions cost wasted md5 work, never a false removal). 3.0 s
+  standing headline at sf0.1 (was 10.5 s keying every window on md5).
 
 
 ## End-to-end corpus pipeline (round 3)
