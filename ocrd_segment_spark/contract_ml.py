@@ -1688,23 +1688,31 @@ rb AS (SELECT unnest({_D_BIGRAMS}) AS bg FROM ref),
 model AS (SELECT bg, count(*) AS cnt FROM rb GROUP BY bg),
 tv AS (SELECT sum(cnt) AS T, count(*) AS V FROM model),
 docs AS (SELECT doc_id, unnest({_D_BIGRAMS}) AS bg FROM documents),
+per_bg AS (
+  SELECT d.doc_id, d.bg, count(*) AS n_local,
+         -log2((coalesce(any_value(m.cnt), 0) + 1.0)
+               / (any_value(tv.T) + any_value(tv.V) + 1.0)) AS s
+  FROM docs d LEFT JOIN model m USING (bg), tv
+  GROUP BY d.doc_id, d.bg
+),
 sc AS (
-  -- sum by a fold over the SORTED surprisal list, not avg(): float
-  -- addition is order-sensitive and the engine folds sorted too
+  -- fold count*surprisal over the bigram-SORTED distinct list: float
+  -- addition is order-sensitive and the engine folds the same order
   SELECT doc_id,
-         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
-                           (a, x) -> a + x) / len(vals), 6) AS bits_per_bigram
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(vals, x -> x.n_local * x.s)), (a, x) -> a + x)
+               / list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(vals, x -> x.n_local)), (a, x) -> a + x),
+               6) AS bits_per_bigram
   FROM (
-    SELECT d.doc_id,
-           list_sort(list(-log2((coalesce(m.cnt, 0) + 1.0)
-                                / (tv.T + tv.V + 1.0)))) AS vals
-    FROM docs d LEFT JOIN model m USING (bg), tv GROUP BY d.doc_id
+    SELECT doc_id,
+           list_sort(list({{'bg': bg, 'n_local': n_local, 's': s}})) AS vals
+    FROM per_bg GROUP BY doc_id
   )
 )
 SELECT t.doc_id, sc.bits_per_bigram
 FROM documents t LEFT JOIN sc ON t.doc_id = sc.doc_id
 """
-
 
 def q_compression_ratio(spark, sf_dir):
     """Compression-ratio quality signal (operators/textstats

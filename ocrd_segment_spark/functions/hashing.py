@@ -30,20 +30,30 @@ def token_hashes(tokens_col: str) -> Column:
     return F.expr(f"transform({tokens_col}, t -> {STR_HASH.format(s='t')})")
 
 
-def shingle_hashes(token_hash_col: str, n: int = 3) -> Column:
-    """array<long>: distinct composed n-gram hashes over token hashes.
-    Documents with fewer than n tokens yield an EMPTY array (without
-    the guard, sequence(0, size-n) is descending for negative bounds
-    and th[i+k] raises INVALID_ARRAY_INDEX under ANSI mode)."""
+def window_hashes_sql(token_hash_col: str, n: int) -> str:
+    """SQL fragment: position-ordered composed n-gram hashes over token
+    hashes (one entry per window start; NOT distinct). The single home
+    of the '(h * 131 + next) % P' compose — shingle_hashes and the
+    exact-substring dedup both build on it, so the polynomial can never
+    drift between call sites. Documents with fewer than n tokens yield
+    an EMPTY array (without the guard, sequence(0, size-n) is
+    descending for negative bounds and th[i+k] raises
+    INVALID_ARRAY_INDEX under ANSI mode)."""
     parts = "th[i]"
     for k in range(1, n):
         parts = f"({parts} * 131 + th[i+{k}]) % {P}"
     body = (
         f"IF(size(th) >= {n},"
-        f" array_distinct(transform(sequence(0, size(th) - {n}), i -> {parts})),"
+        f" transform(sequence(0, size(th) - {n}), i -> {parts}),"
         " cast(array() as array<bigint>))"
     )
-    return F.expr(body.replace("th", token_hash_col))
+    return body.replace("th", token_hash_col)
+
+
+def shingle_hashes(token_hash_col: str, n: int = 3) -> Column:
+    """array<long>: DISTINCT composed n-gram hashes (set semantics for
+    Jaccard/minhash; use window_hashes_sql where positions matter)."""
+    return F.expr(f"array_distinct({window_hashes_sql(token_hash_col, n)})")
 
 
 def minhash_signature(hashes_col: str, k: int = 8) -> Column:

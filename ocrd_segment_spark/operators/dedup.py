@@ -413,17 +413,9 @@ def exact_substring_dedup(
         .withColumn("toks", H.tokens("text"))
         .withColumn("th", H.token_hashes("toks"))
     )
-    parts = "element_at(th, i + 1)"
-    for j in range(1, k):
-        parts = f"({parts} * 131 + element_at(th, i + {j} + 1)) % {H.P}"
     occ = toks.select(
         "id",
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN size(th) < {k} THEN cast(array() as array<bigint>)"
-                f" ELSE transform(sequence(0, size(th) - {k}), i -> {parts}) END"
-            )
-        ).alias("pos", "gp"),
+        F.posexplode(F.expr(H.window_hashes_sql("th", k))).alias("pos", "gp"),
     )
     cand_groups = (
         occ.groupBy("gp")

@@ -336,21 +336,25 @@ def with_lm_score(
     the CCNet-style perplexity filter signal.
 
     Scale shape: the model and its 1-row totals are broadcast (charset²
-    rows — never corpus-sized, and NO driver-side collect); the corpus
-    side is ONE pass — explode_outer keeps a null-bigram row for
-    sub-2-char documents (they score NULL) so no second lineage walk or
-    id-join is needed to restore them. Per-doc surprisals are summed by
-    an aggregate-fold over the SORTED value list — float addition is
-    not associative, and the repo invariant is that cross-engine double
-    sums fold in a frozen order (the DuckDB oracle sorts identically)."""
+    rows — never corpus-sized, NO driver-side collect). The corpus side
+    is one explode_outer pass (sub-2-char docs keep a null-bigram row
+    and score NULL — no second lineage walk) into a per-(doc, bigram)
+    COUNT — map-side combinable, so per-doc state is bounded by the
+    charset², never by document length. The per-doc total is then a
+    fold of count·surprisal over the bigram-SORTED distinct list:
+    float addition is not associative, and the repo invariant is that
+    cross-engine double sums fold in a frozen order (the DuckDB oracle
+    sorts and folds identically)."""
     totals = model.agg(
         F.sum("cnt").alias("_t"), F.count("*").alias("_v")
     )
-    return (
+    per_bg = (
         docs.selectExpr(
             f"{id_col} as id",
             f"explode_outer({_BIGRAMS.format(col=text_col)}) as bg",
         )
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("n_local"))
         .join(F.broadcast(model), "bg", "left")
         .crossJoin(F.broadcast(totals))
         .withColumn(
@@ -360,16 +364,25 @@ def with_lm_score(
                 " -log2((coalesce(cnt, 0) + 1.0D) / (_t * 1.0D + _v + 1.0D)) END"
             ),
         )
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("_s")).alias("_vals"))
+    )
+    return (
+        per_bg.groupBy("id")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(CASE WHEN bg IS NULL THEN null"
+                " ELSE struct(bg, n_local, _s) END))"
+            ).alias("_vals")
+        )
         .select(
             F.col("id").alias(id_col),
             F.expr(
                 "CASE WHEN size(_vals) = 0 THEN cast(null as double) ELSE"
-                " round(aggregate(_vals, 0.0D, (a, x) -> a + x) / size(_vals), 6) END"
+                " round(aggregate(_vals, 0.0D, (a, x) -> a + x.n_local * x._s)"
+                " / aggregate(_vals, 0L, (a, x) -> a + x.n_local), 6) END"
             ).alias("bits_per_bigram"),
         )
     )
+
 
 
 

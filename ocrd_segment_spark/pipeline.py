@@ -176,6 +176,11 @@ def _cap_python_tasks(src: DataFrame, python_parallelism: int | None) -> DataFra
     pipelines so neither can silently lose the oversubscription guard."""
     if python_parallelism is None:
         return src
+    if src.isStreaming:
+        # .rdd is illegal on a streaming DataFrame (raises before the
+        # query starts — observed live); repartition caps microbatch
+        # task counts directly
+        return src.repartition(python_parallelism)
     cur = src.rdd.getNumPartitions()
     return (
         src.coalesce(python_parallelism)

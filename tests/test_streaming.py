@@ -372,3 +372,18 @@ def test_stream_job_matches_batch_corpus_filters(spark, tmp_path):
     q2 = run_stream(spark, src, out, ckpt, min_tokens=5, gopher=True)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == len(batch)
+
+
+def test_stream_job_accepts_python_parallelism(spark, tmp_path):
+    """--python-parallelism on the streaming job must not touch .rdd
+    (illegal on streaming DataFrames — crashed before the fix)."""
+    from jobs.stream_job import run_stream
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages_pandas(10)).write.parquet(src)
+    q = run_stream(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        min_tokens=1, python_parallelism=2,
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(str(tmp_path / "out")).count() > 0
