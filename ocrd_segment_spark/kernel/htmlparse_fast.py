@@ -11,6 +11,17 @@ full fixture corpus (tests/test_fastparse.py) — same recovery rules:
 - void elements never push;
 - unmatched end tags ignored; skipping end tags pop to the match;
 - ``<p>``/``<li>`` auto-close on new block/item;
+- self-closing: a trailing '/' binds to a preceding unquoted
+  '=value' (html.parser's rule: `<a href=foo/>` is a normal start
+  tag); after a bare name, a quoted value, or whitespace it
+  self-closes;
+- KNOWN boundaries vs the stdlib cross-check (deep-fuzzed; garbage
+  input only, and the kernel contract — Spark == oracle byte identity
+  — runs THIS parser on both sides, so it is unaffected): tag names
+  here are [a-zA-Z][-a-zA-Z0-9]* while html.parser accepts almost any
+  byte after the first letter (`<i'>` is text here, a tag there), and
+  an UNTERMINATED quoted attribute recovers at the next '>' here
+  while html.parser demotes the whole tag to literal text;
 - script/style/template/… content is raw text (skipped to the closing
   tag, never tokenized as markup);
 - comments / doctype / CDATA / processing instructions ignored;
@@ -99,14 +110,23 @@ def _parse(html: str) -> Node:
             node.attrs_raw = m.group(3) or ""
             stack[-1].children.append(node)
             # self-closing: the attrs group greedily consumes a trailing
-            # '/', so inspect it — '/' counts only when alone or after
-            # whitespace/quote (stdlib treats `<a href=foo/>` as a
-            # normal start tag with value "foo/")
+            # '/', so inspect it. html.parser's rule (which the stdlib
+            # cross-check inherits): the '/' binds to the preceding
+            # token ONLY when that token is an unquoted '=value' —
+            # `<a href=foo/>` is a normal start tag with value "foo/",
+            # but `<h2 disabled/>` (bare NAME before the slash, found
+            # by deep fuzzing) and `<a x='q'/>` are self-closing.
             attrs_txt = m.group(3) or ""
-            self_closing = m.group(4) == "/" or (
-                attrs_txt.endswith("/")
-                and (len(attrs_txt) == 1 or attrs_txt[-2] in " \t\n\r\"'")
-            )
+            if m.group(4) == "/":
+                self_closing = True
+            elif attrs_txt.endswith("/"):
+                last = attrs_txt[:-1].rsplit(None, 1)
+                tok = last[-1] if last else ""
+                self_closing = not (
+                    tok and "=" in tok and tok[-1] not in "\"'"
+                )
+            else:
+                self_closing = False
             if tag in _RAWTEXT and not self_closing:
                 # raw content: skip to the closing tag, keep as text
                 close = _RAW_CLOSE[tag].search(html, pos)

@@ -162,6 +162,9 @@ _ATTR_CASES = [
     "<p style=font-family:O'Neil>x</p>",             # quote mid-unquoted value
     "<p dir=>x</p>",                                 # empty unquoted value
     "<p title='a>b'>x</p>",                          # '>' inside quoted value
+    "<p data-x=a/>y",                                # value-slash: NOT self-closing
+    "<p disabled/>y",                                # name-slash: self-closing
+    "<p data-x='v'/>y",                              # quote-slash: self-closing
 ]
 
 

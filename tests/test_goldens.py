@@ -40,6 +40,11 @@ Digest history:
   collapse, empty unquoted values yield '', and the fast tokenizer
   tolerates lone quotes inside unquoted values — all matching
   html.parser, verified case-by-case in tests/test_fastparse.py)
+- kernel 1.5.3 (fixtures v3): df6c272a…  (same digest; deep fuzz found
+  the self-close rule diverging from html.parser when '/' follows a
+  bare attribute NAME — `<h2 disabled/>` now self-closes like the
+  stdlib; the two remaining garbage-only recovery boundaries are
+  documented in htmlparse_fast.py instead of chased)
 """
 
 import hashlib
@@ -52,7 +57,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.5.2"
+GOLDEN_KERNEL = "1.5.3"
 GOLDEN_FIXTURES = 3
 
 
