@@ -124,6 +124,11 @@ def ensure_big_pages(spark) -> str:
 
 
 def main() -> None:
+    # co-tenant gate (CLAUDE.md: accept perf numbers only when the
+    # 1-min load is < ~3): sample BEFORE any Spark work — the finish
+    # sample below necessarily includes this bench's own 32-core load,
+    # so only the start sample reads the external contention level
+    load_1m_start = round(os.getloadavg()[0], 1)
     spark = build_session(
         app="bench",
         master=f"local[{CPUS}]",
@@ -304,6 +309,7 @@ def main() -> None:
                 # against this (idle box ~= CPUS during a bench run;
                 # anything far above means co-tenant contention)
                 "load_1m": round(os.getloadavg()[0], 1),
+                "load_1m_start": load_1m_start,
             }
         )
     )

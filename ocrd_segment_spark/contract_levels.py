@@ -1123,6 +1123,8 @@ l AS (
 SELECT doc_id, 'r0003' AS region_id, printf('r0003_l%03d', li) AS line_id,
        substring(t, CAST(l_start + 1 AS INT), CAST(l_end - l_start AS INT))
          AS transcription,
-       'paragraph' AS rtype, n_words, 'paragraph' AS validation
+       'paragraph' AS rtype, n_words,
+       'aside|caption|footer|header|heading|list|nav|paragraph|pre|quote|table'
+         AS validation
 FROM l
 """

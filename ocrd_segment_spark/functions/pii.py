@@ -51,10 +51,11 @@ def redact_pii(col: str) -> Column:
 
 
 def pii_counts(col: str) -> Column:
-    """struct(n_emails, n_ips, n_phones): occurrence counts BEFORE
-    redaction, each type counted on the text with the earlier chain
-    steps already applied (same staging as redact_pii, so counts and
-    redactions always agree)."""
+    """struct(n_emails, n_ips, n_phones): per-type occurrence counts,
+    each measured at its position in the redaction chain — emails on
+    the raw text, IPs after the email step, phones after email+IP
+    (same staging as redact_pii, so counts and redactions always
+    agree)."""
     after_email = f"regexp_replace({col}, '{EMAIL_RE}', '<EMAIL>')"
     after_ip = f"regexp_replace({after_email}, '{IPV4_RE}', '<IP>')"
     return F.expr(

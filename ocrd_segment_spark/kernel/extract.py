@@ -58,6 +58,16 @@ from .cssstyle import (  # noqa: E402  (kernel-internal re-export)
 )
 from .htmlparse import node_attrs  # noqa: E402
 
+# The complete text-region type vocabulary _classify can emit —
+# analog of the reference's region-type vocabulary (project.py:50-65 /
+# ocrd-tool.json:209-271). Frozen alongside _classify; the GT review
+# table (sources/text_files.py) uses it as its default dropdown so the
+# library path never needs a driver-side pass to discover types.
+RTYPE_VOCABULARY = (
+    "aside", "caption", "footer", "header", "heading", "list",
+    "nav", "paragraph", "pre", "quote", "table",
+)
+
 MEDIA_RTYPE = {
     "img": "image",
     "picture": "image",

@@ -12,9 +12,9 @@ full fixture corpus (tests/test_fastparse.py) — same recovery rules:
 - unmatched end tags ignored; skipping end tags pop to the match;
 - ``<p>``/``<li>`` auto-close on new block/item;
 - self-closing: a trailing '/' binds to a preceding unquoted
-  '=value' (html.parser's rule: `<a href=foo/>` is a normal start
-  tag); after a bare name, a quoted value, or whitespace it
-  self-closes;
+  '=value', whitespace around the '=' allowed (html.parser's rule:
+  `<a href=foo/>` and `<a href = foo/>` are normal start tags);
+  after a bare name or a quoted value it self-closes;
 - KNOWN boundaries vs the stdlib cross-check (deep-fuzzed; garbage
   input only, and the kernel contract — Spark == oracle byte identity
   — runs THIS parser on both sides, so it is unaffected): tag names
@@ -55,6 +55,17 @@ _RAWTEXT = frozenset("script style".split())
 _RAW_CLOSE = {t: re.compile(rf"</\s*{t}[^>]*>", re.IGNORECASE) for t in _RAWTEXT}
 
 _LT_SPLIT = re.compile(r"(<)")
+
+# Does a trailing '/' in the attribute text bind to a preceding
+# unquoted '=value' (html.parser: `<a href=foo/>`, `<a href = foo/>`,
+# `<a href= foo/>` are normal start tags whose value swallows the
+# slash)? Matches name `[^\s="'/>]+` after a delimiter, '=' with
+# optional whitespace on either side, then an unquoted value running
+# to the final '/'. A quoted value or a bare name before the slash
+# does NOT match → self-closing, same as the stdlib (`<p disabled/>`,
+# `<a x='q'/>`). Validated case-by-case against html.parser in
+# tests/test_fastparse.py (kernel 1.5.4).
+_SLASH_BINDS = re.compile(r"(?:^|[\s\"'/])[^\s=\"'/>]+\s*=\s*[^\s\"']*/$")
 
 
 def _append_text(node: Node, data: str) -> None:
@@ -111,20 +122,16 @@ def _parse(html: str) -> Node:
             stack[-1].children.append(node)
             # self-closing: the attrs group greedily consumes a trailing
             # '/', so inspect it. html.parser's rule (which the stdlib
-            # cross-check inherits): the '/' binds to the preceding
-            # token ONLY when that token is an unquoted '=value' —
-            # `<a href=foo/>` is a normal start tag with value "foo/",
-            # but `<h2 disabled/>` (bare NAME before the slash, found
-            # by deep fuzzing) and `<a x='q'/>` are self-closing.
+            # cross-check inherits): the '/' binds to a preceding
+            # unquoted '=value', whitespace around the '=' allowed —
+            # `<a href=foo/>` AND `<a href = foo/>` are normal start
+            # tags (kernel 1.5.4) — but `<h2 disabled/>` (bare NAME
+            # before the slash) and `<a x='q'/>` are self-closing.
             attrs_txt = m.group(3) or ""
             if m.group(4) == "/":
                 self_closing = True
             elif attrs_txt.endswith("/"):
-                last = attrs_txt[:-1].rsplit(None, 1)
-                tok = last[-1] if last else ""
-                self_closing = not (
-                    tok and "=" in tok and tok[-1] not in "\"'"
-                )
+                self_closing = _SLASH_BINDS.search(attrs_txt) is None
             else:
                 self_closing = False
             if tag in _RAWTEXT and not self_closing:

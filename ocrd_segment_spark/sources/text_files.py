@@ -98,7 +98,7 @@ def update_level_accounting(replaced: DataFrame) -> DataFrame:
 def gt_review_table(
     extracted: DataFrame,
     line_width: int = 8,
-    vocabulary: list[str] | None = None,
+    vocabulary: "list[str] | str | None" = None,
 ) -> DataFrame:
     """S11 xlsx-sink analog (reference extract_lines.py:108-156,
     264-275: an editable ground-truth spreadsheet — one row per line
@@ -113,12 +113,20 @@ def gt_review_table(
 
     Single-pass: rtype/score attach row-locally from ``region_spans``
     (no self-join — extraction is the expensive stage and must run
-    once). ``vocabulary=None`` derives the dropdown from the observed
-    rtypes, which costs ONE extra pass over ``extracted``; pass a
-    static list (or cache the input) to avoid it."""
+    once). ``vocabulary=None`` (the default) uses the kernel's frozen
+    rtype vocabulary (kernel/extract.py RTYPE_VOCABULARY) — a pure
+    constant, NO driver action, the dropdown simply lists types the
+    corpus may not contain. Pass ``vocabulary="derive"`` to narrow the
+    dropdown to the observed rtypes instead; that derivation is a
+    driver-side ``.collect()`` of the distinct rtypes (bounded by the
+    kernel vocabulary, ≤11 values) and costs ONE extra pass over
+    ``extracted`` — cache the input if extraction is expensive."""
     from ..functions.sublevels import with_sublevels
+    from ..kernel.extract import RTYPE_VOCABULARY
 
     if vocabulary is None:
+        vocabulary = list(RTYPE_VOCABULARY)
+    elif vocabulary == "derive":
         rows = (
             extracted.select(
                 F.explode(

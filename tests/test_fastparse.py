@@ -38,7 +38,8 @@ _tags = st.sampled_from(
     ["<p>", "</p>", "<div>", "</div>", "<li>", "<a href='x'>", "</a>",
      "<script>", "</script>", "<!-- c -->", "<br/>", "&amp;", "&#65;",
      "&nosuch;", "<![CDATA[x]]>", "<!DOCTYPE html>", "</bogus !>", "<p",
-     "<>", "< p>", "<p/>", "<P >", "</ p>", "<!", "<b\""]
+     "<>", "< p>", "<p/>", "<P >", "</ p>", "<!", "<b\"",
+     "<div href = foo/>", "<div x = />", "<p disabled/>", "<a x='q'/>"]
 )
 _doc = st.lists(st.one_of(_frag, _tags), min_size=0, max_size=25).map("".join)
 
@@ -166,6 +167,37 @@ _ATTR_CASES = [
     "<p disabled/>y",                                # name-slash: self-closing
     "<p data-x='v'/>y",                              # quote-slash: self-closing
 ]
+
+# self-close parity (kernel 1.5.4, round-3 advice): a '/' after a
+# spaced '=value' binds to the value in html.parser — these are valid
+# HTML shapes, not garbage, so tree shape must match the stdlib.
+_SELF_CLOSE_CASES = [
+    "<div href = foo/>inside</div>",     # spaced both sides: open tag
+    "<div href= foo/>inside</div>",      # space after '=': open tag
+    "<div href =foo/>inside</div>",      # space before '=': open tag
+    "<div href=foo/>inside</div>",       # unspaced: open tag
+    '<div x="q" y = z/>inside</div>',    # after a quoted attr: open tag
+    "<div x=a= b/>inside</div>",         # '=' consumed by x's value → bare name 'b': self-closes
+    "<div x=a=b/>inside</div>",          # '=' inside unquoted value: open tag
+    "<div a/b=c/>inside</div>",          # name after '/': open tag
+    "<div href= />inside</div>",         # value IS the slash: open tag
+    "<div disabled/>inside</div>",       # bare name: self-closes
+    "<div x='q'/>inside</div>",          # quoted value: self-closes
+    "<div = foo/>inside</div>",          # no name before '=': self-closes
+]
+
+
+def test_self_close_slash_binding_matches_stdlib():
+    def shape(node):
+        return [
+            c if isinstance(c, str) else (c.tag, shape(c))
+            for c in node.children
+        ]
+
+    for case in _SELF_CLOSE_CASES:
+        html = f"<html><body>{case}</body></html>"
+        a, b = shape(parse_stdlib(html)), shape(parse_html_fast(html))
+        assert a == b, (case, a, b)
 
 
 def test_attr_parity_between_parsers():

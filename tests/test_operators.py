@@ -430,10 +430,37 @@ def test_label_import_is_kernel_schema_compatible(spark):
     images, annotations, categories = export_coco(seg)
     assert annotations.count() == 2
     assert {r["name"] for r in categories.collect()} == {"heading.h", "paragraph.p"}
-    review = gt_review_table(seg, line_width=2).collect()
+    review = gt_review_table(seg, line_width=2, vocabulary="derive").collect()
     assert {r["rtype"] for r in review} == {"heading", "paragraph"}
     assert all(r["validation"] == "heading|paragraph" for r in review)
     assert all(r["score"] == 1.0 for r in review)
+
+
+def test_gt_review_default_vocabulary_runs_no_job(spark):
+    """The library default must be the kernel rtype constant with NO
+    driver action: building the review table plan may not trigger a
+    Spark job (round-3 advice — the `.collect()` derivation is now
+    the opt-in ``vocabulary="derive"`` path only)."""
+    from ocrd_segment_spark.kernel.extract import RTYPE_VOCABULARY
+    from ocrd_segment_spark.sources.labels import import_label_segmentation
+    from ocrd_segment_spark.sources.text_files import gt_review_table
+
+    df = spark.createDataFrame(
+        [("u1", "head text", "hhhhppppp")],
+        "url string, extracted_text string, labels string",
+    )
+    seg = import_label_segmentation(df, {"h": "heading", "p": "paragraph"})
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    table = gt_review_table(seg, line_width=2)  # plan only — must be lazy
+    assert tracker.getJobIdsForGroup(None) == before
+    rows = table.collect()
+    expected = "|".join(RTYPE_VOCABULARY)
+    assert rows and all(r["validation"] == expected for r in rows)
+    # the constant stays in lockstep with the classifier: every rtype
+    # the kernel can emit (incl. via label import) must be in it
+    assert {"heading", "paragraph"} <= set(RTYPE_VOCABULARY)
+    assert list(RTYPE_VOCABULARY) == sorted(set(RTYPE_VOCABULARY))
 
 
 def test_sniff_image_headers():
