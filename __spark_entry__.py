@@ -99,6 +99,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_host_agg": M.q_skew_salted_host_agg,
     # text analysis
     "lang_id_heuristic": M.q_lang_id_heuristic,
+    "lang_id_ngram": M.q_lang_id_ngram,
     "quality_score": M.q_quality_score,
     "token_count": M.q_token_count,
     # similarity search
@@ -213,6 +214,7 @@ _ORACLES: dict[str, str] = {
     "embed_cosine_neardup": M.O_EMBED_NEARDUP,
     "skew_salted_host_agg": M.O_SKEW_SALTED,
     "lang_id_heuristic": M.O_LANG_ID,
+    "lang_id_ngram": M.O_LANG_ID_NGRAM,
     "quality_score": M.O_QUALITY,
     "token_count": M.O_TOKEN_COUNT,
     "ann_cosine_topk": M.O_ANN_COSINE,

@@ -13,8 +13,10 @@ Stages (each narrow or one bounded shuffle):
 
 1. extract     — HTML → (extracted_text, region_spans, lineage); the
                  shuffle-free mapInPandas kernel path.
-2. score       — quality + language id (operators/textstats): pure
-                 column math, still narrow.
+2. score       — quality (operators/textstats, pure column math) +
+                 real char-n-gram language id (operators/langid, one
+                 more Arrow-batched mapInPandas pass): still narrow,
+                 zero shuffle, single linear lineage.
 3. filter      — quality/token/lang thresholds: pushable predicates;
                  ``--gopher`` adds the repetition-rule drop stage
                  (still the same narrow pass).
@@ -116,18 +118,22 @@ def build_corpus(
     counts dict that is also written to ``stats_path``."""
     from pyspark.sql import Observation, Window as W, functions as F
 
+    from ocrd_segment_spark.operators.langid import with_lang_ngram
     from ocrd_segment_spark.operators.textstats import (
         with_gopher_passes,
-        with_lang_id,
         with_quality,
     )
     from ocrd_segment_spark.pipeline import extract_pages
 
     pages = spark.read.parquet(input_path)
     extracted = extract_pages(pages, python_parallelism=python_parallelism)
-    scored = with_lang_id(
+    # real n-gram language id (round-3 task: the en/de digram toy no
+    # longer routes drop decisions); mapInPandas passes every column
+    # through, so the lineage stays one linear chain — no url join back
+    scored = with_lang_ngram(
         with_quality(extracted, text_col="extracted_text"),
         text_col="extracted_text",
+        python_parallelism=python_parallelism,
     )
     scored = scored.withColumn(
         "keep_quality",

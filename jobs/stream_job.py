@@ -80,17 +80,20 @@ def run_stream(
     StreamingQuery handle."""
     from pyspark.sql import functions as F
 
+    from ocrd_segment_spark.operators.langid import with_lang_ngram
     from ocrd_segment_spark.operators.textstats import (
         with_gopher_passes,
-        with_lang_id,
         with_quality,
     )
     from ocrd_segment_spark.streaming.extract_stream import stream_extract
 
     def score_and_filter(extracted):
-        scored = with_lang_id(
+        # same real n-gram language id as the batch job (narrow
+        # mapInPandas — legal inside a streaming microbatch plan)
+        scored = with_lang_ngram(
             with_quality(extracted, text_col="extracted_text"),
             text_col="extracted_text",
+            python_parallelism=python_parallelism,
         )
         kept = scored.filter(
             (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)

@@ -355,6 +355,66 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """REAL language identification (operators/langid): char-bigram
+    naive-Bayes profiles trained from the committed 7-language seed
+    corpus (incl. Cyrillic + Han), scored as one narrow Arrow-batched
+    pass; frozen normalization / fold / tie rules in the module
+    docstring. Supersedes the lang_id_heuristic toy for routing
+    corpus_job drops."""
+    from .operators.langid import with_lang_ngram
+
+    d = _t(spark, sf_dir, "documents")
+    return with_lang_ngram(d).select("doc_id", "pred_lang", "lang_logp")
+
+
+def _lang_ngram_oracle() -> str:
+    from .operators.langid import model_values_sql
+
+    return f"""
+WITH model(g, lang, logp) AS (VALUES {model_values_sql()}),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+            translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                            'abcdefghijklmnopqrstuvwxyz'),
+            '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, s[i] AS g
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, length(s))) AS i)
+  WHERE length(s) >= 1
+  UNION ALL
+  SELECT doc_id, s[i] || s[i+1] AS g
+  FROM norm, LATERAL (SELECT unnest(generate_series(1, length(s) - 1)) AS i)
+  WHERE length(s) >= 2
+),
+per AS (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY doc_id, g),
+-- dense model: the inner join charges every language the smoothing
+-- floor for vocab grams it lacks; out-of-vocabulary grams drop here
+folded AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_sort(list({{'g': g, 'n': n, 'logp': logp}})),
+                          x -> x.n * x.logp)),
+           (a, x) -> a + x) AS score
+  FROM per JOIN model USING (g)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, max({{'s': score, 'lang': lang}}) AS b
+  FROM folded GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(b.b.lang, 'und') AS pred_lang,
+       round(b.b.s, 6) AS lang_logp
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
+O_LANG_ID_NGRAM = _lang_ngram_oracle()
+
+
 def q_quality_score(spark, sf_dir):
     """Quality scoring: token count, short-token ratio, composite
     score — all JVM-side column math."""

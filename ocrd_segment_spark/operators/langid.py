@@ -1,0 +1,286 @@
+"""Character-n-gram language identification — the real replacement for
+the round-2 en/de digram toy (operators/textstats.lang_id_col, kept for
+API stability but no longer routing corpus_job drop decisions).
+
+Method (public knowledge: Cavnar & Trenkle 1994 rank profiles, the
+naive-Bayes char-n-gram family behind langid.py / CLD / fastText's
+supervised mode): per language, train a mixed character 1+2-gram
+profile from a seeded fixture corpus; score a document by add-one-
+smoothed log-likelihood under each language's profile; predict the
+argmax.
+
+Frozen semantics (the DuckDB oracle in contract_ml restates every step;
+tests/test_langid.py pins behavior):
+
+1. normalize: fold ASCII A-Z → a-z (ASCII ONLY — full Unicode lowercase
+   differs between engines on Greek final sigma / Turkish dotted I, so
+   it is excluded from the frozen rule; Cyrillic/Han pass through
+   untouched and the profiles are trained with the same fold), collapse
+   runs of ASCII whitespace [ \\t\\n\\r\\f\\v]+ to one space, trim
+   spaces. Character units are CODE POINTS (DuckDB text[i] and Python
+   slicing agree).
+2. grams: all character UNIGRAMS plus all adjacent character BIGRAMS
+   of the normalized text (Cavnar-Trenkle mixed-n profiles; the
+   unigrams are what make Han-script coverage robust — ten seed
+   sentences cover only ~150 Chinese bigram types, but their ~120
+   character types blanket common text).
+3. model: for every gram in the union vocabulary and every language,
+   logp(g, l) = round(ln((cnt_l(g) + 1) / (total_l + V)), 8) where
+   cnt_l(g) is the training count, total_l = sum of cnt_l over the
+   vocabulary, V = vocabulary size. The model is DENSE (every vocab
+   gram has a row for every language) so each language is charged the
+   smoothing floor for grams it lacks — a sparse profile would REWARD
+   languages that match fewer grams. Trained once in pure Python from
+   the committed SEED_CORPUS; both the Spark scorer and the SQL oracle
+   consume the identical rounded literals, so no cross-engine
+   transcendental (ln) evaluation ever happens at query time.
+4. score_l = left fold, over the document's IN-VOCABULARY distinct
+   grams in ascending gram order, of n(g) * logp(g, l) starting from
+   0.0 — the frozen-fold discipline (float addition is not
+   associative; both engines fold the same order → bit-identical).
+5. pred_lang = language of max (score, lang) — ties break to the
+   lexicographically LARGEST language tag, matching max(ROW(s, lang));
+   documents with NO in-vocabulary gram get pred_lang 'und' and a NULL
+   score. Reported lang_logp = round(score, 6).
+
+Scale shape: the model is a few thousand (gram, lang, logp) rows — a
+closure constant, shipped once per executor like a broadcast; scoring
+is one Arrow-batched mapInPandas pass, NARROW (zero shuffle, no join),
+which is what lets jobs/corpus_job.py keep quality+lang scoring in the
+single linear lineage after extraction (a relational explode/agg form
+would need a url join back and re-run the extraction branch).
+
+The reference has no language-id surface (it is page-complete); this is
+part of the training-data-pipeline layer the engine adds (VERDICT r3
+task 2).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import string
+from collections import Counter
+from functools import lru_cache
+
+from pyspark.sql import DataFrame
+
+_FOLD = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+# Seeded fixture corpus: short natural prose, composed for this module
+# (7 languages, Cyrillic + Han non-Latin scripts). Kept deliberately
+# lowercase-heavy; the ASCII fold handles sentence capitals.
+SEED_CORPUS: dict[str, list[str]] = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she opened the window and watched the rain fall on the quiet street",
+        "we should have finished the report before the meeting this morning",
+        "the children were playing in the garden while their parents cooked dinner",
+        "there is nothing better than a warm cup of tea on a cold winter evening",
+        "he could not remember where he had left the keys to the old house",
+        "the library closes early on sundays so bring the books back tomorrow",
+        "a long journey begins with a single step and a good pair of shoes",
+        "they have been working on this project for more than three years now",
+        "the weather forecast says it will be sunny with a light breeze all week",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt über den faulen hund am flussufer",
+        "sie öffnete das fenster und sah dem regen auf der stillen strasse zu",
+        "wir hätten den bericht vor der besprechung heute morgen fertigstellen sollen",
+        "die kinder spielten im garten während ihre eltern das abendessen kochten",
+        "es gibt nichts besseres als eine warme tasse tee an einem kalten winterabend",
+        "er konnte sich nicht erinnern wo er die schlüssel des alten hauses gelassen hatte",
+        "die bibliothek schliesst sonntags früh also bringe die bücher morgen zurück",
+        "eine lange reise beginnt mit einem einzigen schritt und guten schuhen",
+        "sie arbeiten seit mehr als drei jahren an diesem projekt",
+        "der wetterbericht sagt sonniges wetter mit leichter brise für die ganze woche voraus",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux près de la rivière",
+        "elle ouvrit la fenêtre et regarda la pluie tomber sur la rue tranquille",
+        "nous aurions dû terminer le rapport avant la réunion de ce matin",
+        "les enfants jouaient dans le jardin pendant que leurs parents préparaient le dîner",
+        "il n'y a rien de mieux qu'une tasse de thé chaud par un froid soir d'hiver",
+        "il ne se souvenait plus où il avait laissé les clés de la vieille maison",
+        "la bibliothèque ferme tôt le dimanche alors rapporte les livres demain",
+        "un long voyage commence par un seul pas et une bonne paire de chaussures",
+        "ils travaillent sur ce projet depuis plus de trois ans maintenant",
+        "la météo annonce du soleil avec une brise légère toute la semaine",
+    ],
+    "es": [
+        "el rápido zorro marrón salta sobre el perro perezoso cerca del río",
+        "ella abrió la ventana y miró caer la lluvia sobre la calle tranquila",
+        "deberíamos haber terminado el informe antes de la reunión de esta mañana",
+        "los niños jugaban en el jardín mientras sus padres preparaban la cena",
+        "no hay nada mejor que una taza de té caliente en una fría noche de invierno",
+        "no podía recordar dónde había dejado las llaves de la casa vieja",
+        "la biblioteca cierra temprano los domingos así que devuelve los libros mañana",
+        "un largo viaje comienza con un solo paso y un buen par de zapatos",
+        "llevan trabajando en este proyecto más de tres años",
+        "el pronóstico dice que hará sol con una brisa ligera toda la semana",
+    ],
+    "it": [
+        "la veloce volpe marrone salta sopra il cane pigro vicino al fiume",
+        "lei aprì la finestra e guardò la pioggia cadere sulla strada tranquilla",
+        "avremmo dovuto finire il rapporto prima della riunione di questa mattina",
+        "i bambini giocavano in giardino mentre i genitori preparavano la cena",
+        "non c'è niente di meglio di una tazza di tè caldo in una fredda sera d'inverno",
+        "non riusciva a ricordare dove avesse lasciato le chiavi della vecchia casa",
+        "la biblioteca chiude presto la domenica quindi riporta i libri domani",
+        "un lungo viaggio comincia con un solo passo e un buon paio di scarpe",
+        "lavorano a questo progetto da più di tre anni ormai",
+        "le previsioni dicono che sarà soleggiato con una brezza leggera tutta la settimana",
+    ],
+    "ru": [
+        "быстрая коричневая лиса прыгает через ленивую собаку у берега реки",
+        "она открыла окно и смотрела как дождь падает на тихую улицу",
+        "нам следовало закончить отчет до совещания сегодня утром",
+        "дети играли в саду пока родители готовили ужин",
+        "нет ничего лучше чашки горячего чая холодным зимним вечером",
+        "он не мог вспомнить где оставил ключи от старого дома",
+        "библиотека закрывается рано по воскресеньям так что верни книги завтра",
+        "долгий путь начинается с одного шага и хорошей пары обуви",
+        "они работают над этим проектом уже больше трех лет",
+        "прогноз погоды обещает солнце и легкий ветер всю неделю",
+    ],
+    "zh": [
+        "敏捷的棕色狐狸跳过了河边那只懒惰的狗",
+        "她打开窗户看着雨落在安静的街道上",
+        "我们应该在今天早上开会之前完成报告",
+        "孩子们在花园里玩耍而父母在准备晚饭",
+        "寒冷的冬夜没有什么比一杯热茶更好了",
+        "他想不起来把老房子的钥匙放在哪里了",
+        "图书馆星期天关门很早所以明天把书还回去",
+        "长途旅行始于一步和一双好鞋",
+        "他们在这个项目上已经工作了三年多",
+        "天气预报说整个星期都是晴天还有微风",
+    ],
+}
+
+TOP_N = 150  # grams kept per language profile (by count desc, gram asc)
+UND = "und"  # prediction when no in-vocabulary gram appears
+
+
+def _round6(x: float) -> float:
+    """round(x, 6) the way DuckDB rounds doubles (scale, add 0.5,
+    floor — half away from zero). Python's built-in round is banker's
+    AND decides from the exact binary value; the model's 8-decimal
+    logp literals make sums that land exactly on a 1e-7 half common
+    enough that the contract hit one on the first 500 docs."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def normalize(text: str) -> str:
+    """Frozen step 1. ASCII-only case fold, ASCII-whitespace collapse,
+    space trim — see the module docstring for why not full lower()."""
+    return _WS.sub(" ", (text or "").translate(_FOLD)).strip(" ")
+
+
+def _grams(s: str) -> list[str]:
+    """Frozen step 2: unigrams then bigrams (list order is irrelevant —
+    scoring sorts the distinct grams)."""
+    return list(s) + [s[i : i + 2] for i in range(len(s) - 1)]
+
+
+@lru_cache(maxsize=1)
+def train_profiles() -> tuple[tuple[str, str, float], ...]:
+    """(gram, lang, logp) rows of the dense smoothed model — pure
+    deterministic Python over SEED_CORPUS (no engine involved: the
+    rounded literals are THE model, consumed identically by the Spark
+    scorer and the DuckDB oracle)."""
+    counts: dict[str, Counter] = {
+        lang: Counter(g for s in sents for g in _grams(normalize(s)))
+        for lang, sents in SEED_CORPUS.items()
+    }
+    vocab: set[str] = set()
+    for lang, c in counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_N]
+        vocab.update(g for g, _ in top)
+    v = len(vocab)
+    rows: list[tuple[str, str, float]] = []
+    for lang in sorted(counts):
+        c = counts[lang]
+        total = sum(c[g] for g in vocab)
+        for g in sorted(vocab):
+            rows.append(
+                (g, lang, round(math.log((c[g] + 1) / (total + v)), 8))
+            )
+    return tuple(rows)
+
+
+@lru_cache(maxsize=1)
+def _scorer_tables() -> tuple[tuple[str, ...], dict[str, tuple[float, ...]]]:
+    """(langs ascending, gram -> per-lang logp tuple) for the UDF."""
+    rows = train_profiles()
+    langs = tuple(sorted({l for _, l, _ in rows}))
+    idx = {l: i for i, l in enumerate(langs)}
+    model: dict[str, list[float]] = {}
+    for g, l, p in rows:
+        model.setdefault(g, [0.0] * len(langs))[idx[l]] = p
+    return langs, {g: tuple(v) for g, v in model.items()}
+
+
+def score_document(text: str) -> tuple[str, float | None]:
+    """(pred_lang, lang_logp) for one document — the single frozen
+    implementation; the Spark operator maps it over Arrow batches and
+    the oracle restates it in SQL."""
+    langs, model = _scorer_tables()
+    c = Counter(_grams(normalize(text)))
+    known = sorted(g for g in c if g in model)
+    if not known:
+        return UND, None
+    scores = [0.0] * len(langs)
+    for g in known:  # ascending gram order — the frozen fold
+        n = c[g]
+        row = model[g]
+        for k in range(len(langs)):
+            scores[k] += n * row[k]
+    best_score, best_lang = max(zip(scores, langs))
+    return best_lang, _round6(best_score)
+
+
+def with_lang_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """Append (pred_lang, lang_logp) to ``df`` — one narrow
+    Arrow-batched mapInPandas pass; every input column (including
+    nested region_spans/lineage structs) passes through untouched, so
+    jobs can chain it after extraction without branching the lineage."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("pred_lang", T.StringType(), False),
+            T.StructField("lang_logp", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            preds, logps = [], []
+            for t in pdf[text_col]:
+                lang, lp = score_document(t if isinstance(t, str) else "")
+                preds.append(lang)
+                logps.append(lp)
+            yield pdf.assign(
+                pred_lang=preds, lang_logp=pd.array(logps, dtype="float64")
+            )
+
+    from ..pipeline import _cap_python_tasks
+
+    return _cap_python_tasks(df, python_parallelism).mapInPandas(batches, schema)
+
+
+def model_values_sql() -> str:
+    """The model as a SQL VALUES list — the oracle-side twin of the
+    scorer's closure table (identical literals; '' escaping for the
+    apostrophe grams French/Italian produce)."""
+    return ", ".join(
+        "('{}', '{}', {!r})".format(g.replace("'", "''"), l, p)
+        for g, l, p in train_profiles()
+    )

@@ -62,7 +62,11 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id_col(text_col: str = "text") -> Column:
-    """Digram-frequency language id (en/de toy classifier)."""
+    """Digram-frequency language id (en/de toy classifier). SUPERSEDED
+    for real routing by operators/langid.with_lang_ngram (7-language
+    char-bigram profiles) — kept because the contract key
+    ``lang_id_heuristic`` pins this exact structure (regexp_count +
+    argmax as pure column math) and keys stay stable across rounds."""
     return F.when(
         F.expr(f"regexp_count({text_col}, 'th') >= regexp_count({text_col}, 'er')"),
         F.lit("en"),

@@ -1,0 +1,182 @@
+"""Real char-n-gram language identification (operators/langid).
+
+The model is a committed constant (trained from SEED_CORPUS in pure
+Python); its digest is pinned like the kernel goldens — the contract
+oracle embeds the same literals, so silent model drift would desync
+Spark and DuckDB.
+"""
+
+import hashlib
+
+import pytest
+
+from ocrd_segment_spark.operators.langid import (
+    SEED_CORPUS,
+    UND,
+    _round6,
+    normalize,
+    score_document,
+    train_profiles,
+    with_lang_ngram,
+)
+
+MODEL_SHA256 = "db034d0b11dadb5148e340ecf3c4dd98b11ed6ce6eb035fa4ccfad69bbc988ec"
+
+# held-out sentences — none appear in SEED_CORPUS
+HELD_OUT = [
+    ("The rain fell on the quiet street while the children played", "en"),
+    ("Many people enjoy reading books about history and science", "en"),
+    ("Die Kinder spielten im Garten und der Regen fiel auf die Strasse", "de"),
+    ("Viele Menschen lesen gerne Bücher über Geschichte und Wissenschaft", "de"),
+    ("Les enfants jouaient dans le jardin et la pluie tombait sur la rue", "fr"),
+    ("Beaucoup de gens aiment lire des livres sur l'histoire", "fr"),
+    ("Los niños jugaban en el jardín mientras llovía en la calle", "es"),
+    ("A mucha gente le gusta leer libros sobre historia y ciencia", "es"),
+    ("I bambini giocavano in giardino mentre pioveva sulla strada", "it"),
+    ("A molte persone piace leggere libri di storia e di scienza", "it"),
+    ("Дети играли в саду пока шел дождь на улице", "ru"),
+    ("Многие люди любят читать книги об истории и науке", "ru"),
+    ("孩子们在花园里玩耍外面下着雨", "zh"),
+    ("很多人喜欢读关于历史和科学的书", "zh"),
+]
+
+
+def test_model_digest_pinned():
+    """The model is part of the frozen contract surface (the oracle
+    embeds its literals): recompute deliberately, like GOLDEN_SHA256."""
+    assert (
+        hashlib.sha256(repr(train_profiles()).encode()).hexdigest()
+        == MODEL_SHA256
+    )
+
+
+def test_held_out_classification():
+    for text, want in HELD_OUT:
+        got, score = score_document(text)
+        assert got == want, (text, got, want)
+        assert score is not None and score < 0
+
+
+def test_und_on_empty_and_out_of_vocabulary():
+    for text in ("", "   ", "\t\n"):
+        assert score_document(text) == (UND, None)
+    # digits are out-of-vocabulary but the SPACE unigram is trained
+    # evidence (latin text has spaces, Han text does not), so a
+    # digits+space document classifies rather than falling to 'und'
+    pred, score = score_document("12345 9876")
+    assert pred != UND and score is not None
+
+
+def test_normalization_frozen_rules():
+    # ASCII fold + ASCII-whitespace collapse + trim
+    assert normalize("  The\tQUICK\n\nfox ") == "the quick fox"
+    # full-Unicode lowering is deliberately NOT applied (cross-engine
+    # divergence on final sigma etc.) — non-ASCII passes through
+    assert normalize("ÄÖÜ Straße") == "ÄÖÜ straße"
+    # U+00A0 nbsp is NOT whitespace under the frozen ASCII rule
+    assert normalize("a b") == "a b"
+
+
+def test_round6_matches_duckdb_half_away():
+    import duckdb
+
+    vals = [-569.5954025, -0.0000005, 0.0000015, -123.4567891, 2.5e-07]
+    got = [_round6(v) for v in vals]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "select round(x, 6) from (values "
+            + ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+            + ") t(x)"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_seed_corpus_shape():
+    """≥5 languages incl. non-Latin scripts; profiles dense over the
+    union vocabulary (every gram priced for every language)."""
+    assert len(SEED_CORPUS) >= 5
+    assert {"ru", "zh"} <= set(SEED_CORPUS)  # Cyrillic + Han
+    rows = train_profiles()
+    langs = {l for _, l, _ in rows}
+    vocab = {g for g, _, _ in rows}
+    assert len(rows) == len(langs) * len(vocab)
+
+
+def test_with_lang_ngram_operator(spark):
+    df = spark.createDataFrame(
+        [(1, "the children were playing near the old house"),
+         (2, "die kinder spielten in der nähe des alten hauses"),
+         (3, "дети играли возле старого дома"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_lang_ngram(df).collect()}
+    assert rows[1]["pred_lang"] == "en"
+    assert rows[2]["pred_lang"] == "de"
+    assert rows[3]["pred_lang"] == "ru"
+    assert rows[4]["pred_lang"] == UND and rows[4]["lang_logp"] is None
+    # input columns pass through
+    assert rows[1]["text"].startswith("the children")
+
+
+def test_corpus_job_dropped_lang_multilingual(spark, tmp_path):
+    """corpus_job's --langs drop decisions route through the REAL
+    classifier (round-3 task 2): a mixed en/de/ru page set with only
+    'en' kept must drop exactly the non-English pages."""
+    from jobs.corpus_job import build_corpus
+
+    texts = {
+        "en0": "the children were playing in the garden near the river all afternoon",
+        "en1": "she opened the window and watched the quiet street below the house",
+        "de0": "die kinder spielten den ganzen nachmittag im garten am fluss",
+        "ru0": "дети играли в саду у реки весь день после обеда",
+    }
+    pages = [
+        (url, f"<html><body><p>{t}</p></body></html>".encode())
+        for url, t in texts.items()
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(pages, "url string, html binary").write.parquet(src)
+    funnel = build_corpus(
+        spark,
+        src,
+        str(tmp_path / "corpus"),
+        min_quality=0.0,
+        min_tokens=0,
+        langs=["en"],
+    )
+    assert funnel["pages"] == 4
+    assert funnel["dropped_lang"] == 2
+    assert funnel["corpus_docs"] == 2
+    kept = {
+        r["url"]: r["pred_lang"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert set(kept) == {"en0", "en1"}
+    assert set(kept.values()) == {"en"}
+
+
+def test_scores_stable_across_hash_seeds():
+    """No dict/set iteration order leaks into the model or the fold
+    (fresh interpreters, different PYTHONHASHSEED)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, {!r}); "
+        "from ocrd_segment_spark.operators.langid import score_document; "
+        "print(score_document('the children were playing near the old house'))"
+    ).format(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    outs = set()
+    for seed in ("0", "31337"):
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=120,
+            env=dict(os.environ, PYTHONHASHSEED=seed),
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1
