@@ -172,6 +172,32 @@ def main() -> None:
         finally:
             shutil.rmtree(outdir, ignore_errors=True)
 
+    def bench_corpus_signals():
+        # corpus pipeline with EVERY quality stage on (gopher rules +
+        # entropy + per-language reference LM + compression) — the
+        # standing number for the round-3/4 signal surface; documents
+        # .parquet doubles as the LM reference (it carries text+lang)
+        import shutil
+        import tempfile
+
+        from jobs.corpus_job import build_corpus
+
+        outdir = tempfile.mkdtemp(prefix="bench_corpus_sig_")
+        try:
+            build_corpus(
+                spark,
+                pages_path,
+                os.path.join(outdir, "corpus"),
+                gopher=True,
+                entropy_min=1.0,
+                lm_ref_path=f"{SF_DIR}/documents.parquet",
+                lm_max_bits=20.0,
+                max_compression=0.995,
+                python_parallelism=max(2, CPUS // 2),
+            )
+        finally:
+            shutil.rmtree(outdir, ignore_errors=True)
+
     def corpus_warmup():
         # untimed: the FIRST audited corpus run in a JVM pays one-time
         # JIT/shuffle-codegen cost for the LSH+verify machinery
@@ -237,6 +263,7 @@ def main() -> None:
             spark.read.parquet(big_path), python_parallelism=max(2, CPUS // 2)
         ).agg(F.sum(F.length("extracted_text"))).collect(),
         "corpus_job": bench_corpus,
+        "corpus_job_signals": bench_corpus_signals,
     }
 
     # untimed JVM warmup: file-index build, parquet footer reads, and

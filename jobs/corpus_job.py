@@ -19,7 +19,13 @@ Stages (each narrow or one bounded shuffle):
                  zero shuffle, single linear lineage.
 3. filter      — quality/token/lang thresholds: pushable predicates;
                  ``--gopher`` adds the repetition-rule drop stage
-                 (still the same narrow pass).
+                 (still the same narrow pass); ``--entropy-min``,
+                 ``--lm-ref``/``--lm-max-bits`` (per-language
+                 reference LMs, collected model broadcast) and
+                 ``--max-compression`` add the round-3 quality-signal
+                 drops — entropy is column math, LM/compression are
+                 pass-through mapInPandas appends, ALL in the same
+                 linear lineage (no join back, no re-extraction).
 4. exact dedup — keep the canonical (min url) copy per content hash:
                  ONE shuffle on md5(extracted_text); near-dup passes
                  (MinHash LSH) run as a separate offline audit because
@@ -58,6 +64,35 @@ def main() -> None:
         " (operators/textstats.gopher_filter defaults) as a drop stage",
     )
     ap.add_argument(
+        "--entropy-min",
+        type=float,
+        default=None,
+        help="drop documents whose character entropy (bits) is below"
+        " this — the degenerate-text signal (keyboard mash, fills)",
+    )
+    ap.add_argument(
+        "--lm-ref",
+        default=None,
+        help="parquet of trusted reference documents (text, lang) to"
+        " train per-language char-bigram LMs from (CCNet-style);"
+        " requires --lm-max-bits",
+    )
+    ap.add_argument(
+        "--lm-max-bits",
+        type=float,
+        default=None,
+        help="drop documents scoring above this bits-per-bigram under"
+        " their predicted language's reference LM; docs with no"
+        " evidence (sub-2-char, unmodeled lang) are KEPT",
+    )
+    ap.add_argument(
+        "--max-compression",
+        type=float,
+        default=None,
+        help="drop documents whose zlib compression ratio exceeds this"
+        " (already-compressed/binary junk; Dolma-style signal)",
+    )
+    ap.add_argument(
         "--boilerplate-min-df",
         type=int,
         default=None,
@@ -92,6 +127,10 @@ def main() -> None:
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
         gopher=args.gopher,
+        entropy_min=args.entropy_min,
+        lm_ref_path=args.lm_ref,
+        lm_max_bits=args.lm_max_bits,
+        max_compression=args.max_compression,
         boilerplate_min_df=args.boilerplate_min_df,
         decontaminate_path=args.decontaminate,
         near_dup_audit=args.near_dup_audit,
@@ -109,6 +148,10 @@ def build_corpus(
     min_tokens: int = 5,
     langs: list[str] | None = None,
     gopher: bool = False,
+    entropy_min: float | None = None,
+    lm_ref_path: str | None = None,
+    lm_max_bits: float | None = None,
+    max_compression: float | None = None,
     boilerplate_min_df: int | None = None,
     decontaminate_path: str | None = None,
     near_dup_audit: str | None = None,
@@ -153,6 +196,60 @@ def build_corpus(
         ).withColumnRenamed("passes", "keep_gopher")
     else:
         scored = scored.withColumn("keep_gopher", F.lit(True))
+    # round-3 quality signals as optional drop stages, all in the SAME
+    # narrow lineage (entropy is pure column math; LM and compression
+    # are pass-through mapInPandas appends — no join back, extraction
+    # still runs exactly once). Signal columns stay in the output when
+    # their stage is on, so drops are auditable per document.
+    if entropy_min is not None:
+        from ocrd_segment_spark.operators.textstats import with_char_entropy
+
+        scored = with_char_entropy(scored, text_col="extracted_text")
+        scored = scored.withColumn(
+            "keep_entropy", F.col("char_entropy") >= entropy_min
+        )
+    else:
+        scored = scored.withColumn("keep_entropy", F.lit(True))
+    if lm_ref_path is not None and lm_max_bits is not None:
+        from ocrd_segment_spark.operators.textstats import (
+            bigram_lm_models_by_lang,
+            collect_lm_surprisal,
+            with_lm_bits,
+        )
+
+        # per-language reference LMs (CCNet shape), scored under each
+        # document's PREDICTED language; the collected surprisal table
+        # is model-sized (langs × charset²), never corpus-sized
+        ref = spark.read.parquet(lm_ref_path)
+        lm_table = collect_lm_surprisal(bigram_lm_models_by_lang(ref))
+        scored = with_lm_bits(
+            scored,
+            lm_table,
+            text_col="extracted_text",
+            lang_col="pred_lang",
+            python_parallelism=python_parallelism,
+        )
+        # no evidence (NULL bits: unmodeled lang, sub-2-char) → KEEP
+        scored = scored.withColumn(
+            "keep_lm",
+            F.col("bits_per_bigram").isNull()
+            | (F.col("bits_per_bigram") <= lm_max_bits),
+        )
+    else:
+        scored = scored.withColumn("keep_lm", F.lit(True))
+    if max_compression is not None:
+        from ocrd_segment_spark.operators.textstats import with_compression_cols
+
+        scored = with_compression_cols(
+            scored,
+            text_col="extracted_text",
+            python_parallelism=python_parallelism,
+        )
+        scored = scored.withColumn(
+            "keep_compression", F.col("compression_ratio") <= max_compression
+        )
+    else:
+        scored = scored.withColumn("keep_compression", F.lit(True))
 
     # funnel counters ride the write action as an Observation — the
     # extraction (the expensive stage) runs exactly ONCE; coalesce
@@ -178,12 +275,46 @@ def build_corpus(
             ),
             F.lit(0),
         ).alias("dropped_gopher"),
+        # precedence chain: each stage counts only docs that survived
+        # every earlier stage, so the funnel always reconciles to pages
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("keep_quality") & F.col("keep_lang")
+                    & F.col("keep_gopher") & ~F.col("keep_entropy")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("dropped_entropy"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("keep_quality") & F.col("keep_lang")
+                    & F.col("keep_gopher") & F.col("keep_entropy")
+                    & ~F.col("keep_lm")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("dropped_lm"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("keep_quality") & F.col("keep_lang")
+                    & F.col("keep_gopher") & F.col("keep_entropy")
+                    & F.col("keep_lm") & ~F.col("keep_compression")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("dropped_compression"),
         F.coalesce(
             F.sum(
                 (
                     F.col("keep_quality")
                     & F.col("keep_lang")
                     & F.col("keep_gopher")
+                    & F.col("keep_entropy")
+                    & F.col("keep_lm")
+                    & F.col("keep_compression")
                 ).cast("long")
             ),
             F.lit(0),
@@ -191,6 +322,7 @@ def build_corpus(
     )
     kept = scored.filter(
         F.col("keep_quality") & F.col("keep_lang") & F.col("keep_gopher")
+        & F.col("keep_entropy") & F.col("keep_lm") & F.col("keep_compression")
     )
 
     # exact dedup, canonical row kept: rank within content hash by url
@@ -201,7 +333,8 @@ def build_corpus(
         .withColumn("is_canonical", F.col("_rn") == 1)
     )
     out = deduped.filter("is_canonical").drop(
-        "_rn", "is_canonical", "keep_quality", "keep_lang", "keep_gopher"
+        "_rn", "is_canonical", "keep_quality", "keep_lang", "keep_gopher",
+        "keep_entropy", "keep_lm", "keep_compression",
     )
     # the corpus row count rides the SAME write action as a second
     # Observation — no re-scan of the written output (at 100 TB a
@@ -217,6 +350,19 @@ def build_corpus(
         "dropped_quality": counts["dropped_quality"],
         "dropped_lang": counts["dropped_lang"],
         "dropped_gopher": counts["dropped_gopher"],
+        # -1 = stage not run (fixed-schema discipline, see below); a
+        # real 0 means the stage ran and dropped nothing
+        "dropped_entropy": (
+            counts["dropped_entropy"] if entropy_min is not None else -1
+        ),
+        "dropped_lm": (
+            counts["dropped_lm"]
+            if lm_ref_path is not None and lm_max_bits is not None
+            else -1
+        ),
+        "dropped_compression": (
+            counts["dropped_compression"] if max_compression is not None else -1
+        ),
         "kept_after_filters": counts["kept_after_filters"],
         "dropped_exact_dup": counts["kept_after_filters"] - n_out,
         "corpus_docs": n_out,

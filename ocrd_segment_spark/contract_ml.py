@@ -1774,6 +1774,61 @@ SELECT t.doc_id, sc.bits_per_bigram
 FROM documents t LEFT JOIN sc ON t.doc_id = sc.doc_id
 """
 
+def q_lm_perlang_score(spark, sf_dir):
+    """Per-language LM scoring (operators/textstats
+    bigram_lm_models_by_lang + with_lm_score_per_lang) — the
+    CCNet-faithful form (per-language models, not one global): train a
+    char-bigram model per lang on the trusted slice (every 10th doc),
+    score each document under the model of its OWN lang column. Models
+    and per-lang totals broadcast; langs with no model score NULL."""
+    from .operators.textstats import (
+        bigram_lm_models_by_lang,
+        with_lm_score_per_lang,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    models = bigram_lm_models_by_lang(d.filter("doc_id % 10 = 0"))
+    return with_lm_score_per_lang(d, models)
+
+
+O_LM_PERLANG = f"""
+WITH ref AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+rb AS (SELECT lang, unnest({_D_BIGRAMS}) AS bg FROM ref),
+model AS (SELECT lang, bg, count(*) AS cnt FROM rb GROUP BY lang, bg),
+tv AS (SELECT lang, sum(cnt) AS T, count(*) AS V FROM model GROUP BY lang),
+docs AS (SELECT doc_id, lang, unnest({_D_BIGRAMS}) AS bg FROM documents),
+per_bg AS (
+  SELECT d.doc_id, d.lang, d.bg, count(*) AS n_local,
+         CASE WHEN any_value(tv.T) IS NULL THEN NULL ELSE
+           -log2((coalesce(any_value(m.cnt), 0) + 1.0)
+                 / (any_value(tv.T) + any_value(tv.V) + 1.0)) END AS s
+  FROM docs d
+  LEFT JOIN model m ON m.lang = d.lang AND m.bg = d.bg
+  LEFT JOIN tv ON tv.lang = d.lang
+  GROUP BY d.doc_id, d.lang, d.bg
+),
+sc AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(vals) = 0 THEN NULL ELSE
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(vals, x -> x.n_local * x.s)), (a, x) -> a + x)
+                 / list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(vals, x -> x.n_local)), (a, x) -> a + x),
+                 6) END AS bits_per_bigram
+  FROM (
+    -- NULL-surprisal rows (unseen-model langs) drop here exactly like
+    -- Spark's collect_list; the fold runs over the bigram-SORTED list
+    SELECT doc_id, lang,
+           coalesce(list_sort(list({{'bg': bg, 'n_local': n_local, 's': s}})
+                    FILTER (s IS NOT NULL)), []) AS vals
+    FROM per_bg GROUP BY doc_id, lang
+  )
+)
+SELECT t.doc_id, t.lang, sc.bits_per_bigram
+FROM documents t LEFT JOIN sc ON t.doc_id = sc.doc_id
+"""
+
+
 def q_compression_ratio(spark, sf_dir):
     """Compression-ratio quality signal (operators/textstats
     compression_ratio): zlib is not SQL-expressible, so this is the

@@ -390,6 +390,207 @@ def with_lm_score(
 
 
 
+def bigram_lm_models_by_lang(
+    reference: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(lang, bg, cnt): per-language character-bigram models — the
+    CCNet-faithful form (CCNet's filter is a per-language KenLM, not
+    one global model; round-3 task 3). One hash-aggregation, partials
+    combine map-side; each language's model stays charset²-bounded so
+    the whole table is broadcastable regardless of reference size."""
+    return (
+        reference.selectExpr(
+            f"{lang_col} as lang",
+            f"explode({_BIGRAMS.format(col=text_col)}) as bg",
+        )
+        .groupBy("lang", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def with_lm_score_per_lang(
+    docs: DataFrame,
+    models: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id_col, lang, bits_per_bigram): each document scored under the
+    model OF ITS OWN language column (labeled or predicted — pass the
+    lang-id output as ``lang_col``). Same frozen semantics as
+    :func:`with_lm_score` — add-one smoothing, bigram-SORTED fold —
+    plus one rule: a language with NO model rows (an unseen or 'und'
+    lang) scores NULL, never the global fallback silently.
+
+    Scale shape mirrors the global scorer: model + per-lang totals
+    broadcast (bounded by langs × charset²); corpus side is one
+    explode into a per-(doc, lang, bigram) count whose key is no
+    coarser than the global form's (lang is functionally dependent on
+    the doc), then the doc-keyed fold."""
+    totals = models.groupBy("lang").agg(
+        F.sum("cnt").alias("_t"), F.count("*").alias("_v")
+    )
+    per_bg = (
+        docs.selectExpr(
+            f"{id_col} as id",
+            f"{lang_col} as lang",
+            f"explode_outer({_BIGRAMS.format(col=text_col)}) as bg",
+        )
+        .groupBy("id", "lang", "bg")
+        .agg(F.count("*").alias("n_local"))
+        .join(F.broadcast(models), ["lang", "bg"], "left")
+        .join(F.broadcast(totals), ["lang"], "left")
+        .withColumn(
+            "_s",
+            F.expr(
+                "CASE WHEN bg IS NULL OR _t IS NULL THEN cast(null as double)"
+                " ELSE -log2((coalesce(cnt, 0) + 1.0D)"
+                " / (_t * 1.0D + _v + 1.0D)) END"
+            ),
+        )
+    )
+    return (
+        per_bg.groupBy("id", "lang")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(CASE WHEN bg IS NULL OR _s IS NULL"
+                " THEN null ELSE struct(bg, n_local, _s) END))"
+            ).alias("_vals")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "lang",
+            F.expr(
+                "CASE WHEN size(_vals) = 0 THEN cast(null as double) ELSE"
+                " round(aggregate(_vals, 0.0D, (a, x) -> a + x.n_local * x._s)"
+                " / aggregate(_vals, 0L, (a, x) -> a + x.n_local), 6) END"
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
+def collect_lm_surprisal(models: DataFrame) -> tuple[dict, dict]:
+    """((lang, bg) -> surprisal, lang -> OOV surprisal): the
+    per-language model of :func:`bigram_lm_models_by_lang` collected
+    for broadcast into a narrow scoring pass (jobs cannot use the
+    relational scorer inline — its doc-keyed aggregation would need a
+    join back to the corpus and re-run extraction).
+
+    The deliberate driver ``.collect()`` here is bounded by
+    langs × charset² — model-sized, never corpus-sized (the same
+    reason IVF centroids collect for broadcast). Surprisals are
+    computed ON THE JVM by the same -log2 expression the relational
+    scorer uses, so the narrow path multiplies and adds the identical
+    doubles — no Python transcendental ever runs (pinned equal to
+    with_lm_score_per_lang by tests/test_corpus_quality.py)."""
+    totals = models.groupBy("lang").agg(
+        F.sum("cnt").alias("_t"), F.count("*").alias("_v")
+    )
+    rows = (
+        models.join(totals, "lang")
+        .selectExpr(
+            "lang", "bg",
+            "-log2((cnt + 1.0D) / (_t * 1.0D + _v + 1.0D)) as s",
+            "-log2(1.0D / (_t * 1.0D + _v + 1.0D)) as oov",
+        )
+        .collect()
+    )
+    table = {(r["lang"], r["bg"]): r["s"] for r in rows}
+    oov = {r["lang"]: r["oov"] for r in rows}
+    return table, oov
+
+
+def with_lm_bits(
+    df: DataFrame,
+    lm_table: tuple[dict, dict],
+    text_col: str = "text",
+    lang_col: str = "lang",
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """Append ``bits_per_bigram`` — the NARROW form of
+    :func:`with_lm_score_per_lang` for single-lineage jobs: one
+    Arrow-batched mapInPandas pass, all input columns (incl. nested
+    structs) pass through, the collected model rides the closure as a
+    broadcast-sized constant. Frozen semantics identical to the
+    relational scorer: per distinct bigram in SORTED order, fold
+    n·surprisal; divide by bigram count; round 6; NULL for sub-2-char
+    docs and for langs with no model."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .langid import _round6
+
+    table, oov = lm_table
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("bits_per_bigram", T.DoubleType(), True)]
+    )
+
+    def batches(it):
+        from collections import Counter
+
+        for pdf in it:
+            out = []
+            for t, lang in zip(pdf[text_col], pdf[lang_col]):
+                t = t if isinstance(t, str) else ""
+                if len(t) < 2 or lang not in oov:
+                    out.append(None)
+                    continue
+                c = Counter(t[i : i + 2] for i in range(len(t) - 1))
+                o = oov[lang]
+                num, den = 0.0, 0
+                for bg in sorted(c):  # the frozen fold order
+                    n = c[bg]
+                    num += n * table.get((lang, bg), o)
+                    den += n
+                out.append(_round6(num / den))
+            yield pdf.assign(
+                bits_per_bigram=pd.array(out, dtype="float64")
+            )
+
+    from ..pipeline import _cap_python_tasks
+
+    return _cap_python_tasks(df, python_parallelism).mapInPandas(batches, schema)
+
+
+def with_compression_cols(
+    df: DataFrame,
+    text_col: str = "text",
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """Append ``compression_ratio`` to ``df`` with every input column
+    passing through — the single-lineage form of
+    :func:`compression_ratio` for jobs (same zlib-level-6 math, same
+    round/empty-doc pinning, verified equal by pytest)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("compression_ratio", T.DoubleType(), False)]
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            ratios = []
+            for t in pdf[text_col]:
+                b = (t if isinstance(t, str) else "").encode("utf-8")
+                ratios.append(
+                    round(len(zlib.compress(b, 6)) / len(b), 6) if b else 0.0
+                )
+            yield pdf.assign(
+                compression_ratio=pd.array(ratios, dtype="float64")
+            )
+
+    from ..pipeline import _cap_python_tasks
+
+    return _cap_python_tasks(df, python_parallelism).mapInPandas(batches, schema)
+
+
 def compression_ratio(
     df: DataFrame,
     id_col: str = "doc_id",

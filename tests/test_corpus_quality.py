@@ -314,6 +314,180 @@ def test_lm_score_flags_gibberish_and_broadcasts(spark):
     assert "BroadcastHashJoin" in plan  # model side broadcast
 
 
+def test_lm_perlang_scores_under_own_language_model(spark):
+    """Per-language LM (CCNet-faithful, round-3 task 3): each doc is
+    scored under ITS lang's model; a lang with no model rows scores
+    NULL (never a silent global fallback); model + totals broadcast."""
+    from ocrd_segment_spark.operators.textstats import (
+        bigram_lm_models_by_lang,
+        with_lm_score_per_lang,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat sat on the mat and then the hat"),
+         (2, "en", "the rat ran to the mat"),
+         (3, "de", "der hund lag unter dem alten tisch im haus"),
+         (4, "de", "der tisch und der hund im haus"),
+         (5, "en", "zzqqxxjv wkqzx jjqz"),
+         (6, "xx", "unmodeled language text here"),  # no model → NULL
+         (7, "en", "a")],  # < 2 chars → NULL
+        "doc_id long, lang string, text string",
+    )
+    models = bigram_lm_models_by_lang(docs.filter("doc_id in (1, 2, 3, 4)"))
+    out = with_lm_score_per_lang(docs, models)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[6]["bits_per_bigram"] is None
+    assert rows[7]["bits_per_bigram"] is None
+    # gibberish under the en model scores far worse than in-model text
+    assert rows[5]["bits_per_bigram"] > rows[1]["bits_per_bigram"]
+    assert rows[3]["bits_per_bigram"] < rows[5]["bits_per_bigram"]
+    assert all(r["lang"] is not None for r in rows.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # composes with the real lang-id: score under the PREDICTED lang
+    from ocrd_segment_spark.operators.langid import with_lang_ngram
+
+    pred = with_lang_ngram(docs.select("doc_id", "text"), text_col="text")
+    scored = with_lm_score_per_lang(
+        pred, models, id_col="doc_id", lang_col="pred_lang"
+    )
+    got = {r["doc_id"]: r["lang"] for r in scored.collect()}
+    assert got[1] == "en" and got[3] == "de"
+
+
+def test_lm_bits_narrow_equals_relational(spark):
+    """with_lm_bits (the single-lineage job form: collected JVM
+    surprisals + narrow mapInPandas) must produce the SAME values as
+    the relational with_lm_score_per_lang — one frozen semantics, two
+    execution shapes."""
+    from ocrd_segment_spark.operators.textstats import (
+        bigram_lm_models_by_lang,
+        collect_lm_surprisal,
+        with_lm_bits,
+        with_lm_score_per_lang,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat sat on the mat and then the hat"),
+         (2, "en", "zzqqxxjv wkqzx jjqz"),
+         (3, "de", "der hund lag unter dem alten tisch im haus"),
+         (4, "xx", "unmodeled language"),
+         (5, "en", "a")],
+        "doc_id long, lang string, text string",
+    )
+    models = bigram_lm_models_by_lang(docs.filter("doc_id in (1, 3)"))
+    relational = {
+        r["doc_id"]: r["bits_per_bigram"]
+        for r in with_lm_score_per_lang(docs, models).collect()
+    }
+    narrow = with_lm_bits(docs, collect_lm_surprisal(models))
+    got = {r["doc_id"]: r["bits_per_bigram"] for r in narrow.collect()}
+    assert got == relational
+    # the narrow form shuffles nothing
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_compression_cols_equals_compression_ratio(spark):
+    from ocrd_segment_spark.operators.textstats import (
+        compression_ratio,
+        with_compression_cols,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox " * 20), (2, "ab" * 5), (3, "")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["compression_ratio"]
+         for r in compression_ratio(docs).collect()}
+    out = with_compression_cols(docs)
+    b = {r["doc_id"]: r["compression_ratio"] for r in out.collect()}
+    assert a == b
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_corpus_job_quality_signal_funnel(spark, tmp_path):
+    """--entropy-min / --lm-ref+--lm-max-bits / --max-compression as
+    funnel drop stages (round-3 task 8): each crafted page is dropped
+    by exactly its stage, counters reconcile, and the funnel schema is
+    fixed (-1 only when a stage is off)."""
+    from jobs.corpus_job import build_corpus
+
+    good0 = "the children were playing in the garden near the river all afternoon"
+    good1 = "she opened the window and watched the quiet street below the house"
+    pages = [
+        ("good0", good0),
+        ("good1", good1),
+        # degenerate fill: char entropy ≈ 0.8 → dropped_entropy
+        ("lowent", "aaaaaaaaaaaaaaaaaaaaaaaa aaaaaaaaaaaaaaaaaaaa"),
+        # English-predicted gibberish: terrible under the en LM
+        ("gibber", "the zzqqxx the wkqzx the jjqzvv the qqzzxx the xxqqzz"),
+    ]
+    rows = [
+        (url, f"<html><body><p>{t}</p></body></html>".encode())
+        for url, t in pages
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    ref = str(tmp_path / "lm_ref")
+    spark.createDataFrame(
+        [("en", good0), ("en", good1),
+         ("en", "there is nothing better than a warm cup of tea in the evening")],
+        "lang string, text string",
+    ).write.parquet(ref)
+
+    funnel = build_corpus(
+        spark,
+        src,
+        str(tmp_path / "corpus"),
+        min_quality=0.0,
+        min_tokens=0,
+        entropy_min=2.0,
+        lm_ref_path=ref,
+        # tiny 3-sentence ref model → smoothing keeps even in-model
+        # text near ~6.25 bits; gibberish lands ~6.9 — threshold
+        # between them (a real reference corpus separates far wider)
+        lm_max_bits=6.5,
+    )
+    assert funnel["pages"] == 4
+    assert funnel["dropped_entropy"] == 1
+    assert funnel["dropped_lm"] == 1
+    assert funnel["dropped_compression"] == -1  # stage off
+    assert funnel["corpus_docs"] == 2
+    kept = spark.read.parquet(str(tmp_path / "corpus"))
+    assert {r["url"] for r in kept.collect()} == {"good0", "good1"}
+    # signal columns ride the output when their stage ran
+    assert {"char_entropy", "bits_per_bigram"} <= set(kept.columns)
+    assert "compression_ratio" not in kept.columns
+
+    # compression stage: random-ish junk is incompressible (ratio near
+    # or above 1 for short text); its lang is unmodeled → LM keeps it,
+    # compression drops it — the precedence chain in action
+    junk = "qwxzkvj bnmplr tgyhu wsxedc rfvtgb yhnujm ikolpq azsedr"
+    rows2 = rows + [
+        ("junk", f"<html><body><p>{junk}</p></body></html>".encode())
+    ]
+    src2 = str(tmp_path / "pages2")
+    spark.createDataFrame(rows2, "url string, html binary").write.parquet(src2)
+    funnel2 = build_corpus(
+        spark,
+        src2,
+        str(tmp_path / "corpus2"),
+        min_quality=0.0,
+        min_tokens=0,
+        entropy_min=2.0,
+        # short docs all compress poorly (zlib overhead): good ≈ 0.93,
+        # junk ≈ 1.02 — the threshold sits between them
+        max_compression=0.98,
+    )
+    assert funnel2["dropped_entropy"] == 1
+    assert funnel2["dropped_lm"] == -1
+    assert funnel2["dropped_compression"] >= 1
+    kept2 = {r["url"] for r in
+             spark.read.parquet(str(tmp_path / "corpus2")).collect()}
+    assert "junk" not in kept2 and {"good0", "good1"} <= kept2
+
+
 def test_compression_ratio_pins_zlib_exactly(spark):
     """The rows-only contract key's strong local oracle: values must
     equal the same zlib computation done directly in Python, and the

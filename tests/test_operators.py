@@ -407,7 +407,8 @@ def test_corpus_job_empty_input(spark, tmp_path):
     funnel = build_corpus(spark, src, str(tmp_path / "corpus"))
     assert funnel == {
         "pages": 0, "dropped_quality": 0, "dropped_lang": 0,
-        "dropped_gopher": 0, "kept_after_filters": 0,
+        "dropped_gopher": 0, "dropped_entropy": -1, "dropped_lm": -1,
+        "dropped_compression": -1, "kept_after_filters": 0,
         "dropped_exact_dup": 0, "corpus_docs": 0,
         "near_dup_candidates": -1, "boilerplate_units_removed": -1,
         "contaminated_docs": -1,
