@@ -123,6 +123,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": M.q_pii_redaction,
     "decontaminate_benchmark": M.q_decontaminate,
     "ann_ivf_search": M.q_ann_ivf_search,
+    "ann_recall_audit": M.q_ann_recall_audit,
     "domain_stats": M.q_domain_stats,
     "dedup_incremental_merge": M.q_dedup_incremental_merge,
     "dedup_cross_candidates": M.q_dedup_cross_candidates,
@@ -236,6 +237,7 @@ _ORACLES: dict[str, str] = {
     "pii_redaction": M.O_PII,
     "decontaminate_benchmark": M.O_DECONTAMINATE,
     "ann_ivf_search": M.O_ANN_IVF_SEARCH,
+    "ann_recall_audit": M.O_ANN_RECALL,
     "domain_stats": M.O_DOMAIN_STATS,
     "dedup_incremental_merge": M.O_DEDUP_MERGE,
     "dedup_cross_candidates": M.O_DEDUP_CROSS,

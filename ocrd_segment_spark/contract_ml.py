@@ -1550,6 +1550,87 @@ FROM scored QUALIFY rnk <= 3
 """
 
 
+def q_ann_recall_audit(spark, sf_dir):
+    """Recall@3 of ivf_search vs the exact cosine baseline, per query
+    and per nprobe ∈ {1, 2} (operators/ann.recall_audit) — pins the
+    nprobe/recall trade numerically (round-3 task 9). Same centroids/
+    queries as ann_ivf_search so the two keys cross-check."""
+    from .operators.ann import recall_audit
+
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    cents = e.filter(F.col("vec_id") < 8).selectExpr("vec_id as cid", "v as cv")
+    queries = e.filter("vec_id >= 8 and vec_id < 13").selectExpr(
+        "vec_id as qid", "v as qv"
+    )
+    return recall_audit(
+        e.selectExpr("vec_id as id", "v"), queries, cents, nprobes=(1, 2), k=3
+    )
+
+
+O_ANN_RECALL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 8 AND vec_id < 13
+), np(np) AS (VALUES (1), (2)),
+assign AS (
+  SELECT vec_id AS id, v, cid, row_number() OVER (
+           PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+             (x, y) -> x + y) AS dist2
+    FROM e, c
+  )
+), lists AS (SELECT id, v, cid FROM assign WHERE rn = 1),
+probes_all AS (
+  SELECT qid, qv, cid, row_number() OVER (
+           PARTITION BY q.qid ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))),
+             (x, y) -> x + y) ASC, c.cid ASC) AS rn
+  FROM q, c
+), approx AS (
+  SELECT np, qid, nid FROM (
+    SELECT s.np, s.qid, s.nid,
+           row_number() OVER (PARTITION BY s.np, s.qid
+                              ORDER BY s.cos DESC, s.nid ASC) AS rnk
+    FROM (
+      SELECT np.np, p.qid, l.id AS nid,
+             {_D_DOT.format(a="qv", b="v")} /
+             (sqrt({_D_DOT.format(a="qv", b="qv")}) * sqrt({_D_DOT.format(a="v", b="v")}))
+               AS cos
+      FROM probes_all p JOIN np ON p.rn <= np.np
+      JOIN lists l ON l.cid = p.cid
+      WHERE l.id <> p.qid
+    ) s
+  ) WHERE rnk <= 3
+), exact AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, e.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_D_DOT.format(a="qv", b="v")} /
+             (sqrt({_D_DOT.format(a="qv", b="qv")}) * sqrt({_D_DOT.format(a="v", b="v")}))
+             DESC, e.vec_id ASC) AS rnk
+    FROM e, q WHERE e.vec_id <> q.qid
+  ) WHERE rnk <= 3
+), hits AS (
+  SELECT a.np, a.qid, count(*) AS n_hits
+  FROM approx a JOIN exact x ON a.qid = x.qid AND a.nid = x.nid
+  GROUP BY a.np, a.qid
+)
+SELECT CAST(np.np AS BIGINT) AS nprobe, q.qid,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) * 1.0 / 3, 6) AS recall
+FROM q CROSS JOIN np LEFT JOIN hits h ON h.np = np.np AND h.qid = q.qid
+"""
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus stats: the url functions feeding a
     fine-grained aggregation (the shape of a per-site reputation pass;

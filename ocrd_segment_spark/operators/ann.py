@@ -56,6 +56,74 @@ def assign_to_centroids(
     )
 
 
+def cosine_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 3
+) -> DataFrame:
+    """(qid, nid, rnk, cos): EXACT brute-force cosine top-k — the
+    recall baseline ivf_search is audited against. Query side
+    broadcast (q × N dot products, embarrassingly parallel; the only
+    shuffle is the per-query top-k window). Same tie rules and
+    norm-once discipline as ivf_search so the two result sets are
+    comparable row-for-row."""
+    vecs = vectors.withColumn("_vn", F.expr(f"sqrt({DOT.format(a='v', b='v')})"))
+    qs = queries.withColumn("_qn", F.expr(f"sqrt({DOT.format(a='qv', b='qv')})"))
+    pairs = vecs.crossJoin(F.broadcast(qs)).filter(F.col("id") != F.col("qid"))
+    scored = pairs.withColumn(
+        "cos", F.expr(f"{DOT.format(a='qv', b='v')} / (_qn * _vn)")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "qid",
+            F.col("id").alias("nid"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+def recall_audit(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobes: tuple[int, ...] = (1, 2),
+    k: int = 3,
+) -> DataFrame:
+    """(nprobe, qid, n_hits, recall): recall@k of :func:`ivf_search`
+    against the exact :func:`cosine_topk` baseline, per query and per
+    probe width — the operator that pins the nprobe/recall trade
+    numerically instead of leaving it folklore. Pure composition of
+    the two searches plus a semi-join; at scale the exact side is the
+    expensive half (audit it on a query SAMPLE, not the full load)."""
+    exact = cosine_topk(vectors, queries, k=k).select("qid", "nid")
+    outs = []
+    for nprobe in nprobes:
+        approx = ivf_search(vectors, queries, centroids, nprobe=nprobe, k=k)
+        hits = (
+            approx.join(exact, ["qid", "nid"], "left_semi")
+            .groupBy("qid")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        outs.append(
+            queries.select("qid")
+            .join(hits, "qid", "left")
+            .select(
+                F.lit(nprobe).cast("long").alias("nprobe"),
+                "qid",
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)) * F.lit(1.0) / F.lit(k), 6
+                ).alias("recall"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def ivf_search(
     vectors: DataFrame,
     queries: DataFrame,

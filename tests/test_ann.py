@@ -84,6 +84,40 @@ def test_ivf_search_matches_brute_force_with_full_probe(spark):
     assert ivf == exact
 
 
+def test_recall_audit_pins_the_nprobe_trade(spark):
+    """recall_audit (round-3 task 9): recall is monotone in nprobe in
+    aggregate, per-query recall ∈ [0,1], and probing EVERY list
+    degenerates to the exact search → recall exactly 1.0. cosine_topk
+    (the exact baseline inside the audit) must agree with this file's
+    independent _brute_topk."""
+    from ocrd_segment_spark.operators.ann import cosine_topk, recall_audit
+
+    vecs = _clustered_vectors(spark)
+    firsts = (
+        vecs.withColumn(
+            "rn", F.row_number().over(W.partitionBy("true_c").orderBy("id"))
+        )
+        .filter("rn = 1")
+        .selectExpr("true_c as cid", "v as cv")
+    )
+    queries = vecs.filter("id % 17 = 0").selectExpr("id as qid", "v as qv")
+    # library baseline == this file's independent brute force
+    lib = {(r["qid"], r["rnk"]): r["nid"]
+           for r in cosine_topk(vecs.select("id", "v"), queries, 3).collect()}
+    ind = {(r["qid"], r["rnk"]): r["nid"]
+           for r in _brute_topk(vecs.select("id", "v"), queries, 3).collect()}
+    assert lib == ind
+    out = recall_audit(
+        vecs.select("id", "v"), queries, firsts, nprobes=(1, 4), k=3
+    ).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in out)
+    by_np = {}
+    for r in out:
+        by_np.setdefault(r["nprobe"], []).append(r["recall"])
+    assert sum(by_np[4]) >= sum(by_np[1])
+    assert all(r == 1.0 for r in by_np[4])  # all 4 lists probed = exact
+
+
 def test_ivf_search_recall_and_plan(spark):
     """nprobe=1 on well-separated clusters still finds the true
     neighbors (they live in the query's own list), and the centroid
