@@ -102,6 +102,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_ngram": M.q_lang_id_ngram,
     "quality_score": M.q_quality_score,
     "token_count": M.q_token_count,
+    "token_count_bpe": M.q_token_count_bpe,
     # similarity search
     "ann_cosine_topk": M.q_ann_cosine_topk,
     "ann_lsh_buckets": M.q_ann_lsh_buckets,
@@ -219,6 +220,7 @@ _ORACLES: dict[str, str] = {
     "lang_id_ngram": M.O_LANG_ID_NGRAM,
     "quality_score": M.O_QUALITY,
     "token_count": M.O_TOKEN_COUNT,
+    "token_count_bpe": M.O_TOKEN_BPE,
     "ann_cosine_topk": M.O_ANN_COSINE,
     "ann_lsh_buckets": M.O_ANN_LSH,
     "ann_ivf_assign": M.O_ANN_IVF,

@@ -355,6 +355,26 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """Subword token counting (operators/bpe): greedy longest-match
+    against the committed vocabulary, as ONE narrow JVM expression
+    (IN-literal lists fold to InSet; per-word fold over character
+    positions). Oracle: a recursive CTE stepping the same fold."""
+    from .operators.bpe import with_bpe_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return with_bpe_counts(d).select("doc_id", "n_bpe_tokens", "n_unk_pieces")
+
+
+def _token_bpe_oracle() -> str:
+    from .operators.bpe import oracle_sql as _bpe_sql
+
+    return _bpe_sql()
+
+
+O_TOKEN_BPE = _token_bpe_oracle()
+
+
 def q_lang_id_ngram(spark, sf_dir):
     """REAL language identification (operators/langid): char-bigram
     naive-Bayes profiles trained from the committed 7-language seed

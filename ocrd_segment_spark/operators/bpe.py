@@ -1,0 +1,209 @@
+"""Subword (BPE/WordPiece-style) token counting against a committed
+vocabulary — training pipelines meter data in TOKENIZER tokens, not
+whitespace words (compute budgets and published dedup thresholds are
+stated in BPE tokens), so the whitespace `token_count` alone
+under-states curation arithmetic (round-3 task 4).
+
+Method (public knowledge: the greedy longest-match tokenization of
+WordPiece / SentencePiece-BPE inference): fold each whitespace word
+left-to-right, at every position consuming the LONGEST vocabulary
+piece that matches (max piece length 4); when nothing matches, consume
+one character as an <unk> piece. The committed ``VOCAB`` plays the
+role of a trained merge table — swap in a real tokenizer's vocabulary
+on a cluster; the counting machinery is the operator.
+
+Frozen semantics (DuckDB oracle: a recursive CTE stepping the same
+fold; pytest pins exact counts):
+
+1. normalize: ASCII A-Z → a-z (same fold as operators/langid — full
+   Unicode lowercase is excluded from frozen rules repo-wide);
+2. words: split on runs of ASCII whitespace [ \\t\\n\\r\\f\\v]+,
+   empties dropped (the explicit class, NOT ``\\s`` — Java's \\s
+   includes U+000B, RE2's does not);
+3. per word, from position 1: try piece lengths 4, 3, 2, 1 against the
+   vocabulary (substring truncation at word end is inherently safe — a
+   2-char tail can never equal a 4-char piece); advance by the matched
+   length and count one piece, else advance 1 and count one piece AND
+   one unk;
+4. n_bpe_tokens / n_unk_pieces = sums over all words; empty documents
+   count 0.
+
+Scale shape: ONE pure-JVM column expression — the vocabulary inlines
+as four IN-literal lists (Catalyst folds them to InSet hash lookups),
+the per-word fold is ``aggregate`` over character positions, and the
+per-document total folds over ``transform``'s output array so nothing
+is evaluated twice (the interpreted-HOF no-CSE trap). Zero shuffle,
+zero Python, evaluated inside the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Committed vocabulary: base characters plus frequent English subword
+# merges (lengths 2-4). Deterministic and versioned — the contract
+# oracle inlines the identical literals.
+_CHARS = tuple("abcdefghijklmnopqrstuvwxyz0123456789") + (
+    ".", ",", ";", ":", "!", "?", "'", '"', "(", ")", "-", "_", "/",
+    "&", "%", "$", "#", "@", "+", "=", "*", "[", "]", "<", ">",
+)
+_MERGES_2 = (
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "es", "or",
+    "ti", "st", "ar", "nd", "to", "it", "ou", "ed", "is", "al", "as",
+    "le", "ro", "se", "de", "do", "me", "ma", "no", "ne", "lo", "li",
+    "la", "ho", "ha", "ge", "co", "ca", "ce", "be", "pa", "pe", "po",
+    "ra", "ri", "sa", "si", "so", "su", "ta", "te", "ur", "un", "wa",
+    "we", "wi", "qu", "ch", "sh", "wh", "ow", "ly", "id", "ic", "il",
+)
+_MERGES_3 = (
+    "the", "ing", "and", "ion", "ent", "for", "ter", "est", "ers",
+    "ate", "ive", "ity", "ure", "age", "ant", "out", "com", "con",
+    "pre", "pro", "per", "sta", "str", "ess", "ear", "ere", "ver",
+    "all", "one", "ome", "ain", "igh", "ore", "und", "act", "ect",
+)
+_MERGES_4 = (
+    "tion", "ment", "able", "ight", "ough", "ould", "ting", "ness",
+    "ance", "ence", "ally", "ious", "over", "atio", "ding", "king",
+    "sion", "ther", "here", "ente", "ring",
+)
+VOCAB: tuple[str, ...] = _CHARS + _MERGES_2 + _MERGES_3 + _MERGES_4
+
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+# explicit ASCII whitespace class — see frozen rule 2
+WS_CLASS_SPARK = "[ \\\\t\\\\n\\\\r\\\\f\\\\v]+"
+WS_CLASS_DUCK = "[ \t\n\r\f\v]+"
+
+
+def _sql_in(expr: str, pieces: tuple[str, ...]) -> str:
+    vals = ", ".join("'{}'".format(p.replace("'", "''")) for p in pieces)
+    return f"{expr} IN ({vals})"
+
+
+def pieces_by_length() -> dict[int, tuple[str, ...]]:
+    out: dict[int, list[str]] = {1: [], 2: [], 3: [], 4: []}
+    for p in VOCAB:
+        out[len(p)].append(p)
+    return {k: tuple(v) for k, v in out.items()}
+
+
+def bpe_count_cols(text_col: str = "text") -> Column:
+    """struct(n_bpe_tokens, n_unk_pieces) — the whole tokenizer as one
+    narrow JVM expression."""
+    by_len = pieces_by_length()
+    # the per-word fold: state (nxt, cnt, unk); positions where
+    # i < nxt were consumed by an earlier multi-char piece
+    step = (
+        "CASE "
+        f"WHEN {_sql_in('substring(w, i, 4)', by_len[4])}"
+        " THEN named_struct('nxt', i + 4, 'cnt', st.cnt + 1L, 'unk', st.unk) "
+        f"WHEN {_sql_in('substring(w, i, 3)', by_len[3])}"
+        " THEN named_struct('nxt', i + 3, 'cnt', st.cnt + 1L, 'unk', st.unk) "
+        f"WHEN {_sql_in('substring(w, i, 2)', by_len[2])}"
+        " THEN named_struct('nxt', i + 2, 'cnt', st.cnt + 1L, 'unk', st.unk) "
+        f"WHEN {_sql_in('substring(w, i, 1)', by_len[1])}"
+        " THEN named_struct('nxt', i + 1, 'cnt', st.cnt + 1L, 'unk', st.unk) "
+        "ELSE named_struct('nxt', i + 1, 'cnt', st.cnt + 1L,"
+        " 'unk', st.unk + 1L) END"
+    )
+    word_fold = (
+        "aggregate(sequence(1, length(w)),"
+        " named_struct('nxt', 1, 'cnt', 0L, 'unk', 0L),"
+        f" (st, i) -> IF(i < st.nxt, st, {step}))"
+    )
+    toks = (
+        f"filter(split(translate({text_col}, '{_UPPER}', '{_LOWER}'),"
+        f" '{WS_CLASS_SPARK}'), x -> x != '')"
+    )
+    # transform's output array is evaluated once as aggregate's input;
+    # the lambda only touches bound variables (no-CSE trap respected)
+    return F.expr(
+        f"aggregate(transform({toks}, w -> {word_fold}),"
+        " named_struct('n_bpe_tokens', 0L, 'n_unk_pieces', 0L),"
+        " (acc, s) -> named_struct('n_bpe_tokens', acc.n_bpe_tokens + s.cnt,"
+        " 'n_unk_pieces', acc.n_unk_pieces + s.unk))"
+    )
+
+
+def with_bpe_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append (n_bpe_tokens, n_unk_pieces)."""
+    d = df.withColumn("_bpe", bpe_count_cols(text_col))
+    return (
+        d.withColumn("n_bpe_tokens", F.col("_bpe.n_bpe_tokens"))
+        .withColumn("n_unk_pieces", F.col("_bpe.n_unk_pieces"))
+        .drop("_bpe")
+    )
+
+
+def tokenize_word(word: str) -> list[str]:
+    """Reference (pure-Python) greedy tokenizer for tests: the frozen
+    fold, one piece list out. NOT used by the Spark path — pytest pins
+    the column expression against it."""
+    vocab = set(VOCAB)
+    out, pos = [], 0
+    while pos < len(word):
+        for ln in (4, 3, 2, 1):
+            piece = word[pos : pos + ln]
+            if len(piece) == ln and piece in vocab:
+                out.append(piece)
+                pos += ln
+                break
+        else:
+            out.append(f"<unk:{word[pos]}>")
+            pos += 1
+    return out
+
+
+def oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+    """The DuckDB restatement: a recursive CTE stepping the identical
+    greedy fold (one state row per word instance per step; iterations
+    bounded by the longest word)."""
+    by_len = pieces_by_length()
+    adv = (
+        "CASE "
+        f"WHEN {_sql_in('substr(w, pos, 4)', by_len[4])} THEN 4 "
+        f"WHEN {_sql_in('substr(w, pos, 3)', by_len[3])} THEN 3 "
+        f"WHEN {_sql_in('substr(w, pos, 2)', by_len[2])} THEN 2 "
+        "ELSE 1 END"
+    )
+    unk_inc = (
+        "CASE "
+        f"WHEN {_sql_in('substr(w, pos, 4)', by_len[4])} THEN 0 "
+        f"WHEN {_sql_in('substr(w, pos, 3)', by_len[3])} THEN 0 "
+        f"WHEN {_sql_in('substr(w, pos, 2)', by_len[2])} THEN 0 "
+        f"WHEN {_sql_in('substr(w, pos, 1)', by_len[1])} THEN 0 "
+        "ELSE 1 END"
+    )
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, i, w FROM (
+    SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+               translate({text_col}, '{_UPPER}', '{_LOWER}'),
+               '{WS_CLASS_DUCK}'), x -> x <> '') AS toks
+      FROM {table}
+    )
+  )
+),
+step AS (
+  SELECT doc_id, i, w, 1 AS pos,
+         CAST(0 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS unk
+  FROM words
+  UNION ALL
+  SELECT doc_id, i, w, pos + {adv}, cnt + 1, unk + {unk_inc}
+  FROM step WHERE pos <= length(w)
+),
+per_word AS (
+  SELECT doc_id, i, cnt, unk FROM step WHERE pos > length(w)
+),
+per_doc AS (
+  SELECT doc_id, sum(cnt) AS n_bpe_tokens, sum(unk) AS n_unk_pieces
+  FROM per_word GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(coalesce(p.n_unk_pieces, 0) AS BIGINT) AS n_unk_pieces
+FROM {table} t LEFT JOIN per_doc p USING (doc_id)
+"""
