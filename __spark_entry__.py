@@ -120,6 +120,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_safe": M.q_split_leakage_safe,
     "gopher_quality_rules": M.q_gopher_quality_rules,
     "paragraph_dedup": M.q_paragraph_dedup,
+    "span_preserving_cleanup": M.q_span_preserving_cleanup,
     "url_canonicalize": M.q_url_canonicalize,
     "pii_redaction": M.q_pii_redaction,
     "decontaminate_benchmark": M.q_decontaminate,
@@ -235,6 +236,7 @@ _ORACLES: dict[str, str] = {
     "split_leakage_safe": M.O_SPLIT_LEAKAGE,
     "gopher_quality_rules": M.O_GOPHER,
     "paragraph_dedup": M.O_PARAGRAPH_DEDUP,
+    "span_preserving_cleanup": M.O_SPAN_CLEANUP,
     "url_canonicalize": M.O_URL_CANON,
     "pii_redaction": M.O_PII,
     "decontaminate_benchmark": M.O_DECONTAMINATE,

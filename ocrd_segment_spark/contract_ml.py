@@ -1256,6 +1256,89 @@ FROM sig s LEFT JOIN top t ON s.doc_id = t.doc_id
 """
 
 
+def q_span_preserving_cleanup(spark, sf_dir):
+    """Span-preserving boilerplate removal (operators/paragraphs
+    .remove_frequent_regions, round-3 task 5): real extraction of the
+    boiler fixture (heading = source, shared by ~25 docs → removed as
+    boilerplate; paragraph unique → kept), then clean_text + REMAPPED
+    spans. The output row carries ``piece`` = substring of clean_text
+    at the remapped span, so the hash compare IS the span/text
+    consistency proof (the oracle derives its piece independently)."""
+    from .contract import _pages_from_documents
+    from .operators.paragraphs import remove_frequent_regions
+    from .pipeline import extract_pages
+
+    html_expr = (
+        "concat('<html><body>"
+        "<nav><ul><li><a href=\"/m\">menu one</a> <a href=\"/n\">menu two</a></li></ul></nav>"
+        "<h1>', source, '</h1>"
+        "<p><a href=\"/q\">', source, ' ', source, '</a></p>"
+        "<p>', text, '</p></body></html>')"
+    )
+    pages = _pages_from_documents(spark, sf_dir, html_expr)
+    out = extract_pages(pages)
+    cleaned = remove_frequent_regions(out, min_doc_freq=3)
+    return cleaned.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "n_kept",
+        "n_removed",
+        F.explode_outer("region_spans").alias("s"),
+        "clean_text",
+    ).select(
+        "doc_id",
+        "n_kept",
+        "n_removed",
+        F.col("s.region_id").alias("region_id"),
+        F.col("s.rtype").alias("rtype"),
+        F.col("s.start").cast("long").alias("span_start"),
+        F.col("s.end").cast("long").alias("span_end"),
+        F.expr(
+            "substring(clean_text, cast(s.start + 1 as int),"
+            " cast(s.end - s.start as int))"
+        ).alias("piece"),
+    )
+
+
+# the oracle restates the FREQUENCY decision too (it does not assume
+# the heading is the removed unit): units per doc are the two fixture
+# regions in span order; removal iff distinct-doc frequency >= 3; new
+# offsets accumulate (length + 1 separator) over kept predecessors.
+_SQL_COLLAPSE_ML = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+O_SPAN_CLEANUP = f"""
+WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE_ML} AS t FROM documents),
+u AS (
+  SELECT doc_id, 1 AS ord, 'r0008' AS region_id, 'heading' AS rtype,
+         source AS piece FROM c
+  UNION ALL
+  SELECT doc_id, 2, 'r0011', 'paragraph', t FROM c
+),
+f AS (
+  SELECT piece, count(DISTINCT doc_id) AS df FROM u
+  WHERE piece <> '' GROUP BY piece
+),
+t2 AS (SELECT u.*, coalesce(f.df, 0) AS df FROM u LEFT JOIN f USING (piece)),
+counts AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE df < 3) AS BIGINT) AS n_kept,
+         CAST(count(*) FILTER (WHERE df >= 3) AS BIGINT) AS n_removed
+  FROM t2 GROUP BY doc_id
+),
+r AS (
+  SELECT doc_id, ord, region_id, rtype, piece,
+         coalesce(sum(length(piece) + 1) OVER (
+           PARTITION BY doc_id ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ns
+  FROM t2 WHERE df < 3
+)
+SELECT c.doc_id, counts.n_kept, counts.n_removed,
+       r.region_id, r.rtype,
+       CAST(r.ns AS BIGINT) AS span_start,
+       CAST(r.ns + length(r.piece) AS BIGINT) AS span_end, r.piece
+FROM c JOIN counts USING (doc_id) LEFT JOIN r ON r.doc_id = c.doc_id
+"""
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-frequency boilerplate removal
     (operators/paragraphs.remove_frequent_units): lines occurring in

@@ -41,6 +41,133 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 
+def remove_frequent_regions(
+    extracted: DataFrame,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    spans_col: str = "region_spans",
+    sep: str = "\n",
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """SPAN-PRESERVING boilerplate removal (round-3 task 5): the unit
+    is the REGION — each span's substring of the document text — so
+    the output carries (clean_text, REMAPPED region_spans) and a user
+    keeps region structure on the cleaned corpus without re-running
+    extraction (``remove_frequent_units`` emits clean_text only and
+    orphans the spans).
+
+    Frozen semantics:
+    - unit text = substring(text, start, end) per span; EMPTY-text
+      spans are structural — never counted in frequency, never removed;
+    - doc_freq(unit) = distinct documents containing that text in any
+      region; removed everywhere iff doc_freq >= min_doc_freq;
+    - kept spans sort by (start, end, region_id, …); clean_text joins
+      their texts with ``sep``; each kept span keeps every field and
+      gets new offsets: substring(clean_text, new start, new end) ==
+      its original text BY CONSTRUCTION (the contract oracle re-derives
+      both sides, so a remap bug breaks the hash);
+    - documents losing every region (or having none) keep their row
+      with clean_text '' and an empty span array.
+
+    Preconditions (kernel invariants, pytest-pinned): region text never
+    contains ``sep`` (extraction joins regions WITH it, region-internal
+    whitespace is collapsed), and ``sep`` is one character — that is
+    what lets new offsets derive O(n) from separator positions in
+    clean_text (zip_with), not an O(n²) prefix scan (the measured
+    aggregate+array_append trap). Overlapping (container) spans are
+    legal input but serialize once per span, like extraction itself.
+
+    Scale shape: same as remove_frequent_units — fine-grained
+    (unit, doc) distinct + unit-keyed count + unit-keyed join, then a
+    doc-keyed rebuild bounded by document size; no corpus-wide key.
+    """
+    assert len(sep) == 1, "sep must be one character (offset derivation)"
+    units = extracted.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        F.explode_outer(spans_col).alias("r"),
+    ).withColumn(
+        "rtext",
+        F.expr("substring(_t, cast(r.start + 1 as int), cast(r.end - r.start as int))"),
+    )
+    freq = (
+        units.filter((F.col("r").isNotNull()) & (F.col("rtext") != ""))
+        .select("rtext", "id")
+        .distinct()
+        .groupBy("rtext")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    tagged = units.join(freq, "rtext", "left").withColumn(
+        "_keep", F.coalesce("doc_freq", F.lit(0)) < F.lit(min_doc_freq)
+    )
+    # one struct per span (sort key first: start, end, region_id, …);
+    # the null-span row of empty documents drops out of collect_list
+    per_doc = tagged.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("r").isNotNull() & F.col("_keep"),
+                    F.struct(
+                        F.col("r.start").alias("start"),
+                        F.col("r.end").alias("end"),
+                        F.col("r.region_id").alias("region_id"),
+                        F.col("r.rtype").alias("rtype"),
+                        F.col("r.subtype").alias("subtype"),
+                        F.col("r.parent_id").alias("parent_id"),
+                        F.col("r.order").alias("order"),
+                        F.col("r.score").alias("score"),
+                        F.col("rtext").alias("rtext"),
+                    ),
+                )
+            )
+        ).alias("_arr"),
+        F.sum(
+            (F.col("r").isNotNull() & F.col("_keep")).cast("long")
+        ).alias("n_kept"),
+        F.sum(
+            (F.col("r").isNotNull() & ~F.col("_keep")).cast("long")
+        ).alias("n_removed"),
+    )
+    with_text = per_doc.withColumn(
+        "clean_text",
+        F.array_join(F.transform("_arr", lambda x: x["rtext"]), sep),
+    )
+    # new offsets from separator positions (O(n), see precondition):
+    # 1-based sep position p ⇒ the next unit starts at 0-based p
+    seps = F.filter(
+        F.sequence(F.lit(1), F.length("clean_text")),
+        lambda i: F.col("clean_text").substr(i, F.lit(1)) == F.lit(sep),
+    )
+    starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(seps, lambda p: p.cast("long")),
+    )
+    zipped = F.zip_with(
+        "_arr",
+        starts,
+        lambda x, st: F.struct(
+            x["region_id"].alias("region_id"),
+            x["rtype"].alias("rtype"),
+            x["subtype"].alias("subtype"),
+            st.alias("start"),
+            (st + F.length(x["rtext"])).alias("end"),
+            x["parent_id"].alias("parent_id"),
+            x["order"].alias("order"),
+            x["score"].alias("score"),
+        ),
+    )
+    # zip_with pads the shorter side with nulls (an empty _arr against
+    # starts=[0] would fabricate a null span) — slice to the true size
+    out = with_text.withColumn("_spans", F.slice(zipped, 1, F.size("_arr")))
+    return out.select(
+        F.col("id").alias(id_col),
+        "clean_text",
+        F.col("_spans").alias(spans_col),
+        "n_kept",
+        "n_removed",
+    )
+
+
 def unit_doc_frequency(
     df: DataFrame,
     id_col: str = "doc_id",

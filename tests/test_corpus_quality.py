@@ -355,6 +355,66 @@ def test_lm_perlang_scores_under_own_language_model(spark):
     assert got[1] == "en" and got[3] == "de"
 
 
+def test_remove_frequent_regions_remaps_spans(spark):
+    """Span-preserving cleanup (round-3 task 5): frequent region texts
+    removed, surviving spans remapped so substring(clean_text, start,
+    end) equals each region's original text; all-removed and
+    zero-span documents keep rows with '' and empty arrays."""
+    from ocrd_segment_spark.operators.paragraphs import remove_frequent_regions
+
+    schema = (
+        "url string, extracted_text string, region_spans array<struct<"
+        "region_id:string,rtype:string,subtype:string,start:bigint,end:bigint,"
+        "parent_id:string,order:int,score:double>>"
+    )
+
+    def sp(rid, rt, s, e, order):
+        return {"region_id": rid, "rtype": rt, "subtype": "p", "start": s,
+                "end": e, "parent_id": "", "order": order, "score": 1.0}
+
+    rows = [
+        ("d1", "menu\nalpha body one",
+         [sp("r1", "nav", 0, 4, 0), sp("r2", "paragraph", 5, 19, 1)]),
+        ("d2", "menu\nbeta body two",
+         [sp("r1", "nav", 0, 4, 0), sp("r2", "paragraph", 5, 18, 1)]),
+        ("d3", "menu\ngamma body",
+         [sp("r1", "nav", 0, 4, 0), sp("r2", "paragraph", 5, 15, 1)]),
+        ("d4", "menu", [sp("r1", "nav", 0, 4, 0)]),      # loses everything
+        ("d5", "", []),                                    # no spans at all
+        ("d6", "solo text here", [sp("r9", "paragraph", 0, 14, 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {r["url"]: r for r in remove_frequent_regions(df, min_doc_freq=3).collect()}
+    originals = {u: {s["region_id"]: t[s["start"]:s["end"]] for s in spans}
+                 for u, t, spans in rows}
+    assert out["d1"]["clean_text"] == "alpha body one"
+    assert (out["d1"]["n_kept"], out["d1"]["n_removed"]) == (1, 1)
+    assert out["d4"]["clean_text"] == "" and out["d4"]["region_spans"] == []
+    assert out["d5"]["clean_text"] == "" and out["d5"]["region_spans"] == []
+    assert out["d6"]["n_removed"] == 0
+    for url, r in out.items():
+        for s in r["region_spans"]:
+            piece = r["clean_text"][s["start"]:s["end"]]
+            assert piece == originals[url][s["region_id"]], (url, s)
+            assert s["score"] == 1.0 and s["rtype"] in ("nav", "paragraph")
+
+
+def test_kernel_region_text_never_contains_separator():
+    """The O(n) span-remap derives offsets from separator positions in
+    clean_text — valid because kernel extraction never emits a region
+    whose text contains the region separator (internal whitespace is
+    collapsed; regions are JOINED by it). Pin that invariant."""
+    from ocrd_segment_spark.config import ExtractParams
+    from ocrd_segment_spark.fixtures import gen_pages
+    from ocrd_segment_spark.oracle import extract_corpus
+
+    sep = ExtractParams().region_separator
+    for r in extract_corpus(gen_pages(150, seed=9)):
+        t = r["extracted_text"]
+        for s in r["region_spans"]:
+            assert sep not in t[s["start"]:s["end"]]
+
+
 def test_lm_bits_narrow_equals_relational(spark):
     """with_lm_bits (the single-lineage job form: collected JVM
     surprisals + narrow mapInPandas) must produce the SAME values as
