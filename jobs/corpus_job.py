@@ -93,6 +93,14 @@ def main() -> None:
         " (already-compressed/binary junk; Dolma-style signal)",
     )
     ap.add_argument(
+        "--count-bpe",
+        action="store_true",
+        help="meter the corpus in SUBWORD tokens (operators/bpe greedy"
+        " longest-match): adds n_bpe_tokens/n_unk_pieces columns and a"
+        " kept_bpe_tokens funnel total — pipelines budget compute in"
+        " tokenizer tokens, not whitespace words",
+    )
+    ap.add_argument(
         "--boilerplate-min-df",
         type=int,
         default=None,
@@ -131,6 +139,7 @@ def main() -> None:
         lm_ref_path=args.lm_ref,
         lm_max_bits=args.lm_max_bits,
         max_compression=args.max_compression,
+        count_bpe=args.count_bpe,
         boilerplate_min_df=args.boilerplate_min_df,
         decontaminate_path=args.decontaminate,
         near_dup_audit=args.near_dup_audit,
@@ -152,6 +161,7 @@ def build_corpus(
     lm_ref_path: str | None = None,
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
+    count_bpe: bool = False,
     boilerplate_min_df: int | None = None,
     decontaminate_path: str | None = None,
     near_dup_audit: str | None = None,
@@ -250,6 +260,14 @@ def build_corpus(
         )
     else:
         scored = scored.withColumn("keep_compression", F.lit(True))
+    if count_bpe:
+        # subword metering (pure JVM column fold, same narrow pass);
+        # the kept-corpus token total rides the write Observation below
+        from ocrd_segment_spark.operators.bpe import with_bpe_counts
+
+        scored = with_bpe_counts(scored, text_col="extracted_text")
+    else:
+        scored = scored.withColumn("n_bpe_tokens", F.lit(None).cast("long"))
 
     # funnel counters ride the write action as an Observation — the
     # extraction (the expensive stage) runs exactly ONCE; coalesce
@@ -319,6 +337,17 @@ def build_corpus(
             ),
             F.lit(0),
         ).alias("kept_after_filters"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("keep_quality") & F.col("keep_lang")
+                    & F.col("keep_gopher") & F.col("keep_entropy")
+                    & F.col("keep_lm") & F.col("keep_compression"),
+                    F.col("n_bpe_tokens"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kept_bpe_tokens"),
     )
     kept = scored.filter(
         F.col("keep_quality") & F.col("keep_lang") & F.col("keep_gopher")
@@ -335,6 +364,7 @@ def build_corpus(
     out = deduped.filter("is_canonical").drop(
         "_rn", "is_canonical", "keep_quality", "keep_lang", "keep_gopher",
         "keep_entropy", "keep_lm", "keep_compression",
+        *([] if count_bpe else ["n_bpe_tokens"]),
     )
     # the corpus row count rides the SAME write action as a second
     # Observation — no re-scan of the written output (at 100 TB a
@@ -364,6 +394,9 @@ def build_corpus(
             counts["dropped_compression"] if max_compression is not None else -1
         ),
         "kept_after_filters": counts["kept_after_filters"],
+        # subword total of everything passing the filters (pre-dedup;
+        # dedup canonicals keep their counts in the output table)
+        "kept_bpe_tokens": counts["kept_bpe_tokens"] if count_bpe else -1,
         "dropped_exact_dup": counts["kept_after_filters"] - n_out,
         "corpus_docs": n_out,
     }

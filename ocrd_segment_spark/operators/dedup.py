@@ -407,7 +407,16 @@ def exact_substring_dedup(
     shuffles track the DUPLICATED volume, not the corpus; the
     token-explode rebuild is left-semi restricted to affected
     documents, and untouched documents pass through as a pure column
-    expression."""
+    expression.
+
+    Span preservation: clean_text here is TOKEN-rebuilt (whitespace
+    normalized), so it is not a character-subsequence of the input and
+    a char-offset span remap is ill-defined on it by construction. A
+    pipeline that needs cleaned text WITH surviving region structure
+    should run the region-unit variant
+    (operators/paragraphs.remove_frequent_regions, contract key
+    span_preserving_cleanup), whose removal granularity aligns with
+    span boundaries and remaps offsets exactly."""
     toks = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .withColumn("toks", H.tokens("text"))

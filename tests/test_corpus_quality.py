@@ -548,6 +548,38 @@ def test_corpus_job_quality_signal_funnel(spark, tmp_path):
     assert "junk" not in kept2 and {"good0", "good1"} <= kept2
 
 
+def test_corpus_job_bpe_metering(spark, tmp_path):
+    """--count-bpe meters the kept corpus in subword tokens: the
+    funnel total rides the write Observation and equals the per-doc
+    column sum; off → -1 and no column."""
+    from jobs.corpus_job import build_corpus
+
+    texts = {
+        "a": "the children were playing in the garden near the river",
+        "b": "she opened the window and watched the quiet street",
+    }
+    rows = [(u, f"<html><body><p>{t}</p></body></html>".encode())
+            for u, t in texts.items()]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    funnel = build_corpus(
+        spark, src, str(tmp_path / "corpus"),
+        min_quality=0.0, min_tokens=0, count_bpe=True,
+    )
+    kept = spark.read.parquet(str(tmp_path / "corpus"))
+    assert "n_bpe_tokens" in kept.columns and "n_unk_pieces" in kept.columns
+    col_sum = sum(r["n_bpe_tokens"] for r in kept.collect())
+    assert funnel["kept_bpe_tokens"] == col_sum > 0
+    funnel_off = build_corpus(
+        spark, src, str(tmp_path / "corpus_off"),
+        min_quality=0.0, min_tokens=0,
+    )
+    assert funnel_off["kept_bpe_tokens"] == -1
+    assert "n_bpe_tokens" not in spark.read.parquet(
+        str(tmp_path / "corpus_off")
+    ).columns
+
+
 def test_compression_ratio_pins_zlib_exactly(spark):
     """The rows-only contract key's strong local oracle: values must
     equal the same zlib computation done directly in Python, and the
