@@ -1303,10 +1303,10 @@ def q_span_preserving_cleanup(spark, sf_dir):
 # the heading is the removed unit): units per doc are the two fixture
 # regions in span order; removal iff distinct-doc frequency >= 3; new
 # offsets accumulate (length + 1 separator) over kept predecessors.
-_SQL_COLLAPSE_ML = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+from .contract import _SQL_COLLAPSE as _SQL_COLLAPSE_C  # noqa: E402
 
 O_SPAN_CLEANUP = f"""
-WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE_ML} AS t FROM documents),
+WITH c AS (SELECT doc_id, source, {_SQL_COLLAPSE_C} AS t FROM documents),
 u AS (
   SELECT doc_id, 1 AS ord, 'r0008' AS region_id, 'heading' AS rtype,
          source AS piece FROM c

@@ -61,11 +61,13 @@ _LT_SPLIT = re.compile(r"(<)")
 # `<a href= foo/>` are normal start tags whose value swallows the
 # slash)? Matches name `[^\s="'/>]+` after a delimiter, '=' with
 # optional whitespace on either side, then an unquoted value running
-# to the final '/'. A quoted value or a bare name before the slash
-# does NOT match → self-closing, same as the stdlib (`<p disabled/>`,
-# `<a x='q'/>`). Validated case-by-case against html.parser in
-# tests/test_fastparse.py (kernel 1.5.4).
-_SLASH_BINDS = re.compile(r"(?:^|[\s\"'/])[^\s=\"'/>]+\s*=\s*[^\s\"']*/$")
+# to the final '/'. The value may CONTAIN quotes (`<a title=don't/>`
+# is an open tag, kernel 1.5.5) — html.parser only rejects a value
+# that STARTS with one, hence the lookahead, not a class exclusion.
+# A quoted value or a bare name before the slash does NOT match →
+# self-closing, same as the stdlib (`<p disabled/>`, `<a x='q'/>`).
+# Validated case-by-case against html.parser in tests/test_fastparse.py.
+_SLASH_BINDS = re.compile(r"(?:^|[\s\"'/])[^\s=\"'/>]+\s*=\s*(?![\"'])[^\s]*/$")
 
 
 def _append_text(node: Node, data: str) -> None:

@@ -70,8 +70,13 @@ VOCAB: tuple[str, ...] = _CHARS + _MERGES_2 + _MERGES_3 + _MERGES_4
 
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
-# explicit ASCII whitespace class — see frozen rule 2
-WS_CLASS_SPARK = "[ \\\\t\\\\n\\\\r\\\\f\\\\v]+"
+# explicit ASCII whitespace class — see frozen rule 2. The vertical
+# tab is spelled \x0B on the Spark side: Java regex expands \v to the
+# vertical-whitespace CLASS (newline, VT, FF, CR, NEL U+0085, LS
+# U+2028, PS U+2029) while RE2's \v is VT alone, so a literal \v
+# here would silently split words at NEL/LS/PS on one engine only
+# (review-found, pinned by test_bpe).
+WS_CLASS_SPARK = "[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+"
 WS_CLASS_DUCK = "[ \t\n\r\f\v]+"
 
 
@@ -111,8 +116,11 @@ def bpe_count_cols(text_col: str = "text") -> Column:
         " named_struct('nxt', 1, 'cnt', 0L, 'unk', 0L),"
         f" (st, i) -> IF(i < st.nxt, st, {step}))"
     )
+    # coalesce: NULL text must count 0 like the oracle's LEFT JOIN
+    # (review-found — aggregate over a NULL array returns NULL)
     toks = (
-        f"filter(split(translate({text_col}, '{_UPPER}', '{_LOWER}'),"
+        f"filter(split(translate(coalesce({text_col}, ''),"
+        f" '{_UPPER}', '{_LOWER}'),"
         f" '{WS_CLASS_SPARK}'), x -> x != '')"
     )
     # transform's output array is evaluated once as aggregate's input;

@@ -57,15 +57,24 @@ def remove_frequent_regions(
     orphans the spans).
 
     Frozen semantics:
-    - unit text = substring(text, start, end) per span; EMPTY-text
-      spans are structural — never counted in frequency, never removed;
+    - unit text = substring(text, start, end) per span; ZERO-LENGTH
+      spans (media anchors, kernel 1.3 structural markers) are never
+      counted in frequency, never removed, and never contribute a join
+      unit (they would otherwise inject an empty-unit separator and
+      mutate clean_text even on a no-op run — review-found);
     - doc_freq(unit) = distinct documents containing that text in any
       region; removed everywhere iff doc_freq >= min_doc_freq;
-    - kept spans sort by (start, end, region_id, …); clean_text joins
-      their texts with ``sep``; each kept span keeps every field and
-      gets new offsets: substring(clean_text, new start, new end) ==
-      its original text BY CONSTRUCTION (the contract oracle re-derives
-      both sides, so a remap bug breaks the hash);
+    - kept positive spans sort by (start, end, region_id, …);
+      clean_text joins their texts with ``sep``; every span keeps
+      EVERY input field (the structs are rewritten with ``withField``,
+      so gated extras like ``dir`` survive) and gets new offsets:
+      substring(clean_text, new start, new end) == its original text
+      BY CONSTRUCTION (the contract oracle re-derives both sides, so a
+      remap bug breaks the hash);
+    - a zero-length span re-anchors to the new start of the FIRST kept
+      positive span at-or-after its original position (end of
+      clean_text if none follows);
+    - the output array orders by (new start, new end, region_id);
     - documents losing every region (or having none) keep their row
       with clean_text '' and an empty span array.
 
@@ -100,33 +109,28 @@ def remove_frequent_regions(
     tagged = units.join(freq, "rtext", "left").withColumn(
         "_keep", F.coalesce("doc_freq", F.lit(0)) < F.lit(min_doc_freq)
     )
-    # one struct per span (sort key first: start, end, region_id, …);
-    # the null-span row of empty documents drops out of collect_list
+    is_pos = F.col("r").isNotNull() & (F.col("r.end") > F.col("r.start"))
+    is_zero = F.col("r").isNotNull() & (F.col("r.end") == F.col("r.start"))
+    # one sort-keyed struct per span, FULL original struct carried as
+    # payload (field set stays generic — gated extras like `dir`
+    # survive); the null-span row of empty documents drops out of
+    # collect_list; zero-length spans collect separately (kept always)
+    key = lambda: F.struct(  # noqa: E731  (two identical key layouts)
+        F.col("r.start").alias("start"),
+        F.col("r.end").alias("end"),
+        F.col("r.region_id").alias("region_id"),
+        F.col("r").alias("r"),
+        F.col("rtext").alias("rtext"),
+    )
     per_doc = tagged.groupBy("id").agg(
         F.sort_array(
-            F.collect_list(
-                F.when(
-                    F.col("r").isNotNull() & F.col("_keep"),
-                    F.struct(
-                        F.col("r.start").alias("start"),
-                        F.col("r.end").alias("end"),
-                        F.col("r.region_id").alias("region_id"),
-                        F.col("r.rtype").alias("rtype"),
-                        F.col("r.subtype").alias("subtype"),
-                        F.col("r.parent_id").alias("parent_id"),
-                        F.col("r.order").alias("order"),
-                        F.col("r.score").alias("score"),
-                        F.col("rtext").alias("rtext"),
-                    ),
-                )
-            )
+            F.collect_list(F.when(is_pos & F.col("_keep"), key()))
         ).alias("_arr"),
+        F.sort_array(F.collect_list(F.when(is_zero, key()))).alias("_zeros"),
         F.sum(
-            (F.col("r").isNotNull() & F.col("_keep")).cast("long")
+            (F.col("r").isNotNull() & (is_zero | F.col("_keep"))).cast("long")
         ).alias("n_kept"),
-        F.sum(
-            (F.col("r").isNotNull() & ~F.col("_keep")).cast("long")
-        ).alias("n_removed"),
+        F.sum((is_pos & ~F.col("_keep")).cast("long")).alias("n_removed"),
     )
     with_text = per_doc.withColumn(
         "clean_text",
@@ -146,23 +150,75 @@ def remove_frequent_regions(
         "_arr",
         starts,
         lambda x, st: F.struct(
-            x["region_id"].alias("region_id"),
-            x["rtype"].alias("rtype"),
-            x["subtype"].alias("subtype"),
-            st.alias("start"),
-            (st + F.length(x["rtext"])).alias("end"),
-            x["parent_id"].alias("parent_id"),
-            x["order"].alias("order"),
-            x["score"].alias("score"),
+            x["start"].alias("orig_start"),
+            st.alias("new_start"),
+            # withField rewrites offsets IN PLACE in the original
+            # struct, preserving every other field and the field order
+            x["r"]
+            .withField("start", st)
+            .withField("end", st + F.length(x["rtext"]))
+            .alias("span"),
         ),
     )
     # zip_with pads the shorter side with nulls (an empty _arr against
-    # starts=[0] would fabricate a null span) — slice to the true size
-    out = with_text.withColumn("_spans", F.slice(zipped, 1, F.size("_arr")))
-    return out.select(
+    # starts=[0] would fabricate a null span) — slice to the true size;
+    # materialized as a column so the per-zero lambda below references
+    # an attribute, not a re-evaluated expression tree (no-CSE trap)
+    pos_done = with_text.withColumn(
+        "_pos", F.slice(zipped, 1, F.size("_arr"))
+    )
+    # zero-length spans re-anchor to the first kept positive span
+    # at-or-after their original position (end of clean_text if none)
+    zero_spans = F.transform(
+        "_zeros",
+        lambda z: z["r"]
+        .withField(
+            "start",
+            F.coalesce(
+                F.get(
+                    F.filter("_pos", lambda p: p["orig_start"] >= z["start"]),
+                    F.lit(0),
+                )["new_start"],
+                F.length("clean_text").cast("long"),
+            ),
+        )
+        .withField(
+            "end",
+            F.coalesce(
+                F.get(
+                    F.filter("_pos", lambda p: p["orig_start"] >= z["start"]),
+                    F.lit(0),
+                )["new_start"],
+                F.length("clean_text").cast("long"),
+            ),
+        ),
+    )
+    merged = pos_done.withColumn(
+        "_all",
+        F.concat(
+            F.transform("_pos", lambda p: p["span"]), zero_spans
+        ),
+    )
+    # order by (new start, new end, region_id): sort a keyed wrapper,
+    # then strip — array_sort on the raw struct would key on region_id
+    final_spans = F.transform(
+        F.array_sort(
+            F.transform(
+                "_all",
+                lambda s: F.struct(
+                    s["start"].alias("k1"),
+                    s["end"].alias("k2"),
+                    s["region_id"].alias("k3"),
+                    s.alias("span"),
+                ),
+            )
+        ),
+        lambda w: w["span"],
+    )
+    return merged.select(
         F.col("id").alias(id_col),
         "clean_text",
-        F.col("_spans").alias(spans_col),
+        final_spans.alias(spans_col),
         "n_kept",
         "n_removed",
     )

@@ -126,6 +126,12 @@ def gt_review_table(
 
     if vocabulary is None:
         vocabulary = list(RTYPE_VOCABULARY)
+    elif isinstance(vocabulary, str) and vocabulary != "derive":
+        # a bare string would be '|'.joined per-character below
+        raise ValueError(
+            f"vocabulary={vocabulary!r}: pass a list of types, None"
+            " (kernel vocabulary), or the string 'derive'"
+        )
     elif vocabulary == "derive":
         rows = (
             extracted.select(

@@ -362,19 +362,21 @@ def test_remove_frequent_regions_remaps_spans(spark):
     zero-span documents keep rows with '' and empty arrays."""
     from ocrd_segment_spark.operators.paragraphs import remove_frequent_regions
 
+    # schema includes the gated `dir` extra — every field must survive
     schema = (
         "url string, extracted_text string, region_spans array<struct<"
         "region_id:string,rtype:string,subtype:string,start:bigint,end:bigint,"
-        "parent_id:string,order:int,score:double>>"
+        "parent_id:string,order:int,score:double,dir:string>>"
     )
 
-    def sp(rid, rt, s, e, order):
+    def sp(rid, rt, s, e, order, d="ltr"):
         return {"region_id": rid, "rtype": rt, "subtype": "p", "start": s,
-                "end": e, "parent_id": "", "order": order, "score": 1.0}
+                "end": e, "parent_id": "", "order": order, "score": 1.0,
+                "dir": d}
 
     rows = [
         ("d1", "menu\nalpha body one",
-         [sp("r1", "nav", 0, 4, 0), sp("r2", "paragraph", 5, 19, 1)]),
+         [sp("r1", "nav", 0, 4, 0), sp("r2", "paragraph", 5, 19, 1, "rtl")]),
         ("d2", "menu\nbeta body two",
          [sp("r1", "nav", 0, 4, 0), sp("r2", "paragraph", 5, 18, 1)]),
         ("d3", "menu\ngamma body",
@@ -382,6 +384,14 @@ def test_remove_frequent_regions_remaps_spans(spark):
         ("d4", "menu", [sp("r1", "nav", 0, 4, 0)]),      # loses everything
         ("d5", "", []),                                    # no spans at all
         ("d6", "solo text here", [sp("r9", "paragraph", 0, 14, 0)]),
+        # zero-length media anchor mid-document: must not inject a
+        # separator, must re-anchor to the next kept span's new start
+        ("d7", "menu\npix here",
+         [sp("r1", "nav", 0, 4, 0), sp("m1", "image", 5, 5, 1),
+          sp("r2", "paragraph", 5, 13, 2)]),
+        # zero-length anchor with nothing after it → end of clean_text
+        ("d8", "tail anchor doc",
+         [sp("r5", "paragraph", 0, 15, 0), sp("m2", "image", 15, 15, 1)]),
     ]
     df = spark.createDataFrame(rows, schema)
     out = {r["url"]: r for r in remove_frequent_regions(df, min_doc_freq=3).collect()}
@@ -392,11 +402,23 @@ def test_remove_frequent_regions_remaps_spans(spark):
     assert out["d4"]["clean_text"] == "" and out["d4"]["region_spans"] == []
     assert out["d5"]["clean_text"] == "" and out["d5"]["region_spans"] == []
     assert out["d6"]["n_removed"] == 0
+    # the gated extra survives the remap (review finding: withField,
+    # not a hand-enumerated struct)
+    d1_spans = {s["region_id"]: s for s in out["d1"]["region_spans"]}
+    assert d1_spans["r2"]["dir"] == "rtl" and d1_spans["r2"]["subtype"] == "p"
+    # zero-length anchors: no separator injected, re-anchored in order
+    assert out["d7"]["clean_text"] == "pix here"
+    d7 = {s["region_id"]: s for s in out["d7"]["region_spans"]}
+    assert (d7["m1"]["start"], d7["m1"]["end"]) == (0, 0)
+    assert (d7["r2"]["start"], d7["r2"]["end"]) == (0, 8)
+    assert out["d7"]["n_kept"] == 2  # anchor + paragraph
+    d8 = {s["region_id"]: s for s in out["d8"]["region_spans"]}
+    assert (d8["m2"]["start"], d8["m2"]["end"]) == (15, 15)
     for url, r in out.items():
         for s in r["region_spans"]:
             piece = r["clean_text"][s["start"]:s["end"]]
             assert piece == originals[url][s["region_id"]], (url, s)
-            assert s["score"] == 1.0 and s["rtype"] in ("nav", "paragraph")
+            assert s["score"] == 1.0
 
 
 def test_kernel_region_text_never_contains_separator():

@@ -39,7 +39,8 @@ _tags = st.sampled_from(
      "<script>", "</script>", "<!-- c -->", "<br/>", "&amp;", "&#65;",
      "&nosuch;", "<![CDATA[x]]>", "<!DOCTYPE html>", "</bogus !>", "<p",
      "<>", "< p>", "<p/>", "<P >", "</ p>", "<!", "<b\"",
-     "<div href = foo/>", "<div x = />", "<p disabled/>", "<a x='q'/>"]
+     "<div href = foo/>", "<div x = />", "<p disabled/>", "<a x='q'/>",
+     "<div title=don't/>", "<div x= 'q'/>"]
 )
 _doc = st.lists(st.one_of(_frag, _tags), min_size=0, max_size=25).map("".join)
 
@@ -184,6 +185,14 @@ _SELF_CLOSE_CASES = [
     "<div disabled/>inside</div>",       # bare name: self-closes
     "<div x='q'/>inside</div>",          # quoted value: self-closes
     "<div = foo/>inside</div>",          # no name before '=': self-closes
+    # kernel 1.5.5 (review): quotes INSIDE an unquoted value bind —
+    # html.parser only rejects a value that STARTS with a quote
+    "<div title=don't/>inside</div>",    # apostrophe mid-value: open tag
+    '<div x=do"nt/>inside</div>',        # double quote mid-value: open tag
+    "<div x=a'b/>inside</div>",          # open tag
+    "<div x= 'q'/>inside</div>",         # spaced QUOTED value: self-closes
+    "<div x=''/>inside</div>",           # empty quoted value: self-closes
+    "<div x==v/>inside</div>",           # '=' run then value: open tag
 ]
 
 

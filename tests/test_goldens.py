@@ -51,6 +51,11 @@ Digest history:
   HTML, not garbage, so the rule is aligned rather than documented;
   the fixture corpus carries no spaced-'=' self-close patterns, so
   all three digests are unchanged)
+- kernel 1.5.5 (fixtures v3): df6c272a…  (same digest; review found
+  1.5.4's value class excluded quotes, so `<a title=don't/>` wrongly
+  self-closed — html.parser only rejects values STARTING with a quote;
+  the rule now uses a lookahead. 23 slash-binding shapes re-validated
+  against html.parser case-by-case; fixtures unaffected)
 """
 
 import hashlib
@@ -63,7 +68,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.5.4"
+GOLDEN_KERNEL = "1.5.5"
 GOLDEN_FIXTURES = 3
 
 
