@@ -376,12 +376,13 @@ O_TOKEN_BPE = _token_bpe_oracle()
 
 
 def q_lang_id_ngram(spark, sf_dir):
-    """REAL language identification (operators/langid): char-bigram
-    naive-Bayes profiles trained from the committed 7-language seed
-    corpus (incl. Cyrillic + Han), scored as one narrow Arrow-batched
-    pass; frozen normalization / fold / tie rules in the module
-    docstring. Supersedes the lang_id_heuristic toy for routing
-    corpus_job drops."""
+    """REAL language identification (operators/langid): char 1+2-gram
+    naive-Bayes profiles trained from the committed 11-language seed
+    corpus (four scripts incl. Cyrillic, Han/kana and the Arabic RTL
+    abjad), scored as one narrow Arrow-batched pass; frozen
+    normalization / fold / tie rules in the module docstring.
+    Supersedes the lang_id_heuristic toy for routing corpus_job
+    drops."""
     from .operators.langid import with_lang_ngram
 
     d = _t(spark, sf_dir, "documents")

@@ -4,10 +4,10 @@ API stability but no longer routing corpus_job drop decisions).
 
 Method (public knowledge: Cavnar & Trenkle 1994 rank profiles, the
 naive-Bayes char-n-gram family behind langid.py / CLD / fastText's
-supervised mode): per language, train a mixed character 1+2-gram
-profile from a seeded fixture corpus; score a document by add-one-
-smoothed log-likelihood under each language's profile; predict the
-argmax.
+supervised mode): per language (11 shipped, four scripts), train a
+mixed character 1+2-gram profile from a seeded fixture corpus; score
+a document by add-one-smoothed log-likelihood under each language's
+profile; predict the argmax.
 
 Frozen semantics (the DuckDB oracle in contract_ml restates every step;
 tests/test_langid.py pins behavior):
@@ -69,8 +69,10 @@ _FOLD = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
 _WS = re.compile(r"[ \t\n\r\f\v]+")
 
 # Seeded fixture corpus: short natural prose, composed for this module
-# (7 languages, Cyrillic + Han non-Latin scripts). Kept deliberately
-# lowercase-heavy; the ASCII fold handles sentence capitals.
+# (11 languages, four scripts: Latin, Cyrillic, Han/kana, Arabic —
+# incl. an RTL abjad). Kept deliberately lowercase-heavy; the ASCII
+# fold handles sentence capitals. Adding a language = add sentences
+# here and recompute the pinned model digest (tests/test_langid.py).
 SEED_CORPUS: dict[str, list[str]] = {
     "en": [
         "the quick brown fox jumps over the lazy dog near the river bank",
@@ -156,9 +158,57 @@ SEED_CORPUS: dict[str, list[str]] = {
         "他们在这个项目上已经工作了三年多",
         "天气预报说整个星期都是晴天还有微风",
     ],
+    "pt": [
+        "a rápida raposa marrom salta sobre o cão preguiçoso perto do rio",
+        "ela abriu a janela e viu a chuva cair sobre a rua tranquila",
+        "deveríamos ter terminado o relatório antes da reunião desta manhã",
+        "as crianças brincavam no jardim enquanto os pais preparavam o jantar",
+        "não há nada melhor do que uma xícara de chá quente numa noite fria",
+        "ele não conseguia lembrar onde tinha deixado as chaves da casa velha",
+        "a biblioteca fecha cedo aos domingos então devolva os livros amanhã",
+        "uma longa viagem começa com um único passo e um bom par de sapatos",
+        "eles trabalham neste projeto há mais de três anos",
+        "a previsão diz que fará sol com uma brisa leve durante toda a semana",
+    ],
+    "pl": [
+        "szybki brązowy lis skacze nad leniwym psem nad brzegiem rzeki",
+        "otworzyła okno i patrzyła jak deszcz pada na cichą ulicę",
+        "powinniśmy byli skończyć raport przed dzisiejszym porannym spotkaniem",
+        "dzieci bawiły się w ogrodzie podczas gdy rodzice gotowali kolację",
+        "nie ma nic lepszego niż filiżanka gorącej herbaty w zimowy wieczór",
+        "nie mógł sobie przypomnieć gdzie zostawił klucze do starego domu",
+        "biblioteka zamyka się wcześnie w niedziele więc oddaj książki jutro",
+        "długa podróż zaczyna się od jednego kroku i dobrej pary butów",
+        "pracują nad tym projektem już ponad trzy lata",
+        "prognoza pogody zapowiada słońce i lekki wiatr przez cały tydzień",
+    ],
+    "ar": [
+        "الثعلب البني السريع يقفز فوق الكلب الكسول قرب ضفة النهر",
+        "فتحت النافذة وشاهدت المطر يتساقط على الشارع الهادئ",
+        "كان ينبغي أن ننهي التقرير قبل اجتماع هذا الصباح",
+        "كان الأطفال يلعبون في الحديقة بينما يعد الوالدان العشاء",
+        "لا شيء أفضل من كوب شاي دافئ في ليلة شتاء باردة",
+        "لم يستطع أن يتذكر أين ترك مفاتيح البيت القديم",
+        "تغلق المكتبة مبكرا يوم الأحد فأعد الكتب غدا",
+        "الرحلة الطويلة تبدأ بخطوة واحدة وحذاء جيد",
+        "يعملون على هذا المشروع منذ أكثر من ثلاث سنوات",
+        "النشرة الجوية تقول إن الطقس مشمس مع نسيم خفيف طوال الأسبوع",
+    ],
+    "ja": [
+        "素早い茶色の狐が川辺の怠け者の犬を飛び越える",
+        "彼女は窓を開けて静かな通りに降る雨を眺めていた",
+        "今朝の会議の前に報告書を仕上げるべきだった",
+        "子供たちは庭で遊び両親は夕食を作っていた",
+        "寒い冬の夜には温かいお茶ほど良いものはない",
+        "彼は古い家の鍵をどこに置いたか思い出せなかった",
+        "図書館は日曜日は早く閉まるので明日本を返してください",
+        "長い旅は一歩と良い靴から始まる",
+        "彼らは三年以上このプロジェクトに取り組んでいる",
+        "天気予報では今週はずっと晴れでそよ風が吹くそうだ",
+    ],
 }
 
-TOP_N = 150  # grams kept per language profile (by count desc, gram asc)
+TOP_N = 120  # grams kept per language profile (by count desc, gram asc)
 UND = "und"  # prediction when no in-vocabulary gram appears
 
 

@@ -20,9 +20,12 @@ from ocrd_segment_spark.operators.langid import (
     with_lang_ngram,
 )
 
-MODEL_SHA256 = "db034d0b11dadb5148e340ecf3c4dd98b11ed6ce6eb035fa4ccfad69bbc988ec"
+MODEL_SHA256 = "8994b1be85260c38fa88b05ea71a1dcde5b6b017374b4408118cfd9d05815380"
 
-# held-out sentences — none appear in SEED_CORPUS
+# held-out sentences — none appear in SEED_CORPUS. (Known
+# confusability: pt/es are close enough that SOME Portuguese prose
+# lands on es with a 10-sentence seed — a real per-language corpus
+# widens the margin; the architecture is what is under test.)
 HELD_OUT = [
     ("The rain fell on the quiet street while the children played", "en"),
     ("Many people enjoy reading books about history and science", "en"),
@@ -38,6 +41,14 @@ HELD_OUT = [
     ("Многие люди любят читать книги об истории и науке", "ru"),
     ("孩子们在花园里玩耍外面下着雨", "zh"),
     ("很多人喜欢读关于历史和科学的书", "zh"),
+    ("As crianças brincavam no jardim enquanto chovia na rua", "pt"),
+    ("Muitas pessoas gostam de ler livros sobre a história do mundo", "pt"),
+    ("Dzieci bawiły się w ogrodzie podczas gdy padał deszcz", "pl"),
+    ("Wiele osób lubi czytać książki o historii i nauce", "pl"),
+    ("كان الأطفال يلعبون في الحديقة بينما كان المطر يهطل", "ar"),
+    ("كثير من الناس يحبون قراءة الكتب عن التاريخ والعلوم", "ar"),
+    ("子供たちは雨の中で庭で遊んでいた", "ja"),
+    ("多くの人は歴史や科学についての本を読むのが好きだ", "ja"),
 ]
 
 
@@ -97,7 +108,8 @@ def test_seed_corpus_shape():
     """≥5 languages incl. non-Latin scripts; profiles dense over the
     union vocabulary (every gram priced for every language)."""
     assert len(SEED_CORPUS) >= 5
-    assert {"ru", "zh"} <= set(SEED_CORPUS)  # Cyrillic + Han
+    # four scripts: Cyrillic, Han, kana, Arabic (an RTL abjad)
+    assert {"ru", "zh", "ja", "ar"} <= set(SEED_CORPUS)
     rows = train_profiles()
     langs = {l for _, l, _ in rows}
     vocab = {g for g, _, _ in rows}
