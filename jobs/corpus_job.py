@@ -171,7 +171,6 @@ def build_corpus(
     counts dict that is also written to ``stats_path``."""
     from pyspark.sql import Observation, Window as W, functions as F
 
-    from ocrd_segment_spark.operators.langid import with_lang_ngram
     from ocrd_segment_spark.operators.textstats import (
         with_gopher_passes,
         with_quality,
@@ -179,15 +178,14 @@ def build_corpus(
     from ocrd_segment_spark.pipeline import extract_pages
 
     pages = spark.read.parquet(input_path)
-    extracted = extract_pages(pages, python_parallelism=python_parallelism)
     # real n-gram language id (round-3 task: the en/de digram toy no
-    # longer routes drop decisions); mapInPandas passes every column
-    # through, so the lineage stays one linear chain — no url join back
-    scored = with_lang_ngram(
-        with_quality(extracted, text_col="extracted_text"),
-        text_col="extracted_text",
-        python_parallelism=python_parallelism,
+    # longer routes drop decisions) scored INSIDE the extraction pass —
+    # same frozen score_document, zero extra Arrow round-trip, the
+    # whole scoring chain is ONE python stage + column math
+    extracted = extract_pages(
+        pages, python_parallelism=python_parallelism, lang_id=True
     )
+    scored = with_quality(extracted, text_col="extracted_text")
     scored = scored.withColumn(
         "keep_quality",
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens),

@@ -80,7 +80,6 @@ def run_stream(
     StreamingQuery handle."""
     from pyspark.sql import functions as F
 
-    from ocrd_segment_spark.operators.langid import with_lang_ngram
     from ocrd_segment_spark.operators.textstats import (
         with_gopher_passes,
         with_quality,
@@ -88,13 +87,10 @@ def run_stream(
     from ocrd_segment_spark.streaming.extract_stream import stream_extract
 
     def score_and_filter(extracted):
-        # same real n-gram language id as the batch job (narrow
-        # mapInPandas — legal inside a streaming microbatch plan)
-        scored = with_lang_ngram(
-            with_quality(extracted, text_col="extracted_text"),
-            text_col="extracted_text",
-            python_parallelism=python_parallelism,
-        )
+        # pred_lang arrives from the extraction pass itself
+        # (stream_extract(lang_id=True) below — same single-python-
+        # stage shape as the batch job)
+        scored = with_quality(extracted, text_col="extracted_text")
         kept = scored.filter(
             (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
         )
@@ -119,6 +115,7 @@ def run_stream(
         available_now=available_now,
         transform=score_and_filter,
         python_parallelism=python_parallelism,
+        lang_id=True,
     )
 
 

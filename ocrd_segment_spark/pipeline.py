@@ -74,12 +74,21 @@ EXTRACT_SCHEMA = T.StructType(
 )
 
 
-def _extract_batches(params: ExtractParams, with_styles: bool = False):
+def _extract_batches(
+    params: ExtractParams, with_styles: bool = False, with_lang: bool = False
+):
     """Returns the mapInPandas function. The kernel import happens at
     module import on the worker; params is a small frozen dataclass
     captured in the closure (broadcast via task serialization).
     ``with_styles`` adds the flattened ``style_spans`` column (one
-    packing loop serves both pipelines — no drift between them)."""
+    packing loop serves both pipelines — no drift between them).
+    ``with_lang`` scores language id (operators/langid.score_document,
+    the SAME frozen function the standalone operator maps) on the
+    freshly extracted text INSIDE this batch loop — the text is
+    already in Python memory, so the job pipeline pays zero extra
+    Arrow round-trips of full pages for it."""
+    if with_lang:
+        from .operators.langid import score_document
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -90,9 +99,14 @@ def _extract_batches(params: ExtractParams, with_styles: bool = False):
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
             texts, spans, lineages, styles = [], [], [], []
+            preds, logps = [], []
             for html in htmls:
                 text, regions, metrics = extract_document(html, params)
                 texts.append(text)
+                if with_lang:
+                    lang, lp = score_document(text)
+                    preds.append(lang)
+                    logps.append(lp)
                 spans.append(
                     [
                         (
@@ -146,15 +160,27 @@ def _extract_batches(params: ExtractParams, with_styles: bool = False):
             }
             if with_styles:
                 cols["style_spans"] = styles
+            if with_lang:
+                cols["pred_lang"] = preds
+                cols["lang_logp"] = pd.array(logps, dtype="float64")
             yield pd.DataFrame(cols)
 
     return fn
+
+
+# appended by extract_pages(lang_id=True) — kept next to EXTRACT_SCHEMA
+# so schema and packing loop stay in one file
+LANG_FIELDS = [
+    T.StructField("pred_lang", T.StringType(), False),
+    T.StructField("lang_logp", T.DoubleType(), True),
+]
 
 
 def extract_pages(
     df: DataFrame,
     params: ExtractParams = DEFAULT_PARAMS,
     python_parallelism: int | None = None,
+    lang_id: bool = False,
 ) -> DataFrame:
     """The extraction transform. Narrow (no shuffle); input columns
     beyond (url, html) are pruned before the Arrow boundary.
@@ -165,9 +191,21 @@ def extract_pages(
     cores-many tasks oversubscribes the box ~2×: measured on 32 cores,
     32 concurrent tasks = 8.2k pages/s vs 12-16 tasks = 24k pages/s.
     On a real cluster the same logic caps cores-per-executor for
-    UDF-heavy stages; cores//2 is the default sweet spot."""
+    UDF-heavy stages; cores//2 is the default sweet spot.
+
+    ``lang_id=True`` appends (pred_lang, lang_logp) scored in the SAME
+    Python pass — value-identical to chaining
+    operators/langid.with_lang_ngram (pytest-pinned) but without a
+    second Arrow round-trip of the full rows (measured ~6% faster at
+    sf0.1; the structural win is one python stage instead of two,
+    which is what sizes executors for UDF-heavy pipelines)."""
+    schema = EXTRACT_SCHEMA
+    if lang_id:
+        schema = T.StructType(list(EXTRACT_SCHEMA.fields) + LANG_FIELDS)
     src = _cap_python_tasks(df.select("url", "html"), python_parallelism)
-    return src.mapInPandas(_extract_batches(params), EXTRACT_SCHEMA)
+    return src.mapInPandas(
+        _extract_batches(params, with_lang=lang_id), schema
+    )
 
 
 def _cap_python_tasks(src: DataFrame, python_parallelism: int | None) -> DataFrame:

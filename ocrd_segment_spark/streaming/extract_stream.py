@@ -42,6 +42,7 @@ def stream_extract(
     available_now: bool = True,
     transform=None,
     python_parallelism: int | None = None,
+    lang_id: bool = False,
 ):
     """Continuous extraction with exactly-once semantics (checkpointed
     file-source offsets + parquet sink manifest). ``available_now``
@@ -51,7 +52,7 @@ def stream_extract(
     for its score/filter chain, so the exactly-once source/sink
     scaffolding exists in exactly one place."""
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
-    out = extract_pages(pages, params, python_parallelism)
+    out = extract_pages(pages, params, python_parallelism, lang_id=lang_id)
     if transform is not None:
         out = transform(out)
     writer = (

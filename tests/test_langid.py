@@ -170,6 +170,31 @@ def test_corpus_job_dropped_lang_multilingual(spark, tmp_path):
     assert set(kept.values()) == {"en"}
 
 
+def test_lang_in_extraction_pass_equals_chained_operator(spark):
+    """extract_pages(lang_id=True) — the single-python-stage job form —
+    must be value-identical to chaining with_lang_ngram after a plain
+    extraction (both map the same frozen score_document)."""
+    from ocrd_segment_spark.fixtures import pages_pandas
+    from ocrd_segment_spark.pipeline import extract_pages
+
+    pages = spark.createDataFrame(pages_pandas(120)).select("url", "html")
+    fused = {
+        r["url"]: (r["pred_lang"], r["lang_logp"])
+        for r in extract_pages(pages, lang_id=True).collect()
+    }
+    chained = {
+        r["url"]: (r["pred_lang"], r["lang_logp"])
+        for r in with_lang_ngram(
+            extract_pages(pages), text_col="extracted_text"
+        ).collect()
+    }
+    assert fused == chained and len(fused) == 120
+    # schema: the fused form appends exactly the two lang fields
+    cols = extract_pages(pages, lang_id=True).columns
+    assert cols == ["url", "extracted_text", "region_spans", "lineage",
+                    "pred_lang", "lang_logp"]
+
+
 def test_scores_stable_across_hash_seeds():
     """No dict/set iteration order leaks into the model or the fold
     (fresh interpreters, different PYTHONHASHSEED)."""

@@ -247,14 +247,19 @@ LSH band join, and the pair-attach joins — all fine-grained keys.
 
 ## Round-4 surface: real lang-id, per-language LM, BPE metering, span cleanup
 
-- **Real language identification** (operators/langid): 7-language char
-  1+2-gram naive-Bayes profiles (Cyrillic + Han). The model is a
-  trained-once literal table (few thousand rows) riding the UDF
-  closure like a broadcast; scoring is ONE narrow Arrow pass measured
-  at ~5.4k docs/s/core in pure Python (~0.19 ms/doc at 600 chars) —
-  ~1-2 s of the whole corpus_job at sf0.1, amortized into the same
-  python-task-capped stage budget as extraction. At 100 TB the model
-  side is constant; the corpus side stays shuffle-free.
+- **Real language identification** (operators/langid): 11-language
+  char 1+2-gram naive-Bayes profiles across four scripts (Latin,
+  Cyrillic, Han/kana, Arabic). The model is a trained-once literal
+  table (few thousand rows) riding the UDF closure like a broadcast;
+  scoring measures ~5.4k docs/s/core in pure Python (~0.19 ms/doc at
+  600 chars). The jobs score it INSIDE the extraction batch loop
+  (`extract_pages(lang_id=True)`, pinned value-identical to the
+  standalone operator) — the text is already in Python memory there,
+  so the pipeline pays no second Arrow round-trip of full pages
+  (measured ~6% faster than the chained form at sf0.1; the
+  structural win is ONE python stage instead of two, which is what
+  matters for executor sizing at cluster scale). The corpus side
+  stays shuffle-free.
 - **Per-language reference LMs** (--lm-ref/--lm-max-bits): models are
   langs × charset² rows — collected once WITH JVM-computed surprisals
   (no Python transcendentals, bit-identical to the relational
