@@ -421,6 +421,81 @@ def test_remove_frequent_regions_remaps_spans(spark):
             assert s["score"] == 1.0
 
 
+def test_remove_frequent_regions_randomized_invariants(spark):
+    """One Spark pass over 200 seeded random documents (repeated units,
+    zero-length anchors, empty docs) asserting the operator's frozen
+    invariants on every row: span/text slice consistency, kept+removed
+    accounting, clean_text == join of kept unit texts, sorted disjoint
+    output spans."""
+    import random
+
+    from ocrd_segment_spark.operators.paragraphs import remove_frequent_regions
+
+    rng = random.Random(77)
+    pool = [f"unit{v} text {v}" for v in range(12)]  # small pool → repeats
+    docs, expected_units = [], {}
+    for i in range(200):
+        n = rng.randint(0, 6)
+        units = [rng.choice(pool) if rng.random() < 0.7
+                 else f"unique {i} {k} {rng.random():.6f}"
+                 for k in range(n)]
+        text = "\n".join(units)
+        spans, off = [], 0
+        for k, u in enumerate(units):
+            spans.append({"region_id": f"r{k:03d}", "rtype": "paragraph",
+                          "subtype": "p", "start": off, "end": off + len(u),
+                          "parent_id": "", "order": k, "score": 1.0})
+            if rng.random() < 0.25:  # zero-length anchor at unit start
+                spans.append({"region_id": f"z{k:03d}", "rtype": "image",
+                              "subtype": "img", "start": off, "end": off,
+                              "parent_id": "", "order": k, "score": 1.0})
+            off += len(u) + 1
+        docs.append((f"d{i}", text, spans))
+        expected_units[f"d{i}"] = units
+    schema = (
+        "url string, extracted_text string, region_spans array<struct<"
+        "region_id:string,rtype:string,subtype:string,start:bigint,end:bigint,"
+        "parent_id:string,order:int,score:double>>"
+    )
+    df = spark.createDataFrame(docs, schema)
+    freq_t = 4
+    out = remove_frequent_regions(df, min_doc_freq=freq_t).collect()
+    assert len(out) == 200
+    # doc-frequency ground truth from the generator
+    from collections import Counter
+
+    doc_freq = Counter()
+    for units in expected_units.values():
+        for u in set(u for u in units if u):
+            doc_freq[u] += 1
+    originals = {u: {s["region_id"]: (t[s["start"]:s["end"]], s["start"])
+                     for s in spans} for u, t, spans in docs}
+    for r in out:
+        url, clean = r["url"], r["clean_text"]
+        kept_units = [u for u in expected_units[url]
+                      if u and doc_freq[u] < freq_t]
+        assert clean == "\n".join(kept_units), url
+        pos = [s for s in r["region_spans"] if s["end"] > s["start"]]
+        zeros = [s for s in r["region_spans"] if s["end"] == s["start"]]
+        assert len(pos) == len(kept_units), url
+        assert r["n_kept"] == len(pos) + len(zeros)
+        assert r["n_removed"] == sum(
+            1 for u in expected_units[url] if u and doc_freq[u] >= freq_t
+        )
+        prev = None
+        for s in sorted(pos, key=lambda s: s["start"]):
+            piece = clean[s["start"]:s["end"]]
+            assert piece == originals[url][s["region_id"]][0], (url, s)
+            if prev is not None:
+                assert s["start"] > prev  # separator between kept units
+            prev = s["end"]
+        for z in zeros:
+            assert 0 <= z["start"] == z["end"] <= len(clean)
+        # output array ordered by (start, end)
+        keys = [(s["start"], s["end"]) for s in r["region_spans"]]
+        assert keys == sorted(keys), url
+
+
 def test_kernel_region_text_never_contains_separator():
     """The O(n) span-remap derives offsets from separator positions in
     clean_text — valid because kernel extraction never emits a region

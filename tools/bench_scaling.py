@@ -230,14 +230,24 @@ shared, read regressions against bench.py's load_1m field):
   standing headline at sf0.1 (was 10.5 s keying every window on md5).
 
 
-## End-to-end corpus pipeline (round 3)
+## End-to-end corpus pipeline (round 3; round-4 A/B re-measured)
 
 jobs/corpus_job.py (extract → quality/lang score → filter → exact
 dedup → LSH-then-VERIFY near-dup audit) over the same 100k corpus on
 local[32]: **13.2 s ≈ 7.6k pages/s for the WHOLE pipeline**
 (quiet-host best-of-2, re-measured after the round-3 stage additions;
 the earlier 24.7 s figure was taken under co-tenant load) — a
-standing bench.py headline (`corpus_job`). Round 3 upgraded the audit
+standing bench.py headline (`corpus_job`).
+
+Round-4 A/B (same box, minutes apart, r3 code in a worktree vs r4):
+r3 warm audited runs 8.2-11.1 s at loadavg 7-10; r4 (REAL lang-id
+fused into extraction + the quality-signal plumbing) 10.7-12.6 s at
+loadavg 16-19 — i.e. the round-4 additions cost ≈ the ~1.5-2 s of
+language scoring and nothing else. The 29-42 s corpus_job figures in
+some BENCH JSONs are co-tenant exposure: a ~25-stage pipeline is the
+most load-sensitive query in the suite, and best-of-2 cannot dodge
+sustained load — gate on load_1m_start and prefer the warm A/B
+numbers above for round-over-round comparison. Round 3 upgraded the audit
 from raw LSH candidates to exact 3-gram Jaccard scored per candidate
 pair (344k pairs verified, doc-keyed equi-joins only), and removed the
 two output re-scans: corpus count and pair count both ride their
