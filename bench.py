@@ -127,7 +127,14 @@ def main() -> None:
     # co-tenant gate (CLAUDE.md: accept perf numbers only when the
     # 1-min load is < ~3): sample BEFORE any Spark work — the finish
     # sample below necessarily includes this bench's own 32-core load,
-    # so only the start sample reads the external contention level
+    # so only the start sample reads the external contention level.
+    # If the box is hot, wait BRIEFLY for a calmer window (bounded at
+    # 90 s so an unattended driver run can never stall), then proceed
+    # and record whatever level we actually started at.
+    waited = 0
+    while os.getloadavg()[0] >= 4.0 and waited < 90:
+        time.sleep(15)
+        waited += 15
     load_1m_start = round(os.getloadavg()[0], 1)
     spark = build_session(
         app="bench",
