@@ -132,7 +132,7 @@ def main() -> None:
     # 90 s so an unattended driver run can never stall), then proceed
     # and record whatever level we actually started at.
     waited = 0
-    while os.getloadavg()[0] >= 4.0 and waited < 90:
+    while os.getloadavg()[0] >= 3.0 and waited < 90:  # same bar as the gate
         time.sleep(15)
         waited += 15
     load_1m_start = round(os.getloadavg()[0], 1)

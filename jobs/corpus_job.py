@@ -13,10 +13,10 @@ Stages (each narrow or one bounded shuffle):
 
 1. extract     — HTML → (extracted_text, region_spans, lineage); the
                  shuffle-free mapInPandas kernel path.
-2. score       — quality (operators/textstats, pure column math) +
-                 real char-n-gram language id (operators/langid, one
-                 more Arrow-batched mapInPandas pass): still narrow,
-                 zero shuffle, single linear lineage.
+2. score       — real char-n-gram language id scored INSIDE the
+                 extraction pass (extract_pages(lang_id=True) — one
+                 python stage total) + quality as pure column math:
+                 narrow, zero shuffle, single linear lineage.
 3. filter      — quality/token/lang thresholds: pushable predicates;
                  ``--gopher`` adds the repetition-rule drop stage
                  (still the same narrow pass); ``--entropy-min``,

@@ -302,13 +302,11 @@ def with_lang_ngram(
     import pandas as pd
     from pyspark.sql import types as T
 
-    schema = T.StructType(
-        list(df.schema.fields)
-        + [
-            T.StructField("pred_lang", T.StringType(), False),
-            T.StructField("lang_logp", T.DoubleType(), True),
-        ]
-    )
+    # the fused extraction path (pipeline.extract_pages(lang_id=True))
+    # appends the SAME fields — one source of truth for the pair
+    from ..pipeline import LANG_FIELDS
+
+    schema = T.StructType(list(df.schema.fields) + LANG_FIELDS)
 
     def batches(it):
         for pdf in it:

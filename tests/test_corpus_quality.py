@@ -432,11 +432,16 @@ def test_remove_frequent_regions_randomized_invariants(spark):
     from ocrd_segment_spark.operators.paragraphs import remove_frequent_regions
 
     rng = random.Random(77)
-    pool = [f"unit{v} text {v}" for v in range(12)]  # small pool → repeats
+    # Zipf-ish pool: low indices appear in many docs (removed), high
+    # indices in only 2-3 docs (repeated yet KEPT) — so the
+    # min_doc_freq boundary on BOTH sides is exercised, not just
+    # always-removed vs unique (review finding)
+    pool = [f"unit{v} text {v}" for v in range(60)]
     docs, expected_units = [], {}
     for i in range(200):
         n = rng.randint(0, 6)
-        units = [rng.choice(pool) if rng.random() < 0.7
+        units = [pool[min(int(rng.expovariate(0.12)), len(pool) - 1)]
+                 if rng.random() < 0.7
                  else f"unique {i} {k} {rng.random():.6f}"
                  for k in range(n)]
         text = "\n".join(units)
