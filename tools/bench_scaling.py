@@ -157,7 +157,14 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 
 
 _STATIC_SECTIONS = """
-## Kill-and-resume (process-level, re-evidenced round 3 on kernel 1.5.1)
+## Kill-and-resume (process-level; re-evidenced round 3 on kernel 1.5.1 and round 4 on 1.5.5)
+
+Round-4 refresh: the 100k spark-submit extract was SIGKILLed at ~11 s
+leaving ONLY `_temporary` (zero committed files — the first-attempt
+crash window); the identical resubmit completed and
+`url + md5(extracted_text)` differs from a clean single run in
+**0 of 100,000 rows**, now with language scoring fused into the
+extraction pass.
 
 `spark-submit` extract of the 100k corpus was SIGKILLed mid-write
 (state observed: only `out/_temporary`, zero committed parquet files —
