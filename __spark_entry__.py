@@ -127,6 +127,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_search": M.q_ann_ivf_search,
     "ann_recall_audit": M.q_ann_recall_audit,
     "domain_stats": M.q_domain_stats,
+    "domain_blocklist": M.q_domain_blocklist,
+    "nfc_normalization": M.q_nfc_normalization,
     "dedup_incremental_merge": M.q_dedup_incremental_merge,
     "dedup_cross_candidates": M.q_dedup_cross_candidates,
     "char_entropy": M.q_char_entropy,
@@ -243,6 +245,8 @@ _ORACLES: dict[str, str] = {
     "ann_ivf_search": M.O_ANN_IVF_SEARCH,
     "ann_recall_audit": M.O_ANN_RECALL,
     "domain_stats": M.O_DOMAIN_STATS,
+    "domain_blocklist": M.O_DOMAIN_BLOCKLIST,
+    "nfc_normalization": M.O_NFC,
     "dedup_incremental_merge": M.O_DEDUP_MERGE,
     "dedup_cross_candidates": M.O_DEDUP_CROSS,
     "char_entropy": M.O_CHAR_ENTROPY,

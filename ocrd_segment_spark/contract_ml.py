@@ -1774,6 +1774,65 @@ FROM j GROUP BY reg_domain
 """
 
 
+def q_domain_blocklist(spark, sf_dir):
+    """Domain blocklist flagging (functions/urls.with_domain_blocked):
+    C4-style exclusion by registered domain — blocklist broadcast,
+    domain derived inline, one narrow broadcast join."""
+    from .functions.urls import with_domain_blocked
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SYNTH_URL} as url"
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("example.co.uk",)], "domain string"
+    )
+    return with_domain_blocked(d, bl).select("doc_id", "reg_domain", "blocked")
+
+
+O_DOMAIN_BLOCKLIST = f"""
+WITH u AS ({O_URL_CANON.strip()})
+SELECT doc_id, reg_domain,
+       reg_domain IN ('example.com', 'example.co.uk') AS blocked
+FROM u
+"""
+
+
+# decomposed combining marks + an already-composed char: NFC merges
+# 'e'+U+0301 → é and 'A'+U+030A → Å (2 chars → 1 each), leaves é alone
+_COMB_ACUTE = chr(0x0301)
+_RING_ABOVE = chr(0x030A)
+_NFC_INPUT = f"concat(text, ' cafe{_COMB_ACUTE} A{_RING_ABOVE} café')"
+
+
+def q_nfc_normalization(spark, sf_dir):
+    """Unicode NFC normalization (functions/normalize.with_nfc):
+    crawl-encoding hygiene — decomposed combining sequences splinter
+    every content key downstream. Python unicodedata on the Spark
+    side, DuckDB nfc_normalize in the oracle; NFC is
+    stability-guaranteed, so the two agree by Unicode policy."""
+    from .functions.normalize import with_nfc
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_NFC_INPUT} as text"
+    )
+    return with_nfc(d).selectExpr(
+        "doc_id",
+        "md5(text_nfc) as nfc_md5",
+        "nfc_changed",
+        "cast(length(text) - length(text_nfc) as bigint) as n_composed",
+    )
+
+
+O_NFC = f"""
+WITH t AS (SELECT doc_id, concat(text, ' cafe{_COMB_ACUTE} A{_RING_ABOVE} café') AS text
+           FROM documents),
+n AS (SELECT doc_id, text, nfc_normalize(text) AS x FROM t)
+SELECT doc_id, md5(x) AS nfc_md5, x <> text AS nfc_changed,
+       CAST(length(text) - length(x) AS BIGINT) AS n_composed
+FROM n
+"""
+
+
 def q_dedup_incremental_merge(spark, sf_dir):
     """Incremental corpus merge (operators/dedup.merge_corpus): an
     incoming crawl batch joins the corpus; exact-content duplicates of

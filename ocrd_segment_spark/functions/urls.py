@@ -83,6 +83,31 @@ def host_of(col: str) -> Column:
     )
 
 
+def with_domain_blocked(df, blocklist, url_col: str = "url",
+                        domain_col: str = "domain"):
+    """Append (reg_domain, blocked): whether the url's registered
+    domain appears in ``blocklist`` — the C4-style domain blocklist
+    pass (spam/adult/SEO-farm exclusion lists are published as
+    registered domains). The blocklist side is broadcast (thousands of
+    domains, never corpus-sized); the corpus side derives the domain
+    inline in the scan stage, so the whole filter is one narrow
+    broadcast join — no shuffle at any corpus size. Flag, not drop:
+    jobs count drops through their funnel Observations."""
+    d = df.withColumn("_h", host_of(url_col)).withColumn(
+        "reg_domain", registered_domain("_h")
+    )
+    bl = (
+        blocklist.select(F.col(domain_col).alias("reg_domain"))
+        .distinct()
+        .withColumn("_blk", F.lit(True))
+    )
+    return (
+        d.join(F.broadcast(bl), "reg_domain", "left")
+        .withColumn("blocked", F.coalesce("_blk", F.lit(False)))
+        .drop("_blk", "_h")
+    )
+
+
 def registered_domain(host_col: str) -> Column:
     """Registered domain from a host: last two labels, or last three
     when the last two are a known two-level public suffix."""

@@ -650,6 +650,60 @@ def test_corpus_job_quality_signal_funnel(spark, tmp_path):
     assert "junk" not in kept2 and {"good0", "good1"} <= kept2
 
 
+def test_domain_blocklist_flags_and_broadcasts(spark):
+    """with_domain_blocked: registered-domain match against a
+    broadcast blocklist; two-level public suffixes honored; flag not
+    drop."""
+    from ocrd_segment_spark.functions.urls import with_domain_blocked
+
+    docs = spark.createDataFrame(
+        [(1, "https://WWW.Spam.COM/x"),
+         (2, "http://news.spam.co.uk/y"),
+         (3, "https://sub.clean.org/z"),
+         (4, "http://spam.com.evil.net/a")],  # spam.com as SUBDOMAIN: clean
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("spam.com",), ("spam.co.uk",)], "domain string")
+    out = with_domain_blocked(docs, bl)
+    got = {r["doc_id"]: (r["reg_domain"], r["blocked"]) for r in out.collect()}
+    assert got[1] == ("spam.com", True)
+    assert got[2] == ("spam.co.uk", True)
+    assert got[3] == ("clean.org", False)
+    assert got[4] == ("evil.net", False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_nfc_normalization_semantics(spark):
+    """with_nfc: decomposed sequences compose, composed text is
+    untouched, NULL counts as empty; values equal stdlib unicodedata."""
+    import unicodedata
+
+    from ocrd_segment_spark.functions.normalize import with_nfc
+
+    acute, ring = chr(0x0301), chr(0x030A)  # combining marks, explicit
+    cases = [
+        (1, "cafe" + acute),          # e + combining acute composes
+        (2, "caf" + chr(0xE9)),       # already composed: unchanged
+        (3, "A" + ring + " ring"),    # A + ring above composes
+        (4, ""),
+        (5, None),
+        (6, "ascii only text"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text_nfc"], r["nfc_changed"])
+           for r in with_nfc(df).collect()}
+    assert got[1] == ("caf" + chr(0xE9), True)
+    assert got[2] == ("caf" + chr(0xE9), False)
+    assert got[3] == (chr(0xC5) + " ring", True)
+    assert got[4] == ("", False)
+    assert got[5] == ("", False)
+    assert got[6] == ("ascii only text", False)
+    for i, t in cases:
+        if t:
+            assert got[i][0] == unicodedata.normalize("NFC", t)
+
+
 def test_corpus_job_bpe_metering(spark, tmp_path):
     """--count-bpe meters the kept corpus in subword tokens: the
     funnel total rides the write Observation and equals the per-doc
