@@ -11,6 +11,9 @@ runs, as one spark-submit entrypoint:
 
 Stages (each narrow or one bounded shuffle):
 
+0. blocklist   — optional ``--blocklist``: registered-domain exclusion
+                 BEFORE extraction (broadcast join; blocked pages
+                 never pay kernel time).
 1. extract     — HTML → (extracted_text, region_spans, lineage); the
                  shuffle-free mapInPandas kernel path.
 2. score       — real char-n-gram language id scored INSIDE the
@@ -93,6 +96,13 @@ def main() -> None:
         " (already-compressed/binary junk; Dolma-style signal)",
     )
     ap.add_argument(
+        "--blocklist",
+        default=None,
+        help="parquet of blocked registered domains (column: domain);"
+        " pages whose url's registered domain matches are dropped"
+        " before extraction even runs (C4-style exclusion)",
+    )
+    ap.add_argument(
         "--count-bpe",
         action="store_true",
         help="meter the corpus in SUBWORD tokens (operators/bpe greedy"
@@ -135,6 +145,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
         gopher=args.gopher,
+        blocklist_path=args.blocklist,
         entropy_min=args.entropy_min,
         lm_ref_path=args.lm_ref,
         lm_max_bits=args.lm_max_bits,
@@ -157,6 +168,7 @@ def build_corpus(
     min_tokens: int = 5,
     langs: list[str] | None = None,
     gopher: bool = False,
+    blocklist_path: str | None = None,
     entropy_min: float | None = None,
     lm_ref_path: str | None = None,
     lm_max_bits: float | None = None,
@@ -178,6 +190,24 @@ def build_corpus(
     from ocrd_segment_spark.pipeline import extract_pages
 
     pages = spark.read.parquet(input_path)
+    dom_obs = None
+    if blocklist_path is not None:
+        # domain blocklist BEFORE extraction — blocked pages never pay
+        # kernel time; the drop count rides the same terminal write
+        # (the Observation sits on the pre-filter node of the one
+        # linear lineage, so no extra action or scan exists)
+        from ocrd_segment_spark.functions.urls import with_domain_blocked
+
+        bl = spark.read.parquet(blocklist_path)
+        flagged = with_domain_blocked(pages, bl)
+        dom_obs = Observation("domain")
+        flagged = flagged.observe(
+            dom_obs,
+            F.coalesce(
+                F.sum(F.col("blocked").cast("long")), F.lit(0)
+            ).alias("dropped_domain"),
+        )
+        pages = flagged.filter(~F.col("blocked")).drop("blocked", "reg_domain")
     # real n-gram language id (round-3 task: the en/de digram toy no
     # longer routes drop decisions) scored INSIDE the extraction pass —
     # same frozen score_document, zero extra Arrow round-trip, the
@@ -374,6 +404,11 @@ def build_corpus(
     counts = obs.get
     n_out = out_obs.get["n_out"]
     funnel = {
+        # pages = pages ENTERING extraction (post-blocklist);
+        # dropped_domain counts the pages the blocklist removed first
+        "dropped_domain": (
+            dom_obs.get["dropped_domain"] if dom_obs is not None else -1
+        ),
         "pages": counts["pages"],
         "dropped_quality": counts["dropped_quality"],
         "dropped_lang": counts["dropped_lang"],

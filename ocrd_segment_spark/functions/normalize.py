@@ -15,6 +15,14 @@ Arrow batches; the DuckDB oracle states ``nfc_normalize(…)``
 
 Shape: one narrow mapInPandas pass (no SQL builtin exists in Spark),
 routed through the central python-task cap; zero shuffle.
+
+Placement caveat: NFC changes character COUNTS (é as two code points
+becomes one), so normalizing ``extracted_text`` in place would orphan
+``region_spans`` offsets and break the byte-identity contract with the
+extraction oracle. Apply it to content-keyed DERIVATIONS (dedup keys,
+shingles, LM inputs) or to span-free text tables — never between
+extraction and a span consumer. (The span-preserving cleanup pattern
+in operators/paragraphs shows what a span-correct rewrite requires.)
 """
 
 from __future__ import annotations

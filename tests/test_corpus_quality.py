@@ -704,6 +704,36 @@ def test_nfc_normalization_semantics(spark):
             assert got[i][0] == unicodedata.normalize("NFC", t)
 
 
+def test_corpus_job_domain_blocklist(spark, tmp_path):
+    """--blocklist drops pages BEFORE extraction (blocked pages never
+    pay kernel time); the count rides the same terminal write."""
+    from jobs.corpus_job import build_corpus
+
+    pages = [
+        ("https://spam.com/a", "the children were playing in the garden today"),
+        ("https://news.spam.co.uk/b", "she opened the window this morning"),
+        ("https://clean.org/c", "there is nothing better than a warm cup of tea"),
+    ]
+    rows = [(u, f"<html><body><p>{t}</p></body></html>".encode())
+            for u, t in pages]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    bl = str(tmp_path / "bl")
+    spark.createDataFrame(
+        [("spam.com",), ("spam.co.uk",)], "domain string"
+    ).write.parquet(bl)
+    funnel = build_corpus(
+        spark, src, str(tmp_path / "corpus"),
+        min_quality=0.0, min_tokens=0, blocklist_path=bl,
+    )
+    assert funnel["dropped_domain"] == 2
+    assert funnel["pages"] == 1  # pages entering extraction
+    assert funnel["corpus_docs"] == 1
+    kept = {r["url"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {"https://clean.org/c"}
+
+
 def test_corpus_job_bpe_metering(spark, tmp_path):
     """--count-bpe meters the kept corpus in subword tokens: the
     funnel total rides the write Observation and equals the per-doc

@@ -406,6 +406,7 @@ def test_corpus_job_empty_input(spark, tmp_path):
     ).write.parquet(src)
     funnel = build_corpus(spark, src, str(tmp_path / "corpus"))
     assert funnel == {
+        "dropped_domain": -1,
         "pages": 0, "dropped_quality": 0, "dropped_lang": 0,
         "dropped_gopher": 0, "dropped_entropy": -1, "dropped_lm": -1,
         "dropped_compression": -1, "kept_after_filters": 0,
