@@ -7,6 +7,8 @@ jobs/corpus_job.py, as one spark-submit entrypoint.
         --output /path/to/corpus \\
         --checkpoint /path/to/ckpt \\
         [--min-quality 0.5] [--min-tokens 5] [--gopher] \\
+        [--entropy-min X] [--lm-ref PATH --lm-max-bits X] \\
+        [--max-compression X] \\
         [--available-now] [--python-parallelism N]
 
 New page files landing in ``--input`` are picked up by the file
@@ -41,6 +43,10 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--langs", default=None, help="comma list; default: keep all")
     ap.add_argument("--gopher", action="store_true")
+    ap.add_argument("--entropy-min", type=float, default=None)
+    ap.add_argument("--lm-ref", default=None)
+    ap.add_argument("--lm-max-bits", type=float, default=None)
+    ap.add_argument("--max-compression", type=float, default=None)
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
@@ -57,6 +63,10 @@ def main() -> None:
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
         gopher=args.gopher,
+        entropy_min=args.entropy_min,
+        lm_ref_path=args.lm_ref,
+        lm_max_bits=args.lm_max_bits,
+        max_compression=args.max_compression,
         available_now=args.available_now,
         python_parallelism=args.python_parallelism,
     )
@@ -73,11 +83,17 @@ def run_stream(
     min_tokens: int = 5,
     langs: list[str] | None = None,
     gopher: bool = False,
+    entropy_min: float | None = None,
+    lm_ref_path: str | None = None,
+    lm_max_bits: float | None = None,
+    max_compression: float | None = None,
     available_now: bool = True,
     python_parallelism: int | None = None,
 ):
     """Start the streaming query (importable for tests). Returns the
-    StreamingQuery handle."""
+    StreamingQuery handle. The quality-signal stages mirror the batch
+    job exactly (same operators, same thresholds, same null-keeps
+    rule) — every stage is narrow, so all are streaming-legal."""
     from pyspark.sql import functions as F
 
     from ocrd_segment_spark.operators.textstats import (
@@ -85,6 +101,19 @@ def run_stream(
         with_quality,
     )
     from ocrd_segment_spark.streaming.extract_stream import stream_extract
+
+    lm_table = None
+    if lm_ref_path is not None and lm_max_bits is not None:
+        # per-language reference LMs collected ONCE before the stream
+        # starts (model-sized, batch read) — microbatches only fold
+        from ocrd_segment_spark.operators.textstats import (
+            bigram_lm_models_by_lang,
+            collect_lm_surprisal,
+        )
+
+        lm_table = collect_lm_surprisal(
+            bigram_lm_models_by_lang(spark.read.parquet(lm_ref_path))
+        )
 
     def score_and_filter(extracted):
         # pred_lang arrives from the extraction pass itself
@@ -103,6 +132,32 @@ def run_stream(
                 .filter("passes")
                 .drop("passes")
             )
+        if entropy_min is not None:
+            from ocrd_segment_spark.operators.textstats import with_char_entropy
+
+            kept = with_char_entropy(kept, text_col="extracted_text").filter(
+                F.col("char_entropy") >= entropy_min
+            )
+        if lm_table is not None:
+            from ocrd_segment_spark.operators.textstats import with_lm_bits
+
+            kept = with_lm_bits(
+                kept, lm_table, text_col="extracted_text",
+                lang_col="pred_lang",
+                python_parallelism=python_parallelism,
+            ).filter(
+                F.col("bits_per_bigram").isNull()
+                | (F.col("bits_per_bigram") <= lm_max_bits)
+            )
+        if max_compression is not None:
+            from ocrd_segment_spark.operators.textstats import (
+                with_compression_cols,
+            )
+
+            kept = with_compression_cols(
+                kept, text_col="extracted_text",
+                python_parallelism=python_parallelism,
+            ).filter(F.col("compression_ratio") <= max_compression)
         return kept
 
     # the exactly-once source/sink scaffolding lives in stream_extract;

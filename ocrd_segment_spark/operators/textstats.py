@@ -272,38 +272,39 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     float addition is not associative and the DuckDB oracle must sum
     in the same order. O(n log n) per row, pure column math, zero
     shuffle. abs() pins the -0.0 a single-character document produces
-    (IEEE -0.0 vs 0.0 hash differently across engines)."""
-    d = (
-        df.withColumn("_s", F.expr(f"array_sort(split({text_col}, ''))"))
-        .withColumn("_n", F.expr("size(_s)"))
-        .withColumn(
-            "_b",
-            F.expr(
-                "CASE WHEN _n = 0 THEN array() ELSE"
-                " filter(sequence(1, _n),"
-                " i -> i = 1 or element_at(_s, i) != element_at(_s, i - 1)) END"
-            ),
-        )
-        .withColumn(
-            "_cnts",
-            # guard on the ARRAY being empty, not just _n: slice with a
-            # negative length throws under ANSI, so a future refactor
-            # that produces a genuinely empty _s must land here safely
-            F.expr(
-                "CASE WHEN size(_b) = 0 THEN cast(array() as array<int>) ELSE"
-                " zip_with(_b, concat(slice(_b, 2, size(_b) - 1), array(_n + 1)),"
-                " (a, b) -> b - a) END"
-            ),
-        )
+    (IEEE -0.0 vs 0.0 hash differently across engines).
+
+    The intermediates (sorted chars, run boundaries) are bound through
+    single-element ``transform`` lambda VARIABLES, not chained
+    withColumns: CollapseProject inlines column intermediates into
+    every use site, and in plans without whole-stage codegen (a
+    streaming microbatch after mapInPandas) interpreted evaluation has
+    no CSE — the chained form re-sorted the document once PER
+    CHARACTER there (~0.2 s/page, review-found via a hung stream; the
+    lambda-bound form is the same trap fix as functions/sublevels)."""
+    s_body = (
+        # s = sorted chars (bound once); b = run starts (bound once)
+        "get(transform(array("
+        " filter(sequence(1, size(s)),"
+        "        i -> i = 1 or element_at(s, i) != element_at(s, i - 1))"
+        "), b ->"
+        " round(abs(-aggregate("
+        "   zip_with(b, concat(slice(b, 2, size(b) - 1), array(size(s) + 1)),"
+        "            (a, e) -> e - a),"
+        "   0.0D,"
+        "   (a, k) -> a + (k * 1.0D / size(s)) * log2(k * 1.0D / size(s))"
+        " )), 6)"
+        "), 0)"
     )
-    return d.withColumn(
+    return df.withColumn(
         "char_entropy",
         F.expr(
-            "CASE WHEN _n = 0 THEN 0.0D ELSE"
-            " round(abs(-aggregate(_cnts, 0.0D,"
-            " (a, k) -> a + (k * 1.0D / _n) * log2(k * 1.0D / _n))), 6) END"
+            f"CASE WHEN {text_col} IS NULL THEN cast(null as double)"
+            f" WHEN length({text_col}) = 0 THEN 0.0D"
+            f" ELSE get(transform(array(array_sort(split({text_col}, ''))),"
+            f" s -> {s_body}), 0) END"
         ),
-    ).drop("_s", "_n", "_b", "_cnts")
+    )
 
 
 # character-bigram expression shared by model building and scoring

@@ -374,6 +374,52 @@ def test_stream_job_matches_batch_corpus_filters(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(batch)
 
 
+def test_stream_job_quality_signals_match_batch(spark, tmp_path):
+    """The round-4 quality-signal stages (--entropy-min, --lm-ref +
+    --lm-max-bits, --max-compression) drop the SAME documents on the
+    stream as jobs/corpus_job.build_corpus with identical thresholds
+    (same operators both sides; all stages narrow → streaming-legal)."""
+    from jobs.corpus_job import build_corpus
+    from jobs.stream_job import run_stream
+
+    good0 = "the children were playing in the garden near the river all afternoon"
+    good1 = "she opened the window and watched the quiet street below the house"
+    pages = [
+        ("good0", good0),
+        ("good1", good1),
+        ("lowent", "aaaaaaaaaaaaaaaaaaaaaaaa aaaaaaaaaaaaaaaaaaaa"),
+        ("gibber", "the zzqqxx the wkqzx the jjqzvv the qqzzxx the xxqqzz"),
+    ]
+    rows = [(u, f"<html><body><p>{t}</p></body></html>".encode())
+            for u, t in pages]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    ref = str(tmp_path / "lm_ref")
+    spark.createDataFrame(
+        [("en", good0), ("en", good1),
+         ("en", "there is nothing better than a warm cup of tea in the evening")],
+        "lang string, text string",
+    ).write.parquet(ref)
+
+    kw = dict(min_quality=0.0, min_tokens=0, entropy_min=2.0,
+              lm_ref_path=ref, lm_max_bits=6.5, max_compression=0.98)
+    build_corpus(spark, src, str(tmp_path / "bcorpus"), **kw)
+    batch = {r["url"] for r in
+             spark.read.parquet(str(tmp_path / "bcorpus")).collect()}
+
+    q = run_stream(spark, src, str(tmp_path / "scorpus"),
+                   str(tmp_path / "ckpt"), **kw)
+    # availableNow MUST terminate — awaitTermination(timeout) returns
+    # False on a still-running query, which would silently pass (the
+    # chained-column entropy expression actually hung here: interpreted
+    # microbatch plans have no CSE, so collapse re-sorted the doc per
+    # character until the lambda-bound rewrite)
+    assert q.awaitTermination(300), "streaming drain did not terminate"
+    streamed = {r["url"] for r in
+                spark.read.parquet(str(tmp_path / "scorpus")).collect()}
+    assert streamed == batch == {"good0", "good1"}
+
+
 def test_stream_job_accepts_python_parallelism(spark, tmp_path):
     """--python-parallelism on the streaming job must not touch .rdd
     (illegal on streaming DataFrames — crashed before the fix)."""
