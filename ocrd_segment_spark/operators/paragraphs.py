@@ -137,7 +137,14 @@ def remove_frequent_regions(
         F.array_join(F.transform("_arr", lambda x: x["rtext"]), sep),
     )
     # new offsets from separator positions (O(n), see precondition):
-    # 1-based sep position p ⇒ the next unit starts at 0-based p
+    # 1-based sep position p ⇒ the next unit starts at 0-based p.
+    # NOTE: the per-character lambda references the clean_text COLUMN —
+    # safe here because batch plans run it under whole-stage codegen
+    # (subexpression-eliminated; measured linear at 10k docs), but in a
+    # codegen-LESS plan (streaming microbatch) CollapseProject + no
+    # interpreted CSE would re-join the document per character — bind
+    # through a transform variable first if this ever moves to a stream
+    # (the with_char_entropy lesson).
     seps = F.filter(
         F.sequence(F.lit(1), F.length("clean_text")),
         lambda i: F.col("clean_text").substr(i, F.lit(1)) == F.lit(sep),
