@@ -132,6 +132,9 @@ def main() -> None:
     )
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
+    if (args.lm_ref is None) != (args.lm_max_bits is None):
+        ap.error("--lm-ref and --lm-max-bits must be given together"
+                 " (one alone would silently skip the LM filter stage)")
 
     from ocrd_segment_spark.session import submit_session
 
@@ -183,10 +186,7 @@ def build_corpus(
     counts dict that is also written to ``stats_path``."""
     from pyspark.sql import Observation, Window as W, functions as F
 
-    from ocrd_segment_spark.operators.textstats import (
-        with_gopher_passes,
-        with_quality,
-    )
+    from ocrd_segment_spark.operators.corpus_filters import with_keep_flags
     from ocrd_segment_spark.pipeline import extract_pages
 
     pages = spark.read.parquet(input_path)
@@ -215,79 +215,36 @@ def build_corpus(
     extracted = extract_pages(
         pages, python_parallelism=python_parallelism, lang_id=True
     )
-    scored = with_quality(extracted, text_col="extracted_text")
-    scored = scored.withColumn(
-        "keep_quality",
-        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens),
-    )
-    if langs:
-        scored = scored.withColumn("keep_lang", F.col("pred_lang").isin(langs))
-    else:
-        scored = scored.withColumn("keep_lang", F.lit(True))
-    if gopher:
-        # pure column math — stays inside the same narrow pass as
-        # quality/lang scoring (no join: a url-keyed self-join here
-        # would branch the lineage and run the mapInPandas extraction
-        # twice). n_tokens is re-derived value-exact by the signals.
-        scored = with_gopher_passes(
-            scored, text_col="extracted_text"
-        ).withColumnRenamed("passes", "keep_gopher")
-    else:
-        scored = scored.withColumn("keep_gopher", F.lit(True))
-    # round-3 quality signals as optional drop stages, all in the SAME
-    # narrow lineage (entropy is pure column math; LM and compression
-    # are pass-through mapInPandas appends — no join back, extraction
-    # still runs exactly once). Signal columns stay in the output when
-    # their stage is on, so drops are auditable per document.
-    if entropy_min is not None:
-        from ocrd_segment_spark.operators.textstats import with_char_entropy
-
-        scored = with_char_entropy(scored, text_col="extracted_text")
-        scored = scored.withColumn(
-            "keep_entropy", F.col("char_entropy") >= entropy_min
-        )
-    else:
-        scored = scored.withColumn("keep_entropy", F.lit(True))
+    # the six-stage quality filter chain — ONE shared definition with
+    # the streaming job (operators/corpus_filters; review pass 3 found
+    # the chain hand-mirrored in both jobs, the exact drift channel
+    # that left the stream a round behind). Signal columns stay in the
+    # output when their stage is on, so drops are auditable per doc.
+    lm_table = None
     if lm_ref_path is not None and lm_max_bits is not None:
         from ocrd_segment_spark.operators.textstats import (
             bigram_lm_models_by_lang,
             collect_lm_surprisal,
-            with_lm_bits,
         )
 
         # per-language reference LMs (CCNet shape), scored under each
         # document's PREDICTED language; the collected surprisal table
         # is model-sized (langs × charset²), never corpus-sized
-        ref = spark.read.parquet(lm_ref_path)
-        lm_table = collect_lm_surprisal(bigram_lm_models_by_lang(ref))
-        scored = with_lm_bits(
-            scored,
-            lm_table,
-            text_col="extracted_text",
-            lang_col="pred_lang",
-            python_parallelism=python_parallelism,
+        lm_table = collect_lm_surprisal(
+            bigram_lm_models_by_lang(spark.read.parquet(lm_ref_path))
         )
-        # no evidence (NULL bits: unmodeled lang, sub-2-char) → KEEP
-        scored = scored.withColumn(
-            "keep_lm",
-            F.col("bits_per_bigram").isNull()
-            | (F.col("bits_per_bigram") <= lm_max_bits),
-        )
-    else:
-        scored = scored.withColumn("keep_lm", F.lit(True))
-    if max_compression is not None:
-        from ocrd_segment_spark.operators.textstats import with_compression_cols
-
-        scored = with_compression_cols(
-            scored,
-            text_col="extracted_text",
-            python_parallelism=python_parallelism,
-        )
-        scored = scored.withColumn(
-            "keep_compression", F.col("compression_ratio") <= max_compression
-        )
-    else:
-        scored = scored.withColumn("keep_compression", F.lit(True))
+    scored = with_keep_flags(
+        extracted,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+        langs=langs,
+        gopher=gopher,
+        entropy_min=entropy_min,
+        lm_table=lm_table,
+        lm_max_bits=lm_max_bits,
+        max_compression=max_compression,
+        python_parallelism=python_parallelism,
+    )
     if count_bpe:
         # subword metering (pure JVM column fold, same narrow pass);
         # the kept-corpus token total rides the write Observation below

@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
+    if (args.lm_ref is None) != (args.lm_max_bits is None):
+        ap.error("--lm-ref and --lm-max-bits must be given together"
+                 " (one alone would silently skip the LM filter stage)")
 
     from ocrd_segment_spark.session import submit_session
 
@@ -94,11 +97,10 @@ def run_stream(
     StreamingQuery handle. The quality-signal stages mirror the batch
     job exactly (same operators, same thresholds, same null-keeps
     rule) — every stage is narrow, so all are streaming-legal."""
-    from pyspark.sql import functions as F
-
-    from ocrd_segment_spark.operators.textstats import (
-        with_gopher_passes,
-        with_quality,
+    from ocrd_segment_spark.operators.corpus_filters import (
+        KEEP_COLS,
+        keep_all,
+        with_keep_flags,
     )
     from ocrd_segment_spark.streaming.extract_stream import stream_extract
 
@@ -117,48 +119,22 @@ def run_stream(
 
     def score_and_filter(extracted):
         # pred_lang arrives from the extraction pass itself
-        # (stream_extract(lang_id=True) below — same single-python-
-        # stage shape as the batch job)
-        scored = with_quality(extracted, text_col="extracted_text")
-        kept = scored.filter(
-            (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+        # (stream_extract(lang_id=True) below). The SAME shared stage
+        # chain as jobs/corpus_job.py — the batch job keeps the flags
+        # for its funnel Observations; the stream conjoins and drops.
+        flagged = with_keep_flags(
+            extracted,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
+            langs=langs,
+            gopher=gopher,
+            entropy_min=entropy_min,
+            lm_table=lm_table,
+            lm_max_bits=lm_max_bits,
+            max_compression=max_compression,
+            python_parallelism=python_parallelism,
         )
-        if langs:
-            kept = kept.filter(F.col("pred_lang").isin(langs))
-        if gopher:
-            # same narrow-stage composition as the batch job
-            kept = (
-                with_gopher_passes(kept, text_col="extracted_text")
-                .filter("passes")
-                .drop("passes")
-            )
-        if entropy_min is not None:
-            from ocrd_segment_spark.operators.textstats import with_char_entropy
-
-            kept = with_char_entropy(kept, text_col="extracted_text").filter(
-                F.col("char_entropy") >= entropy_min
-            )
-        if lm_table is not None:
-            from ocrd_segment_spark.operators.textstats import with_lm_bits
-
-            kept = with_lm_bits(
-                kept, lm_table, text_col="extracted_text",
-                lang_col="pred_lang",
-                python_parallelism=python_parallelism,
-            ).filter(
-                F.col("bits_per_bigram").isNull()
-                | (F.col("bits_per_bigram") <= lm_max_bits)
-            )
-        if max_compression is not None:
-            from ocrd_segment_spark.operators.textstats import (
-                with_compression_cols,
-            )
-
-            kept = with_compression_cols(
-                kept, text_col="extracted_text",
-                python_parallelism=python_parallelism,
-            ).filter(F.col("compression_ratio") <= max_compression)
-        return kept
+        return flagged.filter(keep_all()).drop(*KEEP_COLS)
 
     # the exactly-once source/sink scaffolding lives in stream_extract;
     # this job only supplies the score/filter chain

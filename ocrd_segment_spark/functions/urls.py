@@ -96,8 +96,13 @@ def with_domain_blocked(df, blocklist, url_col: str = "url",
     d = df.withColumn("_h", host_of(url_col)).withColumn(
         "reg_domain", registered_domain("_h")
     )
+    # normalize the blocklist side: published exclusion lists arrive
+    # mixed-case / whitespace-padded, while reg_domain is always
+    # lowercase — a verbatim match would silently block NOTHING
     bl = (
-        blocklist.select(F.col(domain_col).alias("reg_domain"))
+        blocklist.select(
+            F.lower(F.trim(F.col(domain_col))).alias("reg_domain")
+        )
         .distinct()
         .withColumn("_blk", F.lit(True))
     )

@@ -1,0 +1,121 @@
+"""The standard corpus quality-filter chain, defined ONCE.
+
+jobs/corpus_job.py (batch) and jobs/stream_job.py (streaming) apply
+the same six drop stages — quality, language, Gopher rules, character
+entropy, reference-LM surprisal, compression ratio. Review pass 3
+found the chain hand-mirrored in both jobs, which is exactly how the
+stream fell behind the batch job by a whole round of stages; this
+module is the single source of the stage semantics.
+
+``with_keep_flags`` APPENDS boolean ``keep_*`` columns and never
+drops rows: the batch job needs the individual flags (its funnel
+counters ride the write as Observations over the precedence chain),
+while the streaming job conjoins them into one filter. Signal columns
+(char_entropy, bits_per_bigram, compression_ratio, n_tokens, quality,
+…) stay on the rows when their stage ran, so drops are auditable.
+
+Every stage is narrow (column math or a pass-through mapInPandas
+append), so the chain is streaming-legal by construction. The
+per-language LM table must be COLLECTED by the caller
+(operators/textstats.collect_lm_surprisal) — in a streaming job that
+collection has to happen before the query starts, not inside the
+per-microbatch transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+KEEP_COLS = (
+    "keep_quality", "keep_lang", "keep_gopher",
+    "keep_entropy", "keep_lm", "keep_compression",
+)
+
+
+def with_keep_flags(
+    extracted: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    langs: list[str] | None = None,
+    gopher: bool = False,
+    entropy_min: float | None = None,
+    lm_table: tuple[dict, dict] | None = None,
+    lm_max_bits: float | None = None,
+    max_compression: float | None = None,
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """Score ``extracted`` (must already carry ``pred_lang`` — run
+    extraction with ``lang_id=True``) and append the six ``keep_*``
+    flags. Stages that are off contribute a constant-true flag, so the
+    flag schema is fixed regardless of configuration."""
+    from .textstats import with_gopher_passes, with_quality
+
+    scored = with_quality(extracted, text_col="extracted_text")
+    scored = scored.withColumn(
+        "keep_quality",
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens),
+    )
+    if langs:
+        scored = scored.withColumn("keep_lang", F.col("pred_lang").isin(langs))
+    else:
+        scored = scored.withColumn("keep_lang", F.lit(True))
+    if gopher:
+        # pure column math — stays inside the same narrow pass as
+        # quality scoring (no join: a url-keyed self-join here would
+        # branch the lineage and re-run the mapInPandas extraction).
+        # n_tokens is re-derived value-exact by the signals.
+        scored = with_gopher_passes(
+            scored, text_col="extracted_text"
+        ).withColumnRenamed("passes", "keep_gopher")
+    else:
+        scored = scored.withColumn("keep_gopher", F.lit(True))
+    if entropy_min is not None:
+        from .textstats import with_char_entropy
+
+        scored = with_char_entropy(scored, text_col="extracted_text")
+        scored = scored.withColumn(
+            "keep_entropy", F.col("char_entropy") >= entropy_min
+        )
+    else:
+        scored = scored.withColumn("keep_entropy", F.lit(True))
+    if lm_table is not None and lm_max_bits is not None:
+        from .textstats import with_lm_bits
+
+        scored = with_lm_bits(
+            scored,
+            lm_table,
+            text_col="extracted_text",
+            lang_col="pred_lang",
+            python_parallelism=python_parallelism,
+        )
+        # no evidence (NULL bits: unmodeled lang, sub-2-char) → KEEP
+        scored = scored.withColumn(
+            "keep_lm",
+            F.col("bits_per_bigram").isNull()
+            | (F.col("bits_per_bigram") <= lm_max_bits),
+        )
+    else:
+        scored = scored.withColumn("keep_lm", F.lit(True))
+    if max_compression is not None:
+        from .textstats import with_compression_cols
+
+        scored = with_compression_cols(
+            scored,
+            text_col="extracted_text",
+            python_parallelism=python_parallelism,
+        )
+        scored = scored.withColumn(
+            "keep_compression", F.col("compression_ratio") <= max_compression
+        )
+    else:
+        scored = scored.withColumn("keep_compression", F.lit(True))
+    return scored
+
+
+def keep_all() -> F.Column:
+    """The conjunction of every stage flag (the streaming filter)."""
+    out = F.lit(True)
+    for c in KEEP_COLS:
+        out = out & F.col(c)
+    return out

@@ -283,7 +283,13 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     CHARACTER there (~0.2 s/page, review-found via a hung stream; the
     lambda-bound form is the same trap fix as functions/sublevels)."""
     s_body = (
-        # s = sorted chars (bound once); b = run starts (bound once)
+        # s = sorted chars (bound once); b = run starts (bound once).
+        # size(s)=0 is unreachable today (the length-0 CASE runs
+        # first) but must stay SAFE: sequence(1, 0) yields the
+        # DESCENDING [1, 0] and element_at(s, 0) would throw — the
+        # guard keeps the documented land-safely property of the old
+        # column-chained form
+        "CASE WHEN size(s) = 0 THEN 0.0D ELSE "
         "get(transform(array("
         " filter(sequence(1, size(s)),"
         "        i -> i = 1 or element_at(s, i) != element_at(s, i - 1))"
@@ -294,7 +300,7 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         "   0.0D,"
         "   (a, k) -> a + (k * 1.0D / size(s)) * log2(k * 1.0D / size(s))"
         " )), 6)"
-        "), 0)"
+        "), 0) END"
     )
     return df.withColumn(
         "char_entropy",
