@@ -1,0 +1,117 @@
+"""Cross-engine fuzz parity for the round-4 frozen-rule operators.
+
+The typed contract gate proves Spark == DuckDB on the sf0.01 corpus,
+but that data is ASCII-ish; these tests replay the same oracle SQL
+against ~250 seeded adversarial strings (CJK, Cyrillic, Arabic,
+combining marks, emoji / supplementary-plane, exotic whitespace incl.
+NEL/LS/PS, digit runs, empty) — the inputs where code-point vs
+UTF-16-unit vs byte semantics diverge between engines if any frozen
+rule leaks an engine-specific behavior. The url/pii chains already
+have this treatment (test_corpus_quality); langid and bpe get it here.
+"""
+
+import random
+
+import duckdb
+import pyarrow as pa
+
+
+def _fuzz_texts(n=250, seed=1234):
+    rng = random.Random(seed)
+    pools = [
+        "abcdefghij ",
+        "the and of to in er on at ",
+        "äöüßéèñçà ",
+        "привет мир слово ",
+        "数据处理系统文档 ",
+        "こんにちは世界の ",
+        "مرحبا بالعالم كلمة ",
+        "0123456789.,!?#@ ",
+        "\t\n\x0b\x0c\r \x85   ",
+        "".join(chr(c) for c in (0x0301, 0x030A, 0x0308)),  # combining
+        "😀🚀🌍🎉",  # supplementary plane
+        "ABCDEFG HIJK ",
+    ]
+    texts = ["", " ", "\t\n", "a", "😀", "e" + chr(0x0301)]
+    while len(texts) < n:
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            pool = rng.choice(pools)
+            parts.append(
+                "".join(rng.choice(pool) for _ in range(rng.randint(1, 25)))
+            )
+        texts.append("".join(parts))
+    return texts
+
+
+def _duck_with_docs(texts):
+    con = duckdb.connect()
+    con.register(
+        "fuzz", pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    con.execute("CREATE VIEW documents AS SELECT * FROM fuzz")
+    return con
+
+
+def test_langid_oracle_parity_on_fuzz(spark):
+    from ocrd_segment_spark.contract_ml import O_LANG_ID_NGRAM
+    from ocrd_segment_spark.operators.langid import with_lang_ngram
+
+    texts = _fuzz_texts()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["lang_logp"])
+        for r in with_lang_ngram(df).collect()
+    }
+    con = _duck_with_docs(texts)
+    want = {
+        r[0]: (r[1], r[2]) for r in con.execute(O_LANG_ID_NGRAM).fetchall()
+    }
+    assert len(got) == len(want) == len(texts)
+    bad = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not bad, dict(list(bad.items())[:5])
+
+
+def test_char_entropy_oracle_parity_on_fuzz(spark):
+    """Also re-proves the lambda-bound entropy rewrite is value-exact
+    on adversarial input, not just on the sf0.01 gate data."""
+    from ocrd_segment_spark.contract_ml import O_CHAR_ENTROPY
+    from ocrd_segment_spark.operators.textstats import with_char_entropy
+
+    texts = [t for t in _fuzz_texts(seed=42)]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chars_text"], r["char_entropy"])
+        for r in with_char_entropy(df).selectExpr(
+            "doc_id", "cast(length(text) as bigint) as n_chars_text",
+            "char_entropy"
+        ).collect()
+    }
+    con = _duck_with_docs(texts)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(O_CHAR_ENTROPY).fetchall()}
+    bad = {i: (got[i], want[i], repr(texts[i])[:60])
+           for i in got if got[i] != want[i]}
+    assert not bad, dict(list(bad.items())[:5])
+
+
+def test_bpe_oracle_parity_on_fuzz(spark):
+    from ocrd_segment_spark.operators.bpe import oracle_sql, with_bpe_counts
+
+    texts = _fuzz_texts(seed=777)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_unk_pieces"])
+        for r in with_bpe_counts(df).collect()
+    }
+    con = _duck_with_docs(texts)
+    want = {r[0]: (r[1], r[2]) for r in con.execute(oracle_sql()).fetchall()}
+    assert len(got) == len(want) == len(texts)
+    bad = {i: (got[i], want[i], repr(texts[i])[:80])
+           for i in got if got[i] != want[i]}
+    assert not bad, dict(list(bad.items())[:5])
