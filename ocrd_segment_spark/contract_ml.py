@@ -2073,6 +2073,40 @@ FROM documents t LEFT JOIN sc ON t.doc_id = sc.doc_id
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity partitioning (operators/textstats
+    .with_ccnet_buckets): per-language LM bits → head/middle/tail at
+    the rounded terciles; docs without evidence land in 'unscored'."""
+    from .operators.textstats import (
+        bigram_lm_models_by_lang,
+        with_ccnet_buckets,
+        with_lm_score_per_lang,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    models = bigram_lm_models_by_lang(d.filter("doc_id % 10 = 0"))
+    scored = with_lm_score_per_lang(d, models)
+    return with_ccnet_buckets(scored).select(
+        "doc_id", "bits_per_bigram", "ccnet_bucket"
+    )
+
+
+O_CCNET_BUCKETS = f"""
+WITH lm AS ({O_LM_PERLANG.strip()}),
+cuts AS (
+  SELECT round(quantile_cont(bits_per_bigram, CAST(1 AS DOUBLE)/3), 6) AS t1,
+         round(quantile_cont(bits_per_bigram, CAST(2 AS DOUBLE)/3), 6) AS t2
+  FROM lm
+)
+SELECT lm.doc_id, lm.bits_per_bigram,
+       CASE WHEN lm.bits_per_bigram IS NULL THEN 'unscored'
+            WHEN lm.bits_per_bigram <= cuts.t1 THEN 'head'
+            WHEN lm.bits_per_bigram <= cuts.t2 THEN 'middle'
+            ELSE 'tail' END AS ccnet_bucket
+FROM lm CROSS JOIN cuts
+"""
+
+
 def q_compression_ratio(spark, sf_dir):
     """Compression-ratio quality signal (operators/textstats
     compression_ratio): zlib is not SQL-expressible, so this is the

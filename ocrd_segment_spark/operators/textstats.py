@@ -598,6 +598,47 @@ def with_compression_cols(
     return _cap_python_tasks(df, python_parallelism).mapInPandas(batches, schema)
 
 
+def with_ccnet_buckets(
+    df: DataFrame, bits_col: str = "bits_per_bigram"
+) -> DataFrame:
+    """Append ``ccnet_bucket`` ∈ head/middle/tail/unscored: CCNet's
+    perplexity partitioning — the corpus splits at the terciles of the
+    reference-LM surprisal, 'head' being the most reference-like third
+    (CCNet trains on head, treats tail as suspect). Frozen rules: the
+    tercile cutoffs are exact interpolated percentiles at 1/3 and 2/3
+    ROUNDED to 6 (the cross-engine comparison then works on round-6
+    doubles on both sides, the repo's double discipline); boundaries
+    are inclusive (<=); NULL bits (unmodeled lang, sub-2-char docs) →
+    'unscored', never silently binned.
+
+    Scale shape: one 1-row percentile aggregate broadcast back (the
+    established 1-row-totals pattern). Exact percentiles hold a sorted
+    digest per partition; at true corpus scale compute the cutoffs on
+    a hash-sample of the bits column instead — the operator takes
+    whatever DataFrame you hand it, so sampling composes upstream."""
+    cuts = df.agg(
+        F.expr(
+            f"round(percentile({bits_col}, cast(1 as double)/3), 6)"
+        ).alias("_t1"),
+        F.expr(
+            f"round(percentile({bits_col}, cast(2 as double)/3), 6)"
+        ).alias("_t2"),
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "ccnet_bucket",
+            F.expr(
+                f"CASE WHEN {bits_col} IS NULL THEN 'unscored'"
+                f" WHEN {bits_col} <= _t1 THEN 'head'"
+                f" WHEN {bits_col} <= _t2 THEN 'middle'"
+                f" ELSE 'tail' END"
+            ),
+        )
+        .drop("_t1", "_t2")
+    )
+
+
 def compression_ratio(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -768,6 +768,23 @@ def test_corpus_job_bpe_metering(spark, tmp_path):
     ).columns
 
 
+def test_ccnet_buckets_semantics(spark):
+    """Terciles partition scored docs ~evenly; NULL bits land in
+    'unscored'; 'head' is the LOWEST-surprisal third (CCNet keeps it)."""
+    from ocrd_segment_spark.operators.textstats import with_ccnet_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, bits_per_bigram double")
+    out = {r["doc_id"]: r["ccnet_bucket"]
+           for r in with_ccnet_buckets(df).collect()}
+    assert out[100] == out[101] == "unscored"
+    assert all(out[i] == "head" for i in (1, 2, 3))
+    assert all(out[i] == "middle" for i in (4, 5, 6))
+    assert all(out[i] == "tail" for i in (7, 8, 9))
+    # bucket of the best (lowest-bits) doc is head, worst is tail
+    assert out[1] == "head" and out[9] == "tail"
+
+
 def test_compression_ratio_pins_zlib_exactly(spark):
     """The rows-only contract key's strong local oracle: values must
     equal the same zlib computation done directly in Python, and the
