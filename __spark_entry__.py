@@ -121,6 +121,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_rules": M.q_gopher_quality_rules,
     "paragraph_dedup": M.q_paragraph_dedup,
     "span_preserving_cleanup": M.q_span_preserving_cleanup,
+    "within_doc_dedup": M.q_within_doc_dedup,
     "url_canonicalize": M.q_url_canonicalize,
     "pii_redaction": M.q_pii_redaction,
     "decontaminate_benchmark": M.q_decontaminate,
@@ -240,6 +241,7 @@ _ORACLES: dict[str, str] = {
     "gopher_quality_rules": M.O_GOPHER,
     "paragraph_dedup": M.O_PARAGRAPH_DEDUP,
     "span_preserving_cleanup": M.O_SPAN_CLEANUP,
+    "within_doc_dedup": M.O_WITHIN_DEDUP,
     "url_canonicalize": M.O_URL_CANON,
     "pii_redaction": M.O_PII,
     "decontaminate_benchmark": M.O_DECONTAMINATE,

@@ -1257,6 +1257,62 @@ FROM sig s LEFT JOIN top t ON s.doc_id = t.doc_id
 """
 
 
+def q_within_doc_dedup(spark, sf_dir):
+    """Within-document duplicate-unit removal (operators/paragraphs
+    .remove_repeated_units_within): repeats of a line INSIDE one
+    document drop, first occurrence kept, order preserved — entirely
+    row-local (zero shuffle). Synthetic lines force in-doc repeats."""
+    from .operators.paragraphs import remove_repeated_units_within
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SYNTH_LINES} as text"
+    )
+    out = remove_repeated_units_within(d)
+    return out.selectExpr(
+        "doc_id", "md5(clean_text) as clean_md5", "n_kept", "n_removed"
+    )
+
+
+O_WITHIN_DEDUP = f"""
+WITH ml AS (SELECT doc_id, {_D_SYNTH_LINES} AS text FROM documents),
+units AS (
+  SELECT doc_id, u.pos, u.unit
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (s, i) -> {{'pos': i, 'unit': s}})) AS u
+    FROM ml
+  )
+  WHERE u.unit <> ''
+),
+firsts AS (
+  SELECT doc_id, unit, min(pos) AS first_pos
+  FROM units GROUP BY doc_id, unit
+),
+kept AS (
+  SELECT u.doc_id, u.pos, u.unit
+  FROM units u JOIN firsts f
+    ON u.doc_id = f.doc_id AND u.unit = f.unit AND u.pos = f.first_pos
+),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list_transform(list_sort(list({{'pos': pos,
+             'unit': unit}})), x -> x.unit), chr(10)) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_units FROM units GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(coalesce(r.clean_text, '')) AS clean_md5,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(t.n_units, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM ml d
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+"""
+
+
 def q_span_preserving_cleanup(spark, sf_dir):
     """Span-preserving boilerplate removal (operators/paragraphs
     .remove_frequent_regions, round-3 task 5): real extraction of the

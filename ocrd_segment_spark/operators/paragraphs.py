@@ -231,6 +231,64 @@ def remove_frequent_regions(
     )
 
 
+def remove_repeated_units_within(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """(id_col, clean_text, n_kept, n_removed): drop REPEATS of a unit
+    WITHIN each document, keeping the first occurrence — the intra-page
+    counterpart of :func:`remove_frequent_units` (cross-page cookie
+    banners repeat ACROSS docs; scraped pagination/boilerplate glitches
+    repeat INSIDE one). Empty units drop like the cross-doc form.
+
+    Entirely ROW-LOCAL — no shuffle at all: the dedup is an array fold
+    over the split units (order-preserving first-keep), evaluated in
+    the scan stage. The seen-set is the unit array itself via
+    array_position (O(u²) in UNITS per doc — tens, not characters;
+    bounded by document size, never corpus size)."""
+    # coalesce: NULL text must behave as empty (size(NULL) is -1)
+    units = (
+        f"filter(split(coalesce({text_col}, ''), '{_sep_rx(sep)}'),"
+        f" x -> x != '')"
+    )
+    # keep unit i iff the FIRST occurrence of its value is at i
+    # (array_position is 1-based first-match); u binds ONCE through
+    # the transform variable (collapse-safe — the entropy lesson),
+    # and the empty-array guard dodges sequence(1, 0)'s descent
+    d = df.withColumn(
+        "_all",
+        F.expr(
+            f"get(transform(array({units}), u ->"
+            f" CASE WHEN size(u) = 0 THEN u ELSE"
+            f" zip_with(u, sequence(1, size(u)),"
+            f"          (x, i) -> IF(array_position(u, x) = i, x,"
+            f"                       cast(null as string))) END"
+            f"), 0)"
+        ),
+    )
+    return (
+        d.withColumn("_kept", F.expr("filter(_all, x -> x is not null)"))
+        .select(
+            F.col(id_col),
+            F.array_join("_kept", sep).alias("clean_text"),
+            F.size("_kept").cast("long").alias("n_kept"),
+            (F.size("_all") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def _sep_rx(sep: str) -> str:
+    """Separator → Java-regex pattern embedded in a Spark SQL string
+    literal: regex-escape first, then survive the literal parser's
+    backslash processing, then spell control chars as escapes."""
+    import re as _re
+
+    esc = _re.escape(sep).replace("\\", "\\\\")
+    return esc.replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+
+
 def unit_doc_frequency(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -93,6 +93,34 @@ def test_remove_frequent_units_order_and_counts(spark):
     assert all(out[i]["n_kept"] + out[i]["n_removed"] >= 1 for i in out)
 
 
+def test_remove_repeated_units_within_doc(spark):
+    """Intra-document repeats drop, first kept, order preserved;
+    fully row-local (no Exchange); NULL/empty docs safe."""
+    from ocrd_segment_spark.operators.paragraphs import (
+        remove_repeated_units_within,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a line\nb line\na line\nc line\nb line"),
+         (2, "only once"),
+         (3, "dup\ndup\ndup"),
+         (4, ""),
+         (5, None),
+         (6, "x\n\n\nx\ny")],  # empty units drop, repeat removed
+        "doc_id long, text string",
+    )
+    out = remove_repeated_units_within(df)
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+           for r in out.collect()}
+    assert got[1] == ("a line\nb line\nc line", 3, 2)
+    assert got[2] == ("only once", 1, 0)
+    assert got[3] == ("dup", 1, 2)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("x\ny", 2, 1)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_remove_frequent_units_keeps_emptied_docs(spark):
     df = spark.createDataFrame(
         [(1, "spam"), (2, "spam"), (3, "spam"), (4, "real content")],
