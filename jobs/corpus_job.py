@@ -186,7 +186,11 @@ def build_corpus(
     counts dict that is also written to ``stats_path``."""
     from pyspark.sql import Observation, Window as W, functions as F
 
-    from ocrd_segment_spark.operators.corpus_filters import with_keep_flags
+    from ocrd_segment_spark.operators.corpus_filters import (
+        KEEP_COLS,
+        keep_all,
+        with_keep_flags,
+    )
     from ocrd_segment_spark.pipeline import extract_pages
 
     pages = spark.read.parquet(input_path)
@@ -323,21 +327,15 @@ def build_corpus(
             F.lit(0),
         ).alias("kept_after_filters"),
         F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("keep_quality") & F.col("keep_lang")
-                    & F.col("keep_gopher") & F.col("keep_entropy")
-                    & F.col("keep_lm") & F.col("keep_compression"),
-                    F.col("n_bpe_tokens"),
-                )
-            ),
+            F.sum(F.when(keep_all(), F.col("n_bpe_tokens"))),
             F.lit(0),
         ).alias("kept_bpe_tokens"),
     )
-    kept = scored.filter(
-        F.col("keep_quality") & F.col("keep_lang") & F.col("keep_gopher")
-        & F.col("keep_entropy") & F.col("keep_lm") & F.col("keep_compression")
-    )
+    # the conjunction and the drop list come from the SHARED module —
+    # a stage added to with_keep_flags/KEEP_COLS is then enforced here
+    # automatically (review pass 4: the hand-rolled copies were the
+    # same drift channel the shared chain was created to close)
+    kept = scored.filter(keep_all())
 
     # exact dedup, canonical row kept: rank within content hash by url
     # (deterministic) — one shuffle, fine-grained key, no global sort
@@ -347,8 +345,7 @@ def build_corpus(
         .withColumn("is_canonical", F.col("_rn") == 1)
     )
     out = deduped.filter("is_canonical").drop(
-        "_rn", "is_canonical", "keep_quality", "keep_lang", "keep_gopher",
-        "keep_entropy", "keep_lm", "keep_compression",
+        "_rn", "is_canonical", *KEEP_COLS,
         *([] if count_bpe else ["n_bpe_tokens"]),
     )
     # the corpus row count rides the SAME write action as a second

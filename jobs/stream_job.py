@@ -133,6 +133,10 @@ def run_stream(
             lm_max_bits=lm_max_bits,
             max_compression=max_compression,
             python_parallelism=python_parallelism,
+            # the stream needs no per-stage drop counts, so failing
+            # rows drop BEFORE the Python LM/compression stages
+            # (predicates don't push through mapInPandas on their own)
+            early_filter=True,
         )
         return flagged.filter(keep_all()).drop(*KEEP_COLS)
 

@@ -97,11 +97,20 @@ def with_domain_blocked(df, blocklist, url_col: str = "url",
         "reg_domain", registered_domain("_h")
     )
     # normalize the blocklist side: published exclusion lists arrive
-    # mixed-case / whitespace-padded, while reg_domain is always
-    # lowercase — a verbatim match would silently block NOTHING
+    # mixed-case / padded (trailing \r from CRLF files, tabs, NBSP),
+    # while reg_domain is always lowercase — a verbatim match would
+    # silently block NOTHING. F.trim strips ASCII SPACES only, so the
+    # strip is a regexp over the whitespace class + NBSP (pattern
+    # passed as data through the Python API, no literal escaping).
     bl = (
         blocklist.select(
-            F.lower(F.trim(F.col(domain_col))).alias("reg_domain")
+            F.lower(
+                F.regexp_replace(
+                    F.col(domain_col),
+                    "(^[\\s\\u00a0]+|[\\s\\u00a0]+$)",
+                    "",
+                )
+            ).alias("reg_domain")
         )
         .distinct()
         .withColumn("_blk", F.lit(True))

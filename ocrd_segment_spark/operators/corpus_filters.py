@@ -44,22 +44,37 @@ def with_keep_flags(
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
     python_parallelism: int | None = None,
+    early_filter: bool = False,
 ) -> DataFrame:
     """Score ``extracted`` (must already carry ``pred_lang`` — run
     extraction with ``lang_id=True``) and append the six ``keep_*``
     flags. Stages that are off contribute a constant-true flag, so the
-    flag schema is fixed regardless of configuration."""
+    flag schema is fixed regardless of configuration.
+
+    ``early_filter=True`` ADDITIONALLY drops failing rows right after
+    each flag is computed — for callers that don't need the flags of
+    dropped rows (the streaming job): the expensive Python stages (LM,
+    compression) then only see survivors of the cheap filters, which
+    Catalyst cannot arrange itself (predicates don't push through
+    MapInPandas black boxes — review-pass-4 finding). The batch job
+    keeps ``early_filter=False`` because its funnel Observations count
+    the dropped rows per stage."""
     from .textstats import with_gopher_passes, with_quality
+
+    def _gate(df: DataFrame, flag: str) -> DataFrame:
+        return df.filter(F.col(flag)) if early_filter else df
 
     scored = with_quality(extracted, text_col="extracted_text")
     scored = scored.withColumn(
         "keep_quality",
         (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens),
     )
+    scored = _gate(scored, "keep_quality")
     if langs:
         scored = scored.withColumn("keep_lang", F.col("pred_lang").isin(langs))
     else:
         scored = scored.withColumn("keep_lang", F.lit(True))
+    scored = _gate(scored, "keep_lang")
     if gopher:
         # pure column math — stays inside the same narrow pass as
         # quality scoring (no join: a url-keyed self-join here would
@@ -70,6 +85,7 @@ def with_keep_flags(
         ).withColumnRenamed("passes", "keep_gopher")
     else:
         scored = scored.withColumn("keep_gopher", F.lit(True))
+    scored = _gate(scored, "keep_gopher")
     if entropy_min is not None:
         from .textstats import with_char_entropy
 
@@ -79,6 +95,7 @@ def with_keep_flags(
         )
     else:
         scored = scored.withColumn("keep_entropy", F.lit(True))
+    scored = _gate(scored, "keep_entropy")
     if lm_table is not None and lm_max_bits is not None:
         from .textstats import with_lm_bits
 
@@ -97,6 +114,7 @@ def with_keep_flags(
         )
     else:
         scored = scored.withColumn("keep_lm", F.lit(True))
+    scored = _gate(scored, "keep_lm")
     if max_compression is not None:
         from .textstats import with_compression_cols
 
@@ -110,7 +128,7 @@ def with_keep_flags(
         )
     else:
         scored = scored.withColumn("keep_compression", F.lit(True))
-    return scored
+    return _gate(scored, "keep_compression")
 
 
 def keep_all() -> F.Column:

@@ -286,7 +286,9 @@ def _sep_rx(sep: str) -> str:
     import re as _re
 
     esc = _re.escape(sep).replace("\\", "\\\\")
-    return esc.replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+    esc = esc.replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+    # a bare quote would TERMINATE the embedded SQL literal
+    return esc.replace("'", "\\'")
 
 
 def unit_doc_frequency(

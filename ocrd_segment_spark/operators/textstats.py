@@ -599,7 +599,9 @@ def with_compression_cols(
 
 
 def with_ccnet_buckets(
-    df: DataFrame, bits_col: str = "bits_per_bigram"
+    df: DataFrame,
+    bits_col: str = "bits_per_bigram",
+    cuts: "tuple[float, float] | None" = None,
 ) -> DataFrame:
     """Append ``ccnet_bucket`` ∈ head/middle/tail/unscored: CCNet's
     perplexity partitioning — the corpus splits at the terciles of the
@@ -615,17 +617,30 @@ def with_ccnet_buckets(
     established 1-row-totals pattern). Exact percentiles hold a sorted
     digest per partition; at true corpus scale compute the cutoffs on
     a hash-sample of the bits column instead — the operator takes
-    whatever DataFrame you hand it, so sampling composes upstream."""
-    cuts = df.agg(
-        F.expr(
-            f"round(percentile({bits_col}, cast(1 as double)/3), 6)"
-        ).alias("_t1"),
-        F.expr(
-            f"round(percentile({bits_col}, cast(2 as double)/3), 6)"
-        ).alias("_t2"),
-    )
+    whatever DataFrame you hand it, so sampling composes upstream.
+
+    CAVEAT (review pass 4): deriving the cutoffs BRANCHES ``df``'s
+    lineage (the aggregate and the main path each evaluate the
+    upstream), so an expensive upstream — LM scoring, extraction —
+    computes twice unless the caller ``.cache()``s ``df`` first or
+    passes precomputed ``cuts=(t1, t2)`` (already rounded to 6), which
+    skips the aggregate entirely."""
+    if cuts is not None:
+        t1, t2 = cuts
+        cuts_df = df.sparkSession.createDataFrame(
+            [(float(t1), float(t2))], "_t1 double, _t2 double"
+        )
+    else:
+        cuts_df = df.agg(
+            F.expr(
+                f"round(percentile({bits_col}, cast(1 as double)/3), 6)"
+            ).alias("_t1"),
+            F.expr(
+                f"round(percentile({bits_col}, cast(2 as double)/3), 6)"
+            ).alias("_t2"),
+        )
     return (
-        df.crossJoin(F.broadcast(cuts))
+        df.crossJoin(F.broadcast(cuts_df))
         .withColumn(
             "ccnet_bucket",
             F.expr(
