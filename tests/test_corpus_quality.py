@@ -691,9 +691,12 @@ def test_domain_blocklist_flags_and_broadcasts(spark):
          (4, "http://spam.com.evil.net/a")],  # spam.com as SUBDOMAIN: clean
         "doc_id long, url string",
     )
-    # mixed case + padding: published lists arrive unnormalized, and a
-    # verbatim match would silently block nothing (review finding)
-    bl = spark.createDataFrame([("Spam.COM ",), (" spam.co.uk",)], "domain string")
+    # mixed case + padding: published lists arrive unnormalized (CRLF
+    # files leave \r, CSV exports leave tabs/NBSP), and a verbatim
+    # match would silently block nothing (review findings, two rounds)
+    bl = spark.createDataFrame(
+        [("Spam.COM\r",), ("\tspam.co.uk ",)], "domain string"
+    )
     out = with_domain_blocked(docs, bl)
     got = {r["doc_id"]: (r["reg_domain"], r["blocked"]) for r in out.collect()}
     assert got[1] == ("spam.com", True)
