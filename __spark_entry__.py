@@ -136,6 +136,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_bigram_score": M.q_lm_bigram_score,
     "lm_perlang_score": M.q_lm_perlang_score,
     "ccnet_buckets": M.q_ccnet_buckets,
+    "corpus_card": M.q_corpus_card,
     "compression_ratio": M.q_compression_ratio,
     "dedup_exact_substring": M.q_dedup_exact_substring,
     # hierarchy levels (extract_lines/words/glyphs analogs) + inheritance
@@ -256,6 +257,7 @@ _ORACLES: dict[str, str] = {
     "lm_bigram_score": M.O_LM_BIGRAM,
     "lm_perlang_score": M.O_LM_PERLANG,
     "ccnet_buckets": M.O_CCNET_BUCKETS,
+    "corpus_card": M.O_CORPUS_CARD,
     "dedup_exact_substring": M.O_DEDUP_SUBSTRING,
     "extract_word_spans": L.O_WORD_SPANS,
     "extract_word_spans_multi": L.O_WORD_SPANS_MULTI,

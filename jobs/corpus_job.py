@@ -103,6 +103,13 @@ def main() -> None:
         " before extraction even runs (C4-style exclusion)",
     )
     ap.add_argument(
+        "--card",
+        action="store_true",
+        help="write a per-language dataset card (doc/token/char counts,"
+        " mean + median lengths) to <output>_card after the corpus"
+        " commits (post-write pattern: one cheap aggregate scan)",
+    )
+    ap.add_argument(
         "--count-bpe",
         action="store_true",
         help="meter the corpus in SUBWORD tokens (operators/bpe greedy"
@@ -154,6 +161,7 @@ def main() -> None:
         lm_max_bits=args.lm_max_bits,
         max_compression=args.max_compression,
         count_bpe=args.count_bpe,
+        card=args.card,
         boilerplate_min_df=args.boilerplate_min_df,
         decontaminate_path=args.decontaminate,
         near_dup_audit=args.near_dup_audit,
@@ -177,6 +185,7 @@ def build_corpus(
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
     count_bpe: bool = False,
+    card: bool = False,
     boilerplate_min_df: int | None = None,
     decontaminate_path: str | None = None,
     near_dup_audit: str | None = None,
@@ -461,6 +470,17 @@ def build_corpus(
         verified = verified.observe(nd_obs, F.count(F.lit(1)).alias("n_pairs"))
         verified.write.mode("overwrite").parquet(near_dup_audit)
         funnel["near_dup_candidates"] = nd_obs.get["n_pairs"]
+    if card:
+        # per-language dataset card over the WRITTEN corpus (post-write
+        # pattern: one cheap aggregate scan of the committed parquet,
+        # never a branch of the live extraction lineage)
+        from ocrd_segment_spark.operators.textstats import corpus_card
+
+        corpus_card(
+            spark.read.parquet(output_path),
+            lang_col="pred_lang",
+            text_col="extracted_text",
+        ).write.mode("overwrite").parquet(output_path + "_card")
     if stats_path is not None:
         spark.createDataFrame([funnel]).write.mode("append").parquet(stats_path)
     return funnel

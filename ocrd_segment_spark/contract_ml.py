@@ -2163,6 +2163,43 @@ FROM lm CROSS JOIN cuts
 """
 
 
+def q_corpus_card(spark, sf_dir):
+    """Per-language dataset card (operators/textstats.corpus_card):
+    the datasheet aggregates a curation run publishes — doc counts,
+    token/char volumes, mean + exact median lengths, keyed by the
+    REAL classifier's predicted language."""
+    from .operators.langid import with_lang_ngram
+    from .operators.textstats import corpus_card
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_card(with_lang_ngram(d), lang_col="pred_lang")
+
+
+def _corpus_card_oracle() -> str:
+    from .operators.langid import model_values_sql  # noqa: F401
+
+    # reuse the langid oracle for pred_lang, then the card aggregates
+    return f"""
+WITH pred AS ({O_LANG_ID_NGRAM.strip()}),
+j AS (
+  SELECT p.pred_lang AS lang,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(d.text, ''),
+              '[ \t\n\r\f\v]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 6) AS mean_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+FROM j GROUP BY lang
+"""
+
+
+O_CORPUS_CARD = _corpus_card_oracle()
+
+
 def q_compression_ratio(spark, sf_dir):
     """Compression-ratio quality signal (operators/textstats
     compression_ratio): zlib is not SQL-expressible, so this is the

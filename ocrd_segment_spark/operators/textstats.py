@@ -654,6 +654,42 @@ def with_ccnet_buckets(
     )
 
 
+def corpus_card(
+    df: DataFrame,
+    lang_col: str = "pred_lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language dataset-card row (public practice: dataset cards /
+    datasheets ship exactly these aggregates): document count,
+    whitespace-token and character volumes, mean and exact median
+    document length — the summary a curation run publishes next to the
+    corpus it writes.
+
+    One hash aggregation on the language key (a handful of groups;
+    partials combine map-side; the exact median's per-group sorted
+    digest is bounded by the group's doc count — at true corpus scale
+    swap in percentile_approx, which the operator deliberately does
+    NOT do silently: exactness is part of the card's contract here)."""
+    # the explicit ASCII whitespace class, not \s (Java's \s includes
+    # U+000B where RE2's does not — the cross-engine rule in CLAUDE.md)
+    toked = df.select(
+        F.col(lang_col).alias("lang"),
+        F.expr(f"cast(length({text_col}) as bigint)").alias("n_chars"),
+        F.expr(
+            f"cast(size(filter(split(coalesce({text_col}, ''),"
+            f" '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'),"
+            f" x -> x != '')) as bigint)"
+        ).alias("n_tokens"),
+    )
+    return toked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+    )
+
+
 def compression_ratio(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -98,6 +98,29 @@ def test_char_entropy_oracle_parity_on_fuzz(spark):
     assert not bad, dict(list(bad.items())[:5])
 
 
+def test_corpus_card_oracle_parity_on_fuzz(spark):
+    """The card's token counts use the explicit ASCII whitespace class
+    — this is what catches a \\s slip (Java's includes U+000B)."""
+    from ocrd_segment_spark.contract_ml import O_CORPUS_CARD
+    from ocrd_segment_spark.operators.langid import with_lang_ngram
+    from ocrd_segment_spark.operators.textstats import corpus_card
+
+    texts = _fuzz_texts(seed=9)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["total_tokens"], r["total_chars"],
+                    r["mean_chars"], r["median_chars"])
+        for r in corpus_card(with_lang_ngram(df), lang_col="pred_lang").collect()
+    }
+    con = _duck_with_docs(texts)
+    want = {
+        r[0]: tuple(r[1:]) for r in con.execute(O_CORPUS_CARD).fetchall()
+    }
+    assert got == want
+
+
 def test_bpe_oracle_parity_on_fuzz(spark):
     from ocrd_segment_spark.operators.bpe import oracle_sql, with_bpe_counts
 
