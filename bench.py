@@ -300,9 +300,11 @@ def main() -> None:
         # best-of-2 for every query: the box is shared, and external
         # co-tenant load (observed loadavg 15+ with this container
         # idle) inflates single-shot timings up to ~6x; the second run
-        # usually lands in a quieter window. The corpus job is the
-        # noisiest (~25 shuffle/write stages) but all are exposed.
-        runs = 2
+        # usually lands in a quieter window. The corpus jobs get a
+        # third attempt: at ~25 stages over 12-40 s they are the most
+        # flare-exposed queries in the suite (measured: one run 41.7 s
+        # while the next query, seconds later, ran clean).
+        runs = 3 if name.startswith("corpus_job") else 2
         best = None
         for _ in range(runs):
             spark._jvm.System.gc()
