@@ -250,11 +250,15 @@ Round-4 A/B (same box, minutes apart, r3 code in a worktree vs r4):
 r3 warm audited runs 8.2-11.1 s at loadavg 7-10; r4 (REAL lang-id
 fused into extraction + the quality-signal plumbing) 10.7-12.6 s at
 loadavg 16-19 — i.e. the round-4 additions cost ≈ the ~1.5-2 s of
-language scoring and nothing else. The 29-42 s corpus_job figures in
-some BENCH JSONs are co-tenant exposure: a ~25-stage pipeline is the
-most load-sensitive query in the suite, and best-of-2 cannot dodge
-sustained load — gate on load_1m_start and prefer the warm A/B
-numbers above for round-over-round comparison. Round 3 upgraded the audit
+language scoring and nothing else. CONFIRMED by the round-close gated
+bench (load_1m_start 0.3, best-of-3): **corpus_job 13.7 s = 7.3k
+pages/s whole-pipeline**, alongside extraction 32.5k pages/s (3 KB
+pages) / 76.6 MB/s (18 KB pages) — every shared query at or better
+than round 3. The 29-42 s corpus_job figures in some earlier BENCH
+JSONs are co-tenant exposure: a ~25-stage pipeline is the most
+load-sensitive query in the suite — gate on load_1m_start; bench.py
+now waits for a quiet window and gives the corpus jobs a third
+attempt. Round 3 upgraded the audit
 from raw LSH candidates to exact 3-gram Jaccard scored per candidate
 pair (344k pairs verified, doc-keyed equi-joins only), and removed the
 two output re-scans: corpus count and pair count both ride their
