@@ -2176,21 +2176,22 @@ def q_corpus_card(spark, sf_dir):
 
 
 def _corpus_card_oracle() -> str:
-    from .operators.langid import model_values_sql  # noqa: F401
+    from .operators.bpe import WS_CLASS_DUCK
 
-    # reuse the langid oracle for pred_lang, then the card aggregates
+    # reuse the langid oracle for pred_lang, then the card aggregates;
+    # sums CAST to BIGINT (DuckDB widens BIGINT sums to HUGEINT)
     return f"""
 WITH pred AS ({O_LANG_ID_NGRAM.strip()}),
 j AS (
   SELECT p.pred_lang AS lang,
          CAST(length(d.text) AS BIGINT) AS n_chars,
          CAST(len(list_filter(regexp_split_to_array(coalesce(d.text, ''),
-              '[ \t\n\r\f\v]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+              '{WS_CLASS_DUCK}'), x -> x <> '')) AS BIGINT) AS n_tokens
   FROM pred p JOIN documents d ON p.doc_id = d.doc_id
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 6) AS mean_chars,
        round(quantile_cont(n_chars, 0.5), 6) AS median_chars
 FROM j GROUP BY lang

@@ -670,14 +670,16 @@ def corpus_card(
     digest is bounded by the group's doc count — at true corpus scale
     swap in percentile_approx, which the operator deliberately does
     NOT do silently: exactness is part of the card's contract here)."""
-    # the explicit ASCII whitespace class, not \s (Java's \s includes
-    # U+000B where RE2's does not — the cross-engine rule in CLAUDE.md)
+    # the ONE frozen ASCII whitespace class (operators/bpe defines it
+    # with the \v-vs-\x0B cross-engine trap documented) — not \s
+    from .bpe import WS_CLASS_SPARK
+
     toked = df.select(
         F.col(lang_col).alias("lang"),
         F.expr(f"cast(length({text_col}) as bigint)").alias("n_chars"),
         F.expr(
             f"cast(size(filter(split(coalesce({text_col}, ''),"
-            f" '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'),"
+            f" '{WS_CLASS_SPARK}'),"
             f" x -> x != '')) as bigint)"
         ).alias("n_tokens"),
     )

@@ -695,7 +695,7 @@ def test_domain_blocklist_flags_and_broadcasts(spark):
     # files leave \r, CSV exports leave tabs/NBSP), and a verbatim
     # match would silently block nothing (review findings, two rounds)
     bl = spark.createDataFrame(
-        [("Spam.COM\r",), ("\tspam.co.uk ",)], "domain string"
+        [("Spam.COM\r",), ("\tspam.co.uk" + "\u00a0",)], "domain string"
     )
     out = with_domain_blocked(docs, bl)
     got = {r["doc_id"]: (r["reg_domain"], r["blocked"]) for r in out.collect()}
@@ -765,6 +765,37 @@ def test_corpus_job_domain_blocklist(spark, tmp_path):
     kept = {r["url"] for r in
             spark.read.parquet(str(tmp_path / "corpus")).collect()}
     assert kept == {"https://clean.org/c"}
+
+
+def test_corpus_job_writes_dataset_card(spark, tmp_path):
+    """--card writes <output>_card post-write with the per-language
+    aggregates matching the committed corpus (pins the hardcoded
+    pred_lang/extracted_text column names against schema drift)."""
+    from jobs.corpus_job import build_corpus
+
+    texts = {
+        "a": "the children were playing in the garden near the river today",
+        "b": "she opened the window and watched the quiet street",
+        "c": "die kinder spielten im garten am fluss den ganzen tag",
+    }
+    rows = [(u, f"<html><body><p>{t}</p></body></html>".encode())
+            for u, t in texts.items()]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    build_corpus(spark, src, str(tmp_path / "corpus"),
+                 min_quality=0.0, min_tokens=0, card=True)
+    corpus = spark.read.parquet(str(tmp_path / "corpus")).collect()
+    card = {r["lang"]: r for r in
+            spark.read.parquet(str(tmp_path / "corpus") + "_card").collect()}
+    from collections import Counter
+
+    by_lang = Counter(r["pred_lang"] for r in corpus)
+    assert {l: c["n_docs"] for l, c in card.items()} == dict(by_lang)
+    for lang, c in card.items():
+        chars = [len(r["extracted_text"]) for r in corpus
+                 if r["pred_lang"] == lang]
+        assert c["total_chars"] == sum(chars)
+        assert c["n_docs"] == len(chars)
 
 
 def test_corpus_job_bpe_metering(spark, tmp_path):
