@@ -29,6 +29,8 @@ from ocrd_segment_spark.functions.sublevels import words_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOAD_GATE = 3.0  # external cores above this = co-tenant flare (CLAUDE.md)
+MAX_EXTRA_RUNS = 2  # bounded retries per query when every attempt was hot
 # pages corpus sized to scale factor: sf0.1 → 100k pages (big enough to
 # amortize the ~4s fixed task-launch/Arrow-warmup cost per query)
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -121,6 +123,52 @@ def ensure_big_pages(spark) -> str:
             BIG_DIR
         )
     return BIG_DIR
+
+
+class ExternalLoad:
+    """Per-attempt co-tenant load, measured DURING the attempt.
+
+    The 1-min loadavg cannot gate individual attempts: this bench's own
+    32-core bursts dominate it for ~2 min after every run, so a
+    pre-attempt loadavg sample mostly reads our own decaying load (and
+    waiting it out would stretch the bench ~10×). Instead attribute CPU
+    directly: host busy jiffies (/proc/stat, host-wide on this box)
+    minus this container's cpuacct usage = cores burned by co-tenants
+    while the attempt ran. Verified: a 2-core self-burn reads ~0.02
+    external cores. Round-4 postmortem: corpus_job recorded 44.8 s at
+    gate-passing start-load 1.7 because the flare arrived minutes after
+    the single start-of-bench sample; this closes that window.
+    """
+
+    def __init__(self) -> None:
+        self.hz = os.sysconf("SC_CLK_TCK") or 100
+        self.ok = True
+        try:
+            self._snap()
+        except OSError:
+            self.ok = False
+
+    def _snap(self):
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        busy = sum(vals) - vals[3] - vals[4]  # minus idle+iowait
+        with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
+            own_ns = int(f.read())
+        return busy, own_ns, time.monotonic()
+
+    def start(self) -> None:
+        if self.ok:
+            self._t0 = self._snap()
+
+    def stop(self):
+        """External average cores during start()→stop(), or None."""
+        if not self.ok:
+            return None
+        b0, o0, w0 = self._t0
+        b1, o1, w1 = self._snap()
+        wall = max(w1 - w0, 1e-6)
+        ext = (b1 - b0) / self.hz / wall - (o1 - o0) / 1e9 / wall
+        return round(max(ext, 0.0), 1)
 
 
 def main() -> None:
@@ -288,6 +336,8 @@ def main() -> None:
     # System.gc() itself takes ~0.1 s and frees the cleaner-backed
     # direct ByteBuffers)
     timings: dict[str, float] = {}
+    per_run: dict[str, list[dict]] = {}
+    ext_load = ExternalLoad()
     for name, fn in heavies.items():
         if name == "extract_pages":
             # untimed warmup: python worker spawn + codegen
@@ -303,16 +353,37 @@ def main() -> None:
         # usually lands in a quieter window. The corpus jobs get a
         # third attempt: at ~25 stages over 12-40 s they are the most
         # flare-exposed queries in the suite (measured: one run 41.7 s
-        # while the next query, seconds later, ran clean).
+        # while the next query, seconds later, ran clean). On top of
+        # that, each attempt carries its own DURING-run external-load
+        # measurement (see ExternalLoad), and a query whose every
+        # attempt was flare-hit gets up to MAX_EXTRA_RUNS retries — so
+        # a co-tenant burst is visible in the artifact instead of
+        # silently becoming the headline (round-4 corpus_job lesson).
         runs = 3 if name.startswith("corpus_job") else 2
-        best = None
-        for _ in range(runs):
+        attempts: list[dict] = []
+        extra_left = MAX_EXTRA_RUNS
+        while True:
             spark._jvm.System.gc()
+            ext_load.start()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            attempts.append({"t": round(dt, 3), "ext_cores": ext_load.stop()})
+            if len(attempts) < runs:
+                continue
+            quiet = [
+                a for a in attempts
+                if a["ext_cores"] is not None and a["ext_cores"] < LOAD_GATE
+            ]
+            if quiet or ext_load.ok is False or extra_left == 0:
+                break
+            extra_left -= 1  # every attempt so far was flare-hit: retry
+        # prefer the fastest QUIET attempt as the standing number; fall
+        # back to overall-fastest only when no attempt ran quiet (the
+        # per-run evidence then shows exactly why)
+        pool = quiet if quiet else attempts
+        timings[name] = min(a["t"] for a in pool)
+        per_run[name] = attempts
 
     total = round(sum(timings.values()), 3)
     # input volumes for the MB/s headlines (untimed length scans)
@@ -329,6 +400,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-attempt evidence: every timed run with the
+                # external (co-tenant) average cores measured DURING
+                # that run; "queries" above is the fastest attempt
+                # whose ext_cores < 3.0 (or fastest overall if none)
+                "runs": per_run,
+                "load_gate_ext_cores": LOAD_GATE,
                 "sf": _SF,
                 "pages": N_PAGES,
                 "pages_per_sec": round(N_PAGES / timings["extract_pages"], 1),
