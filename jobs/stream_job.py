@@ -8,7 +8,7 @@ jobs/corpus_job.py, as one spark-submit entrypoint.
         --checkpoint /path/to/ckpt \\
         [--min-quality 0.5] [--min-tokens 5] [--gopher] \\
         [--entropy-min X] [--lm-ref PATH --lm-max-bits X] \\
-        [--max-compression X] \\
+        [--max-compression X] [--blocklist PATH] [--count-bpe] \\
         [--available-now] [--python-parallelism N]
 
 New page files landing in ``--input`` are picked up by the file
@@ -27,11 +27,35 @@ operators/dedup.merge_corpus — both documented, both tested.
 
 ``--available-now`` drains what exists and stops (replay/backfill
 mode); omit it for a long-running job.
+
+The sink schema is FIXED regardless of which stages are enabled
+(signal columns of disabled stages are null-filled, see
+``SINK_COLUMNS``): a checkpointed parquet sink is append-only, so a
+restart with different flags must not write files whose schema
+differs from what is already committed.
 """
 
 from __future__ import annotations
 
 import argparse
+
+# the frozen streamed-output column set: extraction output + the
+# always-on quality columns + one signal column per optional stage
+# (null when its stage is off). Order is part of the contract.
+SINK_COLUMNS = (
+    ("url", None),
+    ("extracted_text", None),
+    ("region_spans", None),
+    ("lineage", None),
+    ("pred_lang", None),
+    ("n_tokens", None),
+    ("quality", None),
+    ("char_entropy", "double"),
+    ("bits_per_bigram", "double"),
+    ("compression_ratio", "double"),
+    ("n_bpe_tokens", "long"),
+    ("n_unk_pieces", "long"),
+)
 
 
 def main() -> None:
@@ -47,6 +71,19 @@ def main() -> None:
     ap.add_argument("--lm-ref", default=None)
     ap.add_argument("--lm-max-bits", type=float, default=None)
     ap.add_argument("--max-compression", type=float, default=None)
+    ap.add_argument(
+        "--blocklist",
+        default=None,
+        help="parquet with a 'domain' column; pages whose registered"
+        " domain matches are dropped BEFORE extraction (stream-static"
+        " broadcast join, same semantics as the batch job)",
+    )
+    ap.add_argument(
+        "--count-bpe",
+        action="store_true",
+        help="append n_bpe_tokens / n_unk_pieces to kept rows (pure"
+        " JVM column fold, same vocabulary as the batch job)",
+    )
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
@@ -70,6 +107,8 @@ def main() -> None:
         lm_ref_path=args.lm_ref,
         lm_max_bits=args.lm_max_bits,
         max_compression=args.max_compression,
+        blocklist_path=args.blocklist,
+        count_bpe=args.count_bpe,
         available_now=args.available_now,
         python_parallelism=args.python_parallelism,
     )
@@ -90,13 +129,20 @@ def run_stream(
     lm_ref_path: str | None = None,
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
+    blocklist_path: str | None = None,
+    count_bpe: bool = False,
     available_now: bool = True,
     python_parallelism: int | None = None,
 ):
     """Start the streaming query (importable for tests). Returns the
     StreamingQuery handle. The quality-signal stages mirror the batch
     job exactly (same operators, same thresholds, same null-keeps
-    rule) — every stage is narrow, so all are streaming-legal."""
+    rule) — every stage is narrow, so all are streaming-legal. The
+    output is projected onto the fixed ``SINK_COLUMNS`` schema so
+    restarts with different stage flags keep appending a single
+    parquet schema."""
+    from pyspark.sql import functions as F
+
     from ocrd_segment_spark.operators.corpus_filters import (
         KEEP_COLS,
         keep_all,
@@ -116,6 +162,24 @@ def run_stream(
         lm_table = collect_lm_surprisal(
             bigram_lm_models_by_lang(spark.read.parquet(lm_ref_path))
         )
+
+    pre_transform = None
+    if blocklist_path is not None:
+        # registered-domain blocklist BEFORE extraction, exactly like
+        # the batch job: the blocklist is a STATIC DataFrame read once
+        # before the query starts; each microbatch does a stream-static
+        # broadcast join (narrow, streaming-legal), so blocked pages
+        # never pay kernel time in the stream either
+        from ocrd_segment_spark.functions.urls import with_domain_blocked
+
+        bl = spark.read.parquet(blocklist_path)
+
+        def pre_transform(pages):
+            return (
+                with_domain_blocked(pages, bl)
+                .filter(~F.col("blocked"))
+                .drop("blocked", "reg_domain")
+            )
 
     def score_and_filter(extracted):
         # pred_lang arrives from the extraction pass itself
@@ -138,7 +202,23 @@ def run_stream(
             # (predicates don't push through mapInPandas on their own)
             early_filter=True,
         )
-        return flagged.filter(keep_all()).drop(*KEEP_COLS)
+        kept = flagged.filter(keep_all()).drop(*KEEP_COLS)
+        if count_bpe:
+            # subword metering on kept rows only (pure JVM column
+            # fold) — batch-job parity for --count-bpe
+            from ocrd_segment_spark.operators.bpe import with_bpe_counts
+
+            kept = with_bpe_counts(kept, text_col="extracted_text")
+        # fixed sink schema: null-fill the signal columns of disabled
+        # stages and project in the frozen order, so a restart with
+        # different flags appends the SAME parquet schema
+        cols = []
+        for name, typ in SINK_COLUMNS:
+            if name in kept.columns:
+                cols.append(F.col(name))
+            else:
+                cols.append(F.lit(None).cast(typ).alias(name))
+        return kept.select(*cols)
 
     # the exactly-once source/sink scaffolding lives in stream_extract;
     # this job only supplies the score/filter chain
@@ -149,6 +229,7 @@ def run_stream(
         checkpoint,
         available_now=available_now,
         transform=score_and_filter,
+        pre_transform=pre_transform,
         python_parallelism=python_parallelism,
         lang_id=True,
     )

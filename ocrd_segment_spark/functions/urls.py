@@ -96,12 +96,19 @@ def with_domain_blocked(df, blocklist, url_col: str = "url",
     d = df.withColumn("_h", host_of(url_col)).withColumn(
         "reg_domain", registered_domain("_h")
     )
-    # normalize the blocklist side: published exclusion lists arrive
-    # mixed-case / padded (trailing \r from CRLF files, tabs, NBSP),
-    # while reg_domain is always lowercase — a verbatim match would
-    # silently block NOTHING. F.trim strips ASCII SPACES only, so the
-    # strip is a regexp over the whitespace class + NBSP (pattern
-    # passed as data through the Python API, no literal escaping).
+    # normalize the blocklist side THROUGH THE SAME derivation as the
+    # corpus side: published exclusion lists arrive mixed-case / padded
+    # (trailing \r from CRLF files, tabs, NBSP) and frequently as full
+    # urls ('https://ads.example.org/path') or subdomained hosts
+    # ('ads.example.org') — any of which a verbatim compare against
+    # reg_domain would silently never match. So: whitespace strip →
+    # lowercase → drop scheme / path / port → reduce to registered
+    # domain. Deliberate semantics: a subdomain entry blocks its whole
+    # registered domain (C4 lists are registered-domain granular; a
+    # finer host-level list belongs in a separate host filter).
+    # F.trim strips ASCII spaces only, so the strip is a regexp over
+    # the whitespace class + NBSP (pattern passed as data through the
+    # Python API, no literal escaping).
     bl = (
         blocklist.select(
             F.lower(
@@ -110,8 +117,18 @@ def with_domain_blocked(df, blocklist, url_col: str = "url",
                     "(^[\\s\\u00a0]+|[\\s\\u00a0]+$)",
                     "",
                 )
-            ).alias("reg_domain")
+            ).alias("_e")
         )
+        .withColumn(
+            "_host",
+            F.regexp_replace(
+                F.regexp_replace("_e", "^[a-z][a-z0-9+.-]*://", ""),
+                "[/:?#].*$",
+                "",
+            ),
+        )
+        .select(registered_domain("_host").alias("reg_domain"))
+        .filter(F.col("reg_domain") != "")
         .distinct()
         .withColumn("_blk", F.lit(True))
     )

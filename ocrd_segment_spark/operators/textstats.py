@@ -63,8 +63,8 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id_col(text_col: str = "text") -> Column:
     """Digram-frequency language id (en/de toy classifier). SUPERSEDED
-    for real routing by operators/langid.with_lang_ngram (7-language
-    char-bigram profiles) — kept because the contract key
+    for real routing by operators/langid.with_lang_ngram (11-language
+    char 1+2-gram profiles) — kept because the contract key
     ``lang_id_heuristic`` pins this exact structure (regexp_count +
     argmax as pure column math) and keys stay stable across rounds."""
     return F.when(

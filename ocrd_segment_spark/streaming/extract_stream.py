@@ -41,6 +41,7 @@ def stream_extract(
     params: ExtractParams = DEFAULT_PARAMS,
     available_now: bool = True,
     transform=None,
+    pre_transform=None,
     python_parallelism: int | None = None,
     lang_id: bool = False,
 ):
@@ -50,8 +51,13 @@ def stream_extract(
     for a long-running job. ``transform`` (DataFrame → DataFrame) runs
     between extraction and the sink — the hook jobs/stream_job.py uses
     for its score/filter chain, so the exactly-once source/sink
-    scaffolding exists in exactly one place."""
+    scaffolding exists in exactly one place. ``pre_transform`` runs on
+    the raw pages BEFORE extraction — the hook for filters that must
+    not pay kernel time (the domain blocklist: a stream-static
+    broadcast join, streaming-legal and narrow)."""
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+    if pre_transform is not None:
+        pages = pre_transform(pages)
     out = extract_pages(pages, params, python_parallelism, lang_id=lang_id)
     if transform is not None:
         out = transform(out)

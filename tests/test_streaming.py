@@ -433,3 +433,59 @@ def test_stream_job_accepts_python_parallelism(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert spark.read.parquet(str(tmp_path / "out")).count() > 0
+
+
+def test_stream_job_blocklist_bpe_and_fixed_schema(spark, tmp_path):
+    """Round-5 stream/batch parity: --blocklist and --count-bpe keep
+    the same documents with the same token counts on the stream as
+    jobs/corpus_job.build_corpus, and the sink schema is the frozen
+    SINK_COLUMNS set regardless of which stages are enabled (a
+    checkpointed parquet sink is append-only — flag changes must not
+    fork the schema)."""
+    from jobs.corpus_job import build_corpus
+    from jobs.stream_job import SINK_COLUMNS, run_stream
+
+    texts = {
+        "https://www.keepme.com/a":
+            "the children were playing in the garden near the river all afternoon",
+        "https://blocked.example.net/b":
+            "she opened the window and watched the quiet street below the house",
+        "https://keepme.com/c":
+            "there is nothing better than a warm cup of tea in the evening",
+    }
+    rows = [(u, f"<html><body><p>{t}</p></body></html>".encode())
+            for u, t in texts.items()]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    blp = str(tmp_path / "bl")
+    # a full-url entry (scheme + subdomain + path, mixed case) must
+    # reduce to registered domain 'example.net' — round-4 ADVICE: a
+    # verbatim compare silently blocked nothing for such entries
+    spark.createDataFrame(
+        [("https://ads.EXAMPLE.net/x?y=1",)], "domain string"
+    ).write.parquet(blp)
+
+    kw = dict(min_quality=0.0, min_tokens=1, blocklist_path=blp,
+              count_bpe=True)
+    build_corpus(spark, src, str(tmp_path / "bcorpus"), **kw)
+    batch = spark.read.parquet(str(tmp_path / "bcorpus"))
+    q = run_stream(spark, src, str(tmp_path / "scorpus"),
+                   str(tmp_path / "ckpt"), **kw)
+    assert q.awaitTermination(300), "streaming drain did not terminate"
+    stream = spark.read.parquet(str(tmp_path / "scorpus"))
+
+    kept = {"https://www.keepme.com/a", "https://keepme.com/c"}
+    assert {r["url"] for r in stream.select("url").collect()} == kept
+    assert {r["url"] for r in batch.select("url").collect()} == kept
+    b = {r["url"]: r["n_bpe_tokens"]
+         for r in batch.select("url", "n_bpe_tokens").collect()}
+    s = {r["url"]: r["n_bpe_tokens"]
+         for r in stream.select("url", "n_bpe_tokens").collect()}
+    assert b == s and all(v > 0 for v in s.values())
+
+    # schema freeze: an everything-off drain writes the same columns
+    q2 = run_stream(spark, src, str(tmp_path / "s2"),
+                    str(tmp_path / "ckpt2"), min_quality=0.0, min_tokens=1)
+    assert q2.awaitTermination(300), "streaming drain did not terminate"
+    cols2 = spark.read.parquet(str(tmp_path / "s2")).columns
+    assert cols2 == stream.columns == [c for c, _ in SINK_COLUMNS]
