@@ -100,6 +100,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # text analysis
     "lang_id_heuristic": M.q_lang_id_heuristic,
     "lang_id_ngram": M.q_lang_id_ngram,
+    "langid_confusion": M.q_langid_confusion,
     "quality_score": M.q_quality_score,
     "token_count": M.q_token_count,
     "token_count_bpe": M.q_token_count_bpe,
@@ -224,6 +225,7 @@ _ORACLES: dict[str, str] = {
     "skew_salted_host_agg": M.O_SKEW_SALTED,
     "lang_id_heuristic": M.O_LANG_ID,
     "lang_id_ngram": M.O_LANG_ID_NGRAM,
+    "langid_confusion": M.O_LANGID_CONFUSION,
     "quality_score": M.O_QUALITY,
     "token_count": M.O_TOKEN_COUNT,
     "token_count_bpe": M.O_TOKEN_BPE,

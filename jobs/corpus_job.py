@@ -61,6 +61,15 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--langs", default=None, help="comma list; default: keep all")
     ap.add_argument(
+        "--lang-margin",
+        type=float,
+        default=None,
+        help="per-char top-2 log-likelihood gap below which language id"
+        " abstains to 'und' (langid frozen step 6; suggested:"
+        " operators/langid.DEFAULT_MARGIN=0.1). Off by default — the"
+        " pure-argmax behavior of earlier rounds",
+    )
+    ap.add_argument(
         "--gopher",
         action="store_true",
         help="apply the Gopher-style repetition/quality rules"
@@ -154,6 +163,7 @@ def main() -> None:
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
+        lang_margin=args.lang_margin,
         gopher=args.gopher,
         blocklist_path=args.blocklist,
         entropy_min=args.entropy_min,
@@ -178,6 +188,7 @@ def build_corpus(
     min_quality: float = 0.5,
     min_tokens: int = 5,
     langs: list[str] | None = None,
+    lang_margin: float | None = None,
     gopher: bool = False,
     blocklist_path: str | None = None,
     entropy_min: float | None = None,
@@ -226,7 +237,10 @@ def build_corpus(
     # same frozen score_document, zero extra Arrow round-trip, the
     # whole scoring chain is ONE python stage + column math
     extracted = extract_pages(
-        pages, python_parallelism=python_parallelism, lang_id=True
+        pages,
+        python_parallelism=python_parallelism,
+        lang_id=True,
+        lang_margin=lang_margin,
     )
     # the six-stage quality filter chain — ONE shared definition with
     # the streaming job (operators/corpus_filters; review pass 3 found

@@ -66,6 +66,13 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--langs", default=None, help="comma list; default: keep all")
+    ap.add_argument(
+        "--lang-margin",
+        type=float,
+        default=None,
+        help="per-char top-2 gap below which language id abstains to"
+        " 'und' (same frozen rule as the batch job)",
+    )
     ap.add_argument("--gopher", action="store_true")
     ap.add_argument("--entropy-min", type=float, default=None)
     ap.add_argument("--lm-ref", default=None)
@@ -102,6 +109,7 @@ def main() -> None:
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
+        lang_margin=args.lang_margin,
         gopher=args.gopher,
         entropy_min=args.entropy_min,
         lm_ref_path=args.lm_ref,
@@ -124,6 +132,7 @@ def run_stream(
     min_quality: float = 0.5,
     min_tokens: int = 5,
     langs: list[str] | None = None,
+    lang_margin: float | None = None,
     gopher: bool = False,
     entropy_min: float | None = None,
     lm_ref_path: str | None = None,
@@ -232,6 +241,7 @@ def run_stream(
         pre_transform=pre_transform,
         python_parallelism=python_parallelism,
         lang_id=True,
+        lang_margin=lang_margin,
     )
 
 

@@ -42,6 +42,19 @@ tests/test_langid.py pins behavior):
    lexicographically LARGEST language tag, matching max(ROW(s, lang));
    documents with NO in-vocabulary gram get pred_lang 'und' and a NULL
    score. Reported lang_logp = round(score, 6).
+6. OPTIONAL abstention (round-5; ``margin=`` — default None keeps the
+   pure-argmax contract of the standing lang_id_ngram key): the
+   per-character top-2 gap ``(score_1 - score_2) / length(normalized)``
+   below ``margin`` → pred_lang 'und', NULL logp. Rationale: any
+   language OUTSIDE the 11-language inventory (most of the web) gets
+   a confident argmax under pure naive-Bayes; a thin gap between the
+   two best languages is exactly the low-evidence signature such
+   documents produce (measured on HELDOUT_CORPUS: Korean gaps
+   0.003-0.005/char vs in-inventory 0.1-3.6/char). DEFAULT_MARGIN is
+   calibrated there: 41/44 in-inventory held-out accuracy, 8/12
+   out-of-inventory sentences routed to 'und' (all pinned exactly in
+   tests/test_langid.py — the model is frozen, so these are
+   deterministic counts, not sampled estimates).
 
 Scale shape: the model is a few thousand (gram, lang, logp) rows — a
 closure constant, shipped once per executor like a broadcast; scoring
@@ -210,6 +223,102 @@ SEED_CORPUS: dict[str, list[str]] = {
 
 TOP_N = 120  # grams kept per language profile (by count desc, gram asc)
 UND = "und"  # prediction when no in-vocabulary gram appears
+DEFAULT_MARGIN = 0.1  # frozen step-6 abstention threshold (per char)
+
+# Held-out evaluation fixture: sentences NOT in SEED_CORPUS — four per
+# language for the 11 in-inventory languages, plus three languages the
+# model does NOT know (nl: Latin script adjacent to de/en, tr: Latin
+# with agglutinative morphology, ko: Hangul — a script with ZERO vocab
+# coverage beyond the space character). Composed for this module.
+# Quality is MEASURED against this set (tests/test_langid.py pins the
+# exact confusion counts; the langid_confusion contract key replays
+# the scoring + margin rule through the DuckDB oracle).
+HELDOUT_CORPUS: dict[str, list[str]] = {
+    "en": [
+        "my sister bought fresh bread and cheese at the market this afternoon",
+        "the train arrived late because of heavy snow in the mountains",
+        "please turn off the lights before you leave the office tonight",
+        "our neighbors invited us to a small party in their backyard",
+    ],
+    "de": [
+        "meine schwester kaufte heute nachmittag frisches brot und käse auf dem markt",
+        "der zug kam wegen starken schneefalls in den bergen zu spät an",
+        "bitte schalte das licht aus bevor du heute abend das büro verlässt",
+        "unsere nachbarn haben uns zu einer kleinen feier in ihrem garten eingeladen",
+    ],
+    "fr": [
+        "ma soeur a acheté du pain frais et du fromage au marché cet après midi",
+        "le train est arrivé en retard à cause de la neige dans les montagnes",
+        "veuillez éteindre les lumières avant de quitter le bureau ce soir",
+        "nos voisins nous ont invités à une petite fête dans leur jardin",
+    ],
+    "es": [
+        "mi hermana compró pan fresco y queso en el mercado esta tarde",
+        "el tren llegó tarde por la fuerte nevada en las montañas",
+        "por favor apaga las luces antes de salir de la oficina esta noche",
+        "nuestros vecinos nos invitaron a una pequeña fiesta en su patio",
+    ],
+    "it": [
+        "mia sorella ha comprato pane fresco e formaggio al mercato questo pomeriggio",
+        "il treno è arrivato in ritardo a causa della forte neve in montagna",
+        "per favore spegni le luci prima di lasciare l'ufficio stasera",
+        "i nostri vicini ci hanno invitato a una piccola festa nel loro cortile",
+    ],
+    "ru": [
+        "моя сестра купила свежий хлеб и сыр на рынке сегодня днем",
+        "поезд опоздал из за сильного снегопада в горах",
+        "пожалуйста выключи свет перед уходом из офиса сегодня вечером",
+        "соседи пригласили нас на небольшой праздник в своем дворе",
+    ],
+    "zh": [
+        "我妹妹今天下午在市场买了新鲜的面包和奶酪",
+        "火车因为山里下大雪而晚点了",
+        "离开办公室之前请把灯关掉",
+        "邻居邀请我们去他们院子里参加一个小聚会",
+    ],
+    "pt": [
+        "minha irmã comprou pão fresco e queijo no mercado esta tarde",
+        "o trem chegou atrasado por causa da neve forte nas montanhas",
+        "por favor apague as luzes antes de sair do escritório hoje à noite",
+        "nossos vizinhos nos convidaram para uma pequena festa no quintal",
+    ],
+    "pl": [
+        "moja siostra kupiła dziś po południu świeży chleb i ser na targu",
+        "pociąg przyjechał późno z powodu silnych opadów śniegu w górach",
+        "proszę zgaś światło zanim wyjdziesz dziś wieczorem z biura",
+        "sąsiedzi zaprosili nas na małe przyjęcie na swoim podwórku",
+    ],
+    "ar": [
+        "اشترت أختي خبزا طازجا وجبنا من السوق بعد ظهر اليوم",
+        "تأخر القطار بسبب الثلوج الكثيفة في الجبال",
+        "من فضلك أطفئ الأنوار قبل أن تغادر المكتب هذه الليلة",
+        "دعانا الجيران إلى حفلة صغيرة في فنائهم",
+    ],
+    "ja": [
+        "妹は今日の午後市場で新しいパンとチーズを買った",
+        "山の大雪のせいで電車が遅れて着いた",
+        "今夜オフィスを出る前に電気を消してください",
+        "隣人が庭での小さなパーティーに私たちを招いてくれた",
+    ],
+    "nl": [
+        "mijn zus kocht vanmiddag vers brood en kaas op de markt",
+        "de trein kwam te laat door de zware sneeuw in de bergen",
+        "doe alsjeblieft het licht uit voordat je vanavond het kantoor verlaat",
+        "onze buren nodigden ons uit voor een feestje in hun achtertuin",
+    ],
+    "tr": [
+        "kız kardeşim bu öğleden sonra pazardan taze ekmek ve peynir aldı",
+        "tren dağlardaki yoğun kar yüzünden geç geldi",
+        "lütfen bu akşam ofisten çıkmadan önce ışıkları kapat",
+        "komşular bizi bahçelerindeki küçük bir partiye davet etti",
+    ],
+    "ko": [
+        "내 여동생은 오늘 오후 시장에서 신선한 빵과 치즈를 샀다",
+        "기차가 산의 폭설 때문에 늦게 도착했다",
+        "오늘 밤 사무실을 나가기 전에 불을 꺼 주세요",
+        "이웃들이 우리를 마당의 작은 파티에 초대했다",
+    ],
+}
 
 
 def _round6(x: float) -> float:
@@ -271,12 +380,18 @@ def _scorer_tables() -> tuple[tuple[str, ...], dict[str, tuple[float, ...]]]:
     return langs, {g: tuple(v) for g, v in model.items()}
 
 
-def score_document(text: str) -> tuple[str, float | None]:
+def score_document(
+    text: str, margin: float | None = None
+) -> tuple[str, float | None]:
     """(pred_lang, lang_logp) for one document — the single frozen
     implementation; the Spark operator maps it over Arrow batches and
-    the oracle restates it in SQL."""
+    the oracle restates it in SQL. ``margin`` enables frozen step 6
+    (per-char top-2 gap abstention); None keeps pure argmax —
+    byte-identical to the pre-round-5 behavior the standing
+    lang_id_ngram contract key pins."""
     langs, model = _scorer_tables()
-    c = Counter(_grams(normalize(text)))
+    norm = normalize(text)
+    c = Counter(_grams(norm))
     known = sorted(g for g in c if g in model)
     if not known:
         return UND, None
@@ -287,6 +402,10 @@ def score_document(text: str) -> tuple[str, float | None]:
         for k in range(len(langs)):
             scores[k] += n * row[k]
     best_score, best_lang = max(zip(scores, langs))
+    if margin is not None:
+        second = max(s for s, l in zip(scores, langs) if l != best_lang)
+        if (best_score - second) / len(norm) < margin:
+            return UND, None
     return best_lang, _round6(best_score)
 
 
@@ -294,6 +413,7 @@ def with_lang_ngram(
     df: DataFrame,
     text_col: str = "text",
     python_parallelism: int | None = None,
+    margin: float | None = None,
 ) -> DataFrame:
     """Append (pred_lang, lang_logp) to ``df`` — one narrow
     Arrow-batched mapInPandas pass; every input column (including
@@ -312,7 +432,9 @@ def with_lang_ngram(
         for pdf in it:
             preds, logps = [], []
             for t in pdf[text_col]:
-                lang, lp = score_document(t if isinstance(t, str) else "")
+                lang, lp = score_document(
+                    t if isinstance(t, str) else "", margin=margin
+                )
                 preds.append(lang)
                 logps.append(lp)
             yield pdf.assign(
@@ -322,6 +444,16 @@ def with_lang_ngram(
     from ..pipeline import _cap_python_tasks
 
     return _cap_python_tasks(df, python_parallelism).mapInPandas(batches, schema)
+
+
+def heldout_values_sql() -> str:
+    """HELDOUT_CORPUS as a SQL VALUES list (true_lang, sent_id, text)
+    — the oracle-side twin of the confusion-matrix fixture."""
+    return ", ".join(
+        "('{}', {}, '{}')".format(lang, i, s.replace("'", "''"))
+        for lang, sents in HELDOUT_CORPUS.items()
+        for i, s in enumerate(sents)
+    )
 
 
 def model_values_sql() -> str:

@@ -75,7 +75,10 @@ EXTRACT_SCHEMA = T.StructType(
 
 
 def _extract_batches(
-    params: ExtractParams, with_styles: bool = False, with_lang: bool = False
+    params: ExtractParams,
+    with_styles: bool = False,
+    with_lang: bool = False,
+    lang_margin: float | None = None,
 ):
     """Returns the mapInPandas function. The kernel import happens at
     module import on the worker; params is a small frozen dataclass
@@ -104,7 +107,7 @@ def _extract_batches(
                 text, regions, metrics = extract_document(html, params)
                 texts.append(text)
                 if with_lang:
-                    lang, lp = score_document(text)
+                    lang, lp = score_document(text, margin=lang_margin)
                     preds.append(lang)
                     logps.append(lp)
                 spans.append(
@@ -181,6 +184,7 @@ def extract_pages(
     params: ExtractParams = DEFAULT_PARAMS,
     python_parallelism: int | None = None,
     lang_id: bool = False,
+    lang_margin: float | None = None,
 ) -> DataFrame:
     """The extraction transform. Narrow (no shuffle); input columns
     beyond (url, html) are pruned before the Arrow boundary.
@@ -198,13 +202,17 @@ def extract_pages(
     operators/langid.with_lang_ngram (pytest-pinned) but without a
     second Arrow round-trip of the full rows (measured ~6% faster at
     sf0.1; the structural win is one python stage instead of two,
-    which is what sizes executors for UDF-heavy pipelines)."""
+    which is what sizes executors for UDF-heavy pipelines).
+    ``lang_margin`` enables the frozen step-6 abstention rule
+    (operators/langid DEFAULT_MARGIN): thin top-2 gaps route to 'und'
+    instead of a confident misbin — opt-in, None keeps pure argmax."""
     schema = EXTRACT_SCHEMA
     if lang_id:
         schema = T.StructType(list(EXTRACT_SCHEMA.fields) + LANG_FIELDS)
     src = _cap_python_tasks(df.select("url", "html"), python_parallelism)
     return src.mapInPandas(
-        _extract_batches(params, with_lang=lang_id), schema
+        _extract_batches(params, with_lang=lang_id, lang_margin=lang_margin),
+        schema,
     )
 
 

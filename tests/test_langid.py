@@ -217,3 +217,90 @@ def test_scores_stable_across_hash_seeds():
         assert r.returncode == 0, r.stderr[-500:]
         outs.add(r.stdout.strip())
     assert len(outs) == 1
+
+
+def test_heldout_corpus_accuracy_and_abstention():
+    """MEASURED quality of the frozen model on HELDOUT_CORPUS
+    (sentences absent from SEED_CORPUS; nl/tr/ko are OUTSIDE the
+    inventory). The model and fixture are both frozen, so every count
+    is deterministic and pinned EXACTLY; the floors state the quality
+    bar those exact values clear (round-4 verdict task 2)."""
+    from ocrd_segment_spark.operators.langid import (
+        DEFAULT_MARGIN,
+        HELDOUT_CORPUS,
+        SEED_CORPUS,
+        UND,
+    )
+
+    in_inventory = set(SEED_CORPUS)
+    seed_sents = {s for sents in SEED_CORPUS.values() for s in sents}
+    assert not seed_sents & {
+        s for sents in HELDOUT_CORPUS.values() for s in sents
+    }, "held-out fixture must not overlap the training corpus"
+
+    # pure argmax (margin=None — the standing lang_id_ngram contract):
+    # perfect on in-inventory held-out, confident misbins on the rest
+    argmax_ok = sum(
+        1
+        for lang in in_inventory
+        for s in HELDOUT_CORPUS[lang]
+        if score_document(s)[0] == lang
+    )
+    assert argmax_ok == 44  # 44/44
+    misbinned = [
+        score_document(s)[0]
+        for lang in ("nl", "tr", "ko")
+        for s in HELDOUT_CORPUS[lang]
+    ]
+    assert UND not in misbinned  # every out-of-inventory doc misbinned
+
+    # with the frozen step-6 margin: small in-inventory cost, most
+    # out-of-inventory routed to 'und' — Korean (zero script coverage
+    # beyond the space gram) abstains on ALL sentences
+    inv_preds = {
+        (lang, i): score_document(s, margin=DEFAULT_MARGIN)[0]
+        for lang in in_inventory
+        for i, s in enumerate(HELDOUT_CORPUS[lang])
+    }
+    inv_ok = sum(1 for (lang, _), p in inv_preds.items() if p == lang)
+    assert inv_ok == 41 and inv_ok / 44 >= 0.9
+    out_preds = [
+        score_document(s, margin=DEFAULT_MARGIN)[0]
+        for lang in ("nl", "tr", "ko")
+        for s in HELDOUT_CORPUS[lang]
+    ]
+    assert out_preds.count(UND) == 8 and out_preds.count(UND) / 12 >= 0.6
+    assert all(
+        score_document(s, margin=DEFAULT_MARGIN) == (UND, None)
+        for s in HELDOUT_CORPUS["ko"]
+    )
+    # abstention returns (UND, None) — uniform with the no-evidence path
+    assert all(
+        p == UND or p in in_inventory for p in out_preds + list(inv_preds.values())
+    )
+
+
+def test_margin_none_is_byte_identical_to_pre_round5():
+    """margin=None must preserve the EXACT pre-abstention behavior the
+    driver-green lang_id_ngram key pins (task-9 key stability)."""
+    for text, _ in HELD_OUT:
+        assert score_document(text) == score_document(text, margin=None)
+    # a clear-margin doc is unaffected by the margin rule
+    text = HELD_OUT[0][0]
+    assert score_document(text, margin=0.01) == score_document(text)
+
+
+def test_lang_margin_threads_through_extraction(spark):
+    """lang_margin reaches the fused extract_pages scoring path: an
+    absurdly large margin abstains every page; the default (None)
+    keeps pure argmax."""
+    from ocrd_segment_spark.operators.langid import UND
+    from ocrd_segment_spark.pipeline import extract_pages
+
+    rows = [("u1", b"<html><body><p>the quiet street was empty tonight"
+                   b"</p></body></html>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    strict = extract_pages(df, lang_id=True, lang_margin=1e9).collect()[0]
+    assert strict["pred_lang"] == UND and strict["lang_logp"] is None
+    default = extract_pages(df, lang_id=True).collect()[0]
+    assert default["pred_lang"] == "en"
