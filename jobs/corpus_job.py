@@ -127,6 +127,14 @@ def main() -> None:
         " tokenizer tokens, not whitespace words",
     )
     ap.add_argument(
+        "--bpe-vocab",
+        default=None,
+        help="piece table (parquet, or .csv with header; column:"
+        " piece) to meter --count-bpe in a REAL tokenizer's"
+        " vocabulary instead of the committed toy (operators/"
+        "bpe.load_vocab: model-sized collect, case-folded, deduped)",
+    )
+    ap.add_argument(
         "--boilerplate-min-df",
         type=int,
         default=None,
@@ -171,6 +179,7 @@ def main() -> None:
         lm_max_bits=args.lm_max_bits,
         max_compression=args.max_compression,
         count_bpe=args.count_bpe,
+        bpe_vocab_path=args.bpe_vocab,
         card=args.card,
         boilerplate_min_df=args.boilerplate_min_df,
         decontaminate_path=args.decontaminate,
@@ -196,6 +205,7 @@ def build_corpus(
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
     count_bpe: bool = False,
+    bpe_vocab_path: str | None = None,
     card: bool = False,
     boilerplate_min_df: int | None = None,
     decontaminate_path: str | None = None,
@@ -275,9 +285,19 @@ def build_corpus(
     if count_bpe:
         # subword metering (pure JVM column fold, same narrow pass);
         # the kept-corpus token total rides the write Observation below
-        from ocrd_segment_spark.operators.bpe import with_bpe_counts
+        from ocrd_segment_spark.operators.bpe import (
+            VOCAB,
+            load_vocab,
+            with_bpe_counts,
+        )
 
-        scored = with_bpe_counts(scored, text_col="extracted_text")
+        vocab = (
+            load_vocab(spark, bpe_vocab_path)
+            if bpe_vocab_path is not None
+            else VOCAB
+        )
+        scored = with_bpe_counts(scored, text_col="extracted_text",
+                                 vocab=vocab)
     else:
         scored = scored.withColumn("n_bpe_tokens", F.lit(None).cast("long"))
 

@@ -91,6 +91,13 @@ def main() -> None:
         help="append n_bpe_tokens / n_unk_pieces to kept rows (pure"
         " JVM column fold, same vocabulary as the batch job)",
     )
+    ap.add_argument(
+        "--bpe-vocab",
+        default=None,
+        help="piece table for --count-bpe (parquet / .csv, column:"
+        " piece) — a real tokenizer's vocabulary; loaded once before"
+        " the stream starts",
+    )
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
@@ -117,6 +124,7 @@ def main() -> None:
         max_compression=args.max_compression,
         blocklist_path=args.blocklist,
         count_bpe=args.count_bpe,
+        bpe_vocab_path=args.bpe_vocab,
         available_now=args.available_now,
         python_parallelism=args.python_parallelism,
     )
@@ -140,6 +148,7 @@ def run_stream(
     max_compression: float | None = None,
     blocklist_path: str | None = None,
     count_bpe: bool = False,
+    bpe_vocab_path: str | None = None,
     available_now: bool = True,
     python_parallelism: int | None = None,
 ):
@@ -171,6 +180,14 @@ def run_stream(
         lm_table = collect_lm_surprisal(
             bigram_lm_models_by_lang(spark.read.parquet(lm_ref_path))
         )
+
+    from ocrd_segment_spark.operators.bpe import VOCAB, load_vocab
+
+    bpe_vocab = (
+        load_vocab(spark, bpe_vocab_path)
+        if bpe_vocab_path is not None
+        else VOCAB
+    )
 
     pre_transform = None
     if blocklist_path is not None:
@@ -214,10 +231,13 @@ def run_stream(
         kept = flagged.filter(keep_all()).drop(*KEEP_COLS)
         if count_bpe:
             # subword metering on kept rows only (pure JVM column
-            # fold) — batch-job parity for --count-bpe
+            # fold) — batch-job parity for --count-bpe; the vocab is
+            # resolved ONCE before the stream starts (closure constant
+            # across microbatches)
             from ocrd_segment_spark.operators.bpe import with_bpe_counts
 
-            kept = with_bpe_counts(kept, text_col="extracted_text")
+            kept = with_bpe_counts(kept, text_col="extracted_text",
+                                   vocab=bpe_vocab)
         # fixed sink schema: null-fill the signal columns of disabled
         # stages and project in the frozen order, so a restart with
         # different flags appends the SAME parquet schema

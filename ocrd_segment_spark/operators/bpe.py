@@ -7,10 +7,21 @@ under-states curation arithmetic (round-3 task 4).
 Method (public knowledge: the greedy longest-match tokenization of
 WordPiece / SentencePiece-BPE inference): fold each whitespace word
 left-to-right, at every position consuming the LONGEST vocabulary
-piece that matches (max piece length 4); when nothing matches, consume
-one character as an <unk> piece. The committed ``VOCAB`` plays the
-role of a trained merge table — swap in a real tokenizer's vocabulary
-on a cluster; the counting machinery is the operator.
+piece that matches (piece lengths derived from the vocabulary); when
+nothing matches, consume one character as an <unk> piece. The
+committed ``VOCAB`` plays the role of a trained merge table and stays
+the test/oracle default; ``load_vocab`` loads a REAL tokenizer's
+piece table from parquet/csv (round-5 task 3), and every public
+function takes ``vocab=`` so token budgets can be metered in the
+tokens of the tokenizer that will actually train on the corpus.
+
+Vocabulary-size shape: the vocabulary ships as IN-literals that
+Catalyst folds to per-length InSet hash lookups — built ONCE per
+plan, probed per character. A real 32k-100k-piece vocab is a few MB
+of expression literals: shipped once per executor with the task
+binary (the same payload a broadcast variable would carry), probed at
+hash-set speed. The loader's ``.collect()`` is model-sized by
+definition (a piece table, never corpus-sized).
 
 Frozen semantics (DuckDB oracle: a recursive CTE stepping the same
 fold; pytest pins exact counts):
@@ -20,11 +31,11 @@ fold; pytest pins exact counts):
 2. words: split on runs of ASCII whitespace [ \\t\\n\\r\\f\\v]+,
    empties dropped (the explicit class, NOT ``\\s`` — Java's \\s
    includes U+000B, RE2's does not);
-3. per word, from position 1: try piece lengths 4, 3, 2, 1 against the
-   vocabulary (substring truncation at word end is inherently safe — a
-   2-char tail can never equal a 4-char piece); advance by the matched
-   length and count one piece, else advance 1 and count one piece AND
-   one unk;
+3. per word, from position 1: try piece lengths LONGEST→1 (lengths =
+   the distinct piece lengths present in the vocabulary; substring
+   truncation at word end is inherently safe — a shorter tail can
+   never equal a longer piece); advance by the matched length and
+   count one piece, else advance 1 and count one piece AND one unk;
 4. n_bpe_tokens / n_unk_pieces = sums over all words; empty documents
    count 0.
 
@@ -70,6 +81,7 @@ VOCAB: tuple[str, ...] = _CHARS + _MERGES_2 + _MERGES_3 + _MERGES_4
 
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
+_TO_LOWER = str.maketrans(_UPPER, _LOWER)
 # explicit ASCII whitespace class — see frozen rule 2. The vertical
 # tab is spelled \x0B on the Spark side: Java regex expands \v to the
 # vertical-whitespace CLASS (newline, VT, FF, CR, NEL U+0085, LS
@@ -85,29 +97,64 @@ def _sql_in(expr: str, pieces: tuple[str, ...]) -> str:
     return f"{expr} IN ({vals})"
 
 
-def pieces_by_length() -> dict[int, tuple[str, ...]]:
-    out: dict[int, list[str]] = {1: [], 2: [], 3: [], 4: []}
-    for p in VOCAB:
-        out[len(p)].append(p)
-    return {k: tuple(v) for k, v in out.items()}
+def pieces_by_length(
+    vocab: tuple[str, ...] = VOCAB,
+) -> dict[int, tuple[str, ...]]:
+    """Distinct piece lengths present in ``vocab`` → their pieces
+    (descending-length iteration order drives the greedy fold)."""
+    out: dict[int, list[str]] = {}
+    for p in vocab:
+        if p:
+            out.setdefault(len(p), []).append(p)
+    return {k: tuple(out[k]) for k in sorted(out, reverse=True)}
 
 
-def bpe_count_cols(text_col: str = "text") -> Column:
+def load_vocab(spark, path: str, piece_col: str = "piece") -> tuple[str, ...]:
+    """Load a tokenizer vocabulary from a parquet (or csv with header)
+    piece table — the bridge from the committed toy to a REAL
+    tokenizer: export the tokenizer's pieces to one column and meter
+    the corpus in ITS tokens. Pieces are ASCII-case-folded (frozen
+    rule 1 lowercases the text, so uppercase pieces could never
+    match), whitespace-containing or empty pieces are dropped (rule 2
+    splits on whitespace before the fold), and the result is deduped
+    and sorted for a deterministic expression tree. The collect is
+    model-sized (a piece table), never corpus-sized."""
+    reader = spark.read
+    df = (
+        reader.option("header", True).csv(path)
+        if path.endswith(".csv")
+        else reader.parquet(path)
+    )
+    import re as _re
+
+    pieces = {
+        r[0].translate(_TO_LOWER)
+        for r in df.select(piece_col).collect()
+        if r[0] and not _re.search(r"[ \t\n\r\f\x0b]", r[0])
+    }
+    return tuple(sorted(pieces))
+
+
+def bpe_count_cols(
+    text_col: str = "text", vocab: tuple[str, ...] = VOCAB
+) -> Column:
     """struct(n_bpe_tokens, n_unk_pieces) — the whole tokenizer as one
-    narrow JVM expression."""
-    by_len = pieces_by_length()
+    narrow JVM expression. ``vocab`` defaults to the committed toy;
+    pass ``load_vocab(...)`` output to meter in a real tokenizer's
+    pieces (the CASE arms and max piece length derive from whatever
+    lengths the vocabulary actually contains)."""
+    by_len = pieces_by_length(vocab)
     # the per-word fold: state (nxt, cnt, unk); positions where
-    # i < nxt were consumed by an earlier multi-char piece
+    # i < nxt were consumed by an earlier multi-char piece. One WHEN
+    # arm per piece length, longest first — the greedy rule.
+    whens = " ".join(
+        f"WHEN {_sql_in(f'substring(w, i, {ln})', by_len[ln])}"
+        f" THEN named_struct('nxt', i + {ln}, 'cnt', st.cnt + 1L,"
+        " 'unk', st.unk)"
+        for ln in by_len
+    )
     step = (
-        "CASE "
-        f"WHEN {_sql_in('substring(w, i, 4)', by_len[4])}"
-        " THEN named_struct('nxt', i + 4, 'cnt', st.cnt + 1L, 'unk', st.unk) "
-        f"WHEN {_sql_in('substring(w, i, 3)', by_len[3])}"
-        " THEN named_struct('nxt', i + 3, 'cnt', st.cnt + 1L, 'unk', st.unk) "
-        f"WHEN {_sql_in('substring(w, i, 2)', by_len[2])}"
-        " THEN named_struct('nxt', i + 2, 'cnt', st.cnt + 1L, 'unk', st.unk) "
-        f"WHEN {_sql_in('substring(w, i, 1)', by_len[1])}"
-        " THEN named_struct('nxt', i + 1, 'cnt', st.cnt + 1L, 'unk', st.unk) "
+        f"CASE {whens} "
         "ELSE named_struct('nxt', i + 1, 'cnt', st.cnt + 1L,"
         " 'unk', st.unk + 1L) END"
     )
@@ -133,9 +180,13 @@ def bpe_count_cols(text_col: str = "text") -> Column:
     )
 
 
-def with_bpe_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_bpe_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab: tuple[str, ...] = VOCAB,
+) -> DataFrame:
     """Append (n_bpe_tokens, n_unk_pieces)."""
-    d = df.withColumn("_bpe", bpe_count_cols(text_col))
+    d = df.withColumn("_bpe", bpe_count_cols(text_col, vocab))
     return (
         d.withColumn("n_bpe_tokens", F.col("_bpe.n_bpe_tokens"))
         .withColumn("n_unk_pieces", F.col("_bpe.n_unk_pieces"))
@@ -143,16 +194,19 @@ def with_bpe_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def tokenize_word(word: str) -> list[str]:
+def tokenize_word(
+    word: str, vocab: tuple[str, ...] = VOCAB
+) -> list[str]:
     """Reference (pure-Python) greedy tokenizer for tests: the frozen
     fold, one piece list out. NOT used by the Spark path — pytest pins
     the column expression against it."""
-    vocab = set(VOCAB)
+    lens = sorted({len(p) for p in vocab if p}, reverse=True)
+    vset = set(vocab)
     out, pos = [], 0
     while pos < len(word):
-        for ln in (4, 3, 2, 1):
+        for ln in lens:
             piece = word[pos : pos + ln]
-            if len(piece) == ln and piece in vocab:
+            if len(piece) == ln and piece in vset:
                 out.append(piece)
                 pos += ln
                 break
@@ -162,25 +216,33 @@ def tokenize_word(word: str) -> list[str]:
     return out
 
 
-def oracle_sql(table: str = "documents", text_col: str = "text") -> str:
+def oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    vocab: tuple[str, ...] = VOCAB,
+) -> str:
     """The DuckDB restatement: a recursive CTE stepping the identical
     greedy fold (one state row per word instance per step; iterations
     bounded by the longest word)."""
-    by_len = pieces_by_length()
+    by_len = pieces_by_length(vocab)
+    multi = [ln for ln in by_len if ln > 1]
     adv = (
         "CASE "
-        f"WHEN {_sql_in('substr(w, pos, 4)', by_len[4])} THEN 4 "
-        f"WHEN {_sql_in('substr(w, pos, 3)', by_len[3])} THEN 3 "
-        f"WHEN {_sql_in('substr(w, pos, 2)', by_len[2])} THEN 2 "
-        "ELSE 1 END"
+        + " ".join(
+            f"WHEN {_sql_in(f'substr(w, pos, {ln})', by_len[ln])} THEN {ln}"
+            for ln in multi
+        )
+        + " ELSE 1 END"
+        if multi
+        else "1"
     )
     unk_inc = (
         "CASE "
-        f"WHEN {_sql_in('substr(w, pos, 4)', by_len[4])} THEN 0 "
-        f"WHEN {_sql_in('substr(w, pos, 3)', by_len[3])} THEN 0 "
-        f"WHEN {_sql_in('substr(w, pos, 2)', by_len[2])} THEN 0 "
-        f"WHEN {_sql_in('substr(w, pos, 1)', by_len[1])} THEN 0 "
-        "ELSE 1 END"
+        + " ".join(
+            f"WHEN {_sql_in(f'substr(w, pos, {ln})', by_len[ln])} THEN 0"
+            for ln in by_len
+        )
+        + " ELSE 1 END"
     )
     return f"""
 WITH RECURSIVE words AS (

@@ -91,3 +91,53 @@ def test_oracle_matches_python_reference(tmp_path):
         pieces = [pc for w in words for pc in tokenize_word(w)]
         n_unk = sum(1 for pc in pieces if pc.startswith("<unk:"))
         assert rows[i] == (len(pieces), n_unk), (t, rows[i])
+
+
+def test_loaded_vocabulary_drives_the_fold(spark, tmp_path):
+    """Round-5 task 3: the vocabulary is data, not a constant — a
+    piece table loaded from parquet drives the fold, CASE arms and max
+    piece length derive from the lengths actually present (here
+    1/2/5 — no length-3/4 arms), and counts pin exactly against the
+    Python reference AND the DuckDB oracle built from the same
+    loaded vocab."""
+    from ocrd_segment_spark.operators.bpe import load_vocab
+
+    # exotic length set incl. a 5-char piece; 'TIONS' arrives
+    # uppercase (loader must fold), ' bad ' carries whitespace
+    # (loader must drop), 'er' is duplicated (loader must dedup)
+    pieces = ["a", "b", "c", "n", "o", "t", "i", "s", "er",
+              "TIONS", "er", " bad ", ""]
+    vp = str(tmp_path / "vocab")
+    spark.createDataFrame([(p,) for p in pieces], "piece string") \
+        .write.parquet(vp)
+    vocab = load_vocab(spark, vp)
+    assert vocab == ("a", "b", "c", "er", "i", "n", "o", "s", "t", "tions")
+    assert sorted({len(p) for p in vocab}, reverse=True) == [5, 2, 1]
+
+    # greedy with the LOADED lengths: 'nations' = n+a+tions (the
+    # 5-piece wins over t+i+o+n+s), 'winter' = unk(w)+i+n+t+er
+    assert tokenize_word("nations", vocab) == ["n", "a", "tions"]
+    assert tokenize_word("winter", vocab) == ["<unk:w>", "i", "n", "t", "er"]
+
+    rows = [(1, "Nations obit winter"), (2, "tions tions x"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_unk_pieces"])
+        for r in with_bpe_counts(df, vocab=vocab).collect()
+    }
+    # doc1: nations=3, obit=o+b+i+t=4, winter=5 (1 unk) → 12 tokens
+    # doc2: tions+tions+x → 1+1+1 tokens, x is unk
+    assert got == {1: (12, 1), 2: (3, 1), 3: (0, 0)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES (1, 'Nations obit winter'),"
+        " (2, 'tions tions x'), (3, NULL)) t(doc_id, text)"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            oracle_sql(table="d", vocab=vocab)
+        ).fetchall()
+    }
+    assert oracle == got
