@@ -2240,7 +2240,11 @@ def q_ccnet_buckets(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     models = bigram_lm_models_by_lang(d.filter("doc_id % 10 = 0"))
     scored = with_lm_score_per_lang(d, models)
-    return with_ccnet_buckets(scored).select(
+    # exact=True: the opt-in exact-percentile path is the ONLY one a
+    # DuckDB oracle can restate (quantile_cont); the default approx
+    # path has engine-specific sketch merge order (see the operator
+    # docstring) and is covered by pytest instead
+    return with_ccnet_buckets(scored, exact=True).select(
         "doc_id", "bits_per_bigram", "ccnet_bucket"
     )
 

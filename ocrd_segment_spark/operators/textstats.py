@@ -602,42 +602,61 @@ def with_ccnet_buckets(
     df: DataFrame,
     bits_col: str = "bits_per_bigram",
     cuts: "tuple[float, float] | None" = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Append ``ccnet_bucket`` ∈ head/middle/tail/unscored: CCNet's
     perplexity partitioning — the corpus splits at the terciles of the
     reference-LM surprisal, 'head' being the most reference-like third
     (CCNet trains on head, treats tail as suspect). Frozen rules: the
-    tercile cutoffs are exact interpolated percentiles at 1/3 and 2/3
-    ROUNDED to 6 (the cross-engine comparison then works on round-6
-    doubles on both sides, the repo's double discipline); boundaries
-    are inclusive (<=); NULL bits (unmodeled lang, sub-2-char docs) →
-    'unscored', never silently binned.
+    tercile cutoffs are the 1/3 and 2/3 percentiles ROUNDED to 6 (the
+    cross-engine comparison then works on round-6 doubles on both
+    sides, the repo's double discipline); boundaries are inclusive
+    (<=); NULL bits (unmodeled lang, sub-2-char docs) → 'unscored',
+    never silently binned.
 
-    Scale shape: one 1-row percentile aggregate broadcast back (the
-    established 1-row-totals pattern). Exact percentiles hold a sorted
-    digest per partition; at true corpus scale compute the cutoffs on
-    a hash-sample of the bits column instead — the operator takes
-    whatever DataFrame you hand it, so sampling composes upstream.
+    Safe-at-scale defaults (round-5; both round-4 'what's wrong' items
+    for this operator):
 
-    CAVEAT (review pass 4): deriving the cutoffs BRANCHES ``df``'s
-    lineage (the aggregate and the main path each evaluate the
-    upstream), so an expensive upstream — LM scoring, extraction —
-    computes twice unless the caller ``.cache()``s ``df`` first or
-    passes precomputed ``cuts=(t1, t2)`` (already rounded to 6), which
-    skips the aggregate entirely."""
+    - cutoffs derive via ``percentile_approx`` (GK sketch, bounded
+      executor memory) unless ``exact=True``. The approx error at
+      accuracy 10000 is ≤0.01% of rank — bucket assignment shifts only
+      for docs within that sliver of the cutoffs, irrelevant for a
+      head/middle/tail partitioning. ``exact=True`` buffers the column
+      per partition (exact interpolated percentile) and exists for the
+      DuckDB oracle, whose quantile_cont has no GK twin — sketch
+      merge order is engine-specific, so ONLY the exact path is
+      cross-engine reproducible and the contract key pins that path.
+    - when cutoffs must be derived (``cuts=None``), ``df`` is
+      ``localCheckpoint(eager=True)``-ed first: deriving branches the
+      lineage (aggregate + main path), and without materialization an
+      uncached expensive upstream — LM scoring, extraction — would
+      evaluate twice (plan-tested: tests/test_corpus_quality.py pins
+      ONE upstream evaluation via accumulator). The checkpoint holds
+      the operator's input on executor storage for the duration — an
+      offline partitioning step's trade; callers who already wrote the
+      scored table pass ``cuts=`` (or read back the parquet) and skip
+      both the branch and the checkpoint."""
     if cuts is not None:
         t1, t2 = cuts
         cuts_df = df.sparkSession.createDataFrame(
             [(float(t1), float(t2))], "_t1 double, _t2 double"
         )
     else:
+        df = df.localCheckpoint(eager=True)
+        if exact:
+            t1_expr = f"round(percentile({bits_col}, cast(1 as double)/3), 6)"
+            t2_expr = f"round(percentile({bits_col}, cast(2 as double)/3), 6)"
+        else:
+            t1_expr = (
+                f"round(percentile_approx({bits_col},"
+                " cast(1 as double)/3, 10000), 6)"
+            )
+            t2_expr = (
+                f"round(percentile_approx({bits_col},"
+                " cast(2 as double)/3, 10000), 6)"
+            )
         cuts_df = df.agg(
-            F.expr(
-                f"round(percentile({bits_col}, cast(1 as double)/3), 6)"
-            ).alias("_t1"),
-            F.expr(
-                f"round(percentile({bits_col}, cast(2 as double)/3), 6)"
-            ).alias("_t2"),
+            F.expr(t1_expr).alias("_t1"), F.expr(t2_expr).alias("_t2")
         )
     return (
         df.crossJoin(F.broadcast(cuts_df))

