@@ -125,6 +125,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "within_doc_dedup": M.q_within_doc_dedup,
     "url_canonicalize": M.q_url_canonicalize,
     "pii_redaction": M.q_pii_redaction,
+    "pii_redaction_spans": M.q_pii_redaction_spans,
     "decontaminate_benchmark": M.q_decontaminate,
     "ann_ivf_search": M.q_ann_ivf_search,
     "ann_recall_audit": M.q_ann_recall_audit,
@@ -247,6 +248,7 @@ _ORACLES: dict[str, str] = {
     "within_doc_dedup": M.O_WITHIN_DEDUP,
     "url_canonicalize": M.O_URL_CANON,
     "pii_redaction": M.O_PII,
+    "pii_redaction_spans": M.O_PII_SPANS,
     "decontaminate_benchmark": M.O_DECONTAMINATE,
     "ann_ivf_search": M.O_ANN_IVF_SEARCH,
     "ann_recall_audit": M.O_ANN_RECALL,

@@ -39,12 +39,16 @@ Stages (each narrow or one bounded shuffle):
 6. post-write (optional, each reads the committed parquet rather than
    branching the live DAG — re-extraction is never triggered):
    ``--boilerplate-min-df N`` writes ``<output>_clean`` with
-   cross-document frequent lines removed; ``--near-dup-audit`` writes
-   LSH-then-verify candidate pairs; ``--decontaminate <bench>`` writes
-   ``<output>_contaminated`` (eval-set n-gram overlap, broadcast).
-   PII scrubbing (functions/pii.redact_pii) composes downstream on the
-   clean table — it rewrites text, so it must not touch the span-
-   aligned main table.
+   cross-document frequent lines removed — add ``--preserve-spans``
+   to remove frequent REGIONS instead, emitting (url, clean_text,
+   REMAPPED region_spans): the clean table then keeps region
+   structure (spans slice clean_text exactly) without re-running
+   extraction; the line-based variant remains for span-less corpora.
+   ``--near-dup-audit`` writes LSH-then-verify candidate pairs;
+   ``--decontaminate <bench>`` writes ``<output>_contaminated``
+   (eval-set n-gram overlap, broadcast). Span-preserving PII
+   scrubbing (functions/pii.redact_pii_spans) composes on either
+   clean table; the text-only redact_pii remains for span-less use.
 """
 
 from __future__ import annotations
@@ -142,6 +146,24 @@ def main() -> None:
         " (C4-style cross-document boilerplate strip); adds clean_text",
     )
     ap.add_argument(
+        "--preserve-spans",
+        action="store_true",
+        help="make --boilerplate-min-df remove frequent REGIONS via"
+        " operators/paragraphs.remove_frequent_regions: <output>_clean"
+        " then carries REMAPPED region_spans that slice clean_text"
+        " exactly (region structure survives cleaning); without this"
+        " flag the line-based strip emits span-less clean_text",
+    )
+    ap.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="write <output>_redacted: span-preserving PII scrub"
+        " (functions/pii.redact_pii_spans) of the committed corpus —"
+        " clean_text with <EMAIL>/<IP>/<PHONE> tokens plus REMAPPED"
+        " region_spans, so scrubbing no longer orphans the"
+        " span-aligned table",
+    )
+    ap.add_argument(
         "--decontaminate",
         default=None,
         help="optional path: parquet of benchmark/eval documents"
@@ -182,6 +204,8 @@ def main() -> None:
         bpe_vocab_path=args.bpe_vocab,
         card=args.card,
         boilerplate_min_df=args.boilerplate_min_df,
+        preserve_spans=args.preserve_spans,
+        redact_pii=args.redact_pii,
         decontaminate_path=args.decontaminate,
         near_dup_audit=args.near_dup_audit,
         python_parallelism=args.python_parallelism,
@@ -208,6 +232,8 @@ def build_corpus(
     bpe_vocab_path: str | None = None,
     card: bool = False,
     boilerplate_min_df: int | None = None,
+    preserve_spans: bool = False,
+    redact_pii: bool = False,
     decontaminate_path: str | None = None,
     near_dup_audit: str | None = None,
     python_parallelism: int | None = None,
@@ -435,6 +461,8 @@ def build_corpus(
     # keys would be nondeterministically dropped); -1 = stage not run
     funnel["near_dup_candidates"] = -1
     funnel["boilerplate_units_removed"] = -1
+    funnel["boilerplate_regions_removed"] = -1
+    funnel["pii_docs_redacted"] = -1
     funnel["contaminated_docs"] = -1
     if decontaminate_path is not None:
         # benchmark decontamination over the WRITTEN corpus (post-write
@@ -459,27 +487,70 @@ def build_corpus(
         flags.write.mode("overwrite").parquet(output_path + "_contaminated")
         funnel["contaminated_docs"] = c_obs.get["n"]
     if boilerplate_min_df is not None:
-        # C4-style cross-document line removal, run over the WRITTEN
-        # corpus (like the near-dup audit: reading committed parquet is
-        # one cheap column scan; deriving it from live lineage would
-        # branch the DAG and re-run the mapInPandas extraction). Writes
-        # a sibling table (url, clean_text, n_kept, n_removed) — span
-        # offsets in the main table keep referring to extracted_text.
-        from ocrd_segment_spark.operators.paragraphs import remove_frequent_units
+        # C4-style cross-document boilerplate removal, run over the
+        # WRITTEN corpus (like the near-dup audit: reading committed
+        # parquet is one cheap column scan; deriving it from live
+        # lineage would branch the DAG and re-run the mapInPandas
+        # extraction). Two variants, same doc-frequency rule:
+        # --preserve-spans removes frequent REGIONS and writes
+        # (url, clean_text, REMAPPED region_spans, n_kept, n_removed)
+        # — spans slice clean_text exactly, so region structure
+        # survives cleaning without re-extraction (round-4 verdict
+        # task: users no longer re-extract for clean text + spans);
+        # the default line-based strip stays for span-less corpora and
+        # emits (url, clean_text, n_kept, n_removed) with the main
+        # table's offsets still referring to extracted_text.
+        corpus = spark.read.parquet(output_path)
+        b_obs = Observation("boiler")
+        if preserve_spans:
+            from ocrd_segment_spark.operators.paragraphs import (
+                remove_frequent_regions,
+            )
+
+            cleaned = remove_frequent_regions(
+                corpus,
+                id_col="url",
+                text_col="extracted_text",
+                spans_col="region_spans",
+                min_doc_freq=boilerplate_min_df,
+            ).observe(
+                b_obs, F.coalesce(F.sum("n_removed"), F.lit(0)).alias("n")
+            )
+        else:
+            from ocrd_segment_spark.operators.paragraphs import (
+                remove_frequent_units,
+            )
+
+            cleaned = remove_frequent_units(
+                corpus,
+                id_col="url",
+                text_col="extracted_text",
+                min_doc_freq=boilerplate_min_df,
+            ).observe(
+                b_obs, F.coalesce(F.sum("n_removed"), F.lit(0)).alias("n")
+            )
+        cleaned.write.mode("overwrite").parquet(output_path + "_clean")
+        key = ("boilerplate_regions_removed" if preserve_spans
+               else "boilerplate_units_removed")
+        funnel[key] = b_obs.get["n"]
+    if redact_pii:
+        # span-preserving PII scrub over the WRITTEN corpus (post-write
+        # pattern: one cheap scan of committed parquet, zero shuffle —
+        # the operator is pure per-document column math). Sibling
+        # table keeps the scrub reviewable next to the unredacted
+        # corpus; the redacted-doc count rides the write.
+        from ocrd_segment_spark.functions.pii import redact_pii_spans
 
         corpus = spark.read.parquet(output_path)
-        cleaned = remove_frequent_units(
-            corpus,
-            id_col="url",
-            text_col="extracted_text",
-            min_doc_freq=boilerplate_min_df,
+        p_obs = Observation("pii")
+        redacted = redact_pii_spans(corpus).observe(
+            p_obs,
+            F.coalesce(
+                F.sum((F.col("n_pii_regions") > 0).cast("long")), F.lit(0)
+            ).alias("n"),
         )
-        b_obs = Observation("boiler")
-        cleaned = cleaned.observe(
-            b_obs, F.coalesce(F.sum("n_removed"), F.lit(0)).alias("n")
-        )
-        cleaned.write.mode("overwrite").parquet(output_path + "_clean")
-        funnel["boilerplate_units_removed"] = b_obs.get["n"]
+        redacted.write.mode("overwrite").parquet(output_path + "_redacted")
+        funnel["pii_docs_redacted"] = p_obs.get["n"]
     if near_dup_audit is not None:
         # LSH-then-verify over the WRITTEN corpus: MinHash-LSH proposes
         # candidate pairs (bucketed, hot-bucket capped), exact 3-gram

@@ -1699,6 +1699,117 @@ FROM st2
 O_PII = _pii_oracle()
 
 
+def q_pii_redaction_spans(spark, sf_dir):
+    """SPAN-PRESERVING PII redaction (functions/pii.redact_pii_spans,
+    round-5 task 5): two-region documents — region A synthesized with
+    a per-doc email + IPv4 + phone, region B the plain document text —
+    plus a zero-length media anchor at region B's start. The output
+    row carries ``piece`` = substring of clean_text at the remapped
+    span, so the hash compare IS the span/text-consistency proof (the
+    oracle derives redacted pieces and window-summed offsets
+    independently)."""
+    from .functions.pii import redact_pii_spans
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat('contact bob', doc_id, '@example.com or 10.0.0.',"
+        " doc_id % 256, ' call +1 (555) 123-4567 now') as ra",
+        "text as rb",
+    )
+    docs = d.selectExpr(
+        "doc_id",
+        "concat(ra, chr(10), rb) as extracted_text",
+        "array("
+        "named_struct('region_id','r0001','rtype','paragraph',"
+        "'subtype','p','start',0L,'end',cast(length(ra) as bigint),"
+        "'parent_id','','order',0,'score',1.0D),"
+        "named_struct('region_id','r0002','rtype','paragraph',"
+        "'subtype','p','start',cast(length(ra)+1 as bigint),"
+        "'end',cast(length(ra)+1+length(rb) as bigint),"
+        "'parent_id','','order',1,'score',1.0D),"
+        "named_struct('region_id','r0000','rtype','media',"
+        "'subtype','img','start',cast(length(ra)+1 as bigint),"
+        "'end',cast(length(ra)+1 as bigint),"
+        "'parent_id','','order',2,'score',1.0D)"
+        ") as region_spans",
+    )
+    out = redact_pii_spans(docs, id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.expr("md5(clean_text)").alias("clean_md5"),
+        "n_pii_regions",
+        F.explode("region_spans").alias("s"),
+        "clean_text",
+    ).select(
+        "doc_id",
+        "clean_md5",
+        "n_pii_regions",
+        F.col("s.region_id").alias("region_id"),
+        F.col("s.start").cast("long").alias("span_start"),
+        F.col("s.end").cast("long").alias("span_end"),
+        F.expr(
+            "substring(clean_text, cast(s.start + 1 as int),"
+            " cast(s.end - s.start as int))"
+        ).alias("piece"),
+    )
+
+
+def _pii_spans_oracle() -> str:
+    from .functions import pii
+
+    em = pii.EMAIL_RE.replace("\\\\", "\\")
+    ip = pii.IPV4_RE.replace("\\\\", "\\")
+    ph = pii.PHONE_RE.replace("\\\\", "\\")
+    def chain(c: str) -> str:
+        # str.format would choke on the regexes' {1,3} quantifiers
+        return (
+            f"regexp_replace(regexp_replace(regexp_replace({c},"
+            f" '{em}', '<EMAIL>', 'g'),"
+            f" '{ip}', '<IP>', 'g'),"
+            f" '{ph}', '<PHONE>', 'g')"
+        )
+
+    ra_red = chain("ra")
+    rb_red = chain("rb")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         'contact bob' || doc_id || '@example.com or 10.0.0.' ||
+           (doc_id % 256) || ' call +1 (555) 123-4567 now' AS ra,
+         text AS rb
+  FROM documents
+),
+r AS (
+  SELECT doc_id, {ra_red} AS ra2, {rb_red} AS rb2, ra, rb FROM t
+),
+c AS (
+  SELECT doc_id, ra2 || chr(10) || rb2 AS clean_text,
+         CAST((ra2 <> ra)::INT + (rb2 <> rb)::INT AS BIGINT)
+           AS n_pii_regions,
+         length(ra2) AS la, length(rb2) AS lb
+  FROM r
+),
+spans AS (
+  SELECT doc_id, 'r0001' AS region_id, 0 AS span_start, la AS span_end
+  FROM c
+  UNION ALL
+  SELECT doc_id, 'r0002', la + 1, la + 1 + lb FROM c
+  UNION ALL
+  SELECT doc_id, 'r0000', la + 1, la + 1 FROM c
+)
+SELECT c.doc_id, md5(c.clean_text) AS clean_md5, c.n_pii_regions,
+       s.region_id,
+       CAST(s.span_start AS BIGINT) AS span_start,
+       CAST(s.span_end AS BIGINT) AS span_end,
+       substring(c.clean_text, s.span_start + 1,
+                 s.span_end - s.span_start) AS piece
+FROM c JOIN spans s USING (doc_id)
+"""
+
+
+O_PII_SPANS = _pii_spans_oracle()
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/decontaminate): corpus docs
     sharing any distinct word-5-gram shingle with the benchmark slice

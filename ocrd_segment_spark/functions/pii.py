@@ -50,6 +50,139 @@ def redact_pii(col: str) -> Column:
     return F.expr(redact_pii_sql(col))
 
 
+def redact_pii_spans(
+    df,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    spans_col: str = "region_spans",
+    sep: str = "\n",
+):
+    """SPAN-PRESERVING PII redaction (round-5 task 5): emit
+    (clean_text, REMAPPED spans) so scrubbing can touch the
+    span-aligned main table — ``redact_pii`` alone rewrites text and
+    orphans every offset.
+
+    Frozen semantics (the pii_redaction_spans oracle restates each
+    step; same separator-position discipline as
+    operators/paragraphs.remove_frequent_regions):
+
+    - positive spans (end > start) sort by (start, end, region_id);
+      each region's substring of ``text_col`` is redacted by the
+      frozen email → IPv4 → phone chain INDEPENDENTLY — sound because
+      no pattern can match across a region boundary: every character
+      class excludes the separator (\\n), so per-region redaction
+      equals whole-text redaction wherever spans tile the text (the
+      kernel's output shape);
+    - clean_text = redacted region texts joined by ``sep``; new
+      offsets derive O(n) from separator positions (zip_with — never
+      the O(n²) prefix-scan trap), so
+      substring(clean_text, new start, new end) == redact(original
+      region text) BY CONSTRUCTION;
+    - every span keeps every input field (withField rewrite); a
+      zero-length span re-anchors to the new start of the first
+      positive span at-or-after its original position (end of
+      clean_text if none) — media anchors survive scrubbing;
+    - output spans order by (new start, new end, region_id);
+    - ``n_pii_regions`` counts regions whose text changed (the scrub's
+      per-doc audit signal).
+
+    Scale shape: ZERO shuffle — sort, redact, rebuild, and remap are
+    all per-document column math inside the scan stage; the operator
+    composes after extraction or over a written corpus at any size."""
+    assert len(sep) == 1, "sep must be one character (offset derivation)"
+    red = redact_pii_sql("w.raw")
+    d = df.withColumn(
+        "_pos",
+        F.expr(
+            f"""transform(
+              array_sort(transform(
+                filter({spans_col}, s -> s.end > s.start),
+                s -> struct(s.start as k1, s.end as k2,
+                            s.region_id as k3, s as span,
+                            substring({text_col},
+                                      cast(s.start + 1 as int),
+                                      cast(s.end - s.start as int)) as raw))),
+              w -> struct(w.span as span, w.k1 as orig_start,
+                          w.raw as raw, {red} as red))"""
+        ),
+    )
+    # bind clean_text as a real column: later lambdas reference the
+    # attribute, not a re-evaluated expression tree (no-CSE trap)
+    d = d.withColumn(
+        "clean_text",
+        F.expr(f"array_join(transform(_pos, p -> p.red), '{sep}')"),
+    )
+    seps = F.filter(
+        F.sequence(F.lit(1), F.length("clean_text")),
+        lambda i: F.col("clean_text").substr(i, F.lit(1)) == F.lit(sep),
+    )
+    starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(seps, lambda p: p.cast("long")),
+    )
+    zipped = F.zip_with(
+        "_pos",
+        starts,
+        lambda p, st: F.struct(
+            p["orig_start"].alias("orig_start"),
+            st.alias("new_start"),
+            (p["raw"] != p["red"]).alias("changed"),
+            p["span"]
+            .withField("start", st)
+            .withField("end", st + F.length(p["red"]))
+            .alias("span"),
+        ),
+    )
+    d = d.withColumn("_rp", F.slice(zipped, 1, F.size("_pos")))
+    zero_spans = F.transform(
+        F.expr(f"filter({spans_col}, s -> s.end = s.start)"),
+        lambda z: z.withField(
+            "start",
+            F.coalesce(
+                F.get(
+                    F.filter("_rp", lambda p: p["orig_start"] >= z["start"]),
+                    F.lit(0),
+                )["new_start"],
+                F.length("clean_text").cast("long"),
+            ),
+        ).withField(
+            "end",
+            F.coalesce(
+                F.get(
+                    F.filter("_rp", lambda p: p["orig_start"] >= z["start"]),
+                    F.lit(0),
+                )["new_start"],
+                F.length("clean_text").cast("long"),
+            ),
+        ),
+    )
+    merged = d.withColumn(
+        "_all", F.concat(F.transform("_rp", lambda p: p["span"]), zero_spans)
+    )
+    final_spans = F.transform(
+        F.array_sort(
+            F.transform(
+                "_all",
+                lambda s: F.struct(
+                    s["start"].alias("k1"),
+                    s["end"].alias("k2"),
+                    s["region_id"].alias("k3"),
+                    s.alias("span"),
+                ),
+            )
+        ),
+        lambda w: w["span"],
+    )
+    return merged.select(
+        F.col(id_col),
+        "clean_text",
+        final_spans.alias(spans_col),
+        F.expr("cast(size(filter(_rp, p -> p.changed)) as bigint)").alias(
+            "n_pii_regions"
+        ),
+    )
+
+
 def pii_counts(col: str) -> Column:
     """struct(n_emails, n_ips, n_phones): per-type occurrence counts,
     each measured at its position in the redaction chain — emails on

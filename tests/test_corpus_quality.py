@@ -913,3 +913,130 @@ def test_ccnet_buckets_single_upstream_evaluation(spark):
     up2 = base.mapInPandas(counting2, "doc_id long, bits_per_bigram double")
     with_ccnet_buckets(up2, cuts=(2.0, 5.0)).collect()
     assert acc2.value == 90
+
+
+def test_corpus_job_preserve_spans_boilerplate(spark, tmp_path):
+    """--boilerplate-min-df --preserve-spans end-to-end (round-5 task
+    4): the clean table carries REMAPPED region_spans — every positive
+    span slices clean_text to exactly the region text of the original
+    corpus — and the funnel gains the preserved-variant counter."""
+    from jobs.corpus_job import build_corpus
+
+    boiler = "subscribe to our newsletter for updates every week"
+    bodies = [
+        "the children were playing in the garden near the river all afternoon",
+        "she opened the window and watched the quiet street below the house",
+        "there is nothing better than a warm cup of tea in the evening",
+    ]
+    rows = [
+        (
+            f"u{i}",
+            (
+                f"<html><body><h1>story {i} of the day</h1>"
+                f"<p>{b}</p><p>{boiler}</p></body></html>"
+            ).encode(),
+        )
+        for i, b in enumerate(bodies)
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+
+    funnel = build_corpus(
+        spark,
+        src,
+        str(tmp_path / "corpus"),
+        min_quality=0.0,
+        min_tokens=1,
+        boilerplate_min_df=3,
+        preserve_spans=True,
+    )
+    assert funnel["boilerplate_regions_removed"] == 3
+    assert funnel["boilerplate_units_removed"] == -1  # line variant off
+
+    orig = {
+        r["url"]: r
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    clean = spark.read.parquet(str(tmp_path / "corpus") + "_clean").collect()
+    assert len(clean) == 3
+    for r in clean:
+        assert boiler not in r["clean_text"]
+        o = orig[r["url"]]
+        orig_texts = {
+            o["extracted_text"][s["start"]:s["end"]]
+            for s in o["region_spans"]
+        }
+        assert len(r["region_spans"]) == len(o["region_spans"]) - 1
+        for s in r["region_spans"]:
+            # every remapped span slices clean_text to a region text
+            # that existed verbatim in the original document
+            assert r["clean_text"][s["start"]:s["end"]] in orig_texts
+
+
+def test_corpus_job_line_boilerplate_unchanged(spark, tmp_path):
+    """Without --preserve-spans the line-based strip keeps its
+    round-3 behavior and funnel key (span-less corpora path)."""
+    from jobs.corpus_job import build_corpus
+
+    boiler = "subscribe to our newsletter for updates every week"
+    rows = [
+        (
+            f"u{i}",
+            (
+                f"<html><body><p>a unique sentence number {i} here"
+                f"</p><p>{boiler}</p></body></html>"
+            ).encode(),
+        )
+        for i in range(3)
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    funnel = build_corpus(
+        spark,
+        src,
+        str(tmp_path / "corpus"),
+        min_quality=0.0,
+        min_tokens=1,
+        boilerplate_min_df=3,
+    )
+    assert funnel["boilerplate_units_removed"] == 3
+    assert funnel["boilerplate_regions_removed"] == -1
+    clean = spark.read.parquet(str(tmp_path / "corpus") + "_clean")
+    assert "region_spans" not in clean.columns
+
+
+def test_corpus_job_redact_pii_spans(spark, tmp_path):
+    """--redact-pii end-to-end (round-5 task 5): <output>_redacted
+    carries clean_text with PII tokens and REMAPPED spans that slice
+    it exactly; the funnel counts redacted docs."""
+    from jobs.corpus_job import build_corpus
+
+    rows = [
+        ("u0", b"<html><body><h1>contact page for the team</h1>"
+               b"<p>write to alice@example.org or call +1 (555) 123-9876"
+               b" whenever you like during the week</p></body></html>"),
+        ("u1", b"<html><body><p>a perfectly ordinary page about gardens"
+               b" and the weather this afternoon</p></body></html>"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    funnel = build_corpus(
+        spark, src, str(tmp_path / "corpus"),
+        min_quality=0.0, min_tokens=1, redact_pii=True,
+    )
+    assert funnel["pii_docs_redacted"] == 1
+    red = {r["url"]: r for r in spark.read.parquet(
+        str(tmp_path / "corpus") + "_redacted").collect()}
+    assert "<EMAIL>" in red["u0"]["clean_text"]
+    assert "<PHONE>" in red["u0"]["clean_text"]
+    assert "alice@example.org" not in red["u0"]["clean_text"]
+    assert red["u0"]["n_pii_regions"] == 1 and red["u1"]["n_pii_regions"] == 0
+    for r in red.values():
+        for s in r["region_spans"]:
+            piece = r["clean_text"][s["start"]:s["end"]]
+            assert "@" not in piece or "<EMAIL>" in piece
+        # spans tile clean_text: join of pieces == clean_text
+        pos = sorted((s["start"], s["end"]) for s in r["region_spans"]
+                     if s["end"] > s["start"])
+        rebuilt = "\n".join(r["clean_text"][a:b] for a, b in pos)
+        assert rebuilt == r["clean_text"]
