@@ -108,6 +108,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": M.q_ann_cosine_topk,
     "ann_lsh_buckets": M.q_ann_lsh_buckets,
     "ann_ivf_assign": M.q_ann_ivf_assign,
+    "ann_ivf_incremental": M.q_ann_ivf_incremental,
     # multimodal + event-time windows
     "multimodal_meta": M.q_multimodal_meta,
     "events_hourly_window": M.q_events_hourly_window,
@@ -233,6 +234,7 @@ _ORACLES: dict[str, str] = {
     "ann_cosine_topk": M.O_ANN_COSINE,
     "ann_lsh_buckets": M.O_ANN_LSH,
     "ann_ivf_assign": M.O_ANN_IVF,
+    "ann_ivf_incremental": M.O_ANN_IVF_INCREMENTAL,
     "multimodal_meta": M.O_MULTIMODAL,
     "events_hourly_window": M.O_EVENTS_WINDOW,
     "session_windows": M.O_SESSION_WINDOWS,

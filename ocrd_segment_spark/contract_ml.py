@@ -718,6 +718,55 @@ FROM best WHERE rn = 1 GROUP BY cid
 """
 
 
+def q_ann_ivf_incremental(spark, sf_dir):
+    """Persisted + incrementally-updated IVF index (operators/ann
+    .build_ivf_index / ivf_add_batch, round-5 task 7): the index is
+    BUILT from vectors with vec_id % 5 != 0, then the % 5 == 0 batch
+    is added incrementally (assign to existing centroids, append).
+    The returned rows are read from the PERSISTED assignments table;
+    the oracle computes batch-built assignments over ALL vectors —
+    hash equality is the batch-vs-incremental parity proof."""
+    import tempfile
+
+    from .operators.ann import build_ivf_index, ivf_add_batch
+
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    c = e.filter(F.col("id") < 8).selectExpr("id as cid", "v as cv")
+    path = tempfile.mkdtemp(prefix="ivf_contract_")
+    build_ivf_index(e.filter("id % 5 != 0"), c, path)
+    ivf_add_batch(spark, path, e.filter("id % 5 = 0"))
+    return spark.read.parquet(path + "/assignments").select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        "dist2",
+    )
+
+
+O_ANN_IVF_INCREMENTAL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), pairs AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+           (x, y) -> x + y) AS dist2
+  FROM e, c
+), best AS (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, cid ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, round(dist2, 6) AS dist2
+FROM best WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-column stub
 # ---------------------------------------------------------------------------

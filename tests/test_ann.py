@@ -141,3 +141,54 @@ def test_ivf_search_recall_and_plan(spark):
     assert hits / len(exact) == 1.0  # separated clusters: full recall
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivf_index_persist_and_add_batch(spark, tmp_path):
+    """Round-5 task 7: build_ivf_index persists (assignments ids-only,
+    centroid stats as drift baseline); ivf_add_batch assigns new
+    vectors to EXISTING centroids, skips already-indexed ids
+    (merge_corpus dedup rule), and flags drifted lists."""
+    from ocrd_segment_spark.operators.ann import build_ivf_index, ivf_add_batch
+
+    # two tight clusters around (0,0) and (10,10)
+    base = spark.createDataFrame(
+        [(i, [0.0 + i * 0.1, 0.0]) for i in range(5)]
+        + [(10 + i, [10.0 + i * 0.1, 10.0]) for i in range(5)],
+        "id long, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.2, 0.0]), (1, [10.2, 10.0])], "cid long, cv array<double>"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, cents, path)
+    c = {r["cid"]: r for r in spark.read.parquet(path + "/centroids").collect()}
+    assert c[0]["n_assigned"] == 5 and c[1]["n_assigned"] == 5
+    assert c[0]["mean_dist2"] is not None
+    a = spark.read.parquet(path + "/assignments")
+    assert a.columns == ["id", "cid", "dist2"]  # ids only, no payload
+    assert a.count() == 10
+
+    # batch: one in-distribution vector per list, one FAR outlier that
+    # still lands in list 0, and a duplicate id (should be skipped)
+    batch = spark.createDataFrame(
+        [(100, [0.15, 0.0]), (101, [10.15, 10.0]), (102, [4.0, 0.0]),
+         (0, [999.0, 999.0])],
+        "id long, v array<double>",
+    )
+    drift = {r["cid"]: r for r in
+             ivf_add_batch(spark, path, batch, drift_threshold=1.5).collect()}
+    after = spark.read.parquet(path + "/assignments")
+    assert after.count() == 13  # duplicate id 0 skipped
+    assert after.filter("id = 0").count() == 1
+    got = {r["id"]: r["cid"] for r in after.filter("id >= 100").collect()}
+    assert got == {100: 0, 101: 1, 102: 0}
+    # list 0 got the far outlier → mean batch dist2 explodes → drifted;
+    # list 1 got only an in-distribution vector → not drifted
+    assert drift[0]["drifted"] and drift[0]["n_new"] == 2
+    assert not drift[1]["drifted"] and drift[1]["n_new"] == 1
+    assert drift[0]["drift"] > 1.5
+
+    # a second add of the same batch is a full no-op (all ids indexed)
+    drift2 = ivf_add_batch(spark, path, batch)
+    assert after.count() == 13
+    assert all(r["n_new"] == 0 for r in drift2.collect())
