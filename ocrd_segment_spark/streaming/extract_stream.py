@@ -44,6 +44,7 @@ def stream_extract(
     pre_transform=None,
     python_parallelism: int | None = None,
     lang_id: bool = False,
+    lang_margin: float | None = None,
 ):
     """Continuous extraction with exactly-once semantics (checkpointed
     file-source offsets + parquet sink manifest). ``available_now``
@@ -58,7 +59,10 @@ def stream_extract(
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
     if pre_transform is not None:
         pages = pre_transform(pages)
-    out = extract_pages(pages, params, python_parallelism, lang_id=lang_id)
+    out = extract_pages(
+        pages, params, python_parallelism,
+        lang_id=lang_id, lang_margin=lang_margin,
+    )
     if transform is not None:
         out = transform(out)
     writer = (

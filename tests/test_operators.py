@@ -413,6 +413,7 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "kept_bpe_tokens": -1,
         "dropped_exact_dup": 0, "corpus_docs": 0,
         "near_dup_candidates": -1, "boilerplate_units_removed": -1,
+        "boilerplate_regions_removed": -1, "pii_docs_redacted": -1,
         "contaminated_docs": -1,
     }
 
