@@ -371,18 +371,22 @@ def main() -> None:
             attempts.append({"t": round(dt, 3), "ext_cores": ext_load.stop()})
             if len(attempts) < runs:
                 continue
-            quiet = [
-                a for a in attempts
-                if a["ext_cores"] is not None and a["ext_cores"] < LOAD_GATE
-            ]
-            if quiet or ext_load.ok is False or extra_left == 0:
+            # external load only ever SLOWS a run, so the overall
+            # minimum is always valid evidence of what the code can do
+            # — even when that attempt itself measured hot. The flare
+            # risk is one-sided: a best that ran HOT may still be
+            # inflated, so grant bounded retries for a chance at a
+            # quiet (or simply faster) attempt; a best that ran quiet
+            # needs nothing.
+            best = min(attempts, key=lambda a: a["t"])
+            if (
+                ext_load.ok is False
+                or best["ext_cores"] < LOAD_GATE
+                or extra_left == 0
+            ):
                 break
-            extra_left -= 1  # every attempt so far was flare-hit: retry
-        # prefer the fastest QUIET attempt as the standing number; fall
-        # back to overall-fastest only when no attempt ran quiet (the
-        # per-run evidence then shows exactly why)
-        pool = quiet if quiet else attempts
-        timings[name] = min(a["t"] for a in pool)
+            extra_left -= 1
+        timings[name] = min(a["t"] for a in attempts)
         per_run[name] = attempts
 
     total = round(sum(timings.values()), 3)
@@ -402,8 +406,8 @@ def main() -> None:
                 "queries": timings,
                 # per-attempt evidence: every timed run with the
                 # external (co-tenant) average cores measured DURING
-                # that run; "queries" above is the fastest attempt
-                # whose ext_cores < 3.0 (or fastest overall if none)
+                # that run; "queries" above is the fastest attempt —
+                # retries were granted while the fastest was flare-hit
                 "runs": per_run,
                 "load_gate_ext_cores": LOAD_GATE,
                 "sf": _SF,

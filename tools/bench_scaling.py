@@ -314,6 +314,59 @@ emits `load_1m_start` (sampled before any Spark work — the co-tenant
 level; accept numbers only when < ~3) alongside the finish-time
 `load_1m` (which includes the bench's own 32-core load and reads
 ~CPUS even on a quiet box).
+
+Round 5 closes the gate's blind spot (BENCH_r04's corpus_job=44.8 s
+recorded at gate-passing start-load 1.7 — the flare arrived minutes
+after the single sample): every timed attempt now carries its OWN
+co-tenant measurement, taken DURING the run by attributing CPU —
+host busy jiffies (/proc/stat) minus this container's cpuacct usage =
+external cores burned while the attempt executed. The 1-min loadavg
+cannot do this per-attempt (the bench's own 32-core bursts dominate
+it for ~2 min after every run); direct attribution is immune to
+self-load (verified: a 2-core self-burn reads ~0.02 external cores).
+bench.py emits per-run `{"t": sec, "ext_cores": n}` evidence under
+"runs", picks the fastest attempt with ext_cores < 3.0 as the
+standing number, and grants up to 2 bounded retries when every
+attempt of a query was flare-hit — a co-tenant burst is now visible
+in the artifact instead of silently becoming the headline.
+
+## Round-5 surface: abstaining lang-id, loadable BPE vocab, span-preserving scrubbing, persistent IVF
+
+- **Lang-id abstention** (--lang-margin): frozen per-char top-2 gap
+  rule routes out-of-inventory languages to 'und' instead of a
+  confident misbin; quality is MEASURED on a held-out fixture
+  (41/44 in-inventory correct, 8/12 out-of-inventory abstained,
+  Korean 4/4 — exact counts pinned; langid_confusion contract key
+  replays scoring + margin through the DuckDB oracle). Same fused
+  extraction pass — still ONE python stage, zero new shuffles.
+- **Loadable BPE vocabulary** (--bpe-vocab): the greedy fold's CASE
+  arms and max piece length derive from the loaded piece table
+  (parquet/csv, model-sized collect); token budgets can now be
+  metered in the actual training tokenizer's tokens. Still one
+  pure-JVM column fold inside the scan.
+- **Span-preserving cleaning in the job** (--preserve-spans):
+  <output>_clean carries REMAPPED region_spans that slice clean_text
+  exactly — clean text + region structure without re-extraction.
+- **Span-preserving PII scrub** (--redact-pii, redact_pii_spans):
+  per-region redaction + O(n) separator-position offset remap, ZERO
+  shuffle (pure per-document column math); sound because no PII
+  pattern can cross a region boundary (every character class
+  excludes the separator).
+- **Persistent IVF index** (build_ivf_index / ivf_add_batch): the
+  index lives as tables (assignments are ids-only; centroid stats
+  frozen as the drift baseline); new batches assign to existing
+  centroids via one broadcast pass + an id-keyed anti-join
+  (batch-vs-index, the merge_corpus discipline) and return a
+  per-list drift report that says when to recluster. Contract key
+  ann_ivf_incremental proves batch-built == incrementally-updated
+  assignment parity through the persisted tables.
+- **CCNet safe defaults**: cutoff derivation is percentile_approx +
+  an automatic localCheckpoint (plan-tested single evaluation of the
+  upstream); exact percentiles are the opt-in the oracle pins.
+- **Streaming parity**: stream_job now carries --blocklist,
+  --count-bpe, --bpe-vocab, --lang-margin, and projects a FIXED sink
+  schema (null-filled signals for disabled stages) so checkpointed
+  restarts with different flags cannot fork the parquet schema.
 """
 
 
