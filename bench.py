@@ -151,21 +151,34 @@ class ExternalLoad:
     def _snap(self):
         with open("/proc/stat") as f:
             vals = list(map(int, f.readline().split()[1:]))
-        busy = sum(vals) - vals[3] - vals[4]  # minus idle+iowait
+        # fields: user nice system idle iowait irq softirq steal guest
+        # guest_nice — guest/guest_nice are ALREADY inside user/nice,
+        # so summing all ten would double-count co-tenant VMs; sum the
+        # first eight only
+        busy = sum(vals[:8]) - vals[3] - vals[4]  # minus idle+iowait
         with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
             own_ns = int(f.read())
         return busy, own_ns, time.monotonic()
 
     def start(self) -> None:
+        # a transient read failure mid-bench must disable the feature,
+        # never abort a multi-minute run
         if self.ok:
-            self._t0 = self._snap()
+            try:
+                self._t0 = self._snap()
+            except OSError:
+                self.ok = False
 
     def stop(self):
         """External average cores during start()→stop(), or None."""
         if not self.ok:
             return None
+        try:
+            b1, o1, w1 = self._snap()
+        except OSError:
+            self.ok = False
+            return None
         b0, o0, w0 = self._t0
-        b1, o1, w1 = self._snap()
         wall = max(w1 - w0, 1e-6)
         ext = (b1 - b0) / self.hz / wall - (o1 - o0) / 1e9 / wall
         return round(max(ext, 0.0), 1)
@@ -380,7 +393,7 @@ def main() -> None:
             # needs nothing.
             best = min(attempts, key=lambda a: a["t"])
             if (
-                ext_load.ok is False
+                best["ext_cores"] is None
                 or best["ext_cores"] < LOAD_GATE
                 or extra_left == 0
             ):

@@ -158,10 +158,11 @@ def main() -> None:
         "--redact-pii",
         action="store_true",
         help="write <output>_redacted: span-preserving PII scrub"
-        " (functions/pii.redact_pii_spans) of the committed corpus —"
-        " clean_text with <EMAIL>/<IP>/<PHONE> tokens plus REMAPPED"
-        " region_spans, so scrubbing no longer orphans the"
-        " span-aligned table",
+        " (functions/pii.redact_pii_spans) of the furthest-downstream"
+        " span-aligned table the job produced — the _clean table when"
+        " --preserve-spans ran, else the committed corpus — clean_text"
+        " with <EMAIL>/<IP>/<PHONE> tokens plus REMAPPED region_spans,"
+        " so scrubbing no longer orphans the span-aligned table",
     )
     ap.add_argument(
         "--decontaminate",
@@ -178,6 +179,12 @@ def main() -> None:
     )
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
+    if args.preserve_spans and args.boilerplate_min_df is None:
+        ap.error("--preserve-spans requires --boilerplate-min-df"
+                 " (it selects WHICH boilerplate variant runs)")
+    if args.bpe_vocab is not None and not args.count_bpe:
+        ap.error("--bpe-vocab requires --count-bpe"
+                 " (a vocabulary with no metering stage does nothing)")
     if (args.lm_ref is None) != (args.lm_max_bits is None):
         ap.error("--lm-ref and --lm-max-bits must be given together"
                  " (one alone would silently skip the LM filter stage)")
@@ -534,16 +541,24 @@ def build_corpus(
                else "boilerplate_units_removed")
         funnel[key] = b_obs.get["n"]
     if redact_pii:
-        # span-preserving PII scrub over the WRITTEN corpus (post-write
+        # span-preserving PII scrub over the WRITTEN output (post-write
         # pattern: one cheap scan of committed parquet, zero shuffle —
-        # the operator is pure per-document column math). Sibling
-        # table keeps the scrub reviewable next to the unredacted
-        # corpus; the redacted-doc count rides the write.
+        # the operator is pure per-document column math). Scrubs the
+        # FURTHEST-DOWNSTREAM span-aligned table: the boilerplate-
+        # cleaned _clean table when --preserve-spans ran (so users get
+        # cleaned AND redacted in one table), else the main corpus.
+        # Sibling table keeps the scrub reviewable next to its source;
+        # the redacted-doc count rides the write.
         from ocrd_segment_spark.functions.pii import redact_pii_spans
 
-        corpus = spark.read.parquet(output_path)
+        if boilerplate_min_df is not None and preserve_spans:
+            src_tbl = spark.read.parquet(output_path + "_clean")
+            scrubbed = redact_pii_spans(src_tbl, text_col="clean_text")
+        else:
+            src_tbl = spark.read.parquet(output_path)
+            scrubbed = redact_pii_spans(src_tbl)
         p_obs = Observation("pii")
-        redacted = redact_pii_spans(corpus).observe(
+        redacted = scrubbed.observe(
             p_obs,
             F.coalesce(
                 F.sum((F.col("n_pii_regions") > 0).cast("long")), F.lit(0)

@@ -48,7 +48,9 @@ SINK_COLUMNS = (
     ("region_spans", None),
     ("lineage", None),
     ("pred_lang", None),
+    ("lang_logp", None),
     ("n_tokens", None),
+    ("short_ratio", None),
     ("quality", None),
     ("char_entropy", "double"),
     ("bits_per_bigram", "double"),
@@ -101,6 +103,9 @@ def main() -> None:
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
+    if args.bpe_vocab is not None and not args.count_bpe:
+        ap.error("--bpe-vocab requires --count-bpe"
+                 " (a vocabulary with no metering stage does nothing)")
     if (args.lm_ref is None) != (args.lm_max_bits is None):
         ap.error("--lm-ref and --lm-max-bits must be given together"
                  " (one alone would silently skip the LM filter stage)")
@@ -181,13 +186,15 @@ def run_stream(
             bigram_lm_models_by_lang(spark.read.parquet(lm_ref_path))
         )
 
-    from ocrd_segment_spark.operators.bpe import VOCAB, load_vocab
+    bpe_vocab = None
+    if count_bpe:
+        from ocrd_segment_spark.operators.bpe import VOCAB, load_vocab
 
-    bpe_vocab = (
-        load_vocab(spark, bpe_vocab_path)
-        if bpe_vocab_path is not None
-        else VOCAB
-    )
+        bpe_vocab = (
+            load_vocab(spark, bpe_vocab_path)
+            if bpe_vocab_path is not None
+            else VOCAB
+        )
 
     pre_transform = None
     if blocklist_path is not None:

@@ -89,10 +89,11 @@ def redact_pii_spans(
     Scale shape: ZERO shuffle — sort, redact, rebuild, and remap are
     all per-document column math inside the scan stage; the operator
     composes after extraction or over a written corpus at any size."""
-    assert len(sep) == 1, "sep must be one character (offset derivation)"
+    from ..operators.paragraphs import rebuild_with_spans
+
     red = redact_pii_sql("w.raw")
     d = df.withColumn(
-        "_pos",
+        "_units",
         F.expr(
             f"""transform(
               array_sort(transform(
@@ -106,80 +107,30 @@ def redact_pii_spans(
                           w.raw as raw, {red} as red))"""
         ),
     )
-    # bind clean_text as a real column: later lambdas reference the
-    # attribute, not a re-evaluated expression tree (no-CSE trap)
-    d = d.withColumn(
-        "clean_text",
-        F.expr(f"array_join(transform(_pos, p -> p.red), '{sep}')"),
-    )
-    seps = F.filter(
-        F.sequence(F.lit(1), F.length("clean_text")),
-        lambda i: F.col("clean_text").substr(i, F.lit(1)) == F.lit(sep),
-    )
-    starts = F.concat(
-        F.array(F.lit(0).cast("long")),
-        F.transform(seps, lambda p: p.cast("long")),
-    )
-    zipped = F.zip_with(
-        "_pos",
-        starts,
-        lambda p, st: F.struct(
-            p["orig_start"].alias("orig_start"),
-            st.alias("new_start"),
-            (p["raw"] != p["red"]).alias("changed"),
-            p["span"]
-            .withField("start", st)
-            .withField("end", st + F.length(p["red"]))
-            .alias("span"),
-        ),
-    )
-    d = d.withColumn("_rp", F.slice(zipped, 1, F.size("_pos")))
-    zero_spans = F.transform(
-        F.expr(f"filter({spans_col}, s -> s.end = s.start)"),
-        lambda z: z.withField(
-            "start",
-            F.coalesce(
-                F.get(
-                    F.filter("_rp", lambda p: p["orig_start"] >= z["start"]),
-                    F.lit(0),
-                )["new_start"],
-                F.length("clean_text").cast("long"),
+    d = (
+        d.withColumn(
+            "n_pii_regions",
+            F.expr(
+                "cast(size(filter(_units, u -> u.raw != u.red)) as bigint)"
             ),
-        ).withField(
-            "end",
-            F.coalesce(
-                F.get(
-                    F.filter("_rp", lambda p: p["orig_start"] >= z["start"]),
-                    F.lit(0),
-                )["new_start"],
-                F.length("clean_text").cast("long"),
-            ),
-        ),
-    )
-    merged = d.withColumn(
-        "_all", F.concat(F.transform("_rp", lambda p: p["span"]), zero_spans)
-    )
-    final_spans = F.transform(
-        F.array_sort(
+        )
+        .withColumn(
+            "_arr",
             F.transform(
-                "_all",
-                lambda s: F.struct(
-                    s["start"].alias("k1"),
-                    s["end"].alias("k2"),
-                    s["region_id"].alias("k3"),
-                    s.alias("span"),
+                "_units",
+                lambda u: F.struct(
+                    u["orig_start"].alias("orig_start"),
+                    u["span"].alias("r"),
+                    u["red"].alias("rtext"),
                 ),
-            )
-        ),
-        lambda w: w["span"],
+            ),
+        )
+        .withColumn("_zeros", F.expr(f"filter({spans_col}, s -> s.end = s.start)"))
+        .drop("_units")
     )
-    return merged.select(
-        F.col(id_col),
-        "clean_text",
-        final_spans.alias(spans_col),
-        F.expr("cast(size(filter(_rp, p -> p.changed)) as bigint)").alias(
-            "n_pii_regions"
-        ),
+    out = rebuild_with_spans(d, sep, spans_col)
+    return out.select(
+        F.col(id_col), "clean_text", F.col(spans_col), "n_pii_regions"
     )
 
 

@@ -127,7 +127,16 @@ def ivf_add_batch(
     groups on ~k centroid keys."""
     centroids = spark.read.parquet(path + "/centroids")
     existing = spark.read.parquet(path + "/assignments")
-    fresh = new_vectors.join(
+    # merge_corpus discipline, BOTH halves: dedup within the batch
+    # first (a union of shards can repeat an id — one hash aggregate
+    # keeping the min-vector copy, deterministic), then anti-join the
+    # index so already-indexed ids are skipped
+    batch_once = (
+        new_vectors.groupBy("id")
+        .agg(F.min(F.struct("v")).alias("_m"))
+        .select("id", F.col("_m.v").alias("v"))
+    )
+    fresh = batch_once.join(
         existing.select(F.col("id")), "id", "left_anti"
     )
     assigned = assign_to_centroids(
@@ -151,11 +160,20 @@ def ivf_add_batch(
             F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
             "base_mean_dist2",
             "batch_mean_dist2",
+            # try_divide: a base mean of exactly 0 (every build-time
+            # member sat ON the centroid) is a legal baseline and must
+            # not raise under ANSI — it reports NULL drift and falls
+            # to the degenerate-baseline rule below
             F.round(
-                F.col("batch_mean_dist2") / F.col("base_mean_dist2"), 6
+                F.expr("try_divide(batch_mean_dist2, base_mean_dist2)"), 6
             ).alias("drift"),
             F.when(
-                F.col("base_mean_dist2").isNull(), F.col("n_new") > 0
+                F.col("base_mean_dist2").isNull()
+                | (F.col("base_mean_dist2") == 0.0),
+                # no baseline (empty list) or zero baseline: any new
+                # member OFF the centroid is drift by definition
+                (F.col("n_new") > 0)
+                & (F.coalesce("batch_mean_dist2", F.lit(0.0)) > 0.0),
             )
             .otherwise(
                 F.coalesce(

@@ -132,6 +132,12 @@ def load_vocab(spark, path: str, piece_col: str = "piece") -> tuple[str, ...]:
         for r in df.select(piece_col).collect()
         if r[0] and not _re.search(r"[ \t\n\r\f\x0b]", r[0])
     }
+    if not pieces:
+        raise ValueError(
+            f"vocabulary at {path!r} yielded zero usable pieces"
+            " (all rows empty/whitespace, or wrong column name"
+            f" {piece_col!r})"
+        )
     return tuple(sorted(pieces))
 
 
@@ -143,6 +149,11 @@ def bpe_count_cols(
     pass ``load_vocab(...)`` output to meter in a real tokenizer's
     pieces (the CASE arms and max piece length derive from whatever
     lengths the vocabulary actually contains)."""
+    if not any(p for p in vocab):
+        raise ValueError(
+            "empty BPE vocabulary (no non-empty pieces) — a zero-arm"
+            " CASE would fail to parse; check the loaded piece table"
+        )
     by_len = pieces_by_length(vocab)
     # the per-word fold: state (nxt, cnt, unk); positions where
     # i < nxt were consumed by an earlier multi-char piece. One WHEN
@@ -224,6 +235,11 @@ def oracle_sql(
     """The DuckDB restatement: a recursive CTE stepping the identical
     greedy fold (one state row per word instance per step; iterations
     bounded by the longest word)."""
+    if not any(p for p in vocab):
+        raise ValueError(
+            "empty BPE vocabulary (no non-empty pieces) — a zero-arm"
+            " CASE would fail to parse; check the loaded piece table"
+        )
     by_len = pieces_by_length(vocab)
     multi = [ln for ln in by_len if ln > 1]
     adv = (

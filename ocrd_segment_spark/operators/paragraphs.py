@@ -41,6 +41,115 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 
+
+def rebuild_with_spans(d, sep: str, spans_col: str):
+    """The ONE home of the frozen rebuild-and-remap discipline, shared
+    by :func:`remove_frequent_regions` and
+    functions/pii.redact_pii_spans (round-5 review: the two had grown
+    near-verbatim copies of this machinery, a silent-divergence
+    channel).
+
+    Consumes two columns on ``d`` and drops them:
+
+    - ``_arr``: array<struct<orig_start bigint, r <span struct>,
+      rtext string>> — the POSITIVE units in final output order,
+      ``rtext`` being each unit's NEW text;
+    - ``_zeros``: array of original span structs with end == start.
+
+    Appends ``clean_text`` = rtexts joined by ``sep`` and
+    ``spans_col`` = every span struct rewritten in place (withField —
+    gated extras like ``dir`` survive) with offsets derived O(n) from
+    separator positions (zip_with — never the measured O(n²)
+    aggregate+array_append prefix scan); zero-length spans re-anchor
+    to the new start of the first positive unit at-or-after their
+    original position (end of clean_text if none); output spans order
+    by (new start, new end, region_id).
+
+    NOTE: the per-character separator lambda references the
+    ``clean_text`` COLUMN — safe under whole-stage codegen
+    (subexpression-eliminated; measured linear at 10k docs), but a
+    codegen-LESS plan (streaming microbatch) would re-evaluate it per
+    character (no interpreted CSE) — bind through a transform variable
+    first if this ever moves to a stream (the with_char_entropy
+    lesson)."""
+    assert len(sep) == 1, "sep must be one character (offset derivation)"
+    d = d.withColumn(
+        "clean_text",
+        F.array_join(F.transform("_arr", lambda p: p["rtext"]), sep),
+    )
+    # new offsets from separator positions: 1-based sep position p =>
+    # the next unit starts at 0-based p
+    seps = F.filter(
+        F.sequence(F.lit(1), F.length("clean_text")),
+        lambda i: F.col("clean_text").substr(i, F.lit(1)) == F.lit(sep),
+    )
+    starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(seps, lambda p: p.cast("long")),
+    )
+    zipped = F.zip_with(
+        "_arr",
+        starts,
+        lambda p, st: F.struct(
+            p["orig_start"].alias("orig_start"),
+            st.alias("new_start"),
+            p["r"]
+            .withField("start", st)
+            .withField("end", st + F.length(p["rtext"]))
+            .alias("span"),
+        ),
+    )
+    # zip_with pads the shorter side with nulls (an empty _arr against
+    # starts=[0] would fabricate a null span) — slice to the true size;
+    # materialized as a column so the per-zero lambda below references
+    # an attribute, not a re-evaluated expression tree (no-CSE trap)
+    d = d.withColumn("_rp", F.slice(zipped, 1, F.size("_arr")))
+    zero_spans = F.transform(
+        "_zeros",
+        lambda z: z.withField(
+            "start",
+            F.coalesce(
+                F.get(
+                    F.filter("_rp", lambda p: p["orig_start"] >= z["start"]),
+                    F.lit(0),
+                )["new_start"],
+                F.length("clean_text").cast("long"),
+            ),
+        ).withField(
+            "end",
+            F.coalesce(
+                F.get(
+                    F.filter("_rp", lambda p: p["orig_start"] >= z["start"]),
+                    F.lit(0),
+                )["new_start"],
+                F.length("clean_text").cast("long"),
+            ),
+        ),
+    )
+    d = d.withColumn(
+        "_all", F.concat(F.transform("_rp", lambda p: p["span"]), zero_spans)
+    )
+    # order by (new start, new end, region_id): sort a keyed wrapper,
+    # then strip — array_sort on the raw struct would key on region_id
+    final_spans = F.transform(
+        F.array_sort(
+            F.transform(
+                "_all",
+                lambda x: F.struct(
+                    x["start"].alias("k1"),
+                    x["end"].alias("k2"),
+                    x["region_id"].alias("k3"),
+                    x.alias("span"),
+                ),
+            )
+        ),
+        lambda w: w["span"],
+    )
+    return d.withColumn(spans_col, final_spans).drop(
+        "_arr", "_zeros", "_rp", "_all"
+    )
+
+
 def remove_frequent_regions(
     extracted: DataFrame,
     id_col: str = "url",
@@ -132,100 +241,22 @@ def remove_frequent_regions(
         ).alias("n_kept"),
         F.sum((is_pos & ~F.col("_keep")).cast("long")).alias("n_removed"),
     )
-    with_text = per_doc.withColumn(
-        "clean_text",
-        F.array_join(F.transform("_arr", lambda x: x["rtext"]), sep),
-    )
-    # new offsets from separator positions (O(n), see precondition):
-    # 1-based sep position p ⇒ the next unit starts at 0-based p.
-    # NOTE: the per-character lambda references the clean_text COLUMN —
-    # safe here because batch plans run it under whole-stage codegen
-    # (subexpression-eliminated; measured linear at 10k docs), but in a
-    # codegen-LESS plan (streaming microbatch) CollapseProject + no
-    # interpreted CSE would re-join the document per character — bind
-    # through a transform variable first if this ever moves to a stream
-    # (the with_char_entropy lesson).
-    seps = F.filter(
-        F.sequence(F.lit(1), F.length("clean_text")),
-        lambda i: F.col("clean_text").substr(i, F.lit(1)) == F.lit(sep),
-    )
-    starts = F.concat(
-        F.array(F.lit(0).cast("long")),
-        F.transform(seps, lambda p: p.cast("long")),
-    )
-    zipped = F.zip_with(
+    shaped = per_doc.withColumn(
         "_arr",
-        starts,
-        lambda x, st: F.struct(
-            x["start"].alias("orig_start"),
-            st.alias("new_start"),
-            # withField rewrites offsets IN PLACE in the original
-            # struct, preserving every other field and the field order
-            x["r"]
-            .withField("start", st)
-            .withField("end", st + F.length(x["rtext"]))
-            .alias("span"),
-        ),
-    )
-    # zip_with pads the shorter side with nulls (an empty _arr against
-    # starts=[0] would fabricate a null span) — slice to the true size;
-    # materialized as a column so the per-zero lambda below references
-    # an attribute, not a re-evaluated expression tree (no-CSE trap)
-    pos_done = with_text.withColumn(
-        "_pos", F.slice(zipped, 1, F.size("_arr"))
-    )
-    # zero-length spans re-anchor to the first kept positive span
-    # at-or-after their original position (end of clean_text if none)
-    zero_spans = F.transform(
-        "_zeros",
-        lambda z: z["r"]
-        .withField(
-            "start",
-            F.coalesce(
-                F.get(
-                    F.filter("_pos", lambda p: p["orig_start"] >= z["start"]),
-                    F.lit(0),
-                )["new_start"],
-                F.length("clean_text").cast("long"),
-            ),
-        )
-        .withField(
-            "end",
-            F.coalesce(
-                F.get(
-                    F.filter("_pos", lambda p: p["orig_start"] >= z["start"]),
-                    F.lit(0),
-                )["new_start"],
-                F.length("clean_text").cast("long"),
+        F.transform(
+            "_arr",
+            lambda x: F.struct(
+                x["start"].alias("orig_start"),
+                x["r"].alias("r"),
+                x["rtext"].alias("rtext"),
             ),
         ),
-    )
-    merged = pos_done.withColumn(
-        "_all",
-        F.concat(
-            F.transform("_pos", lambda p: p["span"]), zero_spans
-        ),
-    )
-    # order by (new start, new end, region_id): sort a keyed wrapper,
-    # then strip — array_sort on the raw struct would key on region_id
-    final_spans = F.transform(
-        F.array_sort(
-            F.transform(
-                "_all",
-                lambda s: F.struct(
-                    s["start"].alias("k1"),
-                    s["end"].alias("k2"),
-                    s["region_id"].alias("k3"),
-                    s.alias("span"),
-                ),
-            )
-        ),
-        lambda w: w["span"],
-    )
-    return merged.select(
+    ).withColumn("_zeros", F.transform("_zeros", lambda z: z["r"]))
+    out = rebuild_with_spans(shaped, sep, spans_col)
+    return out.select(
         F.col("id").alias(id_col),
         "clean_text",
-        final_spans.alias(spans_col),
+        spans_col,
         "n_kept",
         "n_removed",
     )

@@ -192,3 +192,26 @@ def test_ivf_index_persist_and_add_batch(spark, tmp_path):
     drift2 = ivf_add_batch(spark, path, batch)
     assert after.count() == 13
     assert all(r["n_new"] == 0 for r in drift2.collect())
+
+
+def test_ivf_add_batch_dedups_within_batch(spark, tmp_path):
+    """A batch repeating an id (union of shards) indexes it ONCE
+    (round-5 review finding: only the index-side anti-join existed)."""
+    from ocrd_segment_spark.operators.ann import build_ivf_index, ivf_add_batch
+
+    base = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "id long, v array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "cid long, cv array<double>"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, cents, path)
+    batch = spark.createDataFrame(
+        [(5, [0.1, 0.0]), (5, [0.1, 0.0]), (5, [0.2, 0.0])],
+        "id long, v array<double>",
+    )
+    drift = ivf_add_batch(spark, path, batch).collect()
+    a = spark.read.parquet(path + "/assignments")
+    assert a.filter("id = 5").count() == 1
+    assert sum(r["n_new"] for r in drift) == 1

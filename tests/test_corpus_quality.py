@@ -1040,3 +1040,38 @@ def test_corpus_job_redact_pii_spans(spark, tmp_path):
                      if s["end"] > s["start"])
         rebuilt = "\n".join(r["clean_text"][a:b] for a, b in pos)
         assert rebuilt == r["clean_text"]
+
+
+def test_corpus_job_clean_then_redact_composition(spark, tmp_path):
+    """--preserve-spans + --redact-pii compose: the redacted table is
+    built from the CLEANED table (review round-5 finding — it used to
+    silently scrub the uncleaned corpus, reintroducing boilerplate)."""
+    from jobs.corpus_job import build_corpus
+
+    boiler = "write to webmaster@example.com for any takedown requests"
+    bodies = [
+        "the children were playing in the garden near the river all afternoon",
+        "she opened the window and watched the quiet street below the house",
+        "there is nothing better than a warm cup of tea in the evening",
+    ]
+    rows = [
+        (f"u{i}", (f"<html><body><p>{b}</p><p>{boiler}</p>"
+                   "</body></html>").encode())
+        for i, b in enumerate(bodies)
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    build_corpus(
+        spark, src, str(tmp_path / "corpus"),
+        min_quality=0.0, min_tokens=1,
+        boilerplate_min_df=3, preserve_spans=True, redact_pii=True,
+    )
+    red = spark.read.parquet(str(tmp_path / "corpus") + "_redacted").collect()
+    assert len(red) == 3
+    for r in red:
+        # the boiler region was removed by the CLEAN pass, so the
+        # redacted table must not contain it (in any form)
+        assert "webmaster" not in r["clean_text"]
+        assert "<EMAIL>" not in r["clean_text"]  # nothing left to redact
+        for s in r["region_spans"]:
+            assert 0 <= s["start"] <= s["end"] <= len(r["clean_text"])

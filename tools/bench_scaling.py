@@ -325,10 +325,12 @@ cannot do this per-attempt (the bench's own 32-core bursts dominate
 it for ~2 min after every run); direct attribution is immune to
 self-load (verified: a 2-core self-burn reads ~0.02 external cores).
 bench.py emits per-run `{"t": sec, "ext_cores": n}` evidence under
-"runs", picks the fastest attempt with ext_cores < 3.0 as the
-standing number, and grants up to 2 bounded retries when every
-attempt of a query was flare-hit — a co-tenant burst is now visible
-in the artifact instead of silently becoming the headline.
+"runs" and takes the overall-fastest attempt as the standing number —
+external load can only SLOW a run, so a fast attempt is valid
+evidence even if it measured hot; the one-sided risk is a flare-hit
+FASTEST attempt (possibly still inflated), and exactly that case
+earns up to 2 bounded retries. A co-tenant burst is now visible in
+the artifact instead of silently becoming the headline.
 
 ## Round-5 surface: abstaining lang-id, loadable BPE vocab, span-preserving scrubbing, persistent IVF
 
