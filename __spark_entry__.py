@@ -120,6 +120,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash_deterministic": M.q_sample_hash_deterministic,
     "sample_stratified": M.q_sample_stratified,
     "split_leakage_safe": M.q_split_leakage_safe,
+    "domain_cap_sample": M.q_domain_cap_sample,
+    "token_budget_sample": M.q_token_budget_sample,
+    "host_blocklist": M.q_host_blocklist,
     "gopher_quality_rules": M.q_gopher_quality_rules,
     "paragraph_dedup": M.q_paragraph_dedup,
     "span_preserving_cleanup": M.q_span_preserving_cleanup,
@@ -244,6 +247,9 @@ _ORACLES: dict[str, str] = {
     "sample_hash_deterministic": M.O_SAMPLE_HASH,
     "sample_stratified": M.O_SAMPLE_STRATIFIED,
     "split_leakage_safe": M.O_SPLIT_LEAKAGE,
+    "domain_cap_sample": M.O_DOMAIN_CAP,
+    "token_budget_sample": M.O_TOKEN_BUDGET,
+    "host_blocklist": M.O_HOST_BLOCKLIST,
     "gopher_quality_rules": M.O_GOPHER,
     "paragraph_dedup": M.O_PARAGRAPH_DEDUP,
     "span_preserving_cleanup": M.O_SPAN_CLEANUP,

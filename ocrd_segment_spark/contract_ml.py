@@ -884,6 +884,81 @@ GROUP BY lang
 """
 
 
+def q_domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap (operators/sampling.domain_cap): the
+    RefinedWeb-style anti-domination pass — at most 3 docs survive per
+    domain, chosen deterministically by hashed key so the same docs
+    survive on any engine/partitioning. The Spark side runs the
+    two-phase top-k (salt-partial then final — scale-safe for hot
+    domains); the oracle states the single global window it must
+    exactly equal."""
+    from .operators.sampling import domain_cap
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "concat('d', cast(doc_id % 7 as string)) as reg_domain"
+    )
+    return domain_cap(d, 3).select("doc_id", "reg_domain")
+
+
+_D_DOMCAP_B = (
+    "(("
+    + _D_STR_HASH.format(s="concat('domcap', CAST(doc_id AS VARCHAR))")
+    + f") * 48271 + 11) % {P} % 1000000"
+)
+
+O_DOMAIN_CAP = f"""
+WITH d AS (
+  SELECT doc_id, 'd' || CAST(doc_id % 7 AS VARCHAR) AS reg_domain,
+         {_D_DOMCAP_B} AS b
+  FROM documents
+),
+r AS (
+  SELECT doc_id, reg_domain,
+         row_number() OVER (PARTITION BY reg_domain
+                            ORDER BY b ASC, doc_id ASC) AS rn
+  FROM d
+)
+SELECT doc_id, reg_domain FROM r WHERE rn <= 3
+"""
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget subsetting (operators/sampling.token_budget_sample):
+    'give me 50k tokens of this corpus' — docs ordered by hashed key,
+    kept while the inclusive running total fits the budget. The Spark
+    side runs the distributed prefix-sum (contiguous hash-range groups,
+    driver-summed offsets, bounded within-group windows); the oracle
+    states the one global running sum it must exactly equal."""
+    from .operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "cast(length(text) as bigint) as n_tokens"
+    )
+    return token_budget_sample(d, 50000).select("doc_id", "n_tokens")
+
+
+_D_BUDGET_B = (
+    "(("
+    + _D_STR_HASH.format(s="concat('budget', CAST(doc_id AS VARCHAR))")
+    + f") * 48271 + 11) % {P} % 1000000"
+)
+
+O_TOKEN_BUDGET = f"""
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens,
+         {_D_BUDGET_B} AS b
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY b ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens FROM c WHERE cum <= 50000
+"""
+
+
 def q_split_leakage_safe(spark, sf_dir):
     """Group-keyed train/val/test split
     (operators/sampling.train_val_test_split with group_col): every
@@ -2107,6 +2182,37 @@ O_DOMAIN_BLOCKLIST = f"""
 WITH u AS ({O_URL_CANON.strip()})
 SELECT doc_id, reg_domain,
        reg_domain IN ('example.com', 'example.co.uk') AS blocked
+FROM u
+"""
+
+
+def q_host_blocklist(spark, sf_dir):
+    """Exact-host blocklist (functions/urls.with_host_blocked): the
+    host-granular sibling of the registered-domain pass — a full-url
+    entry and a bare host both normalize through the same derivation;
+    only the exact hosts match (example.co.uk's OTHER subdomains
+    survive)."""
+    from .functions.urls import with_host_blocked
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SYNTH_URL} as url"
+    )
+    bl = spark.createDataFrame(
+        [("https://NEWS.example.co.uk/x?y=1",), ("cdn.site.org",),
+         ("  Sub.Host.COM:8080 ",)],
+        "host string",
+    )
+    return with_host_blocked(d, bl).select("doc_id", "host", "host_blocked")
+
+
+O_HOST_BLOCKLIST = f"""
+WITH u AS (SELECT doc_id, {_D_SYNTH_URL} AS url FROM documents)
+SELECT doc_id,
+       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+         AS host,
+       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+         IN ('news.example.co.uk', 'cdn.site.org', 'sub.host.com')
+         AS host_blocked
 FROM u
 """
 

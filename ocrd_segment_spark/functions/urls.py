@@ -139,6 +139,46 @@ def with_domain_blocked(df, blocklist, url_col: str = "url",
     )
 
 
+def with_host_blocked(df, blocklist, url_col: str = "url",
+                      host_col: str = "host"):
+    """Append (host, host_blocked): EXACT-host blocklist — the
+    finer-grained sibling of :func:`with_domain_blocked` for lists
+    published at host granularity ('ads.example.org' blocks that host
+    only, never the rest of example.org — the registered-domain
+    variant deliberately widens such entries, see its docstring).
+    Blocklist entries normalize through the SAME host derivation as
+    the corpus side: whitespace strip, lowercase, scheme/path/port
+    drop. Broadcast join, narrow, no shuffle at any corpus size.
+    Flag, not drop — jobs count removals through their funnels."""
+    d = df.withColumn("host", host_of(url_col))
+    bl = (
+        blocklist.select(
+            F.lower(
+                F.regexp_replace(
+                    F.col(host_col),
+                    "(^[\\s\\u00a0]+|[\\s\\u00a0]+$)",
+                    "",
+                )
+            ).alias("_e")
+        )
+        .select(
+            F.regexp_replace(
+                F.regexp_replace("_e", "^[a-z][a-z0-9+.-]*://", ""),
+                "[/:?#].*$",
+                "",
+            ).alias("host")
+        )
+        .filter(F.col("host") != "")
+        .distinct()
+        .withColumn("_blk", F.lit(True))
+    )
+    return (
+        d.join(F.broadcast(bl), "host", "left")
+        .withColumn("host_blocked", F.coalesce("_blk", F.lit(False)))
+        .drop("_blk")
+    )
+
+
 def registered_domain(host_col: str) -> Column:
     """Registered domain from a host: last two labels, or last three
     when the last two are a known two-level public suffix."""

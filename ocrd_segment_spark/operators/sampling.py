@@ -123,3 +123,113 @@ def train_val_test_split(
         .when(b < t_val, F.lit("val"))
         .otherwise(F.lit("test")),
     ).drop("__sample_key")
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "reg_domain",
+    key_col: str = "doc_id",
+    salt: str = "domcap",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain (the RefinedWeb-style
+    anti-domination pass: without it, a handful of template-heavy
+    sites own a disproportionate share of a web corpus). Survivors are
+    chosen DETERMINISTICALLY — ranked by (hashed key, key), so the
+    same docs survive on any engine or partitioning, and re-runs are
+    reproducible (no RNG, no 'first seen' order dependence).
+
+    Scale shape — the hot domains are EXACTLY why this operator exists,
+    so a single row_number window per domain (all of cnn.com's 100M
+    pages sorted in one task) would be self-defeating. Two-phase
+    top-k instead: rank within (domain, salt-of-key) first — each
+    sub-window holds ~1/``n_salts`` of a domain — keep each sub-top
+    ``cap``, then rank the surviving ≤ cap·n_salts rows per domain.
+    Both phases are row_number windows on fine keys; the second
+    phase's input is bounded per domain regardless of how hot it is.
+    The two-phase result is EXACTLY the global top-cap (every global
+    top-cap row is in its salt's top-cap)."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window as W
+
+    d = df.withColumn("__sample_key", F.col(key_col)).withColumn(
+        "__b", _bucket("__sample_key", salt)
+    )
+    d = d.withColumn("__s", F.pmod(F.col("__b"), F.lit(n_salts)))
+    w1 = W.partitionBy(domain_col, "__s").orderBy(
+        F.asc("__b"), F.asc("__sample_key")
+    )
+    part = d.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= cap
+    )
+    w2 = W.partitionBy(domain_col).orderBy(F.asc("__b"), F.asc("__sample_key"))
+    return (
+        part.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= cap)
+        .drop("__sample_key", "__b", "__s", "__r1", "__r2")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+    n_groups: int = 1024,
+) -> DataFrame:
+    """Keep a deterministic subset of documents whose token counts sum
+    to (at most) ``budget`` — the "give me 50B tokens of this corpus"
+    operation every training run starts with. Frozen rule: order
+    documents by (hashed key, key); keep a document iff the running
+    INCLUSIVE token total up to it is <= budget (the document that
+    would cross the budget is excluded, as is everything after it).
+
+    Scale shape — the rule is a global prefix sum, and a naive global
+    window (`ORDER BY` with no partition) serializes the corpus
+    through ONE task. Distributed prefix-sum instead: the hash space
+    splits into ``n_groups`` CONTIGUOUS bucket ranges; per-group token
+    totals (one tiny aggregate) are prefix-summed on the driver
+    (n_groups rows — model-sized, the documented collect) and
+    broadcast back as per-group offsets; each group then needs only a
+    WITHIN-group running sum (window bounded by group size, ~1/1024 of
+    the corpus). offset + within-group cumsum == the global cumsum
+    exactly, so the result is identical to the one-task form the
+    DuckDB oracle states."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window as W
+
+    d = df.withColumn("__sample_key", F.col(key_col)).withColumn(
+        "__b", _bucket("__sample_key", salt)
+    )
+    # contiguous ranges: group g covers buckets [g*B/G, (g+1)*B/G) —
+    # (group asc, bucket asc, key asc) equals global (bucket, key)
+    d = d.withColumn(
+        "__g", F.expr(f"(cast(__b as bigint) * {n_groups}) div {BUCKETS}")
+    )
+    totals = (
+        d.groupBy("__g")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__t"))
+        .collect()
+    )
+    by_g = {r["__g"]: r["__t"] for r in totals}
+    offsets, acc = [], 0
+    for g in sorted(by_g):
+        offsets.append((g, acc))
+        acc += by_g[g]
+    if not offsets:
+        return df.filter(F.lit(False))
+    odf = df.sparkSession.createDataFrame(offsets, "__g long, __off long")
+    w = W.partitionBy("__g").orderBy(F.asc("__b"), F.asc("__sample_key"))
+    cum = F.sum(F.col(token_col).cast("long")).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.join(F.broadcast(odf), "__g")
+        .withColumn("__cum", F.col("__off") + cum)
+        .filter(F.col("__cum") <= budget)
+        .drop("__sample_key", "__b", "__g", "__off", "__cum")
+    )

@@ -621,3 +621,71 @@ def test_exact_substring_dedup_invariants(spark):
     # min_occurrences above the max multiplicity: full identity
     none = D.exact_substring_dedup(df, k=5, min_occurrences=3).collect()
     assert all(r["n_tokens_removed"] == 0 for r in none)
+
+
+def test_domain_cap_two_phase_equals_global_window(spark):
+    """domain_cap's scale-safe two-phase top-k must EXACTLY equal the
+    naive single global window, including on a skewed input (one
+    domain holding most rows — the case the operator exists for)."""
+    from pyspark.sql import Window as W
+
+    from ocrd_segment_spark.operators.sampling import _bucket, domain_cap
+
+    rows = [(i, "hot.com" if i < 170 else f"d{i % 11}.org")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, reg_domain string")
+    got = {r["doc_id"] for r in domain_cap(df, 5).collect()}
+
+    naive = df.withColumn("__b", _bucket("doc_id", "domcap"))
+    w = W.partitionBy("reg_domain").orderBy(F.asc("__b"), F.asc("doc_id"))
+    want = {
+        r["doc_id"]
+        for r in naive.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    assert got == want
+    counts = (
+        domain_cap(df, 5).groupBy("reg_domain").count().collect()
+    )
+    assert all(r["count"] <= 5 for r in counts)
+    assert {r["count"] for r in counts if r["reg_domain"] == "hot.com"} == {5}
+    # determinism: a second run selects the identical set
+    assert {r["doc_id"] for r in domain_cap(df, 5).collect()} == got
+
+
+def test_token_budget_sample_edges(spark):
+    """Budget 0 keeps nothing; a budget covering everything keeps
+    everything; the crossing document is excluded; empty input is
+    legal."""
+    from ocrd_segment_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(20)], "doc_id long, n_tokens long"
+    )
+    assert token_budget_sample(df, 0).count() == 0
+    assert token_budget_sample(df, 10_000).count() == 20
+    # 20 docs x 10 tokens: budget 95 keeps exactly 9 (the 10th would
+    # reach 100 > 95)
+    kept = token_budget_sample(df, 95).collect()
+    assert len(kept) == 9 and sum(r["n_tokens"] for r in kept) == 90
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert token_budget_sample(empty, 100).count() == 0
+
+
+def test_host_blocklist_is_exact_host(spark):
+    """with_host_blocked blocks ONLY the exact host — sibling
+    subdomains and the registered domain itself survive (the
+    deliberate contrast with with_domain_blocked)."""
+    from ocrd_segment_spark.functions.urls import with_host_blocked
+
+    docs = spark.createDataFrame(
+        [(1, "https://ads.example.org/x"), (2, "https://www.example.org/y"),
+         (3, "https://example.org/z")],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("https://ADS.example.org:443/p?q=1",)],
+                               "host string")
+    out = {r["doc_id"]: r["host_blocked"]
+           for r in with_host_blocked(docs, bl).collect()}
+    assert out == {1: True, 2: False, 3: False}
