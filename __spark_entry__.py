@@ -138,6 +138,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nfc_normalization": M.q_nfc_normalization,
     "dedup_incremental_merge": M.q_dedup_incremental_merge,
     "dedup_cross_candidates": M.q_dedup_cross_candidates,
+    "dedup_lsh_incremental": M.q_dedup_lsh_incremental,
     "char_entropy": M.q_char_entropy,
     "lm_bigram_score": M.q_lm_bigram_score,
     "lm_perlang_score": M.q_lm_perlang_score,
@@ -265,6 +266,7 @@ _ORACLES: dict[str, str] = {
     "nfc_normalization": M.O_NFC,
     "dedup_incremental_merge": M.O_DEDUP_MERGE,
     "dedup_cross_candidates": M.O_DEDUP_CROSS,
+    "dedup_lsh_incremental": M.O_DEDUP_LSH_INCREMENTAL,
     "char_entropy": M.O_CHAR_ENTROPY,
     "lm_bigram_score": M.O_LM_BIGRAM,
     "lm_perlang_score": M.O_LM_PERLANG,

@@ -2345,6 +2345,61 @@ FROM nb JOIN eb ON nb.band_idx = eb.band_idx AND nb.band_val = eb.band_val
 """
 
 
+def q_dedup_lsh_incremental(spark, sf_dir):
+    """Persisted + incrementally-extended LSH dedup index
+    (operators/dedup.build_lsh_index / lsh_add_batch): the index is
+    built from even doc ids, the odd-id batch is added incrementally —
+    banding ONCE with the index's recorded parameters, candidates from
+    batch-vs-index and batch-vs-batch joins only (the indexed corpus
+    never re-shingles). The oracle recomputes both candidate sets from
+    scratch — hash equality proves the persisted-index path loses or
+    invents nothing."""
+    import tempfile
+
+    from .operators.dedup import build_lsh_index, lsh_add_batch
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="lsh_contract_")
+    build_lsh_index(d.filter("doc_id % 2 = 0"), path)
+    return lsh_add_batch(spark, path, d.filter("doc_id % 2 = 1"))
+
+
+O_DEDUP_LSH_INCREMENTAL = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+), tokh AS (
+  SELECT doc_id,
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
+  FROM t WHERE len(toks) >= 3
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 1),
+           i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) AS hs
+  FROM tokh
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i -> list_min(list_transform(hs,
+           h -> ((2*i + 3) * h + 5*i + 7) % {P}))) AS sig
+  FROM hs
+), nb AS (
+  SELECT doc_id, j AS band_idx, sig[2*j + 1] * {P} + sig[2*j + 2] AS band_val
+  FROM sig, range(0, 4) r(j) WHERE doc_id % 2 = 1
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) <= 1024
+), eb AS (
+  SELECT doc_id, j AS band_idx, sig[2*j + 1] * {P} + sig[2*j + 2] AS band_val
+  FROM sig, range(0, 4) r(j) WHERE doc_id % 2 = 0
+  QUALIFY row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) <= 1024
+)
+SELECT DISTINCT nb.doc_id AS new_id, eb.doc_id AS other_id, 'index' AS via
+FROM nb JOIN eb ON nb.band_idx = eb.band_idx AND nb.band_val = eb.band_val
+UNION
+SELECT DISTINCT a.doc_id, b.doc_id, 'batch'
+FROM nb a JOIN nb b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id
+"""
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-entropy quality signal
     (operators/textstats.with_char_entropy): sorted-runs Shannon

@@ -115,6 +115,102 @@ def _band_table(
     return bandvals
 
 
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1024,
+) -> None:
+    """Persist the banded LSH dedup index (round-5, the MinHash twin
+    of ann.build_ivf_index): ``<path>/bands`` = (doc_id, band_idx,
+    band_val) with the hot-bucket cap applied, ``<path>/params`` pins
+    (k, bands, max_bucket) so every later batch bands with the SAME
+    signature math — a batch banded under different parameters would
+    silently collide with nothing.
+
+    Why persist: :func:`cross_corpus_candidates` re-shingles and
+    re-bands the EXISTING corpus on every call — at 100 TB that
+    re-scan dominates each increment. The band table is k longs per
+    doc (a small fraction of corpus size); with it on disk, each
+    incoming crawl batch costs O(batch) banding + one band-keyed
+    join."""
+    spark = df.sparkSession
+    _band_table(df, id_col, text_col, k, bands, max_bucket).write.mode(
+        "overwrite"
+    ).parquet(path + "/bands")
+    spark.createDataFrame(
+        [(k, bands, max_bucket)], "k int, bands int, max_bucket int"
+    ).write.mode("overwrite").parquet(path + "/params")
+
+
+def lsh_add_batch(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extend a persisted LSH index with a crawl batch and return the
+    batch's near-dup candidate pairs: (new_id, other_id, via) with
+    ``via`` = 'index' (candidate already indexed) or 'batch' (both
+    sides new). merge_corpus discipline throughout: already-indexed
+    ids are skipped (anti-join on the index's doc ids); the batch
+    bands ONCE with the index's recorded parameters; candidate
+    generation joins batch-vs-index and batch-vs-batch only — the
+    indexed corpus never re-shingles and never self-joins.
+
+    Hot buckets: the cap bounds the index build and each batch's band
+    table separately, so a viral bucket can exceed the cap ACROSS
+    increments; periodic compaction (rebuild via build_lsh_index over
+    the merged corpus) re-caps — the LSM discipline, same as the
+    drift-triggered recluster in ann.ivf_add_batch."""
+    p = spark.read.parquet(path + "/params").collect()[0]
+    eb = spark.read.parquet(path + "/bands")
+    fresh = new_df.join(
+        eb.select(F.col("doc_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    nb = _band_table(
+        fresh, id_col, text_col, p["k"], p["bands"], p["max_bucket"]
+    )
+    vs_index = (
+        nb.alias("n")
+        .join(
+            eb.alias("e"),
+            (F.col("n.band_idx") == F.col("e.band_idx"))
+            & (F.col("n.band_val") == F.col("e.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("e.doc_id").alias("other_id"),
+            F.lit("index").alias("via"),
+        )
+    )
+    within = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"),
+            F.col("b.doc_id").alias("other_id"),
+            F.lit("batch").alias("via"),
+        )
+    )
+    pairs = vs_index.unionByName(within).distinct()
+    # append AFTER eb's file listing is snapshotted (read above): the
+    # lazy `pairs` plan keeps joining the pre-append band set
+    nb.write.mode("append").parquet(path + "/bands")
+    return pairs
+
+
 def cross_corpus_candidates(
     new_df: DataFrame,
     existing_df: DataFrame,

@@ -689,3 +689,47 @@ def test_host_blocklist_is_exact_host(spark):
     out = {r["doc_id"]: r["host_blocked"]
            for r in with_host_blocked(docs, bl).collect()}
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_lsh_index_persist_and_add_batch(spark, tmp_path):
+    """build_lsh_index / lsh_add_batch: parameters are pinned with the
+    index, already-indexed ids are skipped, candidates split into
+    via='index' vs via='batch', and the indexed corpus is never
+    re-banded (the append lands AFTER the candidate join's snapshot)."""
+    from ocrd_segment_spark.operators.dedup import (
+        build_lsh_index,
+        cross_corpus_candidates,
+        lsh_add_batch,
+        minhash_lsh_candidates,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog in the garden"
+    base = spark.createDataFrame(
+        [(0, text), (2, text + " x"), (4, "completely different words entirely here now friends")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, text), (3, text), (0, text)],  # 0 already indexed → skipped
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh")
+    build_lsh_index(base, path)
+    pairs = lsh_add_batch(spark, path, batch).collect()
+    got = {(r["new_id"], r["other_id"], r["via"]) for r in pairs}
+    # parity with the recompute-everything forms
+    want_index = {
+        (r["new_id"], r["existing_id"], "index")
+        for r in cross_corpus_candidates(
+            batch.filter("doc_id != 0"), base
+        ).collect()
+    }
+    want_batch = {
+        (r["doc1"], r["doc2"], "batch")
+        for r in minhash_lsh_candidates(batch.filter("doc_id != 0")).collect()
+    }
+    assert got == want_index | want_batch
+    assert (1, 3, "batch") in got and any(v == "index" for _, _, v in got)
+    assert not any(n == 0 for n, _, _ in got)  # indexed id skipped
+    # the batch's bands were appended: a second identical add is a no-op
+    pairs2 = lsh_add_batch(spark, path, batch).collect()
+    assert pairs2 == []
