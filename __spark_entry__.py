@@ -102,6 +102,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_ngram": M.q_lang_id_ngram,
     "langid_confusion": M.q_langid_confusion,
     "quality_score": M.q_quality_score,
+    "quality_classifier": M.q_quality_classifier,
     "token_count": M.q_token_count,
     "token_count_bpe": M.q_token_count_bpe,
     # similarity search
@@ -233,6 +234,7 @@ _ORACLES: dict[str, str] = {
     "lang_id_ngram": M.O_LANG_ID_NGRAM,
     "langid_confusion": M.O_LANGID_CONFUSION,
     "quality_score": M.O_QUALITY,
+    "quality_classifier": M.O_QUALITY_CLF,
     "token_count": M.O_TOKEN_COUNT,
     "token_count_bpe": M.O_TOKEN_BPE,
     "ann_cosine_topk": M.O_ANN_COSINE,

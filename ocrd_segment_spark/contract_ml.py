@@ -534,6 +534,64 @@ FROM preds GROUP BY true_lang, pred_lang
 O_LANGID_CONFUSION = _langid_confusion_oracle()
 
 
+def q_quality_classifier(spark, sf_dir):
+    """LEARNED quality classification (operators/quality_clf): hashed
+    bag-of-tokens logistic model in the fastText supervised shape,
+    trained deterministically from committed keep/drop seeds; the
+    scorer is one narrow JVM expression (weight table as an array
+    literal, the repo's frozen polynomial hash for buckets, frozen
+    left-to-right fold, round-6 logit — no transcendentals at query
+    time). Complements the heuristic quality_score with a learned
+    boundary."""
+    from .operators.quality_clf import with_quality_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    return with_quality_classifier(d).select(
+        "doc_id", "clf_logit", "clf_keep"
+    )
+
+
+def _quality_clf_oracle() -> str:
+    from .operators.quality_clf import (
+        N_BUCKETS,
+        train_weights,
+        weights_sql_array,
+    )
+
+    _, bias = train_weights()
+    bucket = f"({_D_STR_HASH.format(s='tk')}) % {N_BUCKETS} + 1"
+    logit = (
+        f"round({bias!r} + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" vals), (a, x) -> a + x) / len(toks), 6)"
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+            translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                      'abcdefghijklmnopqrstuvwxyz'),
+            '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS s
+  FROM documents
+),
+t AS (
+  SELECT doc_id, list_filter(string_split(s, ' '), x -> x <> '') AS toks
+  FROM n
+),
+v AS (
+  SELECT doc_id, toks,
+         list_transform(toks, tk -> ({weights_sql_array()})[{bucket}]) AS vals
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(toks) = 0 THEN NULL ELSE {logit} END AS clf_logit,
+       CASE WHEN len(toks) = 0 THEN NULL ELSE {logit} >= 0.0 END AS clf_keep
+FROM v
+"""
+
+
+O_QUALITY_CLF = _quality_clf_oracle()
+
+
 def q_quality_score(spark, sf_dir):
     """Quality scoring: token count, short-token ratio, composite
     score — all JVM-side column math."""
