@@ -139,6 +139,14 @@ def main() -> None:
         "bpe.load_vocab: model-sized collect, case-folded, deduped)",
     )
     ap.add_argument(
+        "--quality-clf",
+        action="store_true",
+        help="learned keep/drop stage (operators/quality_clf hashed"
+        " bag-of-tokens logistic model): docs whose round-6 logit is"
+        " negative drop; zero-token docs are kept (no evidence); adds"
+        " the clf_logit audit column and the dropped_clf funnel count",
+    )
+    ap.add_argument(
         "--boilerplate-min-df",
         type=int,
         default=None,
@@ -207,6 +215,7 @@ def main() -> None:
         lm_ref_path=args.lm_ref,
         lm_max_bits=args.lm_max_bits,
         max_compression=args.max_compression,
+        quality_clf=args.quality_clf,
         count_bpe=args.count_bpe,
         bpe_vocab_path=args.bpe_vocab,
         card=args.card,
@@ -235,6 +244,7 @@ def build_corpus(
     lm_ref_path: str | None = None,
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
+    quality_clf: bool = False,
     count_bpe: bool = False,
     bpe_vocab_path: str | None = None,
     card: bool = False,
@@ -313,6 +323,7 @@ def build_corpus(
         lm_table=lm_table,
         lm_max_bits=lm_max_bits,
         max_compression=max_compression,
+        quality_clf=quality_clf,
         python_parallelism=python_parallelism,
     )
     if count_bpe:
@@ -392,12 +403,24 @@ def build_corpus(
         F.coalesce(
             F.sum(
                 (
+                    F.col("keep_quality") & F.col("keep_lang")
+                    & F.col("keep_gopher") & F.col("keep_entropy")
+                    & F.col("keep_lm") & F.col("keep_compression")
+                    & ~F.col("keep_clf")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("dropped_clf"),
+        F.coalesce(
+            F.sum(
+                (
                     F.col("keep_quality")
                     & F.col("keep_lang")
                     & F.col("keep_gopher")
                     & F.col("keep_entropy")
                     & F.col("keep_lm")
                     & F.col("keep_compression")
+                    & F.col("keep_clf")
                 ).cast("long")
             ),
             F.lit(0),
@@ -456,6 +479,7 @@ def build_corpus(
         "dropped_compression": (
             counts["dropped_compression"] if max_compression is not None else -1
         ),
+        "dropped_clf": counts["dropped_clf"] if quality_clf else -1,
         "kept_after_filters": counts["kept_after_filters"],
         # subword total of everything passing the filters (pre-dedup;
         # dedup canonicals keep their counts in the output table)

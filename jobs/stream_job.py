@@ -55,6 +55,7 @@ SINK_COLUMNS = (
     ("char_entropy", "double"),
     ("bits_per_bigram", "double"),
     ("compression_ratio", "double"),
+    ("clf_logit", "double"),
     ("n_bpe_tokens", "long"),
     ("n_unk_pieces", "long"),
 )
@@ -76,6 +77,12 @@ def main() -> None:
         " 'und' (same frozen rule as the batch job)",
     )
     ap.add_argument("--gopher", action="store_true")
+    ap.add_argument(
+        "--quality-clf",
+        action="store_true",
+        help="learned keep/drop stage (same frozen model as the batch"
+        " job); clf_logit rides the sink as a signal column",
+    )
     ap.add_argument("--entropy-min", type=float, default=None)
     ap.add_argument("--lm-ref", default=None)
     ap.add_argument("--lm-max-bits", type=float, default=None)
@@ -123,6 +130,7 @@ def main() -> None:
         langs=args.langs.split(",") if args.langs else None,
         lang_margin=args.lang_margin,
         gopher=args.gopher,
+        quality_clf=args.quality_clf,
         entropy_min=args.entropy_min,
         lm_ref_path=args.lm_ref,
         lm_max_bits=args.lm_max_bits,
@@ -147,6 +155,7 @@ def run_stream(
     langs: list[str] | None = None,
     lang_margin: float | None = None,
     gopher: bool = False,
+    quality_clf: bool = False,
     entropy_min: float | None = None,
     lm_ref_path: str | None = None,
     lm_max_bits: float | None = None,
@@ -225,6 +234,7 @@ def run_stream(
             min_tokens=min_tokens,
             langs=langs,
             gopher=gopher,
+            quality_clf=quality_clf,
             entropy_min=entropy_min,
             lm_table=lm_table,
             lm_max_bits=lm_max_bits,

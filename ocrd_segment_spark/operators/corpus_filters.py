@@ -1,8 +1,9 @@
 """The standard corpus quality-filter chain, defined ONCE.
 
 jobs/corpus_job.py (batch) and jobs/stream_job.py (streaming) apply
-the same six drop stages — quality, language, Gopher rules, character
-entropy, reference-LM surprisal, compression ratio. Review pass 3
+the same drop stages — quality, language, Gopher rules, character
+entropy, reference-LM surprisal, compression ratio, and (round 5) the
+learned quality classifier. Review pass 3
 found the chain hand-mirrored in both jobs, which is exactly how the
 stream fell behind the batch job by a whole round of stages; this
 module is the single source of the stage semantics.
@@ -28,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 KEEP_COLS = (
     "keep_quality", "keep_lang", "keep_gopher",
-    "keep_entropy", "keep_lm", "keep_compression",
+    "keep_entropy", "keep_lm", "keep_compression", "keep_clf",
 )
 
 
@@ -43,6 +44,7 @@ def with_keep_flags(
     lm_table: tuple[dict, dict] | None = None,
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
+    quality_clf: bool = False,
     python_parallelism: int | None = None,
     early_filter: bool = False,
 ) -> DataFrame:
@@ -128,7 +130,23 @@ def with_keep_flags(
         )
     else:
         scored = scored.withColumn("keep_compression", F.lit(True))
-    return _gate(scored, "keep_compression")
+    scored = _gate(scored, "keep_compression")
+    if quality_clf:
+        # learned keep/drop boundary (operators/quality_clf): pure JVM
+        # column math in the same narrow pass; zero-token docs have no
+        # evidence (NULL) and are KEPT — the bits_per_bigram rule. The
+        # clf_logit signal column rides the output for auditability;
+        # clf_keep is derivable (logit >= 0) and dropped.
+        from .quality_clf import with_quality_classifier
+
+        scored = with_quality_classifier(scored, text_col="extracted_text")
+        scored = scored.withColumn(
+            "keep_clf",
+            F.col("clf_keep").isNull() | F.col("clf_keep"),
+        ).drop("clf_keep")
+    else:
+        scored = scored.withColumn("keep_clf", F.lit(True))
+    return _gate(scored, "keep_clf")
 
 
 def keep_all() -> F.Column:

@@ -409,7 +409,7 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "dropped_domain": -1,
         "pages": 0, "dropped_quality": 0, "dropped_lang": 0,
         "dropped_gopher": 0, "dropped_entropy": -1, "dropped_lm": -1,
-        "dropped_compression": -1, "kept_after_filters": 0,
+        "dropped_compression": -1, "dropped_clf": -1, "kept_after_filters": 0,
         "kept_bpe_tokens": -1,
         "dropped_exact_dup": 0, "corpus_docs": 0,
         "near_dup_candidates": -1, "boilerplate_units_removed": -1,

@@ -67,3 +67,45 @@ def test_spark_column_equals_python_reference(spark):
             assert got[i] == (None, None), (i, t, got[i])
         else:
             assert got[i] == (want, want >= 0), (i, t, got[i], want)
+
+
+def test_corpus_job_quality_clf_stage(spark, tmp_path):
+    """--quality-clf as a funnel stage: the spam page drops with an
+    attributable dropped_clf count, prose survives with clf_logit on
+    the output row; the stream keeps the same documents (shared
+    chain parity)."""
+    from jobs.corpus_job import build_corpus
+    from jobs.stream_job import run_stream
+
+    pages = [
+        ("good", "the children were playing in the garden while their"
+                 " parents cooked dinner by the river"),
+        ("spam", "cheap deals best price buy now discount offer sale"
+                 " casino bonus click here subscribe"),
+    ]
+    rows = [(u, f"<html><body><p>{t}</p></body></html>".encode())
+            for u, t in pages]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+
+    funnel = build_corpus(
+        spark, src, str(tmp_path / "corpus"),
+        min_quality=0.0, min_tokens=1, quality_clf=True,
+    )
+    assert funnel["dropped_clf"] == 1 and funnel["corpus_docs"] == 1
+    out = spark.read.parquet(str(tmp_path / "corpus")).collect()
+    assert out[0]["url"] == "good" and out[0]["clf_logit"] > 0
+    assert "clf_keep" not in out[0].asDict()
+
+    q = run_stream(spark, src, str(tmp_path / "s"), str(tmp_path / "ck"),
+                   min_quality=0.0, min_tokens=1, quality_clf=True)
+    assert q.awaitTermination(300), "streaming drain did not terminate"
+    srows = spark.read.parquet(str(tmp_path / "s")).collect()
+    assert {r["url"] for r in srows} == {"good"}
+    assert srows[0]["clf_logit"] > 0
+
+    # stage off: both docs survive, funnel reads -1, clf_logit absent
+    f2 = build_corpus(spark, src, str(tmp_path / "c2"),
+                      min_quality=0.0, min_tokens=1)
+    assert f2["dropped_clf"] == -1 and f2["corpus_docs"] == 2
+    assert "clf_logit" not in spark.read.parquet(str(tmp_path / "c2")).columns
