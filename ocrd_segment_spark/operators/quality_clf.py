@@ -40,6 +40,16 @@ bigger labeled set the same way langid grows SEED_CORPUS: edit, retrain
 Scale shape: ONE narrow column expression — the weight table inlines
 as an array literal indexed by bucket (N_BUCKETS doubles, a closure
 constant), evaluated inside the scan stage; zero shuffle, zero Python.
+
+COVERAGE CAVEAT (the langid-model honesty rule): with the committed
+~24-seed corpus, most of the hash space carries zero weight, so text
+sharing no vocabulary with the seeds scores ≈ bias (negative → drop).
+That is the right default for a KEEP classifier — unknown-looking
+text is unvetted — but it means the toy model is aggressive outside
+its seed distribution (measured: the synthetic bench fixtures drop
+almost entirely). The machinery is the deliverable; production use
+swaps a real labeled set into SEED_KEEP/SEED_DROP (or loads exported
+weights the same literal way) and re-pins the digest.
 """
 
 from __future__ import annotations
