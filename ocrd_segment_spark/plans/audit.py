@@ -48,7 +48,11 @@ def unpartitioned_window_inputs(df: DataFrame) -> list[str]:
     lines = physical_plan(df).splitlines()
     out = []
     for i, line in enumerate(lines):
-        if re.match(r"\(\d+\) Window", line.strip()):
+        # anchor the node name: "(5) WindowGroupLimit" (the Spark 4
+        # partial-top-k node a rank<=k filter compiles to) also starts
+        # with "Window" but has a two-list Arguments shape that would
+        # false-positive as a global window
+        if re.match(r"\(\d+\) Window$", line.strip()):
             inp = args = ""
             for j in range(i + 1, min(i + 6, len(lines))):
                 s = lines[j].strip()

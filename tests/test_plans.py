@@ -148,3 +148,63 @@ def test_ngram_jaccard_requires_explicit_blocking(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     with pytest.raises(TypeError):
         ngram_jaccard_pairs(docs)  # no block_cols → refuse
+
+
+def test_domain_cap_windows_are_partitioned(spark):
+    """domain_cap's two windows must both be PARTITIONED (the whole
+    point is that no stage sorts a hot domain — or the corpus —
+    through one task); scoring is JVM-side."""
+    from ocrd_segment_spark.operators.sampling import domain_cap
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "concat('d', cast(doc_id % 7 as string)) as reg_domain"
+    )
+    out = domain_cap(d, 3)
+    assert audit.unpartitioned_window_inputs(out) == []
+    plan = audit.physical_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_has_no_global_window(spark):
+    """token_budget_sample: the running sum must be group-partitioned
+    (the distributed prefix-sum), never a corpus-wide ORDER BY window;
+    the offsets join is broadcast."""
+    from ocrd_segment_spark.operators.sampling import token_budget_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "cast(length(text) as bigint) as n_tokens"
+    )
+    out = token_budget_sample(d, 50000)
+    assert audit.unpartitioned_window_inputs(out) == []
+    assert audit.broadcast_join_count(out) >= 1
+
+
+def test_host_and_domain_blocklists_are_broadcast(spark):
+    from ocrd_segment_spark.functions.urls import (
+        with_domain_blocked,
+        with_host_blocked,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "concat('https://h', cast(doc_id % 9 as string),"
+        " '.example.org/p') as url"
+    )
+    bl = spark.createDataFrame([("h1.example.org",)], "domain string")
+    assert audit.broadcast_join_count(
+        with_host_blocked(d, bl, host_col="domain")
+    ) >= 1
+    assert audit.broadcast_join_count(with_domain_blocked(d, bl)) >= 1
+
+
+def test_quality_classifier_is_pure_jvm(spark):
+    """The learned classifier must stay inside the scan stage: no
+    Python eval nodes, no Exchange."""
+    from ocrd_segment_spark.operators.quality_clf import (
+        with_quality_classifier,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = with_quality_classifier(d).select("doc_id", "clf_logit")
+    plan = audit.physical_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert not audit.has_exchange(out)
