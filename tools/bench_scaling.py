@@ -49,15 +49,21 @@ spark = build_session(app="scale", master={master!r},
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet({corpus!r})
 extract_pages(pages.limit(2000), python_parallelism={pp}).agg(F.count("*")).collect()
-best = None
+from bench import ExternalLoad
+ext = ExternalLoad()
+best, best_ext = None, None
 for _ in range(2):
+    ext.start()
     t0 = time.perf_counter()
     extract_pages(pages, python_parallelism={pp}).agg(
         F.sum(F.length("extracted_text"))).collect()
     dt = time.perf_counter() - t0
-    best = dt if best is None or dt < best else best
+    e = ext.stop()
+    if best is None or dt < best:
+        best, best_ext = dt, e
 print(json.dumps({{"master": {master!r}, "sec": round(best, 2),
-                   "pages_per_sec": round({n_pages} / best, 1)}}))
+                   "pages_per_sec": round({n_pages} / best, 1),
+                   "ext_cores": best_ext}}))
 spark.stop()
 """
 
@@ -82,12 +88,26 @@ def main() -> None:
         ("local[32]", None),
         ("local[32]", 16),  # python-task cap = cores//2
     ]
+    # efficiency is a RATIO of two configs: co-tenant load on either
+    # side skews it in either direction, so each config gets the
+    # bench.py treatment — retry (bounded) while the selected run was
+    # flare-hit, and keep the fastest attempt. Gate tighter than
+    # bench.py's 3.0: a single external core is ~50% of local[2].
+    GATE, MAX_EXTRA = 1.0, 2
     results = []
     for master, pp in ladder:
-        r = run_once(master, pp)
-        r["python_parallelism"] = pp or "unbounded"
-        results.append(r)
-        print(r, flush=True)
+        best, extra = None, MAX_EXTRA
+        while True:
+            r = run_once(master, pp)
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+            e = best.get("ext_cores")
+            if e is None or e < GATE or extra == 0:
+                break
+            extra -= 1
+        best["python_parallelism"] = pp or "unbounded"
+        results.append(best)
+        print(best, flush=True)
 
     by = {(r["master"], r["python_parallelism"]): r for r in results}
     n_run = by[("local[2]", "unbounded")]
@@ -108,22 +128,27 @@ levels is enforced by tests/test_byte_identity.py.
 
 ## Headline: N=2 → 4N=8 cores
 
-| config | sec | pages/sec |
-|---|---|---|
-| local[2] | {n_run['sec']} | {n_run['pages_per_sec']} |
-| local[8] | {n4_run['sec']} | {n4_run['pages_per_sec']} |
+| config | sec | pages/sec | ext_cores during run |
+|---|---|---|---|
+| local[2] | {n_run['sec']} | {n_run['pages_per_sec']} | {n_run.get('ext_cores')} |
+| local[8] | {n4_run['sec']} | {n4_run['pages_per_sec']} | {n4_run.get('ext_cores')} |
 
 **Scaling efficiency (N→4N) = ({n4_run['pages_per_sec']} / {n_run['pages_per_sec']}) / 4 = {eff:.3f}**
 (criterion: ≥ 0.8 — {"MET" if eff >= 0.8 else "NOT MET"})
 
 ## Full ladder (and the oversubscription finding)
 
-| config | python tasks | sec | pages/sec |
-|---|---|---|---|
+ext_cores = average co-tenant cores measured DURING the selected run
+(host /proc/stat busy minus container cpuacct — see bench.py's
+ExternalLoad; the box is shared, read each row against its weather).
+
+| config | python tasks | sec | pages/sec | ext_cores |
+|---|---|---|---|---|
 """)
         for r in results:
             f.write(
-                f"| {r['master']} | {r['python_parallelism']} | {r['sec']} | {r['pages_per_sec']} |\n"
+                f"| {r['master']} | {r['python_parallelism']} | {r['sec']} |"
+                f" {r['pages_per_sec']} | {r.get('ext_cores')} |\n"
             )
         if un32["pages_per_sec"] < cap32["pages_per_sec"]:
             note = f"""
@@ -366,9 +391,38 @@ the artifact instead of silently becoming the headline.
   an automatic localCheckpoint (plan-tested single evaluation of the
   upstream); exact percentiles are the opt-in the oracle pins.
 - **Streaming parity**: stream_job now carries --blocklist,
-  --count-bpe, --bpe-vocab, --lang-margin, and projects a FIXED sink
-  schema (null-filled signals for disabled stages) so checkpointed
-  restarts with different flags cannot fork the parquet schema.
+  --count-bpe, --bpe-vocab, --lang-margin, --quality-clf, and projects
+  a FIXED sink schema (null-filled signals for disabled stages) so
+  checkpointed restarts with different flags cannot fork the parquet
+  schema.
+- **Persistent LSH dedup index** (build_lsh_index / lsh_add_batch):
+  the band table (k longs per doc) lives as a table with its banding
+  parameters pinned; each crawl batch bands ONCE and joins
+  batch-vs-index + batch-vs-batch — the indexed corpus never
+  re-shingles (cross_corpus_candidates re-banded it per call).
+  Contract key proves candidate parity with the recompute forms.
+- **Per-domain caps** (domain_cap): at most N docs per domain,
+  deterministic by hashed key, as a two-phase top-k (salt-partial →
+  final) so a hot domain never sorts through one task; plan-tested —
+  Spark additionally compiles the rank filters to partial
+  WindowGroupLimit top-k before each shuffle. Oracle = the global
+  window it exactly equals.
+- **Token-budget subsetting** (token_budget_sample): 'give me B
+  tokens' as a distributed prefix-sum (contiguous hash-range groups,
+  driver-summed offsets, bounded within-group windows) — plan-tested
+  no global window; oracle = the one-task running sum it equals.
+- **Exact-host blocklist** (with_host_blocked): host-granular sibling
+  of the registered-domain pass, entries normalized through the same
+  derivation, broadcast join.
+- **Learned quality classifier** (operators/quality_clf +
+  --quality-clf on both jobs): fastText-shaped hashed bag-of-tokens
+  logistic model, trained deterministically from committed seeds,
+  scored as ONE pure-JVM expression (weight array literal + the
+  repo's frozen polynomial hash; round-6 LOGIT — no transcendentals
+  cross-engine). Funnel stage with dropped_clf accounting; zero-token
+  docs keep (no evidence). Weights digest-pinned like the langid
+  model; coverage caveat documented (toy seeds → out-of-vocabulary
+  text scores ≈ bias).
 """
 
 
