@@ -83,6 +83,35 @@ def host_of(col: str) -> Column:
     )
 
 
+def _blocklist_hosts(blocklist, col: str):
+    """Normalize published blocklist entries to bare lowercase hosts —
+    the ONE derivation both blocklist joins share (round-5 review: the
+    chain had grown two verbatim copies, the drift channel the shared
+    filter chain closed for the jobs). Steps: strip whitespace + NBSP
+    (trim handles ASCII spaces only; the pattern rides the Python API
+    as data, no literal escaping), lowercase, drop scheme, drop
+    path/query/fragment/port. Empty results are filtered out."""
+    return (
+        blocklist.select(
+            F.lower(
+                F.regexp_replace(
+                    F.col(col),
+                    "(^[\\s\\u00a0]+|[\\s\\u00a0]+$)",
+                    "",
+                )
+            ).alias("_e")
+        )
+        .select(
+            F.regexp_replace(
+                F.regexp_replace("_e", "^[a-z][a-z0-9+.-]*://", ""),
+                "[/:?#].*$",
+                "",
+            ).alias("_host")
+        )
+        .filter(F.col("_host") != "")
+    )
+
+
 def with_domain_blocked(df, blocklist, url_col: str = "url",
                         domain_col: str = "domain"):
     """Append (reg_domain, blocked): whether the url's registered
@@ -97,38 +126,16 @@ def with_domain_blocked(df, blocklist, url_col: str = "url",
         "reg_domain", registered_domain("_h")
     )
     # normalize the blocklist side THROUGH THE SAME derivation as the
-    # corpus side: published exclusion lists arrive mixed-case / padded
-    # (trailing \r from CRLF files, tabs, NBSP) and frequently as full
-    # urls ('https://ads.example.org/path') or subdomained hosts
-    # ('ads.example.org') — any of which a verbatim compare against
-    # reg_domain would silently never match. So: whitespace strip →
-    # lowercase → drop scheme / path / port → reduce to registered
-    # domain. Deliberate semantics: a subdomain entry blocks its whole
-    # registered domain (C4 lists are registered-domain granular; a
-    # finer host-level list belongs in a separate host filter).
-    # F.trim strips ASCII spaces only, so the strip is a regexp over
-    # the whitespace class + NBSP (pattern passed as data through the
-    # Python API, no literal escaping).
+    # corpus side (_blocklist_hosts: published exclusion lists arrive
+    # mixed-case / padded / as full urls or subdomained hosts — a
+    # verbatim compare against reg_domain would silently never match),
+    # then reduce to the registered domain. Deliberate semantics: a
+    # subdomain entry blocks its whole registered domain (C4 lists are
+    # registered-domain granular; host-level lists use
+    # with_host_blocked).
     bl = (
-        blocklist.select(
-            F.lower(
-                F.regexp_replace(
-                    F.col(domain_col),
-                    "(^[\\s\\u00a0]+|[\\s\\u00a0]+$)",
-                    "",
-                )
-            ).alias("_e")
-        )
-        .withColumn(
-            "_host",
-            F.regexp_replace(
-                F.regexp_replace("_e", "^[a-z][a-z0-9+.-]*://", ""),
-                "[/:?#].*$",
-                "",
-            ),
-        )
+        _blocklist_hosts(blocklist, domain_col)
         .select(registered_domain("_host").alias("reg_domain"))
-        .filter(F.col("reg_domain") != "")
         .distinct()
         .withColumn("_blk", F.lit(True))
     )
@@ -152,23 +159,8 @@ def with_host_blocked(df, blocklist, url_col: str = "url",
     Flag, not drop — jobs count removals through their funnels."""
     d = df.withColumn("host", host_of(url_col))
     bl = (
-        blocklist.select(
-            F.lower(
-                F.regexp_replace(
-                    F.col(host_col),
-                    "(^[\\s\\u00a0]+|[\\s\\u00a0]+$)",
-                    "",
-                )
-            ).alias("_e")
-        )
-        .select(
-            F.regexp_replace(
-                F.regexp_replace("_e", "^[a-z][a-z0-9+.-]*://", ""),
-                "[/:?#].*$",
-                "",
-            ).alias("host")
-        )
-        .filter(F.col("host") != "")
+        _blocklist_hosts(blocklist, host_col)
+        .select(F.col("_host").alias("host"))
         .distinct()
         .withColumn("_blk", F.lit(True))
     )

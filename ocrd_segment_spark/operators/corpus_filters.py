@@ -49,7 +49,7 @@ def with_keep_flags(
     early_filter: bool = False,
 ) -> DataFrame:
     """Score ``extracted`` (must already carry ``pred_lang`` — run
-    extraction with ``lang_id=True``) and append the six ``keep_*``
+    extraction with ``lang_id=True``) and append the seven ``keep_*``
     flags. Stages that are off contribute a constant-true flag, so the
     flag schema is fixed regardless of configuration.
 

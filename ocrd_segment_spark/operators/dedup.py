@@ -174,9 +174,13 @@ def lsh_add_batch(
         id_col,
         "left_anti",
     )
+    # materialize the batch's band table ONCE (localCheckpoint): the
+    # append action, the vs-index join, and the within-batch self-join
+    # all read it — without this the batch re-shingles per consumer,
+    # the exact waste the persistent index exists to avoid
     nb = _band_table(
         fresh, id_col, text_col, p["k"], p["bands"], p["max_bucket"]
-    )
+    ).localCheckpoint(eager=True)
     vs_index = (
         nb.alias("n")
         .join(

@@ -157,7 +157,11 @@ def score_text(text: str) -> float | None:
 
 
 def clf_cols(text_col: str = "text") -> Column:
-    """struct(clf_logit, clf_keep) as one narrow JVM expression."""
+    """The round-6 ``clf_logit`` column (NULL when zero tokens) as one
+    narrow JVM expression; ``clf_keep`` is derived by the caller as
+    ``clf_logit >= 0`` (NULL-propagating) — emitting the comparison
+    inside this expression would duplicate the whole tokenize+hash
+    fold per row (review round-5: interpreted plans have no CSE)."""
     w, b = train_weights()
     weights = ", ".join(repr(v) for v in w)
     fold = H.STR_HASH.format(s="t")
@@ -185,21 +189,16 @@ def clf_cols(text_col: str = "text") -> Column:
     # NOTE: the divisor uses size(toks) — same length as the weight
     # array (transform preserves size) without re-running the lookups
     return F.expr(
-        f"CASE WHEN size({toks}) = 0 THEN named_struct('clf_logit',"
-        " cast(null as double), 'clf_keep', cast(null as boolean))"
-        f" ELSE named_struct('clf_logit', {logit},"
-        f" 'clf_keep', {logit} >= 0.0D) END"
+        f"CASE WHEN size({toks}) = 0 THEN cast(null as double)"
+        f" ELSE {logit} END"
     )
 
 
 def with_quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append (clf_logit, clf_keep)."""
-    d = df.withColumn("_clf", clf_cols(text_col))
-    return (
-        d.withColumn("clf_logit", F.col("_clf.clf_logit"))
-        .withColumn("clf_keep", F.col("_clf.clf_keep"))
-        .drop("_clf")
-    )
+    """Append (clf_logit, clf_keep): clf_keep = clf_logit >= 0, NULL
+    when the logit is NULL (zero-token doc — no evidence)."""
+    d = df.withColumn("clf_logit", clf_cols(text_col))
+    return d.withColumn("clf_keep", F.col("clf_logit") >= 0.0)
 
 
 def weights_sql_array() -> str:

@@ -202,8 +202,20 @@ def token_budget_sample(
         raise ValueError(f"budget must be >= 0, got {budget}")
     from pyspark.sql import Window as W
 
-    d = df.withColumn("__sample_key", F.col(key_col)).withColumn(
-        "__b", _bucket("__sample_key", salt)
+    # frozen edge rules: a NULL key cannot be ordered deterministically
+    # → the row is EXCLUDED; NULL token counts weigh 0. localCheckpoint
+    # before the group-totals collect so the upstream evaluates ONCE
+    # (the ccnet lineage-branch discipline — without it an expensive
+    # or nondeterministic upstream runs twice and the offsets can
+    # disagree with the window sums).
+    d = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__sample_key", F.col(key_col))
+        .withColumn(
+            "__nt", F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+        )
+        .withColumn("__b", _bucket("__sample_key", salt))
+        .localCheckpoint(eager=True)
     )
     # contiguous ranges: group g covers buckets [g*B/G, (g+1)*B/G) —
     # (group asc, bucket asc, key asc) equals global (bucket, key)
@@ -211,9 +223,7 @@ def token_budget_sample(
         "__g", F.expr(f"(cast(__b as bigint) * {n_groups}) div {BUCKETS}")
     )
     totals = (
-        d.groupBy("__g")
-        .agg(F.sum(F.col(token_col).cast("long")).alias("__t"))
-        .collect()
+        d.groupBy("__g").agg(F.sum("__nt").alias("__t")).collect()
     )
     by_g = {r["__g"]: r["__t"] for r in totals}
     offsets, acc = [], 0
@@ -224,12 +234,12 @@ def token_budget_sample(
         return df.filter(F.lit(False))
     odf = df.sparkSession.createDataFrame(offsets, "__g long, __off long")
     w = W.partitionBy("__g").orderBy(F.asc("__b"), F.asc("__sample_key"))
-    cum = F.sum(F.col(token_col).cast("long")).over(
+    cum = F.sum("__nt").over(
         w.rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
         d.join(F.broadcast(odf), "__g")
         .withColumn("__cum", F.col("__off") + cum)
         .filter(F.col("__cum") <= budget)
-        .drop("__sample_key", "__b", "__g", "__off", "__cum")
+        .drop("__sample_key", "__nt", "__b", "__g", "__off", "__cum")
     )

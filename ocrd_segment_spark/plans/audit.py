@@ -52,7 +52,7 @@ def unpartitioned_window_inputs(df: DataFrame) -> list[str]:
         # partial-top-k node a rank<=k filter compiles to) also starts
         # with "Window" but has a two-list Arguments shape that would
         # false-positive as a global window
-        if re.match(r"\(\d+\) Window$", line.strip()):
+        if re.match(r"\(\d+\) (Window|WindowInPandas)$", line.strip()):
             inp = args = ""
             for j in range(i + 1, min(i + 6, len(lines))):
                 s = lines[j].strip()
