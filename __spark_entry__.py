@@ -123,6 +123,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_safe": M.q_split_leakage_safe,
     "domain_cap_sample": M.q_domain_cap_sample,
     "token_budget_sample": M.q_token_budget_sample,
+    "token_budget_stratified": M.q_token_budget_stratified,
     "host_blocklist": M.q_host_blocklist,
     "gopher_quality_rules": M.q_gopher_quality_rules,
     "paragraph_dedup": M.q_paragraph_dedup,
@@ -252,6 +253,7 @@ _ORACLES: dict[str, str] = {
     "split_leakage_safe": M.O_SPLIT_LEAKAGE,
     "domain_cap_sample": M.O_DOMAIN_CAP,
     "token_budget_sample": M.O_TOKEN_BUDGET,
+    "token_budget_stratified": M.O_TOKEN_BUDGET_STRAT,
     "host_blocklist": M.O_HOST_BLOCKLIST,
     "gopher_quality_rules": M.O_GOPHER,
     "paragraph_dedup": M.O_PARAGRAPH_DEDUP,

@@ -2244,6 +2244,41 @@ FROM u
 """
 
 
+def q_token_budget_stratified(spark, sf_dir):
+    """Per-language token budgets (operators/sampling
+    .token_budget_stratified): the data-mixture operation — 30k chars
+    of en, 8k of de, everything else excluded (default budget 0),
+    deterministic by hashed key within each language. The Spark side
+    runs the per-stratum distributed prefix-sum; the oracle states the
+    per-stratum global running sums it must exactly equal."""
+    from .operators.sampling import token_budget_stratified
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "cast(length(text) as bigint) as n_tokens"
+    )
+    return token_budget_stratified(
+        d, {"en": 30000, "de": 8000}
+    ).select("doc_id", "lang", "n_tokens")
+
+
+O_TOKEN_BUDGET_STRAT = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_tokens,
+         {_D_BUDGET_B} AS b
+  FROM documents WHERE lang IS NOT NULL
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY b ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, lang, n_tokens FROM c
+WHERE cum <= CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 8000 ELSE 0 END
+"""
+
+
 def q_host_blocklist(spark, sf_dir):
     """Exact-host blocklist (functions/urls.with_host_blocked): the
     host-granular sibling of the registered-domain pass — a full-url

@@ -172,6 +172,32 @@ def domain_cap(
     )
 
 
+def _prep_budget_frame(
+    df: DataFrame, token_col: str, key_col: str, salt: str, n_groups: int
+) -> DataFrame:
+    """Shared prep for the token-budget operators: (__sample_key,
+    __nt, __b, __g) appended, frozen edge rules applied — a NULL key
+    cannot be ordered deterministically → the row is EXCLUDED; NULL
+    token counts weigh 0 — and the frame localCheckpoints so the
+    upstream evaluates ONCE (the ccnet lineage-branch discipline:
+    without it an expensive or nondeterministic upstream runs twice
+    and the offsets can disagree with the window sums). Group ranges
+    are CONTIGUOUS in the bucket space, so (group asc, bucket asc,
+    key asc) equals global (bucket, key) order."""
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__sample_key", F.col(key_col))
+        .withColumn(
+            "__nt", F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+        )
+        .withColumn("__b", _bucket("__sample_key", salt))
+        .withColumn(
+            "__g", F.expr(f"(cast(__b as bigint) * {n_groups}) div {BUCKETS}")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget: int,
@@ -202,26 +228,7 @@ def token_budget_sample(
         raise ValueError(f"budget must be >= 0, got {budget}")
     from pyspark.sql import Window as W
 
-    # frozen edge rules: a NULL key cannot be ordered deterministically
-    # → the row is EXCLUDED; NULL token counts weigh 0. localCheckpoint
-    # before the group-totals collect so the upstream evaluates ONCE
-    # (the ccnet lineage-branch discipline — without it an expensive
-    # or nondeterministic upstream runs twice and the offsets can
-    # disagree with the window sums).
-    d = (
-        df.filter(F.col(key_col).isNotNull())
-        .withColumn("__sample_key", F.col(key_col))
-        .withColumn(
-            "__nt", F.coalesce(F.col(token_col).cast("long"), F.lit(0))
-        )
-        .withColumn("__b", _bucket("__sample_key", salt))
-        .localCheckpoint(eager=True)
-    )
-    # contiguous ranges: group g covers buckets [g*B/G, (g+1)*B/G) —
-    # (group asc, bucket asc, key asc) equals global (bucket, key)
-    d = d.withColumn(
-        "__g", F.expr(f"(cast(__b as bigint) * {n_groups}) div {BUCKETS}")
-    )
+    d = _prep_budget_frame(df, token_col, key_col, salt, n_groups)
     totals = (
         d.groupBy("__g").agg(F.sum("__nt").alias("__t")).collect()
     )
@@ -242,4 +249,81 @@ def token_budget_sample(
         .withColumn("__cum", F.col("__off") + cum)
         .filter(F.col("__cum") <= budget)
         .drop("__sample_key", "__nt", "__b", "__g", "__off", "__cum")
+    )
+
+
+def token_budget_stratified(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+    n_groups: int = 1024,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-stratum token budgets — the DATA-MIXTURE operation every
+    multilingual training run specifies ('30B en + 10B de + 5B fr
+    tokens'): within each stratum, documents order by (hashed key,
+    key) and survive while the stratum's inclusive running total fits
+    its budget. Strata absent from ``budgets`` get
+    ``default_budget`` (0 = excluded — mixtures are explicit); rows
+    with a NULL stratum or NULL key are excluded (neither can be
+    deterministically ordered/binned).
+
+    Scale shape: the same distributed prefix-sum as
+    :func:`token_budget_sample`, one dimension wider — totals
+    aggregate on (stratum, hash-range group), offsets prefix-sum per
+    stratum on the driver (n_strata × n_groups rows, model-sized),
+    and the running sum windows on (stratum, group): bounded
+    partitions regardless of corpus size or stratum skew. Within each
+    stratum the result is EXACTLY token_budget_sample at that
+    stratum's budget (same salt ⇒ same order; pytest pins it)."""
+    for stratum, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {stratum!r} must be >= 0, got {b}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
+    from pyspark.sql import Window as W
+
+    d = _prep_budget_frame(
+        df.filter(F.col(strata_col).isNotNull()),
+        token_col,
+        key_col,
+        salt,
+        n_groups,
+    ).withColumn("__st", F.col(strata_col))
+    totals = (
+        d.groupBy("__st", "__g").agg(F.sum("__nt").alias("__t")).collect()
+    )
+    by_stratum: dict[str, dict[int, int]] = {}
+    for r in totals:
+        by_stratum.setdefault(r["__st"], {})[r["__g"]] = r["__t"]
+    offsets = []
+    for st in sorted(by_stratum):
+        acc = 0
+        for g in sorted(by_stratum[st]):
+            offsets.append((st, g, acc))
+            acc += by_stratum[st][g]
+    if not offsets:
+        return df.filter(F.lit(False))
+    odf = df.sparkSession.createDataFrame(
+        offsets, "__st string, __g long, __off long"
+    )
+    budget_expr = F.lit(int(default_budget))
+    for stratum, b in sorted(budgets.items()):
+        budget_expr = F.when(
+            F.col("__st") == stratum, F.lit(int(b))
+        ).otherwise(budget_expr)
+    w = W.partitionBy("__st", "__g").orderBy(
+        F.asc("__b"), F.asc("__sample_key")
+    )
+    cum = F.sum("__nt").over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.join(F.broadcast(odf), ["__st", "__g"])
+        .withColumn("__cum", F.col("__off") + cum)
+        .filter(F.col("__cum") <= budget_expr)
+        .drop("__sample_key", "__nt", "__b", "__g", "__st", "__off", "__cum")
     )

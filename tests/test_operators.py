@@ -733,3 +733,29 @@ def test_lsh_index_persist_and_add_batch(spark, tmp_path):
     # the batch's bands were appended: a second identical add is a no-op
     pairs2 = lsh_add_batch(spark, path, batch).collect()
     assert pairs2 == []
+
+
+def test_token_budget_stratified_edges(spark):
+    """Per-stratum budgets: within each stratum the survivors equal
+    token_budget_sample at that stratum's budget (same salt = same
+    order); unlisted strata drop (default 0); NULL strata drop."""
+    from ocrd_segment_spark.operators.sampling import (
+        token_budget_sample,
+        token_budget_stratified,
+    )
+
+    rows = [(i, ["en", "de", "fr", None][i % 4], 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = token_budget_stratified(df, {"en": 55, "de": 25})
+    got = {r["lang"]: {x["doc_id"] for x in out.filter(
+        F.col("lang") == r["lang"]).collect()} for r in out.select("lang").distinct().collect()}
+    assert set(got) == {"en", "de"}  # fr (unlisted) and NULL dropped
+    assert len(got["en"]) == 5 and len(got["de"]) == 2  # 55//10, 25//10
+    for lang, budget in (("en", 55), ("de", 25)):
+        solo = {
+            r["doc_id"]
+            for r in token_budget_sample(
+                df.filter(F.col("lang") == lang), budget
+            ).collect()
+        }
+        assert got[lang] == solo
