@@ -185,7 +185,13 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 
 
 _STATIC_SECTIONS = """
-## Kill-and-resume (process-level; re-evidenced round 3 on kernel 1.5.1 and round 4 on 1.5.5)
+## Kill-and-resume (process-level; re-evidenced rounds 3, 4 and 5)
+
+Round-5 refresh (same protocol, the round-5 build with the expanded
+job surface): SIGKILL at ~13 s through the first-attempt crash window
+(output held ONLY `_temporary`, zero committed files); the identical
+resubmit completed and `url + md5(extracted_text)` differs from a
+clean single run in **0 of 100,000 rows**.
 
 Round-4 refresh: the 100k spark-submit extract was SIGKILLed at ~11 s
 leaving ONLY `_temporary` (zero committed files — the first-attempt
