@@ -489,3 +489,35 @@ def test_stream_job_blocklist_bpe_and_fixed_schema(spark, tmp_path):
     assert q2.awaitTermination(300), "streaming drain did not terminate"
     cols2 = spark.read.parquet(str(tmp_path / "s2")).columns
     assert cols2 == stream.columns == [c for c, _ in SINK_COLUMNS]
+
+
+def test_stream_job_flag_change_restart_one_schema(spark, tmp_path):
+    """The round-4 ADVICE scenario end-to-end: a checkpointed sink
+    restarted with DIFFERENT stage flags keeps appending one parquet
+    schema — pre-restart rows read with null signal columns, new rows
+    carry the newly-enabled signals."""
+    from jobs.stream_job import SINK_COLUMNS, run_stream
+
+    src, out, ck = (str(tmp_path / p) for p in ("pages", "out", "ck"))
+    spark.createDataFrame(
+        [("u1", b"<html><body><p>the children were playing in the garden"
+                b" near the river all afternoon</p></body></html>")],
+        "url string, html binary",
+    ).write.parquet(src)
+    q = run_stream(spark, src, out, ck, min_quality=0.0, min_tokens=1)
+    assert q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [("u2", b"<html><body><p>she opened the window and watched the"
+                b" quiet street below the house</p></body></html>")],
+        "url string, html binary",
+    ).write.mode("append").parquet(src)
+    q2 = run_stream(spark, src, out, ck, min_quality=0.0, min_tokens=1,
+                    quality_clf=True)
+    assert q2.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.columns == [c for c, _ in SINK_COLUMNS]
+    rows = {r["url"]: r["clf_logit"] for r in got.collect()}
+    assert set(rows) == {"u1", "u2"}
+    assert rows["u1"] is None and rows["u2"] > 0
