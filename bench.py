@@ -168,20 +168,50 @@ class ExternalLoad:
                 self._t0 = self._snap()
             except OSError:
                 self.ok = False
+                return
+            # 1 Hz sampler for the PEAK: a multi-stage job stalled by
+            # a 20-core burst for 3 s reads a harmless AVERAGE over a
+            # 30 s run — the max 1 s delta is what explains a 3×
+            # inflation the mean hides (observed: corpus_job 34.7 s at
+            # avg ext 2.0)
+            import threading
+
+            self._peak = 0.0
+            self._stop_evt = threading.Event()
+
+            def sample():
+                prev = self._t0
+                while not self._stop_evt.wait(1.0):
+                    try:
+                        cur = self._snap()
+                    except OSError:
+                        return
+                    b0, o0, w0 = prev
+                    b1, o1, w1 = cur
+                    wall = max(w1 - w0, 1e-6)
+                    e = (b1 - b0) / self.hz / wall - (o1 - o0) / 1e9 / wall
+                    self._peak = max(self._peak, e)
+                    prev = cur
+
+            self._thr = threading.Thread(target=sample, daemon=True)
+            self._thr.start()
 
     def stop(self):
-        """External average cores during start()→stop(), or None."""
+        """(avg, peak-1s) external cores during start()→stop(), or
+        (None, None)."""
         if not self.ok:
-            return None
+            return None, None
+        self._stop_evt.set()
+        self._thr.join(timeout=2.0)
         try:
             b1, o1, w1 = self._snap()
         except OSError:
             self.ok = False
-            return None
+            return None, None
         b0, o0, w0 = self._t0
         wall = max(w1 - w0, 1e-6)
         ext = (b1 - b0) / self.hz / wall - (o1 - o0) / 1e9 / wall
-        return round(max(ext, 0.0), 1)
+        return round(max(ext, 0.0), 1), round(max(self._peak, 0.0), 1)
 
 
 def main() -> None:
@@ -372,7 +402,14 @@ def main() -> None:
         # attempt was flare-hit gets up to MAX_EXTRA_RUNS retries — so
         # a co-tenant burst is visible in the artifact instead of
         # silently becoming the headline (round-4 corpus_job lesson).
-        runs = 3 if name.startswith("corpus_job") else 2
+        # the ~25-stage corpus jobs are the most flare-exposed queries
+        # in the suite AND ratio-long enough that even ~2 average
+        # external cores hides stage-stalling bursts (measured 34.7 s
+        # at avg ext 2.0 vs a 10.7 s quiet floor) — they get a third
+        # base attempt and a TIGHTER retry gate
+        is_corpus = name.startswith("corpus_job")
+        runs = 3 if is_corpus else 2
+        gate = 1.0 if is_corpus else LOAD_GATE
         attempts: list[dict] = []
         extra_left = MAX_EXTRA_RUNS
         while True:
@@ -381,7 +418,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
-            attempts.append({"t": round(dt, 3), "ext_cores": ext_load.stop()})
+            avg, peak = ext_load.stop()
+            attempts.append(
+                {"t": round(dt, 3), "ext_cores": avg, "ext_peak_1s": peak}
+            )
             if len(attempts) < runs:
                 continue
             # external load only ever SLOWS a run, so the overall
@@ -394,7 +434,7 @@ def main() -> None:
             best = min(attempts, key=lambda a: a["t"])
             if (
                 best["ext_cores"] is None
-                or best["ext_cores"] < LOAD_GATE
+                or best["ext_cores"] < gate
                 or extra_left == 0
             ):
                 break
@@ -418,8 +458,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 # per-attempt evidence: every timed run with the
-                # external (co-tenant) average cores measured DURING
-                # that run; "queries" above is the fastest attempt —
+                # external (co-tenant) AVERAGE cores and the PEAK 1 s
+                # delta measured DURING that run (the peak is what
+                # explains burst-stalled long jobs whose average reads
+                # quiet); "queries" above is the fastest attempt —
                 # retries were granted while the fastest was flare-hit
                 "runs": per_run,
                 "load_gate_ext_cores": LOAD_GATE,

@@ -58,9 +58,9 @@ for _ in range(2):
     extract_pages(pages, python_parallelism={pp}).agg(
         F.sum(F.length("extracted_text"))).collect()
     dt = time.perf_counter() - t0
-    e = ext.stop()
+    avg, _peak = ext.stop()
     if best is None or dt < best:
-        best, best_ext = dt, e
+        best, best_ext = dt, avg
 print(json.dumps({{"master": {master!r}, "sec": round(best, 2),
                    "pages_per_sec": round({n_pages} / best, 1),
                    "ext_cores": best_ext}}))
