@@ -138,3 +138,72 @@ def test_bpe_oracle_parity_on_fuzz(spark):
     bad = {i: (got[i], want[i], repr(texts[i])[:80])
            for i in got if got[i] != want[i]}
     assert not bad, dict(list(bad.items())[:5])
+
+
+def test_quality_clf_oracle_parity_on_fuzz(spark):
+    """Round-5: the learned classifier's normalize + hash-bucket +
+    fold + round-6 logit must agree cross-engine on adversarial
+    unicode (code-point hashing, exotic whitespace incl. NEL, empty
+    and combining-mark inputs)."""
+    from ocrd_segment_spark.contract_ml import O_QUALITY_CLF
+    from ocrd_segment_spark.operators.quality_clf import (
+        with_quality_classifier,
+    )
+
+    texts = _fuzz_texts()
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clf_logit"], r["clf_keep"])
+        for r in with_quality_classifier(df).collect()
+    }
+    con = _duck_with_docs(texts)
+    want = {
+        r[0]: (r[1], r[2]) for r in con.execute(O_QUALITY_CLF).fetchall()
+    }
+    assert len(got) == len(want) == len(texts)
+    bad = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not bad, dict(list(bad.items())[:5])
+
+
+def test_token_budget_oracle_parity_on_fuzz(spark):
+    """The budget operators' bucket/scramble arithmetic and running
+    sums must agree cross-engine when keys are adversarial STRINGS
+    (the hash folds code points; engines must bucket identically)."""
+    from ocrd_segment_spark.contract_ml import _D_STR_HASH, P
+    from ocrd_segment_spark.operators.sampling import token_budget_sample
+
+    texts = [t for t in _fuzz_texts(120) if t]  # NULL-free string keys
+    rows = [(t, (i * 37) % 23 + 1) for i, t in enumerate(dict.fromkeys(texts))]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    got = sorted(
+        r["doc_id"] for r in token_budget_sample(df, 700).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "d0",
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "n_tokens": [r[1] for r in rows],
+            }
+        ),
+    )
+    bucket = (
+        "(("
+        + _D_STR_HASH.format(s="concat('budget', doc_id)")
+        + f") * 48271 + 11) % {P} % 1000000"
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+WITH d AS (SELECT doc_id, n_tokens, {bucket} AS b FROM d0),
+c AS (SELECT doc_id, sum(n_tokens) OVER (ORDER BY b, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+SELECT doc_id FROM c WHERE cum <= 700
+"""
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got) < len(rows)
