@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ocrd_segment_spark import contract as C
 from ocrd_segment_spark import contract_levels as L
+from ocrd_segment_spark import contract_graph as G
 from ocrd_segment_spark import contract_ml as M
 from ocrd_segment_spark.pipeline import extract_pages
 
@@ -188,6 +189,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coco_apply_roundtrip": L.q_coco_apply_roundtrip,
     # TextEquiv history-preserving replace (insert at index 0)
     "replace_textequiv_history": L.q_replace_textequiv_history,
+    # link graph / corpus layout (contract_graph.py)
+    "outlink_host_edges": G.q_outlink_host_edges,
+    "linkgraph_pagerank": G.q_linkgraph_pagerank,
+    "url_latest_snapshot": G.q_url_latest_snapshot,
+    "dedup_keep_best": G.q_dedup_keep_best,
+    "shard_by_tokens": G.q_shard_by_tokens,
 }
 
 _ORACLES: dict[str, str] = {
@@ -303,6 +310,11 @@ _ORACLES: dict[str, str] = {
     "extract_reading_direction": L.O_READING_DIRECTION,
     "coco_apply_roundtrip": L.O_COCO_APPLY,
     "replace_textequiv_history": L.O_TEXTEQUIV_HISTORY,
+    "outlink_host_edges": G.O_OUTLINK_EDGES,
+    "linkgraph_pagerank": G.O_LINKGRAPH_PAGERANK,
+    "url_latest_snapshot": G.O_URL_SNAPSHOT,
+    "dedup_keep_best": G.O_DEDUP_KEEP_BEST,
+    "shard_by_tokens": G.O_SHARD_BY_TOKENS,
 }
 
 

@@ -1,0 +1,327 @@
+"""Contract keys for the round-5 web-graph / corpus-layout operators:
+link-graph (outlink harvesting → host edges → PageRank), url snapshot
+collapse, quality-based duplicate-cluster resolution, and token-
+balanced sharding. Same discipline as contract_ml.py: every Spark
+query has a DuckDB oracle stating the SAME frozen computation over the
+same synthesized inputs (both sides derive their fixtures from the
+``documents`` table with identical arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .contract_ml import (
+    O_DEDUP_COMPONENTS,
+    O_URL_CANON,
+    _D_STR_HASH,
+    _D_SYNTH_URL,
+)
+from .functions.hashing import P
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Link graph: outlink harvesting → host edges
+# ---------------------------------------------------------------------------
+
+# Synthetic link corpus: every page links one absolute https target,
+# one protocol-relative target, one same-host path, one mailto (must
+# drop); every 5th page adds an UPPER-CASED absolute self-link (must
+# lowercase → self → dropped by host_edges). Identical arithmetic on
+# both sides; Spark casts the html through BINARY to exercise the
+# input_hint column shape.
+_LINK_HTML = """concat(
+  '<html><body>',
+  '<a href="https://h', cast((doc_id * 7 + n_chars) % 11 as string), '.example.org/x">out</a>',
+  '<A href="//h', cast((doc_id * 3) % 11 as string), '.example.org/y">rel</A>',
+  '<a href="/nav/home">self</a>',
+  '<a href="mailto:x@example.org">mail</a>',
+  CASE WHEN doc_id % 5 = 0
+       THEN concat('<a href="HTTP://H', cast(doc_id % 11 as string), '.EXAMPLE.ORG/Z">case</a>')
+       ELSE '' END,
+  '</body></html>')"""
+
+_D_LINK_HTML = (
+    _LINK_HTML.replace("cast((doc_id * 7 + n_chars) % 11 as string)",
+                       "CAST((doc_id * 7 + n_chars) % 11 AS VARCHAR)")
+    .replace("cast((doc_id * 3) % 11 as string)",
+             "CAST((doc_id * 3) % 11 AS VARCHAR)")
+    .replace("cast(doc_id % 11 as string)", "CAST(doc_id % 11 AS VARCHAR)")
+)
+
+_LINK_URL = "concat('https://h', cast(doc_id % 11 as string), '.example.org/p/', cast(doc_id as string))"
+_D_LINK_URL = (
+    "'https://h' || CAST(doc_id % 11 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def q_outlink_host_edges(spark, sf_dir):
+    """Outlink harvesting + host-grain edge aggregate
+    (operators/linkgraph.outlinks → host_edges): anchors regex-
+    harvested from raw html (binary), each href resolved to a dst host
+    under the frozen rule (absolute → its host lowercased; protocol-
+    relative → that host; foreign scheme → dropped; relative → own
+    host), self-edges dropped, grouped to (src, dst, n_links,
+    n_pages). Scan-stage column math + ONE shuffle on the host pair."""
+    from .operators.linkgraph import host_edges, outlinks
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_LINK_URL} as url", f"cast({_LINK_HTML} as binary) as html"
+    )
+    return host_edges(outlinks(pages))
+
+
+O_OUTLINK_EDGES = f"""
+WITH p AS (
+  SELECT {_D_LINK_URL} AS url, {_D_LINK_HTML} AS html FROM documents
+), l AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
+         unnest(regexp_extract_all(html, '<[Aa][^>]*href="([^"]*)"', 1)) AS href
+  FROM p
+), r AS (
+  SELECT url, src_host,
+         CASE
+           WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
+             THEN lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+           WHEN regexp_matches(href, '^//')
+             THEN lower(regexp_extract(href, '^//([^/:?#]+)', 1))
+           WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+           ELSE src_host
+         END AS dst_host
+  FROM l
+  WHERE src_host <> ''
+)
+SELECT src_host, dst_host, count(*) AS n_links, count(DISTINCT url) AS n_pages
+FROM r
+WHERE dst_host IS NOT NULL AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration power method, unrolled in the oracle)
+# ---------------------------------------------------------------------------
+
+_PR_ITERATIONS = 4
+_PR_DAMPING = 0.85
+
+
+def q_linkgraph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/linkgraph.pagerank) over a
+    synthesized 29-node host graph where nodes h23..h28 appear only as
+    destinations — dangling, so the dangling-mass redistribution path
+    is exercised, not just the join. The oracle unrolls the identical
+    power iteration; final ranks round to 6 decimals (doubles agree to
+    ~1e-15 across engines; intermediate ranks stay unrounded)."""
+    from .operators.linkgraph import pagerank
+
+    edges = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "concat('h', cast(doc_id % 23 as string)) as src_host",
+            "concat('h', cast((doc_id * 7 + n_chars) % 29 as string)) as dst_host",
+        )
+        .filter("src_host <> dst_host")
+    )
+    pr = pagerank(edges, iterations=_PR_ITERATIONS, damping=_PR_DAMPING)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle(iterations: int, damping: float) -> str:
+    """Unrolled power-iteration SQL: r0 = 1/N; r[i] = (1-d)/N +
+    d*(in-contributions + dangling_mass/N) — the exact frozen formula
+    of operators/linkgraph.pagerank, one CTE trio (dangling mass,
+    contributions, ranks) per round."""
+    head = """WITH e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + n_chars) % 29 AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'h' || CAST(doc_id % 23 AS VARCHAR)
+        <> 'h' || CAST((doc_id * 7 + n_chars) % 29 AS VARCHAR)
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+base AS (
+  SELECT nodes.node, coalesce(deg.outdeg, 0) AS outdeg
+  FROM nodes LEFT JOIN deg ON nodes.node = deg.node
+),
+r0 AS (
+  SELECT node, outdeg, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+  FROM base
+)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""", d{i} AS (
+  SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dmass
+  FROM r{p} WHERE outdeg = 0
+), c{i} AS (
+  SELECT e.dst AS node, sum(r.rank / CAST(r.outdeg AS DOUBLE)) AS contrib
+  FROM e JOIN r{p} r ON e.src = r.node
+  WHERE r.outdeg > 0
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT b.node, b.outdeg,
+         (CAST(1 AS DOUBLE) - {damping}) / (SELECT n FROM nn)
+         + {damping} * (coalesce(c{i}.contrib, CAST(0 AS DOUBLE))
+                        + (SELECT dmass FROM d{i}) / (SELECT n FROM nn)) AS rank
+  FROM base b LEFT JOIN c{i} ON b.node = c{i}.node
+)""")
+    parts.append(
+        f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+O_LINKGRAPH_PAGERANK = _pagerank_oracle(_PR_ITERATIONS, _PR_DAMPING)
+
+
+# ---------------------------------------------------------------------------
+# URL snapshot collapse (latest capture per canonical url)
+# ---------------------------------------------------------------------------
+
+# ~12 docs share each of 40 canonical urls; the raw variants differ
+# ONLY in canonically-invisible ways (scheme/host case, default port,
+# tracking params, fragment), so canonicalization is what groups them.
+_SNAP_URL = """concat(
+  CASE doc_id % 2 WHEN 0 THEN 'http://' ELSE 'HTTP://' END,
+  CASE doc_id % 3 WHEN 0 THEN 'Example.COM:80' WHEN 1 THEN 'example.com' ELSE 'EXAMPLE.com:80' END,
+  '/doc/', cast(doc_id % 40 as string),
+  CASE doc_id % 4 WHEN 0 THEN '?utm_source=x' WHEN 1 THEN '?fbclid=z' ELSE '' END,
+  CASE doc_id % 5 WHEN 0 THEN '#top' ELSE '' END)"""
+
+_D_SNAP_URL = _SNAP_URL.replace(
+    "cast(doc_id % 40 as string)", "CAST(doc_id % 40 AS VARCHAR)"
+)
+
+
+def q_url_latest_snapshot(spark, sf_dir):
+    """Snapshot collapse (functions/urls.latest_snapshot): one row per
+    canonical url — the greatest capture "timestamp" (doc_id stands in
+    for warc_ts: any orderable column), ties to the smallest raw url.
+    The oracle reruns the FULL canonicalization chain (the url_canonicalize
+    oracle, resynthesized) so the grouping key is the tested chain,
+    not a shortcut."""
+    from .functions.urls import latest_snapshot
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SNAP_URL} as url"
+    )
+    out = latest_snapshot(d, url_col="url", ts_col="doc_id")
+    return out.select("canonical_url", "url", "doc_id")
+
+
+O_URL_SNAPSHOT = f"""
+WITH cu AS (
+{O_URL_CANON.replace(_D_SYNTH_URL, _D_SNAP_URL)}
+), r AS (
+  SELECT doc_id, url, canonical_url,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY doc_id DESC, url ASC) AS rn
+  FROM cu
+)
+SELECT canonical_url, url, doc_id FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution by quality
+# ---------------------------------------------------------------------------
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-based cluster resolution
+    (operators/dedup.resolve_duplicate_clusters) composed on the full
+    LSH → connected-components pipeline of dedup_components: every doc
+    gets its component (singletons are their own), the best-scoring
+    member (score = n_chars, ties → min doc id) is kept, the rest are
+    the drop list. The oracle extends the components oracle's
+    recursive closure with the same window."""
+    from .operators import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text", "n_chars").unionAll(
+        d.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    pairs = D.minhash_lsh_candidates(
+        corpus.select("doc_id", "text"), k=8, bands=4
+    )
+    labels = D.connected_components(pairs)
+    return D.resolve_duplicate_clusters(
+        labels, corpus.select("doc_id", "n_chars"), score_col="n_chars"
+    )
+
+
+O_DEDUP_KEEP_BEST = O_DEDUP_COMPONENTS.replace(
+    "SELECT a AS doc_id, least(a, min(b)) AS component\nFROM reach GROUP BY a",
+    """, comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+), docs2 AS (
+  SELECT doc_id, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, n_chars FROM documents WHERE doc_id % 50 = 0
+), lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+  FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.doc_id
+), rk AS (
+  SELECT doc_id, component, n_chars,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM lab
+)
+SELECT doc_id, component, rn = 1 AS keep FROM rk""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced sharding
+# ---------------------------------------------------------------------------
+
+_D_SHARD_B = (
+    "(("
+    + _D_STR_HASH.format(s="concat('shard', CAST(doc_id AS VARCHAR))")
+    + f") * 48271 + 11) % {P} % 1000000"
+)
+
+_SHARD_TOKENS = 20000
+
+
+def q_shard_by_tokens(spark, sf_dir):
+    """Token-balanced shard assignment
+    (operators/sampling.shard_by_tokens): documents in (hashed key,
+    key) order; shard = starting-offset div shard_tokens. Spark runs
+    the distributed prefix-sum; the oracle states the one global
+    running sum it must equal exactly."""
+    from .operators.sampling import shard_by_tokens
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "cast(length(text) as bigint) as n_tokens"
+    )
+    return shard_by_tokens(d, _SHARD_TOKENS).select(
+        "doc_id", "n_tokens", "shard_id"
+    )
+
+
+O_SHARD_BY_TOKENS = f"""
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens,
+         {_D_SHARD_B} AS b
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY b ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {_SHARD_TOKENS} AS BIGINT) AS shard_id
+FROM c
+"""

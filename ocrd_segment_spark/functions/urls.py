@@ -184,3 +184,35 @@ def registered_domain(host_col: str) -> Column:
         f" ELSE array_join(slice(split({host_col}, '\\\\.'),"
         f"      size(split({host_col}, '\\\\.')) - 1, 2), '.') END"
     )
+
+
+def latest_snapshot(
+    df, url_col: str = "url", ts_col: str = "warc_ts"
+):
+    """One row per CANONICAL url: the latest capture — the
+    snapshot-collapse every multi-crawl corpus runs before dedup (the
+    same page is refetched crawl after crawl; only the newest capture
+    should enter the corpus). Frozen rule: group by
+    :func:`canonicalize_url`; keep the row with the greatest
+    ``ts_col``, ties broken by the lexicographically SMALLEST raw url
+    (a canonical url fetched twice in the same second is the same
+    resource; the tie-break only has to be deterministic). Returns the
+    winning input rows with ``canonical_url`` appended.
+
+    Scale shape: one window on the canonical url (computed inline in
+    the scan — zero extra passes). Partition sizes are captures-per-
+    page (crawl-count-bounded, single digits), so the window never
+    sees a hot key even at 10^12 pages; the shuffle it costs is the
+    same one the downstream url-keyed dedup needs anyway.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("canonical_url").orderBy(
+        F.desc(ts_col), F.asc(url_col)
+    )
+    return (
+        df.withColumn("canonical_url", canonicalize_url(url_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -605,3 +605,45 @@ def exact_substring_dedup(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_removed").cast("long").alias("n_tokens_removed"),
     )
+
+
+def resolve_duplicate_clusters(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    label_col: str = "component",
+) -> DataFrame:
+    """Pick ONE canonical document per duplicate cluster by QUALITY —
+    the resolution step after :func:`connected_components`: components
+    name clusters but choose the min-id doc as canonical, which is
+    arbitrary; corpus curation wants the best-scoring member kept and
+    the rest dropped. Frozen rule: every doc's cluster is its
+    component label (docs absent from ``labels`` are singletons —
+    their own id); the winner per cluster has the MAX ``score_col``,
+    ties broken by MIN doc id. Returns (id_col, component, keep) for
+    every input doc.
+
+    Scale shape: one left equi-join on the doc id (labels is
+    dup-cluster-grain, far smaller than the corpus) + one window
+    partitioned by component. Cluster sizes are duplicate-multiplicity
+    — bounded in practice; a pathological mega-cluster (boilerplate
+    mirror farm) is exactly the AQE-skew case, and the window stays a
+    top-1 (rank, not collect), so it never buffers the cluster."""
+    from pyspark.sql import Window as W
+
+    lab = labels.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__comp")
+    )
+    d = docs.select(F.col(id_col), F.col(score_col))
+    j = d.join(lab, d[id_col] == F.col("__lid"), "left").select(
+        F.col(id_col),
+        F.col(score_col),
+        F.coalesce(F.col("__comp"), F.col(id_col)).alias("component"),
+    )
+    w = W.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return j.withColumn(
+        "keep", F.row_number().over(w) == F.lit(1)
+    ).select(id_col, "component", "keep")

@@ -1,0 +1,210 @@
+"""Web link-graph operators: outlink extraction, host graph, PageRank.
+
+The reference engine (OCR-D/ocrd_segment) segments isolated documents
+and has no notion of links between them; a web corpus does, and a
+host-level link graph is the standard quality prior a crawl pipeline
+derives from it (Common-Crawl-style host ranks: a page on a
+well-linked host is likelier to be worth keeping than one on a link
+farm that nothing points at). This module turns the same ``html``
+column the extraction kernel parses into that prior:
+
+1. :func:`outlinks` — per page, every ``<a href=...>`` target resolved
+   to a destination HOST under a frozen rule (below). Pure JVM regex
+   over the raw html (``regexp_extract_all`` + explode) — no Python,
+   no parse tree needed: link harvesting tolerates tag soup because it
+   only reads attribute values, so the full kernel parse would be
+   wasted work here.
+2. :func:`host_edges` — the (src_host, dst_host, n_links) aggregate.
+3. :func:`pagerank` — fixed-iteration PageRank over those edges with
+   uniform teleport and dangling-mass redistribution.
+
+Frozen href→host resolution rule (per link; order matters):
+  - ``http://`` / ``https://`` prefix (any case) → the url's host,
+    lowercased (same extraction as ``functions.urls.host_of``);
+  - protocol-relative ``//host/...`` → that host, lowercased;
+  - any OTHER scheme prefix (``mailto:``, ``javascript:``, ``data:``…)
+    → dropped (NULL);
+  - everything else (rooted or relative path, ``#frag``, ``?q``) →
+    the PAGE's own host (self-link).
+  Links that resolve to an empty host are dropped.
+
+Scale shape (100 TB): outlink harvesting is a scan-stage column
+expression — zero shuffle, rides the same pass that already reads
+``html``. ``host_edges`` is one shuffle on (src_host, dst_host) with
+map-side partial aggregation; host-grain output is ~10^7..10^8 rows at
+crawl scale, orders of magnitude below page grain. ``pagerank``
+iterates one shuffle-join per round over host-grain frames with
+``localCheckpoint`` per round to keep the plan tree bounded (the
+connected_components discipline, operators/dedup.py:408); the
+per-round dangling mass is a 1-row aggregate crossJoined back
+broadcast-style, never a driver-side float in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# href attribute values of anchor tags; attribute-value harvesting only,
+# so tag soup (unclosed tags, stray '<') cannot derail it. Kept in the
+# Java-regex/RE2 common subset (no backslash classes, no lookaround) so
+# the DuckDB oracle can state the SAME pattern.
+HREF_PATTERN = '<[Aa][^>]*href="([^"]*)"'
+
+# scheme://host — shared shape with functions.urls.host_of
+_ABS_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+
+
+def resolved_host_sql(href: str, src_host: str) -> str:
+    """Spark-SQL expression for the frozen href→host rule (module
+    docstring). Shared with the DuckDB oracle, which states the same
+    CASE over the same patterns."""
+    return f"""CASE
+      WHEN {href} RLIKE '^[Hh][Tt][Tt][Pp][Ss]?://'
+        THEN lower(regexp_extract({href}, '{_ABS_HOST}', 1))
+      WHEN {href} RLIKE '^//'
+        THEN lower(regexp_extract({href}, '^//([^/:?#]+)', 1))
+      WHEN {href} RLIKE '^[A-Za-z][A-Za-z0-9+.-]*:' THEN NULL
+      ELSE {src_host}
+    END"""
+
+
+def outlinks(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, src_host, href, dst_host) — one row per anchor href on the
+    page, resolved per the frozen rule; scheme-less pages (no
+    resolvable src host) and unresolvable hrefs are dropped. Pages
+    with no anchors produce no rows (explode, not explode_outer).
+
+    ``html`` may be binary (the input_hint shape) or string; binary is
+    reinterpreted as UTF-8 bytes without validation, so malformed
+    pages harvest whatever valid anchors they contain instead of
+    erroring (pytest pins the no-crash behavior on the F1f fixtures).
+    """
+    src = F.expr(
+        f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
+    ).alias("src_host")
+    base = df.select(
+        F.col(url_col).alias("url"),
+        src,
+        F.expr(f"regexp_extract_all(cast({html_col} as string), '{HREF_PATTERN}', 1)").alias(
+            "__hrefs"
+        ),
+    )
+    return (
+        base.filter(F.col("src_host") != "")
+        .select("url", "src_host", F.explode("__hrefs").alias("href"))
+        .withColumn("dst_host", F.expr(resolved_host_sql("href", "src_host")))
+        .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+    )
+
+
+def host_edges(links: DataFrame, drop_self: bool = True) -> DataFrame:
+    """(src_host, dst_host, n_links, n_pages) host-grain edge list.
+    ``n_links`` counts anchors, ``n_pages`` distinct linking pages.
+    Self-edges (intra-host navigation — the bulk of raw anchors) are
+    dropped by default: they carry no cross-host endorsement and would
+    dominate every host's mass."""
+    e = links
+    if drop_self:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("url").alias("n_pages"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node,
+    rank). Frozen semantics (the textbook power iteration, stated so
+    the DuckDB oracle can unroll it):
+
+    - edges dedupe to DISTINCT (src, dst) — link multiplicity is a
+      spam vector, not an endorsement weight;
+    - nodes = union of both endpoints; initial rank = 1/N each;
+    - per round: rank' = (1-d)/N + d * (Σ_in rank/outdeg + D/N)
+      where D is the total rank mass on dangling nodes (outdeg 0);
+    - exactly ``iterations`` rounds, no convergence test — determinism
+      over adaptivity (rank users gate on RELATIVE order; a fixed
+      small k is the production shape too, per the original paper).
+
+    Scale shape: every frame here is host-grain. Each round is one
+    shuffle join (ranks ⋈ edges on src) + one aggregation on dst; the
+    dangling mass is a 1-row aggregate crossJoined back (broadcast by
+    AQE — the 1-row-totals pattern of textstats.py). localCheckpoint
+    per round bounds the lineage exactly as connected_components does;
+    total rank mass stays 1.0 by construction (pytest asserts it).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], "node string, rank double")
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    ranks = (
+        nodes.join(outdeg, "node", "left")
+        .select(
+            "node",
+            F.lit(1.0 / n_nodes).alias("rank"),
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+        )
+        .localCheckpoint()
+    )
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                ranks.filter(F.col("outdeg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = ranks.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        ranks = (
+            ranks.select("node", "outdeg")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dmass") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+                "outdeg",
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", "rank")

@@ -226,9 +226,25 @@ def token_budget_sample(
     DuckDB oracle states."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    d = _prep_budget_frame(df, token_col, key_col, salt, n_groups)
+    c = _with_global_cumsum(d)
+    if c is None:
+        return df.filter(F.lit(False))
+    return c.filter(F.col("__cum") <= budget).drop(
+        "__sample_key", "__nt", "__b", "__g", "__off", "__cum"
+    )
+
+
+def _with_global_cumsum(d: DataFrame) -> DataFrame | None:
+    """``__cum`` (the INCLUSIVE global running token total in
+    (bucket, key) order) appended to a :func:`_prep_budget_frame`
+    output — the distributed prefix-sum both the budget and the shard
+    operators share: per-group totals collect driver-side
+    (model-sized), prefix-sum into per-group offsets, broadcast back;
+    offset + bounded within-group window == the one-task global cumsum
+    exactly. Returns None for an empty frame."""
     from pyspark.sql import Window as W
 
-    d = _prep_budget_frame(df, token_col, key_col, salt, n_groups)
     totals = (
         d.groupBy("__g").agg(F.sum("__nt").alias("__t")).collect()
     )
@@ -238,18 +254,53 @@ def token_budget_sample(
         offsets.append((g, acc))
         acc += by_g[g]
     if not offsets:
-        return df.filter(F.lit(False))
-    odf = df.sparkSession.createDataFrame(offsets, "__g long, __off long")
+        return None
+    odf = d.sparkSession.createDataFrame(offsets, "__g long, __off long")
     w = W.partitionBy("__g").orderBy(F.asc("__b"), F.asc("__sample_key"))
     cum = F.sum("__nt").over(
         w.rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        d.join(F.broadcast(odf), "__g")
-        .withColumn("__cum", F.col("__off") + cum)
-        .filter(F.col("__cum") <= budget)
-        .drop("__sample_key", "__nt", "__b", "__g", "__off", "__cum")
+    return d.join(F.broadcast(odf), "__g").withColumn(
+        "__cum", F.col("__off") + cum
     )
+
+
+def shard_by_tokens(
+    df: DataFrame,
+    shard_tokens: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "shard",
+    n_groups: int = 1024,
+) -> DataFrame:
+    """Token-balanced shard assignment — pack the corpus into
+    fixed-token output shards (the layout every training run wants:
+    "~1B tokens per file, any order, but DETERMINISTIC"). Frozen rule:
+    documents order by (hashed key, key) — the token_budget_sample
+    order at the same salt — and a document's shard is the shard its
+    STARTING offset falls in: ``shard_id = (inclusive running total −
+    own tokens) div shard_tokens``. A document straddling a boundary
+    stays in the shard it started in, so a shard overshoots its budget
+    by at most one document. All rows are kept (NULL keys excluded,
+    NULL token counts weigh 0 — the _prep_budget_frame edge rules);
+    returns the input columns + ``shard_id``.
+
+    Scale shape: identical to token_budget_sample — the shared
+    distributed prefix-sum (:func:`_with_global_cumsum`), so no global
+    window and no one-task serialization; downstream writes partition
+    by ``shard_id``, giving size-uniform files regardless of document
+    length skew."""
+    if shard_tokens < 1:
+        raise ValueError(f"shard_tokens must be >= 1, got {shard_tokens}")
+    d = _prep_budget_frame(df, token_col, key_col, salt, n_groups)
+    c = _with_global_cumsum(d)
+    if c is None:
+        return df.withColumn("shard_id", F.lit(0).cast("long")).filter(
+            F.lit(False)
+        )
+    return c.withColumn(
+        "shard_id", F.expr(f"(__cum - __nt) div {int(shard_tokens)}")
+    ).drop("__sample_key", "__nt", "__b", "__g", "__off", "__cum")
 
 
 def token_budget_stratified(
