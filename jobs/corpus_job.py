@@ -11,9 +11,16 @@ runs, as one spark-submit entrypoint:
 
 Stages (each narrow or one bounded shuffle):
 
-0. blocklist   — optional ``--blocklist``: registered-domain exclusion
-                 BEFORE extraction (broadcast join; blocked pages
-                 never pay kernel time).
+0. pre-stages  — optional, each BEFORE extraction so excluded pages
+                 never pay kernel time: ``--blocklist`` (registered-
+                 domain exclusion, broadcast join), ``--host-ranks`` +
+                 ``--host-rank-min`` (link-graph PageRank floor, the
+                 continuous variant of the blocklist; produce ranks
+                 with jobs/linkgraph_job.py), ``--snapshot-collapse``
+                 (latest capture per canonical url — multi-crawl
+                 inputs). ``--outlinks PATH`` writes the host-grain
+                 link graph of the RAW input as a side output (the
+                 PageRank producer feed).
 1. extract     — HTML → (extracted_text, region_spans, lineage); the
                  shuffle-free mapInPandas kernel path.
 2. score       — real char-n-gram language id scored INSIDE the
@@ -173,6 +180,48 @@ def main() -> None:
         " so scrubbing no longer orphans the span-aligned table",
     )
     ap.add_argument(
+        "--snapshot-collapse",
+        action="store_true",
+        help="collapse multi-crawl inputs to the LATEST capture per"
+        " canonical url (functions/urls.latest_snapshot) before"
+        " extraction — stale refetches never pay kernel time; adds the"
+        " dropped_stale_snapshot funnel count",
+    )
+    ap.add_argument(
+        "--outlinks",
+        default=None,
+        help="optional path: write the host-grain link graph"
+        " (operators/linkgraph.outlinks -> host_edges) harvested from"
+        " the RAW input pages — the producer feed for PageRank host"
+        " ranks (jobs/linkgraph_job.py). A second, pure-JVM scan of"
+        " (url, html); shares nothing with the extraction lineage",
+    )
+    ap.add_argument(
+        "--host-ranks",
+        default=None,
+        help="parquet of host ranks (node, rank — jobs/linkgraph_job"
+        " output); pages on hosts ranking below --host-rank-min drop"
+        " BEFORE extraction (link-graph quality prior, the blocklist"
+        " shape); unranked hosts are KEPT (no evidence)",
+    )
+    ap.add_argument(
+        "--host-rank-min",
+        type=float,
+        default=None,
+        help="minimum host PageRank to enter extraction; requires"
+        " --host-ranks",
+    )
+    ap.add_argument(
+        "--shard-tokens",
+        type=int,
+        default=None,
+        help="write <output>_sharded partitioned by shard_id: token-"
+        "balanced training shards of ~N tokens each (operators/"
+        "sampling.shard_by_tokens, deterministic hashed-url order);"
+        " metered in subword tokens when --count-bpe ran, whitespace"
+        " tokens otherwise",
+    )
+    ap.add_argument(
         "--decontaminate",
         default=None,
         help="optional path: parquet of benchmark/eval documents"
@@ -196,6 +245,12 @@ def main() -> None:
     if (args.lm_ref is None) != (args.lm_max_bits is None):
         ap.error("--lm-ref and --lm-max-bits must be given together"
                  " (one alone would silently skip the LM filter stage)")
+    if (args.host_ranks is None) != (args.host_rank_min is None):
+        ap.error("--host-ranks and --host-rank-min must be given"
+                 " together (one alone would silently skip the host-"
+                 "rank drop stage)")
+    if args.shard_tokens is not None and args.shard_tokens < 1:
+        ap.error("--shard-tokens must be >= 1")
 
     from ocrd_segment_spark.session import submit_session
 
@@ -224,6 +279,11 @@ def main() -> None:
         redact_pii=args.redact_pii,
         decontaminate_path=args.decontaminate,
         near_dup_audit=args.near_dup_audit,
+        snapshot_collapse=args.snapshot_collapse,
+        outlinks_path=args.outlinks,
+        host_ranks_path=args.host_ranks,
+        host_rank_min=args.host_rank_min,
+        shard_tokens=args.shard_tokens,
         python_parallelism=args.python_parallelism,
     )
     spark.stop()
@@ -253,6 +313,11 @@ def build_corpus(
     redact_pii: bool = False,
     decontaminate_path: str | None = None,
     near_dup_audit: str | None = None,
+    snapshot_collapse: bool = False,
+    outlinks_path: str | None = None,
+    host_ranks_path: str | None = None,
+    host_rank_min: float | None = None,
+    shard_tokens: int | None = None,
     python_parallelism: int | None = None,
 ) -> dict:
     """The pipeline body (importable for tests). Returns the funnel
@@ -267,6 +332,25 @@ def build_corpus(
     from ocrd_segment_spark.pipeline import extract_pages
 
     pages = spark.read.parquet(input_path)
+    n_outlink_edges = -1
+    if outlinks_path is not None:
+        # host link graph side-output over the RAW crawl (before any
+        # exclusion — the graph should see every page, including ones
+        # the corpus rejects). A second scan of (url, html) by design:
+        # pure-JVM anchor harvesting shares nothing with the
+        # extraction lineage, and entangling the two DAGs would force
+        # the kernel pass to wait on the edge shuffle. Feeds
+        # jobs/linkgraph_job.py / --host-ranks.
+        from ocrd_segment_spark.operators.linkgraph import (
+            host_edges,
+            outlinks,
+        )
+
+        edges = host_edges(outlinks(pages))
+        e_obs = Observation("outlinks")
+        edges = edges.observe(e_obs, F.count(F.lit(1)).alias("n_edges"))
+        edges.write.mode("overwrite").parquet(outlinks_path)
+        n_outlink_edges = e_obs.get["n_edges"]
     dom_obs = None
     if blocklist_path is not None:
         # domain blocklist BEFORE extraction — blocked pages never pay
@@ -285,6 +369,56 @@ def build_corpus(
             ).alias("dropped_domain"),
         )
         pages = flagged.filter(~F.col("blocked")).drop("blocked", "reg_domain")
+    hr_obs = None
+    if host_ranks_path is not None and host_rank_min is not None:
+        # link-graph quality prior (the blocklist shape, continuous
+        # instead of binary): pages on hosts whose PageRank is below
+        # the floor drop BEFORE extraction. Host-grain ranks join on
+        # the page host — plain equi-join, AQE broadcasts it when the
+        # rank table is small and falls back to a shuffle join at
+        # crawl scale (10^8 hosts); unranked hosts are KEPT (absence
+        # of link evidence is not negative evidence).
+        from ocrd_segment_spark.functions.urls import host_of
+
+        ranks = spark.read.parquet(host_ranks_path).select(
+            F.col("node").alias("__hr_host"),
+            F.col("rank").alias("__host_rank"),
+        )
+        d = pages.withColumn("__host", host_of("url")).join(
+            ranks, F.col("__host") == F.col("__hr_host"), "left"
+        )
+        keep_hr = F.col("__host_rank").isNull() | (
+            F.col("__host_rank") >= host_rank_min
+        )
+        hr_obs = Observation("hostrank")
+        d = d.observe(
+            hr_obs,
+            F.coalesce(F.sum((~keep_hr).cast("long")), F.lit(0)).alias(
+                "dropped"
+            ),
+        )
+        pages = d.filter(keep_hr).drop("__host", "__hr_host", "__host_rank")
+    snap_obs = None
+    if snapshot_collapse:
+        # multi-crawl collapse: one capture (the latest) per canonical
+        # url enters extraction; stale refetches never pay kernel
+        # time. One window shuffle on the canonical url — partition
+        # sizes are captures-per-page (crawl-count-bounded), and the
+        # stale count rides the terminal write via the Observation on
+        # the flagged node (flag_col shape of latest_snapshot).
+        from ocrd_segment_spark.functions.urls import latest_snapshot
+
+        flagged = latest_snapshot(pages, flag_col="is_latest")
+        snap_obs = Observation("snapshot")
+        flagged = flagged.observe(
+            snap_obs,
+            F.coalesce(
+                F.sum((~F.col("is_latest")).cast("long")), F.lit(0)
+            ).alias("dropped_stale"),
+        )
+        pages = flagged.filter("is_latest").drop(
+            "is_latest", "canonical_url"
+        )
     # real n-gram language id (round-3 task: the en/de digram toy no
     # longer routes drop decisions) scored INSIDE the extraction pass —
     # same frozen score_document, zero extra Arrow round-trip, the
@@ -457,11 +591,19 @@ def build_corpus(
     counts = obs.get
     n_out = out_obs.get["n_out"]
     funnel = {
-        # pages = pages ENTERING extraction (post-blocklist);
-        # dropped_domain counts the pages the blocklist removed first
+        # pages = pages ENTERING extraction (post-blocklist, post-
+        # host-rank, post-snapshot-collapse); the pre-extraction drop
+        # stages each count what they removed, in their stage order
         "dropped_domain": (
             dom_obs.get["dropped_domain"] if dom_obs is not None else -1
         ),
+        "dropped_host_rank": (
+            hr_obs.get["dropped"] if hr_obs is not None else -1
+        ),
+        "dropped_stale_snapshot": (
+            snap_obs.get["dropped_stale"] if snap_obs is not None else -1
+        ),
+        "outlink_edges": n_outlink_edges,
         "pages": counts["pages"],
         "dropped_quality": counts["dropped_quality"],
         "dropped_lang": counts["dropped_lang"],
@@ -495,6 +637,30 @@ def build_corpus(
     funnel["boilerplate_regions_removed"] = -1
     funnel["pii_docs_redacted"] = -1
     funnel["contaminated_docs"] = -1
+    funnel["shards_written"] = -1
+    if shard_tokens is not None:
+        # token-balanced training-shard layout over the WRITTEN corpus
+        # (post-write pattern: one committed-parquet scan, the
+        # distributed prefix-sum, no branch of the live lineage).
+        # partitionBy(shard_id) gives size-uniform files regardless of
+        # document length skew; shard ids are contiguous from 0, so
+        # max+1 (riding the write as an Observation) counts them.
+        from ocrd_segment_spark.operators.sampling import shard_by_tokens
+
+        corpus = spark.read.parquet(output_path)
+        tok_col = "n_bpe_tokens" if count_bpe else "n_tokens"
+        sharded = shard_by_tokens(
+            corpus, shard_tokens, token_col=tok_col, key_col="url"
+        )
+        s_obs = Observation("shards")
+        sharded = sharded.observe(
+            s_obs,
+            (F.coalesce(F.max("shard_id"), F.lit(-1)) + 1).alias("n_shards"),
+        )
+        sharded.write.mode("overwrite").partitionBy("shard_id").parquet(
+            output_path + "_sharded"
+        )
+        funnel["shards_written"] = s_obs.get["n_shards"]
     if decontaminate_path is not None:
         # benchmark decontamination over the WRITTEN corpus (post-write
         # pattern again): the eval set's shingle hashes are broadcast,

@@ -1,0 +1,60 @@
+"""Host link-graph job: raw pages → host edge list + PageRank ranks.
+
+    python tools/package.py                       # → dist/engine.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/engine.zip \\
+        jobs/linkgraph_job.py \\
+        --input  /path/to/pages_parquet \\
+        --edges  /path/to/host_edges \\
+        --ranks  /path/to/host_ranks \\
+        [--iterations 5] [--damping 0.85]
+
+The producer for corpus_job's ``--host-ranks`` quality prior: anchors
+are harvested from the raw html scan-stage (pure JVM regex — no
+kernel, no Python), aggregated to host-grain edges (one shuffle), and
+power-iterated to PageRank (one bounded join per round over host-grain
+frames; see operators/linkgraph.pagerank for the 100 TB shape). The
+edge table commits first and the iteration reads it back, so a rank
+re-run never repeats the harvest scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--edges", required=True)
+    ap.add_argument("--ranks", required=True)
+    ap.add_argument("--iterations", type=int, default=5)
+    ap.add_argument("--damping", type=float, default=0.85)
+    args = ap.parse_args()
+    if not 0.0 < args.damping < 1.0:
+        ap.error("--damping must be in (0, 1)")
+
+    from ocrd_segment_spark.operators.linkgraph import (
+        host_edges,
+        outlinks,
+        pagerank,
+    )
+    from ocrd_segment_spark.session import submit_session
+
+    spark = submit_session("ocrd-segment-linkgraph")
+    pages = spark.read.parquet(args.input)
+    edges = host_edges(outlinks(pages))
+    edges.write.mode("overwrite").parquet(args.edges)
+    # ranks iterate over the COMMITTED edge table (post-write pattern:
+    # each PageRank round re-reads edges, so reading committed parquet
+    # beats re-running the harvest scan per round)
+    committed = spark.read.parquet(args.edges)
+    ranks = pagerank(
+        committed, iterations=args.iterations, damping=args.damping
+    )
+    ranks.write.mode("overwrite").parquet(args.ranks)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -187,7 +187,8 @@ def registered_domain(host_col: str) -> Column:
 
 
 def latest_snapshot(
-    df, url_col: str = "url", ts_col: str = "warc_ts"
+    df, url_col: str = "url", ts_col: str = "warc_ts",
+    flag_col: str | None = None,
 ):
     """One row per CANONICAL url: the latest capture — the
     snapshot-collapse every multi-crawl corpus runs before dedup (the
@@ -197,7 +198,10 @@ def latest_snapshot(
     ``ts_col``, ties broken by the lexicographically SMALLEST raw url
     (a canonical url fetched twice in the same second is the same
     resource; the tie-break only has to be deterministic). Returns the
-    winning input rows with ``canonical_url`` appended.
+    winning input rows with ``canonical_url`` appended. With
+    ``flag_col`` set, ALL rows return instead, carrying a boolean
+    winner flag — the shape the corpus job needs so the stale-capture
+    count can ride its write as an Observation.
 
     Scale shape: one window on the canonical url (computed inline in
     the scan — zero extra passes). Partition sizes are captures-per-
@@ -210,9 +214,11 @@ def latest_snapshot(
     w = W.partitionBy("canonical_url").orderBy(
         F.desc(ts_col), F.asc(url_col)
     )
-    return (
-        df.withColumn("canonical_url", canonicalize_url(url_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    flagged = df.withColumn(
+        "canonical_url", canonicalize_url(url_col)
+    ).withColumn("__rn", F.row_number().over(w))
+    if flag_col is None:
+        return flagged.filter(F.col("__rn") == 1).drop("__rn")
+    return flagged.withColumn(
+        flag_col, F.col("__rn") == F.lit(1)
+    ).drop("__rn")

@@ -251,3 +251,93 @@ def test_pagerank_dangling_mass_is_broadcast(spark):
     out = pagerank(e, iterations=1)
     plan = audit.physical_plan(out)
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- corpus_job wiring
+def _job_pages(spark, tmp_path, rows):
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts long, html binary"
+    ).write.parquet(src)
+    return src
+
+
+def _pg(text, extra=""):
+    return f"<html><body>{extra}<p>{text}</p></body></html>".encode()
+
+
+def test_corpus_job_snapshot_outlinks_shards(spark, tmp_path):
+    """--snapshot-collapse drops stale captures before extraction,
+    --outlinks writes the host graph of the RAW input (stale captures
+    included), --shard-tokens writes the partitioned shard layout;
+    every counter lands in the fixed-schema funnel."""
+    from jobs.corpus_job import build_corpus
+
+    t = "the children were playing in the garden near the river all afternoon"
+    link = '<a href="https://other.example.org/x">x</a>'
+    rows = [
+        # same canonical url, three captures: only ts=30 survives
+        ("http://a.org/x?utm_source=1", 10, _pg(t + " capture one", link)),
+        ("HTTP://A.org/x", 30, _pg(t + " capture three", link)),
+        ("http://a.org/x#frag", 20, _pg(t + " capture two", link)),
+        ("http://b.org/y", 5, _pg(t + " another page entirely", link)),
+    ]
+    src = _job_pages(spark, tmp_path, rows)
+    out = str(tmp_path / "corpus")
+    edges_path = str(tmp_path / "edges")
+    funnel = build_corpus(
+        spark, src, out,
+        min_quality=0.0, min_tokens=0,
+        snapshot_collapse=True,
+        outlinks_path=edges_path,
+        shard_tokens=10,
+    )
+    assert funnel["pages"] == 2  # post-collapse
+    assert funnel["dropped_stale_snapshot"] == 2
+    assert funnel["corpus_docs"] == 2
+    kept = {r.url for r in spark.read.parquet(out).select("url").collect()}
+    assert kept == {"HTTP://A.org/x", "http://b.org/y"}
+    # the link graph saw the RAW input: a.org→other (3 pages) + b.org→other
+    edges = {(r.src_host, r.dst_host): (r.n_links, r.n_pages)
+             for r in spark.read.parquet(edges_path).collect()}
+    assert edges[("a.org", "other.example.org")] == (3, 3)
+    assert edges[("b.org", "other.example.org")] == (1, 1)
+    assert funnel["outlink_edges"] == 2
+    # shard layout: partitioned dir, every corpus doc present exactly once
+    sharded = spark.read.parquet(out + "_sharded")
+    assert funnel["shards_written"] >= 2  # 10-token shards, ~12-token docs
+    assert sharded.count() == 2
+    assert {r.url for r in sharded.select("url").collect()} == kept
+    assert (tmp_path / "corpus_sharded" / "shard_id=0").exists()
+
+
+def test_corpus_job_host_rank_floor(spark, tmp_path):
+    """--host-ranks + --host-rank-min: pages on hosts ranking below
+    the floor drop BEFORE extraction; unranked hosts are kept."""
+    from jobs.corpus_job import build_corpus
+
+    t = "she opened the window and watched the quiet street below the house"
+    rows = [
+        ("https://good.org/a", 1, _pg(t + " first")),
+        ("https://spam.org/b", 2, _pg(t + " second")),
+        ("https://unranked.org/c", 3, _pg(t + " third")),
+    ]
+    src = _job_pages(spark, tmp_path, rows)
+    ranks_path = str(tmp_path / "ranks")
+    spark.createDataFrame(
+        [("good.org", 0.5), ("spam.org", 0.001)], "node string, rank double"
+    ).write.parquet(ranks_path)
+    out = str(tmp_path / "corpus")
+    funnel = build_corpus(
+        spark, src, out,
+        min_quality=0.0, min_tokens=0,
+        host_ranks_path=ranks_path, host_rank_min=0.01,
+    )
+    assert funnel["dropped_host_rank"] == 1
+    assert funnel["pages"] == 2
+    kept = {r.url for r in spark.read.parquet(out).select("url").collect()}
+    assert kept == {"https://good.org/a", "https://unranked.org/c"}
+    # flags off → fixed-schema -1 sentinels
+    assert funnel["dropped_stale_snapshot"] == -1
+    assert funnel["outlink_edges"] == -1
+    assert funnel["shards_written"] == -1
