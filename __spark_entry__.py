@@ -191,6 +191,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "replace_textequiv_history": L.q_replace_textequiv_history,
     # link graph / corpus layout (contract_graph.py)
     "outlink_host_edges": G.q_outlink_host_edges,
+    "anchor_text_topk": G.q_anchor_text_topk,
     "linkgraph_pagerank": G.q_linkgraph_pagerank,
     "url_latest_snapshot": G.q_url_latest_snapshot,
     "dedup_keep_best": G.q_dedup_keep_best,
@@ -311,6 +312,7 @@ _ORACLES: dict[str, str] = {
     "coco_apply_roundtrip": L.O_COCO_APPLY,
     "replace_textequiv_history": L.O_TEXTEQUIV_HISTORY,
     "outlink_host_edges": G.O_OUTLINK_EDGES,
+    "anchor_text_topk": G.O_ANCHOR_TOPK,
     "linkgraph_pagerank": G.O_LINKGRAPH_PAGERANK,
     "url_latest_snapshot": G.O_URL_SNAPSHOT,
     "dedup_keep_best": G.O_DEDUP_KEEP_BEST,

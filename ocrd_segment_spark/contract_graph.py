@@ -104,6 +104,86 @@ GROUP BY src_host, dst_host
 
 
 # ---------------------------------------------------------------------------
+# Anchor-text profiles per destination host
+# ---------------------------------------------------------------------------
+
+_ANCHOR_HTML = """concat(
+  '<html><body>',
+  '<a href="https://t', cast(doc_id % 7 as string), '.example.org/x">', source, ' ', lang, '</a>',
+  '<a href="//t', cast((doc_id + 3) % 7 as string), '.example.org/y">', substring(text, 1, 20), '</a>',
+  '<a href="/self">home nav</a>',
+  '</body></html>')"""
+
+_D_ANCHOR_HTML = (
+    _ANCHOR_HTML.replace("cast(doc_id % 7 as string)",
+                         "CAST(doc_id % 7 AS VARCHAR)")
+    .replace("cast((doc_id + 3) % 7 as string)",
+             "CAST((doc_id + 3) % 7 AS VARCHAR)")
+)
+
+
+def q_anchor_text_topk(spark, sf_dir):
+    """Anchor-text harvesting + per-destination-host top-k terms
+    (operators/linkgraph.anchors → anchor_term_stats): anchor elements
+    with their visible text, href resolved under the frozen rule,
+    self-referential anchors dropped ('home nav' must not appear),
+    terms lowercased + space-split, top-3 per dst host with ties by
+    term. Explode + one shuffle on (dst_host, term) + host-grain
+    top-k window."""
+    from .operators.linkgraph import anchor_term_stats, anchors
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_LINK_URL} as url", f"cast({_ANCHOR_HTML} as binary) as html"
+    )
+    out = anchor_term_stats(anchors(pages), k=3)
+    return out.select(
+        "dst_host", "term", "n_anchors", F.col("rank").cast("long").alias("rank")
+    )
+
+
+O_ANCHOR_TOPK = f"""
+WITH p AS (
+  SELECT {_D_LINK_URL} AS url, {_D_ANCHOR_HTML} AS html FROM documents
+), l AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
+         unnest(regexp_extract_all(html, '<[Aa][^>]*href="[^"]*"[^>]*>[^<]*', 0)) AS m
+  FROM p
+), r AS (
+  SELECT src_host,
+         regexp_extract(m, 'href="([^"]*)"', 1) AS href,
+         regexp_replace(m, '^[^>]*>', '') AS atext
+  FROM l
+  WHERE src_host <> ''
+), res AS (
+  SELECT src_host, atext,
+         CASE
+           WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
+             THEN lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+           WHEN regexp_matches(href, '^//')
+             THEN lower(regexp_extract(href, '^//([^/:?#]+)', 1))
+           WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+           ELSE src_host
+         END AS dst_host
+  FROM r
+), t AS (
+  SELECT dst_host, unnest(string_split(lower(atext), ' ')) AS term
+  FROM res
+  WHERE dst_host IS NOT NULL AND dst_host <> '' AND src_host <> dst_host
+), g AS (
+  SELECT dst_host, term, count(*) AS n_anchors
+  FROM t WHERE term <> '' GROUP BY dst_host, term
+)
+SELECT dst_host, term, n_anchors, rank FROM (
+  SELECT dst_host, term, n_anchors,
+         row_number() OVER (PARTITION BY dst_host
+                            ORDER BY n_anchors DESC, term ASC) AS rank
+  FROM g
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # PageRank (fixed-iteration power method, unrolled in the oracle)
 # ---------------------------------------------------------------------------
 

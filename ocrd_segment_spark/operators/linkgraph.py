@@ -99,6 +99,89 @@ def outlinks(
     )
 
 
+# full anchor element (tag + inner text up to the closing '<'): the
+# same attribute-grammar tolerance as HREF_PATTERN, text harvested
+# only when it contains no nested element (nested markup → the inner
+# text is not one run; frozen OUT rather than approximated)
+ANCHOR_PATTERN = '<[Aa][^>]*href="[^"]*"[^>]*>[^<]*'
+
+
+def anchors(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, src_host, href, dst_host, anchor_text) — one row per
+    anchor element with its visible text: the signal web search and
+    crawl-quality pipelines aggregate per TARGET (what the web calls a
+    page usually describes it better than the page itself). Same
+    frozen href→host rule as :func:`outlinks`; anchor_text is the raw
+    inner run (leading tag stripped via the first '>'), untrimmed —
+    normalization belongs to the aggregation, not the harvest. Same
+    scale shape as outlinks: scan-stage column math, zero shuffle."""
+    src = F.expr(
+        f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
+    ).alias("src_host")
+    base = df.select(
+        F.col(url_col).alias("url"),
+        src,
+        F.expr(
+            f"regexp_extract_all(cast({html_col} as string), '{ANCHOR_PATTERN}', 0)"
+        ).alias("__anchors"),
+    )
+    return (
+        base.filter(F.col("src_host") != "")
+        .select("url", "src_host", F.explode("__anchors").alias("__m"))
+        .withColumn(
+            "href", F.expr("regexp_extract(__m, 'href=\"([^\"]*)\"', 1)")
+        )
+        .withColumn(
+            "anchor_text", F.expr("regexp_replace(__m, '^[^>]*>', '')")
+        )
+        .withColumn("dst_host", F.expr(resolved_host_sql("href", "src_host")))
+        .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .drop("__m")
+    )
+
+
+def anchor_term_stats(
+    anchor_df: DataFrame, k: int = 3, drop_self: bool = True
+) -> DataFrame:
+    """Top-``k`` anchor terms per DESTINATION host → (dst_host, term,
+    n_anchors, rank): the "what does the web call this host" profile.
+    Frozen normalization: lowercase, SPACE-split (other whitespace
+    stays inside terms — both engines state the same literal split),
+    empty terms dropped; ties rank by term ascending. Self-referential anchors
+    (intra-host navigation text — "home", "next") are dropped by
+    default for the same reason host_edges drops self-edges.
+
+    Scale shape: explode + ONE shuffle on (dst_host, term) with
+    map-side partial counts, then a top-k window per dst_host —
+    host-grain partitions, and the window ranks (never collects) so a
+    mega-host is AQE-skew, not a buffer risk."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window as W
+
+    a = anchor_df
+    if drop_self:
+        a = a.filter(F.col("src_host") != F.col("dst_host"))
+    terms = (
+        a.select(
+            "dst_host",
+            F.explode(F.split(F.lower("anchor_text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("dst_host", "term")
+        .agg(F.count("*").alias("n_anchors"))
+    )
+    w = W.partitionBy("dst_host").orderBy(
+        F.desc("n_anchors"), F.asc("term")
+    )
+    return (
+        terms.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def host_edges(links: DataFrame, drop_self: bool = True) -> DataFrame:
     """(src_host, dst_host, n_links, n_pages) host-grain edge list.
     ``n_links`` counts anchors, ``n_pages`` distinct linking pages.

@@ -83,6 +83,66 @@ def test_host_edges_counts(spark):
     assert e[0].n_links == 3 and e[0].n_pages == 2
 
 
+# ------------------------------------------------------------- anchors
+def test_anchors_text_and_resolution(spark):
+    from ocrd_segment_spark.operators.linkgraph import anchors
+
+    html = (
+        '<html><body>'
+        '<a href="https://other.example.org/x">visible text</a>'
+        '<a href="/local">self nav</a>'
+        '<a href="https://b.org/n"><b>nested</b> markup</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '</body></html>'
+    ).encode()
+    out = anchors(
+        _pages(spark, [("https://src.example.org/p", html)])
+    ).collect()
+    by_href = {r.href: r for r in out}
+    # mailto dropped (non-http scheme → NULL dst host)
+    assert set(by_href) == {
+        "https://other.example.org/x", "/local", "https://b.org/n"
+    }
+    assert by_href["https://other.example.org/x"].anchor_text == "visible text"
+    assert by_href["https://other.example.org/x"].dst_host == "other.example.org"
+    assert by_href["/local"].dst_host == "src.example.org"
+    # nested markup: only the run before the first '<' is harvested
+    assert by_href["https://b.org/n"].anchor_text == ""
+
+
+def test_anchor_term_stats_topk_and_self(spark):
+    from ocrd_segment_spark.operators.linkgraph import (
+        anchor_term_stats,
+        anchors,
+    )
+
+    html = (
+        '<a href="https://t.org/1">alpha beta</a>'
+        '<a href="https://t.org/2">alpha gamma</a>'
+        '<a href="https://t.org/3">Alpha  beta</a>'
+        '<a href="/self">home nav</a>'
+    ).encode()
+    a = anchors(_pages(spark, [("https://s.org/p", html)]))
+    rows = anchor_term_stats(a, k=2).collect()
+    # self-referential anchor dropped: 'home'/'nav' never appear
+    assert all(r.dst_host == "t.org" for r in rows)
+    got = {(r.term, r.n_anchors, r.rank) for r in rows}
+    # lowercased, space-split (double space → empty term dropped),
+    # ties rank by term ascending: alpha(3) then beta(2)
+    assert got == {("alpha", 3, 1), ("beta", 2, 2)}
+    with pytest.raises(ValueError):
+        anchor_term_stats(a, k=0)
+
+
+def test_anchor_harvest_is_scan_stage(spark):
+    from ocrd_segment_spark.operators.linkgraph import anchors
+
+    pages = spark.createDataFrame(pages_pandas(10))
+    plan = audit.physical_plan(anchors(pages))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 # ------------------------------------------------------------- pagerank
 def test_pagerank_two_node_closed_form(spark):
     """a→b, b→a with d=0.85 is the symmetric stationary case: every

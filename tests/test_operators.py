@@ -406,7 +406,8 @@ def test_corpus_job_empty_input(spark, tmp_path):
     ).write.parquet(src)
     funnel = build_corpus(spark, src, str(tmp_path / "corpus"))
     assert funnel == {
-        "dropped_domain": -1,
+        "dropped_domain": -1, "dropped_host_rank": -1,
+        "dropped_stale_snapshot": -1,
         "pages": 0, "dropped_quality": 0, "dropped_lang": 0,
         "dropped_gopher": 0, "dropped_entropy": -1, "dropped_lm": -1,
         "dropped_compression": -1, "dropped_clf": -1, "kept_after_filters": 0,
@@ -415,6 +416,7 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "near_dup_candidates": -1, "boilerplate_units_removed": -1,
         "boilerplate_regions_removed": -1, "pii_docs_redacted": -1,
         "contaminated_docs": -1,
+        "outlink_edges": -1, "shards_written": -1,
     }
 
 
