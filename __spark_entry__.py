@@ -196,6 +196,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_latest_snapshot": G.q_url_latest_snapshot,
     "dedup_keep_best": G.q_dedup_keep_best,
     "shard_by_tokens": G.q_shard_by_tokens,
+    # head metadata: canonical link + robots meta (operators/headmeta.py)
+    "head_meta_harvest": G.q_head_meta_harvest,
+    "canonical_collapse": G.q_canonical_collapse,
 }
 
 _ORACLES: dict[str, str] = {
@@ -317,6 +320,8 @@ _ORACLES: dict[str, str] = {
     "url_latest_snapshot": G.O_URL_SNAPSHOT,
     "dedup_keep_best": G.O_DEDUP_KEEP_BEST,
     "shard_by_tokens": G.O_SHARD_BY_TOKENS,
+    "head_meta_harvest": G.O_HEAD_META,
+    "canonical_collapse": G.O_CANONICAL_COLLAPSE,
 }
 
 

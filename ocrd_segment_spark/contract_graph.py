@@ -405,3 +405,117 @@ SELECT doc_id, n_tokens,
        CAST((cum - n_tokens) // {_SHARD_TOKENS} AS BIGINT) AS shard_id
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Head metadata: canonical link + robots meta → canonical collapse
+# ---------------------------------------------------------------------------
+
+# Synthetic head-metadata corpus over `documents` (d = doc_id):
+#   d%3=0 (leaders): rooted self-canonical `/p/d` when d even, no
+#     canonical when odd;
+#   d%3=1: href-before-rel UPPER-CASED attribute names pointing at the
+#     leader d-1 — except d%9=1, a mailto: canonical (unresolvable);
+#   d%3=2: protocol-relative canonical at the leader d-2;
+#   d%11=0: robots noindex meta (name-first);  d%11=5: index,follow
+#     (content-before-name order).
+# The oracle never runs the regexes: it derives the EXPECTED harvest /
+# collapse from the same arithmetic — an independent derivation, so a
+# harvest-regex bug cannot cancel out on both sides.
+
+_HM_URL = "concat('https://h', cast(doc_id % 7 as string), '.example.org/p/', cast(doc_id as string))"
+_D_HM_URL = "'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR)"
+
+_HM_HTML = """concat('<html><head>',
+  CASE
+    WHEN doc_id % 3 = 0 THEN IF(doc_id % 2 = 0,
+        concat('<link rel="canonical" href="/p/', cast(doc_id as string), '">'), '')
+    WHEN doc_id % 3 = 1 THEN IF(doc_id % 9 = 1,
+        '<link rel="canonical" href="mailto:x@example.org">',
+        concat('<LINK HREF="https://h', cast((doc_id - 1) % 7 as string),
+               '.example.org/p/', cast(doc_id - 1 as string), '" rel="canonical">'))
+    ELSE concat('<link rel="canonical" href="//h', cast((doc_id - 2) % 7 as string),
+                '.example.org/p/', cast(doc_id - 2 as string), '">')
+  END,
+  CASE WHEN doc_id % 11 = 0 THEN '<meta name="robots" content="NOINDEX, nofollow">'
+       WHEN doc_id % 11 = 5 THEN '<meta content="index, follow" name="robots">'
+       ELSE '' END,
+  '</head><body>t</body></html>')"""
+
+# the expected harvest, stated as arithmetic (DuckDB dialect)
+_D_HM_LEADER1 = "'https://h' || CAST((doc_id - 1) % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id - 1 AS VARCHAR)"
+_D_HM_LEADER2 = "'https://h' || CAST((doc_id - 2) % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id - 2 AS VARCHAR)"
+
+_D_HM_CANON_URL = f"""CASE
+  WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN {_D_HM_URL} END
+  WHEN doc_id % 3 = 1 THEN CASE WHEN doc_id % 9 = 1 THEN NULL ELSE {_D_HM_LEADER1} END
+  ELSE {_D_HM_LEADER2}
+END"""
+
+
+def q_head_meta_harvest(spark, sf_dir):
+    """Head-metadata harvest (operators/headmeta.head_meta): first
+    canonical href (both attribute orders, case-insensitive names) and
+    first robots content per page, canonical target resolved under the
+    frozen rule (absolute kept; protocol-relative + page scheme;
+    rooted + page origin; foreign scheme / relative → NULL). Pure
+    scan-stage column math over binary html; the oracle derives the
+    expected values from the fixture arithmetic without regexes."""
+    from .operators.headmeta import head_meta
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_HM_URL} as url", f"cast({_HM_HTML} as binary) as html"
+    )
+    return head_meta(pages).select(
+        "doc_id", "url", "canonical_href", "canonical_url", "robots", "noindex"
+    )
+
+
+O_HEAD_META = f"""
+SELECT doc_id,
+       {_D_HM_URL} AS url,
+       CASE
+         WHEN doc_id % 3 = 0 THEN CASE WHEN doc_id % 2 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR) END
+         WHEN doc_id % 3 = 1 THEN CASE WHEN doc_id % 9 = 1 THEN 'mailto:x@example.org'
+              ELSE {_D_HM_LEADER1} END
+         ELSE '//h' || CAST((doc_id - 2) % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id - 2 AS VARCHAR)
+       END AS canonical_href,
+       {_D_HM_CANON_URL} AS canonical_url,
+       CASE WHEN doc_id % 11 = 0 THEN 'NOINDEX, nofollow'
+            WHEN doc_id % 11 = 5 THEN 'index, follow' END AS robots,
+       (doc_id % 11 = 0) AS noindex
+FROM documents
+"""
+
+
+def q_canonical_collapse(spark, sf_dir):
+    """Canonical-URL collapse (operators/headmeta.canonical_collapse):
+    noindex pages dropped, remaining pages grouped by their resolved
+    canonical target (own url when none), ONE representative kept per
+    group via a partial-aggregable min(struct(self-first, url)) — no
+    per-group sort, skew-safe. One shuffle on the group key."""
+    from .operators.headmeta import canonical_collapse
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_HM_URL} as url", f"cast({_HM_HTML} as binary) as html"
+    )
+    return canonical_collapse(pages)
+
+
+O_CANONICAL_COLLAPSE = f"""
+WITH m AS (
+  SELECT {_D_HM_URL} AS url,
+         {_D_HM_CANON_URL} AS canonical_url,
+         (doc_id % 11 = 0) AS noindex
+  FROM documents
+), g AS (
+  SELECT coalesce(canonical_url, url) AS group_key, url,
+         (canonical_url IS NULL OR canonical_url = url) AS is_self
+  FROM m WHERE NOT noindex
+)
+SELECT group_key AS canonical_url,
+       coalesce(min(url) FILTER (WHERE is_self), min(url)) AS url,
+       count(*) AS n_pages,
+       CAST(sum(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+FROM g GROUP BY group_key
+"""

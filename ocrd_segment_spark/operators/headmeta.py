@@ -1,0 +1,189 @@
+"""HTML head-metadata harvesting and canonical-URL collapse.
+
+The reference engine (OCR-D/ocrd_segment) deduplicates nothing — each
+PAGE document is its own ground truth. A web corpus is the opposite:
+the same resource is crawled under many urls, and the page itself
+declares which url is authoritative (``<link rel="canonical">``) and
+whether it wants to be indexed at all (``<meta name="robots"
+content="noindex">``). Honoring those declarations BEFORE extraction
+is standard crawl curation (it is cheaper than any content-based
+dedup: the page tells you the answer), and dropping ``noindex`` pages
+is a politeness/compliance requirement, not an optimization.
+
+Two operators:
+
+1. :func:`head_meta` — per page, the first canonical ``href`` and the
+   first robots ``content`` harvested from raw html with the same
+   attribute-value regex discipline as ``operators/linkgraph``
+   (tag-soup tolerant, Java-regex/RE2 common subset so the DuckDB
+   oracle states the SAME patterns), plus the canonical target
+   resolved to an absolute url under a frozen rule.
+2. :func:`canonical_collapse` — drop ``noindex`` pages, group the rest
+   by their authoritative url, and keep ONE representative per group
+   (self-canonical page preferred, then lowest url — deterministic).
+
+Frozen harvest rules (first match in document order wins):
+  - canonical: ``<link ... rel="canonical" ... href="X">`` — the
+    rel-before-href attribute order is tried first, then
+    href-before-rel; tag and attribute NAMES match case-insensitively,
+    the rel VALUE must be ``canonical`` or ``Canonical`` (the two
+    forms observed in practice; a frozen vocabulary, not a guess).
+  - robots: ``<meta ... name="robots" ... content="X">`` — same two
+    attribute orders; ``noindex`` = the content contains ``noindex``
+    in any case.
+
+Frozen canonical-href resolution (order matters, mirrors
+``linkgraph.resolved_host_sql``):
+  - ``http://`` / ``https://`` prefix (any case) → the href as-is;
+  - protocol-relative ``//host/path`` → the page's scheme + ``:`` + href;
+  - any OTHER scheme prefix → NULL (a canonical pointing at mailto:
+    or javascript: is noise);
+  - rooted path ``/p`` → page scheme ``://`` page host + href;
+  - anything else (relative path, empty) → NULL — resolving those
+    needs directory semantics the frozen rule deliberately excludes.
+
+Scale shape (100 TB): :func:`head_meta` is scan-stage column math over
+the ``html`` column the extraction pass already reads — zero shuffle,
+zero Python. :func:`canonical_collapse` is ONE shuffle on the group
+key with a pure partial-aggregable ``min(struct)`` keep rule — no
+per-group sort, so even a link-farm key aliasing one target millions
+of times merges partial minima instead of materializing the group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# attribute-value harvesting, tag-soup tolerant (see linkgraph.py).
+# Two patterns per field because attribute order varies; names match
+# case-insensitively via explicit classes (no (?i) — kept identical in
+# spirit to HREF_PATTERN so the oracle subset stays obviously safe).
+_LINK = "<[Ll][Ii][Nn][Kk]"
+_META = "<[Mm][Ee][Tt][Aa]"
+_HREF = '[Hh][Rr][Ee][Ff]="([^"]*)"'
+_CONTENT = '[Cc][Oo][Nn][Tt][Ee][Nn][Tt]="([^"]*)"'
+_REL_CANON = '[Rr][Ee][Ll]="[Cc]anonical"'
+_NAME_ROBOTS = '[Nn][Aa][Mm][Ee]="[Rr][Oo][Bb][Oo][Tt][Ss]"'
+
+CANONICAL_REL_FIRST = f'{_LINK}[^>]*{_REL_CANON}[^>]*{_HREF}'
+CANONICAL_HREF_FIRST = f'{_LINK}[^>]*{_HREF}[^>]*{_REL_CANON}'
+ROBOTS_NAME_FIRST = f'{_META}[^>]*{_NAME_ROBOTS}[^>]*{_CONTENT}'
+ROBOTS_CONTENT_FIRST = f'{_META}[^>]*{_CONTENT}[^>]*{_NAME_ROBOTS}'
+
+_SCHEME = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_ABS_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+
+
+def _first_nonempty(html: str, pat_a: str, pat_b: str) -> str:
+    """SQL: first capture of pat_a if it matched, else pat_b, else NULL
+    (regexp_extract returns '' on no-match; '' is never a valid harvest
+    because both fields are frozen to non-empty values)."""
+    a = f"regexp_extract({html}, '{pat_a}', 1)"
+    b = f"regexp_extract({html}, '{pat_b}', 1)"
+    return f"nullif(IF({a} != '', {a}, {b}), '')"
+
+
+def resolved_canonical_sql(href: str, scheme: str, host: str) -> str:
+    """Spark-SQL CASE for the frozen canonical-href resolution rule
+    (module docstring); the DuckDB oracle states the same CASE."""
+    return f"""CASE
+      WHEN {href} IS NULL THEN NULL
+      WHEN {href} RLIKE '^[Hh][Tt][Tt][Pp][Ss]?://' THEN {href}
+      WHEN {href} RLIKE '^//' THEN concat({scheme}, ':', {href})
+      WHEN {href} RLIKE '^[A-Za-z][A-Za-z0-9+.-]*:' THEN NULL
+      WHEN {href} RLIKE '^/' THEN concat({scheme}, '://', {host}, {href})
+      ELSE NULL
+    END"""
+
+
+def head_meta(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, canonical_href, canonical_url, robots, noindex) appended.
+
+    ``canonical_href`` is the raw harvested value (NULL when the page
+    declares none), ``canonical_url`` the resolved absolute target
+    (NULL when unresolvable under the frozen rule), ``robots`` the raw
+    robots-meta content, ``noindex`` a boolean (false when no robots
+    meta). ``html`` may be binary (input_hint shape) or string.
+
+    Scan-stage column expressions only — rides the pass that already
+    reads ``html``; zero shuffle, zero Python.
+    """
+    h = f"cast({html_col} as string)"
+    scheme = f"lower(regexp_extract({url_col}, '{_SCHEME}', 1))"
+    host = f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
+    href = _first_nonempty(h, CANONICAL_REL_FIRST, CANONICAL_HREF_FIRST)
+    robots = _first_nonempty(h, ROBOTS_NAME_FIRST, ROBOTS_CONTENT_FIRST)
+    return (
+        df.withColumn("canonical_href", F.expr(href))
+        .withColumn(
+            "canonical_url",
+            F.expr(
+                resolved_canonical_sql("canonical_href", scheme, host)
+            ),
+        )
+        .withColumn("robots", F.expr(robots))
+        .withColumn(
+            "noindex",
+            F.expr("coalesce(lower(robots) RLIKE 'noindex', false)"),
+        )
+    )
+
+
+def canonical_collapse(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    drop_noindex: bool = True,
+) -> DataFrame:
+    """One row per authoritative url: (canonical_url, url, n_pages,
+    n_self) — ``url`` is the kept representative, ``n_pages`` how many
+    crawled aliases collapsed into the group, ``n_self`` how many of
+    them were self- or un-canonical (no foreign canonical target).
+
+    Frozen keep rule: group key = resolved canonical target, falling
+    back to the page's own url when it declares none (or an
+    unresolvable one); within a group prefer a page whose own url IS
+    the group key (the canonical page itself was crawled), then the
+    lexicographically smallest url. ``noindex`` pages are dropped
+    before grouping by default (they asked not to be indexed; their
+    canonical votes are noise).
+
+    ONE shuffle on the group key, and the keep rule is a pure
+    ``min(struct(...))`` aggregate with map-side partial combine — no
+    per-group sort, so a skewed group (link farm aliasing one target
+    millions of times) costs a merge of partial minima, not a window
+    sort. Callers wanting url normalization beyond the page's own
+    declaration should pre-canonicalize ``url`` with
+    ``functions.urls.canonicalize_url`` — this operator deliberately
+    compares urls byte-for-byte.
+    """
+    m = head_meta(df, html_col=html_col, url_col=url_col)
+    if drop_noindex:
+        m = m.filter(~F.col("noindex"))
+    m = m.select(
+        F.coalesce("canonical_url", url_col).alias("group_key"),
+        F.col(url_col).alias("url"),
+        (
+            F.col("canonical_url").isNull()
+            | (F.col("canonical_url") == F.col(url_col))
+        ).alias("is_self"),
+    )
+    # keep = lexicographic min of (self-pages-first, url): one partial-
+    # aggregable struct min, deterministic
+    keep = F.min(
+        F.struct(
+            (~F.col("is_self")).cast("int").alias("o"),
+            F.col("url").alias("url"),
+        )
+    )
+    return (
+        m.groupBy("group_key")
+        .agg(
+            keep.getField("url").alias("url"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.col("is_self").cast("long")).alias("n_self"),
+        )
+        .withColumnRenamed("group_key", "canonical_url")
+    )
