@@ -199,6 +199,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # head metadata: canonical link + robots meta (operators/headmeta.py)
     "head_meta_harvest": G.q_head_meta_harvest,
     "canonical_collapse": G.q_canonical_collapse,
+    # inverted index + BM25 retrieval (operators/index.py)
+    "inverted_postings": G.q_inverted_postings,
+    "bm25_topk": G.q_bm25_topk,
 }
 
 _ORACLES: dict[str, str] = {
@@ -322,6 +325,8 @@ _ORACLES: dict[str, str] = {
     "shard_by_tokens": G.O_SHARD_BY_TOKENS,
     "head_meta_harvest": G.O_HEAD_META,
     "canonical_collapse": G.O_CANONICAL_COLLAPSE,
+    "inverted_postings": G.O_INVERTED_POSTINGS,
+    "bm25_topk": G.O_BM25_TOPK,
 }
 
 

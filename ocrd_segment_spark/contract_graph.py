@@ -519,3 +519,72 @@ SELECT group_key AS canonical_url,
        CAST(sum(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT) AS n_self
 FROM g GROUP BY group_key
 """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ["spark", "window", "join"]
+_BM25_K = 15
+
+
+def q_inverted_postings(spark, sf_dir):
+    """Inverted postings (operators/index.build_postings): (term,
+    doc_id, tf) under the corpus-wide frozen tokenization (lowercase
+    space-split, empties dropped — the token-count discipline).
+    Explode + ONE shuffle with map-side partial counts."""
+    from .operators.index import build_postings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return build_postings(docs)
+
+
+O_INVERTED_POSTINGS = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/index.bm25_topk) for a fixed
+    3-term query over the postings of `documents`. The frozen Lucene
+    form: idf = ln(1+(N-df+.5)/(df+.5)), tf-saturation k1=1.2, length
+    normalization b=0.75; score rounded to 6 (doubles agree to ~1e-15
+    across engines), ties broken by doc_id. Query-term IN prunes the
+    postings before ANY aggregate; N/avgdl ride a 1-row broadcast."""
+    from .operators.index import build_postings, bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(build_postings(docs), _BM25_QUERY, k=_BM25_K)
+
+
+O_BM25_TOPK = f"""
+WITH p AS (
+  SELECT term, doc_id, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY term, doc_id
+), dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM p GROUP BY doc_id
+), c AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), cand AS (
+  SELECT * FROM p WHERE term IN ('join', 'spark', 'window')
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df_t FROM cand GROUP BY term
+)
+SELECT doc_id,
+       round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * tf * (1.2 + 1.0)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+FROM cand JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_K}
+"""

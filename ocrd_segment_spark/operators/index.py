@@ -1,0 +1,132 @@
+"""Inverted index and BM25 retrieval over the extracted corpus.
+
+The reference engine has no retrieval surface — its queries address
+documents by file id. A web-scale corpus needs the opposite: "which
+documents mention X" is the primitive behind decontamination audits,
+targeted quality review, and topical subsetting, and the standard
+answer is an inverted index with BM25 ranking (Robertson et al.;
+the exact scoring form below is the Lucene/Okapi one, stated frozen
+so the DuckDB oracle can restate it).
+
+Three operators:
+
+1. :func:`build_postings` — (term, doc_id, tf) postings from the text
+   column under the corpus-wide frozen tokenization (lowercase,
+   space-split, empties dropped — the SAME ``_D_TOKS`` discipline the
+   token-count and decontamination contracts already pin).
+2. :func:`doc_lengths` — (doc_id, dl) token counts derived from the
+   postings themselves (an index artifact, so query scoring never
+   touches the corpus table).
+3. :func:`bm25_topk` — top-k documents for a bag-of-terms query.
+
+Frozen scoring (k1, b are parameters; N = indexed docs, df_t = docs
+containing t, dl = doc length, avgdl = mean dl over the index):
+
+  idf(t)       = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+  s(q, d)      = sum over distinct q-terms t of
+                 idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  ties         = score (rounded to 6) desc, then doc_id asc.
+
+Scale shape (100 TB): ``build_postings`` is explode + ONE shuffle with
+map-side partial counts — every (doc, term) group lives in one input
+row, so partial aggregation collapses it to final size before the
+exchange (deliberately NOT a row-local higher-order-function run-length
+encode: interpreted lambdas have no codegen and measured worse — see
+CLAUDE.md perf traps). ``bm25_topk`` filters postings to the query's
+terms FIRST (an IN over a literal handful — pushed to the parquet scan
+of a written index), so everything downstream is candidate-sized: the
+df_t aggregate, the doc_lengths join, and the final top-k sort all see
+only docs sharing a term with the query. N/avgdl ride a broadcast
+1-row aggregate. Nothing corpus-sized shuffles at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# frozen tokenization — identical to the token-count contract's
+# space-split discipline (contract_ml._D_TOKS states the DuckDB twin)
+_TOKS = "filter(split(lower({col}), ' '), x -> x != '')"
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, tf) inverted postings. One explode + ONE shuffle
+    on (term, doc_id); map-side partial counts collapse each group to
+    its final row before the exchange (a document's tokens never span
+    partitions). Writers wanting a term-clustered on-disk index should
+    ``.repartition('term')`` (or bucketBy) at write time — the operator
+    stays layout-neutral."""
+    return (
+        df.selectExpr(
+            f"{id_col} as doc_id",
+            f"explode({_TOKS.format(col=text_col)}) as term",
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(postings: DataFrame) -> DataFrame:
+    """(doc_id, dl) from the postings — dl = sum(tf) = the document's
+    token count under the index tokenization. Derived from the index,
+    not the corpus: query scoring composes from index artifacts only."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def bm25_topk(
+    postings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doclens: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` (doc_id, score) for a bag-of-terms query under the
+    frozen BM25 form in the module docstring. Duplicate query terms
+    count once (bag-of-DISTINCT-terms — the common web-query form).
+
+    ``doclens`` defaults to :func:`doc_lengths` over ``postings``;
+    pass the precomputed table when querying a written index so the
+    only corpus-sized scan is the term-pruned postings read. N and
+    avgdl are corpus constants derived from ``doclens`` as a 1-row
+    broadcast (an index-build artifact in a persisted deployment).
+
+    Scale: the literal IN prunes postings at the scan; df_t, the dl
+    join and the top-k sort are all candidate-sized. The final sort is
+    a global top-k over candidates — ``orderBy().limit(k)`` which
+    Spark executes as per-partition TakeOrdered + single merge, never
+    a full sort-shuffle."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t for t in query_terms})
+    if doclens is None:
+        doclens = doc_lengths(postings)
+    consts = doclens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    cand = postings.filter(F.col("term").isin(terms))
+    df_t = cand.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_t")
+    )
+    scored = (
+        cand.join(F.broadcast(df_t), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "_idf",
+            F.expr("ln(1.0D + (n_docs - df_t + 0.5D) / (df_t + 0.5D))"),
+        )
+        .withColumn(
+            "_s",
+            F.expr(
+                f"_idf * tf * ({k1}D + 1.0D)"
+                f" / (tf + {k1}D * (1.0D - {b}D + {b}D * dl / avgdl))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
