@@ -202,6 +202,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inverted index + BM25 retrieval (operators/index.py)
     "inverted_postings": G.q_inverted_postings,
     "bm25_topk": G.q_bm25_topk,
+    # Bloom-filter url seen-set (operators/bloom.py)
+    "bloom_seen_probe": G.q_bloom_seen_probe,
 }
 
 _ORACLES: dict[str, str] = {
@@ -327,6 +329,7 @@ _ORACLES: dict[str, str] = {
     "canonical_collapse": G.O_CANONICAL_COLLAPSE,
     "inverted_postings": G.O_INVERTED_POSTINGS,
     "bm25_topk": G.O_BM25_TOPK,
+    "bloom_seen_probe": G.O_BLOOM_SEEN_PROBE,
 }
 
 

@@ -588,3 +588,62 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT {_BM25_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter url seen-set
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+# DuckDB twins of bloom.bloom_positions_sql's frozen family
+_D_H = _D_STR_HASH.format(s="url")
+_D_POS = f"((2*i + 3) * {_D_H} + 5*i + 7) % {P} % {_BLOOM_M}"
+
+
+def q_bloom_seen_probe(spark, sf_dir):
+    """Bloom seen-set (operators/bloom): filter built over the even
+    doc_ids' urls (m=2^16, k=4 — small enough that the probe exercises
+    real collisions), probed with ALL urls. Every inserted url MUST be
+    maybe_seen (no false negatives); non-inserted urls get the exact
+    deterministic collision outcome — the oracle restates the identical
+    position family, so false positives match bit-for-bit. Build = one
+    filter-sized shuffle (map-side partial bit_or); probe = broadcast
+    lookups + probe-sized shuffles only."""
+    from .operators.bloom import bloom_maybe_seen, build_bloom
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_HM_URL} as url"
+    )
+    bloom = build_bloom(
+        docs.filter("doc_id % 2 = 0"), m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    return bloom_maybe_seen(
+        bloom, docs, m_bits=_BLOOM_M, k=_BLOOM_K
+    ).select("doc_id", "url", "maybe_seen")
+
+
+O_BLOOM_SEEN_PROBE = f"""
+WITH ins AS (
+  SELECT {_D_HM_URL} AS url FROM documents WHERE doc_id % 2 = 0
+), ipos AS (
+  SELECT {_D_POS} AS pos FROM (SELECT url, unnest([0,1,2,3]) AS i FROM ins)
+), w AS (
+  SELECT pos // 32 AS word_id,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM ipos GROUP BY pos // 32
+), pr AS (
+  SELECT doc_id, {_D_HM_URL} AS url FROM documents
+), ppos AS (
+  SELECT doc_id, url, {_D_POS} AS pos
+  FROM (SELECT doc_id, url, unnest([0,1,2,3]) AS i FROM pr)
+), hit AS (
+  SELECT doc_id, url,
+         CASE WHEN coalesce(bits & (1::BIGINT << CAST(pos % 32 AS INT)), 0) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos LEFT JOIN w ON ppos.pos // 32 = w.word_id
+)
+SELECT doc_id, url, min(hit) = 1 AS maybe_seen
+FROM hit GROUP BY doc_id, url
+"""

@@ -1,0 +1,81 @@
+"""Tests for the distributed Bloom seen-set (operators/bloom): no
+false negatives, deterministic and bounded false positives, word
+packing staying off the sign bit, and the build/probe plan shapes
+(map-side partial bit_or; broadcast-only probe lookups)."""
+
+from pyspark.sql import functions as F
+
+from ocrd_segment_spark.operators.bloom import (
+    bloom_maybe_seen,
+    build_bloom,
+)
+from ocrd_segment_spark.plans import audit
+
+M, K = 1 << 14, 4
+
+
+def _urls(spark, lo, hi, name="url"):
+    return spark.range(lo, hi).selectExpr(
+        f"concat('https://h', cast(id % 7 as string), '.org/p/',"
+        f" cast(id as string)) as {name}"
+    )
+
+
+def test_no_false_negatives(spark):
+    ins = _urls(spark, 0, 500)
+    bloom = build_bloom(ins, m_bits=M, k=K)
+    out = bloom_maybe_seen(bloom, ins, m_bits=M, k=K)
+    assert out.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_false_positive_rate_bounded_and_deterministic(spark):
+    ins = _urls(spark, 0, 1000)
+    bloom = build_bloom(ins, m_bits=M, k=K)
+    fresh = _urls(spark, 1000, 3000)
+    fp = (
+        bloom_maybe_seen(bloom, fresh, m_bits=M, k=K)
+        .filter(F.col("maybe_seen"))
+        .count()
+    )
+    # theoretical fpr = (1 - e^{-kn/m})^k ≈ 0.0024 at n=1000, m=2^14,
+    # k=4 → expect ~5 of 2000; allow generous slack but pin the exact
+    # deterministic value so the frozen family can't silently drift
+    assert fp / 2000 < 0.02
+    fp2 = (
+        bloom_maybe_seen(bloom, fresh, m_bits=M, k=K)
+        .filter(F.col("maybe_seen"))
+        .count()
+    )
+    assert fp == fp2
+
+
+def test_filter_table_is_bounded_and_unsigned(spark):
+    bloom = build_bloom(_urls(spark, 0, 2000), m_bits=M, k=K)
+    rows = bloom.collect()
+    assert len(rows) <= M // 32
+    assert all(0 <= r.word_id < M // 32 for r in rows)
+    # 32-bit packing: no mask ever reaches the sign bit
+    assert all(0 < r.bits <= 0xFFFFFFFF for r in rows)
+
+
+def test_absent_words_are_misses_not_errors(spark):
+    # an EMPTY filter: everything must probe as unseen via the left join
+    empty = build_bloom(
+        _urls(spark, 0, 1).filter("url = 'none'"), m_bits=M, k=K
+    )
+    out = bloom_maybe_seen(empty, _urls(spark, 0, 50), m_bits=M, k=K)
+    assert out.filter(F.col("maybe_seen")).count() == 0
+
+
+def test_build_plan_partial_bit_or_one_shuffle(spark):
+    bloom = build_bloom(_urls(spark, 0, 100), m_bits=M, k=K)
+    plan = audit.physical_plan(bloom)
+    assert "partial_bit_or" in plan, plan
+    assert plan.count("Exchange") == 2, plan  # one node: tree + detail
+
+
+def test_probe_plan_broadcasts_filter(spark):
+    bloom = build_bloom(_urls(spark, 0, 100), m_bits=M, k=K)
+    out = bloom_maybe_seen(bloom, _urls(spark, 0, 100), m_bits=M, k=K)
+    assert audit.broadcast_join_count(out) >= 1
+    assert "CartesianProduct" not in audit.physical_plan(out)
