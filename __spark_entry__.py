@@ -204,6 +204,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": G.q_bm25_topk,
     # Bloom-filter url seen-set (operators/bloom.py)
     "bloom_seen_probe": G.q_bloom_seen_probe,
+    # hreflang translation clusters (operators/headmeta.py)
+    "hreflang_clusters": G.q_hreflang_clusters,
 }
 
 _ORACLES: dict[str, str] = {
@@ -330,6 +332,7 @@ _ORACLES: dict[str, str] = {
     "inverted_postings": G.O_INVERTED_POSTINGS,
     "bm25_topk": G.O_BM25_TOPK,
     "bloom_seen_probe": G.O_BLOOM_SEEN_PROBE,
+    "hreflang_clusters": G.O_HREFLANG_CLUSTERS,
 }
 
 

@@ -647,3 +647,68 @@ WITH ins AS (
 SELECT doc_id, url, min(hit) = 1 AS maybe_seen
 FROM hit GROUP BY doc_id, url
 """
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate clusters
+# ---------------------------------------------------------------------------
+
+# Translation groups of 3 (g = doc_id div 3; members de/en/fr by
+# doc_id % 3). Members of g % 4 = 1 declare NOTHING (singletons); the
+# rest declare all three members — de absolute, en protocol-relative
+# (upper-cased attrs with hreflang-before-href on even doc_ids), fr
+# rooted — plus an unresolvable mailto and a non-alternate stylesheet
+# that must both be ignored. The oracle derives expected clusters from
+# the same arithmetic, never running the harvest.
+
+_HL_G = "doc_id div 3"
+_HL_LANG = "CASE doc_id % 3 WHEN 0 THEN 'de' WHEN 1 THEN 'en' ELSE 'fr' END"
+_HL_URL = f"concat('https://x.example.org/', {_HL_LANG}, '/p/', cast({_HL_G} as string))"
+
+_HL_HTML = f"""concat('<html><head>',
+  CASE WHEN ({_HL_G}) % 4 = 1 THEN ''
+  ELSE concat(
+    '<link rel="alternate" hreflang="de" href="https://x.example.org/de/p/', cast({_HL_G} as string), '">',
+    CASE WHEN doc_id % 2 = 0
+         THEN concat('<LINK HREFLANG="en" HREF="//x.example.org/en/p/', cast({_HL_G} as string), '" REL="Alternate">')
+         ELSE concat('<link rel="alternate" hreflang="en" href="//x.example.org/en/p/', cast({_HL_G} as string), '">')
+    END,
+    '<link rel="alternate" hreflang="fr" href="/fr/p/', cast({_HL_G} as string), '">',
+    '<link rel="alternate" hreflang="zz" href="mailto:x@y.z">',
+    '<link rel="stylesheet" href="/s.css">')
+  END, '</head><body>t</body></html>')"""
+
+
+def q_hreflang_clusters(spark, sf_dir):
+    """hreflang translation clusters (operators/headmeta.
+    hreflang_clusters): cluster key = least url among self + resolved
+    alternates, computed as ROW-LOCAL column math (zero shuffle, no
+    graph iteration when declarations are consistent). Exercises both
+    attribute orders, case-insensitive names, all three resolution
+    arms, unresolvable + non-alternate tags ignored, and singleton
+    fallback."""
+    from .operators.headmeta import hreflang_clusters
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_HL_URL} as url",
+        f"cast({_HL_HTML} as binary) as html",
+    )
+    return hreflang_clusters(pages).select(
+        F.col("url"), "cluster_key", "n_alternates"
+    )
+
+
+O_HREFLANG_CLUSTERS = """
+WITH b AS (
+  SELECT doc_id, doc_id // 3 AS g,
+         CASE doc_id % 3 WHEN 0 THEN 'de' WHEN 1 THEN 'en' ELSE 'fr' END AS lang
+  FROM documents
+)
+SELECT 'https://x.example.org/' || lang || '/p/' || CAST(g AS VARCHAR) AS url,
+       CASE WHEN g % 4 = 1
+            THEN 'https://x.example.org/' || lang || '/p/' || CAST(g AS VARCHAR)
+            ELSE 'https://x.example.org/de/p/' || CAST(g AS VARCHAR) END AS cluster_key,
+       CASE WHEN g % 4 = 1 THEN 0 ELSE 3 END AS n_alternates
+FROM b
+"""

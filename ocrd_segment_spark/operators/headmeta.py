@@ -187,3 +187,91 @@ def canonical_collapse(
         )
         .withColumnRenamed("group_key", "canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternates: multilingual page clusters
+# ---------------------------------------------------------------------------
+
+_LINK_TAGS = f"regexp_extract_all(cast({{col}} as string), '{_LINK}[^>]*>', 0)"
+_REL_ALTERNATE = '[Rr][Ee][Ll]="[Aa]lternate"'
+_HREFLANG = '[Hh][Rr][Ee][Ff][Ll][Aa][Nn][Gg]="([^"]*)"'
+
+
+def hreflang_links(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, hreflang, alt_url): one row per ``<link rel="alternate"
+    hreflang=..>`` declaration — how multilingual sites bind their
+    translations together (the mC4/CCMatrix parallel-page signal).
+    All ``<link>`` tags are harvested whole, filtered on a
+    case-insensitive rel="alternate", and href/hreflang extracted
+    per-tag so ATTRIBUTE ORDER inside the tag never matters (the same
+    whole-tag discipline as linkgraph's anchor harvest). Hrefs resolve
+    under the SAME frozen rule as canonicals; declarations whose href
+    cannot resolve (relative paths, foreign schemes) are dropped,
+    as are tags with an empty hreflang.
+
+    Scan-stage column math + explode — zero shuffle, zero Python."""
+    h = _LINK_TAGS.format(col=html_col)
+    scheme = f"lower(regexp_extract({url_col}, '{_SCHEME}', 1))"
+    host = f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
+    return (
+        df.select(
+            F.col(url_col).alias("url"), F.expr(h).alias("__tags")
+        )
+        .select("url", F.explode("__tags").alias("__t"))
+        .filter(F.expr(f"__t RLIKE '{_REL_ALTERNATE}'"))
+        .selectExpr(
+            "url",
+            f"regexp_extract(__t, '{_HREFLANG}', 1) as hreflang",
+            f"regexp_extract(__t, '{_HREF}', 1) as __href",
+        )
+        .filter("hreflang != ''")
+        .withColumn(
+            "alt_url",
+            F.expr(
+                resolved_canonical_sql(
+                    "nullif(__href, '')",
+                    f"lower(regexp_extract(url, '{_SCHEME}', 1))",
+                    f"lower(regexp_extract(url, '{_ABS_HOST}', 1))",
+                )
+            ),
+        )
+        .filter(F.col("alt_url").isNotNull())
+        .drop("__href")
+    )
+
+
+def hreflang_clusters(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(cluster_key, url, n_alternates): the page's translation-cluster
+    key — the LEAST url among itself and every resolved hreflang
+    alternate it declares. When declarations are consistent (every
+    member lists the full alternate set, the normal publishing
+    pattern), all members compute the same key, so the cluster forms
+    with ZERO shuffles and no graph iteration — the key is row-local
+    column math. Inconsistent partial declarations can split a cluster
+    into subgroups; feed the (url, alt_url) edges from
+    :func:`hreflang_links` to ``operators.dedup.connected_components``
+    when transitive closure is worth an iterative job.
+
+    Pages declaring no resolvable alternates are singletons (their own
+    url is the key)."""
+    scheme = f"lower(regexp_extract({url_col}, '{_SCHEME}', 1))"
+    host = f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
+    resolve = resolved_canonical_sql("nullif(x, '')", scheme, host)
+    alts = f"""transform(
+      filter({_LINK_TAGS.format(col=html_col)},
+             t -> t RLIKE '{_REL_ALTERNATE}'
+                  AND regexp_extract(t, '{_HREFLANG}', 1) != ''),
+      t -> regexp_extract(t, '{_HREF}', 1))"""
+    resolved = f"filter(transform({alts}, x -> {resolve}), r -> r IS NOT NULL)"
+    return df.select(
+        F.expr(
+            f"array_min(array_union({resolved}, array({url_col})))"
+        ).alias("cluster_key"),
+        F.col(url_col).alias("url"),
+        F.expr(f"size(array_distinct({resolved}))").alias("n_alternates"),
+    )

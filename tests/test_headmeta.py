@@ -184,3 +184,84 @@ def test_collapse_is_one_shuffle_partial_agg(spark):
     assert plan.count("Exchange") == 2, plan
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+# ----------------------------------------------------------- hreflang
+from ocrd_segment_spark.operators.headmeta import (  # noqa: E402
+    hreflang_clusters,
+    hreflang_links,
+)
+
+
+def test_hreflang_links_orders_resolution_and_noise(spark):
+    head = (
+        '<link rel="alternate" hreflang="de" href="https://x.org/de">'
+        '<LINK HREFLANG="en" HREF="//x.org/en" REL="Alternate">'
+        '<link rel="alternate" hreflang="fr" href="/fr">'
+        '<link rel="alternate" hreflang="zz" href="mailto:a@b.c">'
+        '<link rel="alternate" href="https://x.org/nolang">'
+        '<link rel="stylesheet" href="/s.css">'
+    )
+    out = hreflang_links(
+        _pages(spark, [_page("https://x.org/start", head)])
+    ).collect()
+    got = {(r.hreflang, r.alt_url) for r in out}
+    assert got == {
+        ("de", "https://x.org/de"),
+        ("en", "https://x.org/en"),
+        ("fr", "https://x.org/fr"),
+    }
+    assert all(r.url == "https://x.org/start" for r in out)
+
+
+def test_hreflang_clusters_consistent_group_and_singleton(spark):
+    def head(g):
+        return (
+            f'<link rel="alternate" hreflang="de" href="https://x.org/de/{g}">'
+            f'<link rel="alternate" hreflang="en" href="https://x.org/en/{g}">'
+        )
+
+    rows = [
+        _page("https://x.org/de/1", head(1)),
+        _page("https://x.org/en/1", head(1)),
+        _page("https://x.org/solo", ""),
+    ]
+    got = {
+        r.url: (r.cluster_key, r.n_alternates)
+        for r in hreflang_clusters(_pages(spark, rows)).collect()
+    }
+    assert got == {
+        "https://x.org/de/1": ("https://x.org/de/1", 2),
+        "https://x.org/en/1": ("https://x.org/de/1", 2),
+        "https://x.org/solo": ("https://x.org/solo", 0),
+    }
+
+
+def test_hreflang_inconsistent_declarations_split_documented(spark):
+    # page A declares B, but B declares nothing: row-local keys differ
+    rows = [
+        _page(
+            "https://x.org/a",
+            '<link rel="alternate" hreflang="en" href="https://x.org/b">',
+        ),
+        _page("https://x.org/b", ""),
+    ]
+    got = {
+        r.url: r.cluster_key
+        for r in hreflang_clusters(_pages(spark, rows)).collect()
+    }
+    # A keys at min(a, b) = a; B is its own singleton — the documented
+    # split; connected_components is the transitive-closure escape
+    assert got == {
+        "https://x.org/a": "https://x.org/a",
+        "https://x.org/b": "https://x.org/b",
+    }
+
+
+def test_hreflang_clusters_plan_is_row_local(spark):
+    df = hreflang_clusters(
+        _pages(spark, [_page("https://x.org/1", "")])
+    )
+    plan = audit.physical_plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
