@@ -18,9 +18,12 @@ Stages (each narrow or one bounded shuffle):
                  continuous variant of the blocklist; produce ranks
                  with jobs/linkgraph_job.py), ``--snapshot-collapse``
                  (latest capture per canonical url — multi-crawl
-                 inputs). ``--outlinks PATH`` writes the host-grain
-                 link graph of the RAW input as a side output (the
-                 PageRank producer feed).
+                 inputs), ``--honor-meta`` (drop robots-noindex pages
+                 and collapse declared-canonical aliases — the pages'
+                 OWN authority declarations, operators/headmeta).
+                 ``--outlinks PATH`` writes the host-grain link graph
+                 of the RAW input as a side output (the PageRank
+                 producer feed).
 1. extract     — HTML → (extracted_text, region_spans, lineage); the
                  shuffle-free mapInPandas kernel path.
 2. score       — real char-n-gram language id scored INSIDE the
@@ -188,6 +191,15 @@ def main() -> None:
         " dropped_stale_snapshot funnel count",
     )
     ap.add_argument(
+        "--honor-meta",
+        action="store_true",
+        help="honor the pages' own head declarations BEFORE extraction"
+        " (operators/headmeta): drop robots-noindex pages and collapse"
+        " pages declaring a <link rel=canonical> elsewhere to one"
+        " representative per authoritative url; adds the"
+        " dropped_noindex + dropped_canonical_alias funnel counts",
+    )
+    ap.add_argument(
         "--outlinks",
         default=None,
         help="optional path: write the host-grain link graph"
@@ -280,6 +292,7 @@ def main() -> None:
         decontaminate_path=args.decontaminate,
         near_dup_audit=args.near_dup_audit,
         snapshot_collapse=args.snapshot_collapse,
+        honor_meta=args.honor_meta,
         outlinks_path=args.outlinks,
         host_ranks_path=args.host_ranks,
         host_rank_min=args.host_rank_min,
@@ -314,6 +327,7 @@ def build_corpus(
     decontaminate_path: str | None = None,
     near_dup_audit: str | None = None,
     snapshot_collapse: bool = False,
+    honor_meta: bool = False,
     outlinks_path: str | None = None,
     host_ranks_path: str | None = None,
     host_rank_min: float | None = None,
@@ -418,6 +432,40 @@ def build_corpus(
         )
         pages = flagged.filter("is_latest").drop(
             "is_latest", "canonical_url"
+        )
+    hm_obs = None
+    if honor_meta:
+        # the page's OWN declarations, honored before extraction:
+        # noindex pages drop (compliance, not optimization), and pages
+        # whose <link rel=canonical> points elsewhere collapse to one
+        # representative per authoritative url. One head_meta harvest
+        # (scan-stage column math), noindex counted and filtered FIRST
+        # (a noindex alias must never win its group), then the window
+        # keep rule; both counts ride the terminal write.
+        from ocrd_segment_spark.operators.headmeta import (
+            canonical_representatives,
+            head_meta,
+        )
+
+        m = head_meta(pages)
+        hm_obs = Observation("headmeta")
+        m = m.observe(
+            hm_obs,
+            F.coalesce(
+                F.sum(F.col("noindex").cast("long")), F.lit(0)
+            ).alias("dropped_noindex"),
+            F.coalesce(
+                F.sum((~F.col("noindex")).cast("long")), F.lit(0)
+            ).alias("indexable"),
+        )
+        reps = canonical_representatives(
+            m.filter(~F.col("noindex")),
+            flag_col="__canon_rep",
+            meta_precomputed=True,
+        )
+        pages = (
+            reps.filter("__canon_rep")
+            .drop("__canon_rep", "noindex")
         )
     # real n-gram language id (round-3 task: the en/de digram toy no
     # longer routes drop decisions) scored INSIDE the extraction pass —
@@ -602,6 +650,18 @@ def build_corpus(
         ),
         "dropped_stale_snapshot": (
             snap_obs.get["dropped_stale"] if snap_obs is not None else -1
+        ),
+        "dropped_noindex": (
+            hm_obs.get["dropped_noindex"] if hm_obs is not None else -1
+        ),
+        # aliases = indexable pages that lost their canonical group
+        # (the window winners are exactly what enters extraction, so
+        # the existing pages Observation closes the count — no extra
+        # node on the lineage)
+        "dropped_canonical_alias": (
+            hm_obs.get["indexable"] - counts["pages"]
+            if hm_obs is not None
+            else -1
         ),
         "outlink_edges": n_outlink_edges,
         "pages": counts["pages"],

@@ -107,6 +107,16 @@ def main() -> None:
         " piece) — a real tokenizer's vocabulary; loaded once before"
         " the stream starts",
     )
+    ap.add_argument(
+        "--honor-noindex",
+        action="store_true",
+        help="drop robots-noindex pages BEFORE extraction (row-local"
+        " head_meta harvest, streaming-legal). The batch job's"
+        " canonical-alias collapse (--honor-meta) is NOT available"
+        " here: ranking aliases needs a non-time window over an"
+        " unbounded stream — run canonical collapse as a batch"
+        " compaction stage instead",
+    )
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
@@ -136,6 +146,7 @@ def main() -> None:
         lm_max_bits=args.lm_max_bits,
         max_compression=args.max_compression,
         blocklist_path=args.blocklist,
+        honor_noindex=args.honor_noindex,
         count_bpe=args.count_bpe,
         bpe_vocab_path=args.bpe_vocab,
         available_now=args.available_now,
@@ -161,6 +172,7 @@ def run_stream(
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
     blocklist_path: str | None = None,
+    honor_noindex: bool = False,
     count_bpe: bool = False,
     bpe_vocab_path: str | None = None,
     available_now: bool = True,
@@ -205,7 +217,7 @@ def run_stream(
             else VOCAB
         )
 
-    pre_transform = None
+    pre_stages = []
     if blocklist_path is not None:
         # registered-domain blocklist BEFORE extraction, exactly like
         # the batch job: the blocklist is a STATIC DataFrame read once
@@ -216,12 +228,37 @@ def run_stream(
 
         bl = spark.read.parquet(blocklist_path)
 
-        def pre_transform(pages):
+        def _blocklist_stage(pages):
             return (
                 with_domain_blocked(pages, bl)
                 .filter(~F.col("blocked"))
                 .drop("blocked", "reg_domain")
             )
+
+        pre_stages.append(_blocklist_stage)
+    if honor_noindex:
+        # robots-noindex honoring BEFORE extraction — row-local column
+        # math (head_meta harvest), trivially streaming-legal. The
+        # alias collapse stays batch-only (non-time window).
+        from ocrd_segment_spark.operators.headmeta import head_meta
+
+        def _noindex_stage(pages):
+            return (
+                head_meta(pages)
+                .filter(~F.col("noindex"))
+                .drop(
+                    "canonical_href", "canonical_url", "robots", "noindex"
+                )
+            )
+
+        pre_stages.append(_noindex_stage)
+    pre_transform = None
+    if pre_stages:
+
+        def pre_transform(pages):
+            for stage in pre_stages:
+                pages = stage(pages)
+            return pages
 
     def score_and_filter(extracted):
         # pred_lang arrives from the extraction pass itself

@@ -189,6 +189,60 @@ def canonical_collapse(
     )
 
 
+def canonical_representatives(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    flag_col: str | None = None,
+    meta_precomputed: bool = False,
+) -> DataFrame:
+    """The row-keeping sibling of :func:`canonical_collapse`: input
+    rows (all columns preserved) with the SAME frozen keep rule —
+    group by resolved canonical target (own url fallback), winner =
+    self-canonical first, then least url. Without ``flag_col`` only
+    winners return; with it, ALL rows return carrying a boolean winner
+    flag — the corpus-job shape, so the alias-drop count can ride the
+    terminal write as an Observation. ``noindex`` pages are NOT
+    dropped here (callers count and filter them separately; the job
+    needs the two counts distinct — filter them BEFORE this, or a
+    noindex alias can win its group and shadow a keepable page).
+
+    ``meta_precomputed=True`` skips the :func:`head_meta` pass when
+    the caller already ran it (the job harvests once, counts noindex,
+    filters, then ranks — the harvest regexes never run twice).
+
+    Scale shape: one window shuffle on the group key — unlike the
+    summary form's min(struct) aggregate, rows must survive, and the
+    partition sizes are aliases-per-resource (mirror-count bounded),
+    the same justification as ``latest_snapshot``'s window."""
+    from pyspark.sql import Window as W
+
+    m = (
+        df
+        if meta_precomputed
+        else head_meta(df, html_col=html_col, url_col=url_col)
+    )
+    m = m.withColumn(
+        "__gk", F.coalesce("canonical_url", url_col)
+    ).withColumn(
+        "__self",
+        (
+            F.col("canonical_url").isNull()
+            | (F.col("canonical_url") == F.col(url_col))
+        ).cast("int"),
+    )
+    w = W.partitionBy("__gk").orderBy(
+        F.desc("__self"), F.asc(url_col)
+    )
+    flagged = m.withColumn("__rn", F.row_number().over(w))
+    helper = ["__gk", "__self", "__rn", "canonical_href", "canonical_url", "robots"]
+    if flag_col is None:
+        return flagged.filter("__rn = 1").drop(*helper)
+    return flagged.withColumn(
+        flag_col, F.col("__rn") == F.lit(1)
+    ).drop(*helper)
+
+
 # ---------------------------------------------------------------------------
 # hreflang alternates: multilingual page clusters
 # ---------------------------------------------------------------------------

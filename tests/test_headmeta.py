@@ -265,3 +265,61 @@ def test_hreflang_clusters_plan_is_row_local(spark):
     plan = audit.physical_plan(df)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- corpus_job wiring
+def test_corpus_job_honor_meta(spark, tmp_path):
+    """--honor-meta: noindex pages and canonical aliases drop BEFORE
+    extraction, each with its own fixed-schema funnel count."""
+    from jobs.corpus_job import build_corpus
+
+    t = "the children were playing in the garden near the river all afternoon"
+
+    def pg(head, text):
+        return (
+            f"<html><head>{head}</head><body><p>{text}</p></body></html>"
+        ).encode()
+
+    canon = '<link rel="canonical" href="https://a.org/main">'
+    rows = [
+        ("https://a.org/main", 1, pg(canon, t + " original")),
+        ("https://a.org/alias", 2, pg(canon, t + " mirrored copy")),
+        (
+            "https://a.org/hidden",
+            3,
+            pg('<meta name="robots" content="noindex">', t + " hidden"),
+        ),
+        ("https://b.org/solo", 4, pg("", t + " unrelated page")),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts long, html binary"
+    ).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    funnel = build_corpus(
+        spark, src, out, min_quality=0.0, min_tokens=0, honor_meta=True
+    )
+    assert funnel["dropped_noindex"] == 1
+    assert funnel["dropped_canonical_alias"] == 1
+    assert funnel["pages"] == 2
+    assert funnel["corpus_docs"] == 2
+    kept = {r.url for r in spark.read.parquet(out).select("url").collect()}
+    assert kept == {"https://a.org/main", "https://b.org/solo"}
+
+
+def test_corpus_job_honor_meta_off_sentinels(spark, tmp_path):
+    from jobs.corpus_job import build_corpus
+
+    t = "she opened the window and watched the quiet street below the house"
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("https://a.org/p", 1,
+          f"<html><body><p>{t}</p></body></html>".encode())],
+        "url string, warc_ts long, html binary",
+    ).write.parquet(src)
+    funnel = build_corpus(
+        spark, src, str(tmp_path / "corpus"),
+        min_quality=0.0, min_tokens=0,
+    )
+    assert funnel["dropped_noindex"] == -1
+    assert funnel["dropped_canonical_alias"] == -1

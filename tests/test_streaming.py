@@ -521,3 +521,44 @@ def test_stream_job_flag_change_restart_one_schema(spark, tmp_path):
     rows = {r["url"]: r["clf_logit"] for r in got.collect()}
     assert set(rows) == {"u1", "u2"}
     assert rows["u1"] is None and rows["u2"] > 0
+
+
+def test_stream_job_honor_noindex_parity(spark, tmp_path):
+    """--honor-noindex drops robots-noindex pages on the stream exactly
+    as --honor-meta does in batch; the canonical-alias collapse is
+    batch-only by design (non-time window over an unbounded stream),
+    so an alias page streams through — the documented divergence."""
+    from jobs.corpus_job import build_corpus
+    from jobs.stream_job import run_stream
+
+    t1 = "the children were playing in the garden near the river all afternoon"
+    t2 = "she opened the window and watched the quiet street below the house"
+    canon = '<link rel="canonical" href="https://a.org/main">'
+
+    def pg(head, text):
+        return (
+            f"<html><head>{head}</head><body><p>{text}</p></body></html>"
+        ).encode()
+
+    rows = [
+        ("https://a.org/main", pg(canon, t1)),
+        ("https://a.org/alias", pg(canon, t1 + " mirrored")),
+        ("https://a.org/hidden",
+         pg('<meta name="robots" content="noindex">', t2)),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+
+    build_corpus(spark, src, str(tmp_path / "bcorpus"),
+                 min_quality=0.0, min_tokens=1, honor_meta=True)
+    batch = {r.url for r in
+             spark.read.parquet(str(tmp_path / "bcorpus")).collect()}
+    q = run_stream(spark, src, str(tmp_path / "scorpus"),
+                   str(tmp_path / "ckpt"),
+                   min_quality=0.0, min_tokens=1, honor_noindex=True)
+    assert q.awaitTermination(300), "streaming drain did not terminate"
+    stream = {r.url for r in
+              spark.read.parquet(str(tmp_path / "scorpus")).collect()}
+
+    assert batch == {"https://a.org/main"}
+    assert stream == {"https://a.org/main", "https://a.org/alias"}
