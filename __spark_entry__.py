@@ -206,6 +206,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_seen_probe": G.q_bloom_seen_probe,
     # hreflang translation clusters (operators/headmeta.py)
     "hreflang_clusters": G.q_hreflang_clusters,
+    # robots.txt parsing + frontier filter (operators/robots.py)
+    "robots_rules_parse": G.q_robots_rules_parse,
+    "robots_frontier_filter": G.q_robots_frontier_filter,
 }
 
 _ORACLES: dict[str, str] = {
@@ -333,6 +336,8 @@ _ORACLES: dict[str, str] = {
     "bm25_topk": G.O_BM25_TOPK,
     "bloom_seen_probe": G.O_BLOOM_SEEN_PROBE,
     "hreflang_clusters": G.O_HREFLANG_CLUSTERS,
+    "robots_rules_parse": G.O_ROBOTS_RULES,
+    "robots_frontier_filter": G.O_ROBOTS_FRONTIER,
 }
 
 

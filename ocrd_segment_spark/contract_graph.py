@@ -712,3 +712,103 @@ SELECT 'https://x.example.org/' || lang || '/p/' || CAST(g AS VARCHAR) AS url,
        CASE WHEN g % 4 = 1 THEN 0 ELSE 3 END AS n_alternates
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing + frontier filter
+# ---------------------------------------------------------------------------
+
+# Five synthetic robots.txt bodies (hosts h0..h4.example.org),
+# exercising comments, CRLF, a two-line agent run (Bing + *), value
+# trimming, an unknown directive, the empty-Disallow idiom (host 3),
+# and a non-wildcard group whose rules must NOT leak. The oracle
+# states the EXPECTED rules/decisions from the same arithmetic — it
+# never parses.
+
+_RB_HOST = "concat('h', cast(doc_id as string), '.example.org')"
+_RB_BODY = """concat(
+  '# crawl policy', chr(10),
+  CASE WHEN doc_id % 2 = 0 THEN concat('User-Agent: Bing', chr(10)) ELSE '' END,
+  'USER-AGENT: *', chr(13), chr(10),
+  'Disallow: ', CASE WHEN doc_id = 3 THEN '' ELSE concat('/p', cast(doc_id as string), '/') END, chr(10),
+  'Crawl-delay: 5', chr(10),
+  'Allow:  /p', cast(doc_id as string), '/ok  # inline comment', chr(10),
+  'User-agent: google', chr(10),
+  'Disallow: /all/', chr(10))"""
+
+
+def q_robots_rules_parse(spark, sf_dir):
+    """robots.txt parsing (operators/robots.parse_robots): wildcard-
+    agent groups only, frozen REP-subset grammar (module docstring).
+    Column math + one host-grain window pass over KB-bounded bodies."""
+    from .operators.robots import parse_robots
+
+    robots = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id < 5")
+        .selectExpr(
+            f"{_RB_HOST} as host", f"cast({_RB_BODY} as binary) as body"
+        )
+    )
+    return parse_robots(robots)
+
+
+O_ROBOTS_RULES = """
+WITH h AS (SELECT doc_id AS d FROM documents WHERE doc_id < 5)
+SELECT 'h' || CAST(d AS VARCHAR) || '.example.org' AS host,
+       'allow' AS rule,
+       '/p' || CAST(d AS VARCHAR) || '/ok' AS path
+FROM h
+UNION ALL
+SELECT 'h' || CAST(d AS VARCHAR) || '.example.org',
+       'disallow',
+       '/p' || CAST(d AS VARCHAR) || '/'
+FROM h WHERE d <> 3
+"""
+
+_RB_H = "cast(doc_id % 5 as string)"
+_RB_URL = f"""concat('https://h', {_RB_H}, '.example.org',
+  CASE doc_id % 4
+    WHEN 0 THEN concat('/p', {_RB_H}, '/ok/page')
+    WHEN 1 THEN concat('/p', {_RB_H}, '/secret')
+    WHEN 2 THEN '/other'
+    ELSE concat('/p', {_RB_H}, '/ok') END)"""
+
+_D_RB_H = "CAST(doc_id % 5 AS VARCHAR)"
+_D_RB_URL = f"""'https://h' || {_D_RB_H} || '.example.org' ||
+  CASE doc_id % 4
+    WHEN 0 THEN '/p' || {_D_RB_H} || '/ok/page'
+    WHEN 1 THEN '/p' || {_D_RB_H} || '/secret'
+    WHEN 2 THEN '/other'
+    ELSE '/p' || {_D_RB_H} || '/ok' END"""
+
+
+def q_robots_frontier_filter(spark, sf_dir):
+    """Frontier filter (operators/robots.robots_allowed): longest-
+    match REP decision per url — /ok paths out-match the broader
+    disallow, unruled hosts and unmatched paths default to allowed,
+    host 3 (empty Disallow) allows everything. Host equi-join + one
+    partial-aggregable max(struct); no window."""
+    from .operators.robots import parse_robots, robots_allowed
+
+    robots = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id < 5")
+        .selectExpr(
+            f"concat('h', cast(doc_id as string), '.example.org') as host",
+            f"cast({_RB_BODY} as binary) as body",
+        )
+    )
+    urls = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_RB_URL} as url"
+    )
+    return robots_allowed(parse_robots(robots), urls).select(
+        "doc_id", "url", "robots_allowed"
+    )
+
+
+O_ROBOTS_FRONTIER = f"""
+SELECT doc_id, {_D_RB_URL} AS url,
+       NOT (doc_id % 4 = 1 AND doc_id % 5 <> 3) AS robots_allowed
+FROM documents
+"""

@@ -1,0 +1,145 @@
+"""robots.txt parsing and frontier filtering.
+
+The seen-set (operators/bloom) answers "did we fetch it"; robots.txt
+answers "are we ALLOWED to fetch it" — the other half of crawl-
+frontier curation, and like noindex honoring a compliance requirement
+rather than an optimization. Input is what a crawler actually has: a
+table of fetched ``(host, body)`` robots.txt documents.
+
+Frozen grammar (the REP subset that is deterministic without an agent
+identity, stated so the DuckDB oracle can restate it):
+
+  - lines split on ``\\n``; a trailing ``\\r`` and surrounding blanks
+    are trimmed; everything from the first ``#`` on is comment;
+  - directives match ``<name>:<value>`` with case-insensitive names
+    ``user-agent`` / ``allow`` / ``disallow``; values trim blanks;
+  - consecutive ``user-agent`` lines open ONE group; the group's
+    rules run until the next user-agent RUN (blank lines and unknown
+    directives do not close a group);
+  - only groups whose agent set contains ``*`` contribute rules (the
+    engine curates corpora, not a branded crawler — the wildcard
+    group is the one every agent is subject to);
+  - empty-value ``disallow:`` lines are the REP idiom for "allow
+    everything" and yield NO rule; empty ``allow:`` likewise.
+
+Frozen matching rule (:func:`robots_allowed`) — the longest-match
+semantics Google's REP reference implementation documents: a url's
+path matches a rule when it starts with the rule's path verbatim (no
+``*``/``$`` wildcards — a frozen simplification, stated, erring
+toward the more conservative plain prefix); the matching rule with
+the LONGEST path wins; at equal length ``allow`` beats ``disallow``;
+no matching rule (or no robots.txt for the host) → allowed.
+
+Scale shape (100 TB): parsing is per-host column math + one
+host-partitioned window pass (robots bodies are KB-bounded, so
+partitions are tiny regardless of corpus size); the rules table is
+hosts × rules-per-file — orders of magnitude below page grain.
+:func:`robots_allowed` is an equi-join on host (AQE broadcasts the
+rules side when small; skewed mega-hosts fall under the same AQE
+skew handling the extraction path already relies on) followed by a
+partial-aggregable ``max(struct)`` per url — no window, no sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+_ABS_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+# path = everything from the first '/' after the authority; '' → '/'
+_URL_PATH = "coalesce(nullif(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$', 1), ''), '/')"
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, rule, path) rules of every wildcard-agent group —
+    ``rule`` is ``allow`` or ``disallow``, ``path`` the verbatim
+    rule path. One posexplode + one host-grain window pass."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.expr(f"cast({body_col} as string)"), "\n")
+        ).alias("ln", "__raw"),
+    ).withColumn(
+        "__line",
+        F.expr(
+            "trim(regexp_replace(regexp_replace(__raw, '#.*$', ''),"
+            " '\r$', ''))"
+        ),
+    )
+    typed = lines.selectExpr(
+        "host",
+        "ln",
+        "lower(regexp_extract(__line, '^([A-Za-z-]+)\\\\s*:', 1)) as __name",
+        "trim(regexp_extract(__line, '^[A-Za-z-]+\\\\s*:(.*)$', 1)) as __value",
+    ).withColumn("__is_agent", F.col("__name") == "user-agent")
+    w = W.partitionBy("host").orderBy("ln")
+    grouped = (
+        typed.withColumn(
+            "__agent_run_start",
+            F.col("__is_agent")
+            & ~F.coalesce(F.lag("__is_agent").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "__block",
+            F.sum(F.col("__agent_run_start").cast("long")).over(w),
+        )
+    )
+    starred = (
+        grouped.filter("__is_agent AND __value = '*'")
+        .select("host", "__block")
+        .distinct()
+    )
+    return (
+        grouped.filter(
+            F.col("__name").isin("allow", "disallow")
+            & (F.col("__value") != "")
+        )
+        .join(starred, ["host", "__block"])
+        .select(
+            "host",
+            F.col("__name").alias("rule"),
+            F.col("__value").alias("path"),
+        )
+    )
+
+
+def robots_allowed(
+    rules: DataFrame, urls: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """``urls`` + ``robots_allowed`` boolean under the frozen
+    longest-match rule. ``rules`` is :func:`parse_robots` output (or
+    the persisted table a crawler maintains)."""
+    u = urls.withColumn(
+        "__host", F.expr(f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))")
+    ).withColumn("__path", F.expr(_URL_PATH.format(u=url_col)))
+    matched = (
+        u.select(url_col, "__host", "__path")
+        .join(rules, u["__host"] == rules["host"], "left")
+        .withColumn(
+            "__hit",
+            F.col("path").isNotNull()
+            & F.expr("startswith(__path, path)"),
+        )
+        .groupBy(url_col)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__hit"),
+                    F.struct(
+                        F.length("path").alias("l"),
+                        (F.col("rule") == "allow")
+                        .cast("int")
+                        .alias("a"),
+                    ),
+                )
+            ).alias("__best")
+        )
+        .select(
+            url_col,
+            F.coalesce(F.col("__best.a") == 1, F.lit(True)).alias(
+                "robots_allowed"
+            ),
+        )
+    )
+    return urls.join(matched, url_col, "left")

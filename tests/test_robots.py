@@ -1,0 +1,131 @@
+"""Tests for robots.txt parsing + frontier filtering
+(operators/robots): the frozen REP-subset grammar (wildcard groups,
+agent runs, comments, empty-value idiom) and the longest-match
+decision rule, plus plan shapes (no window in the match path)."""
+
+from pyspark.sql import functions as F
+
+from ocrd_segment_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+)
+from ocrd_segment_spark.plans import audit
+
+
+def _robots(spark, rows):
+    return spark.createDataFrame(
+        [(h, b.encode()) for h, b in rows], "host string, body binary"
+    )
+
+
+def _rules(spark, rows):
+    out = parse_robots(_robots(spark, rows))
+    return {(r.host, r.rule, r.path) for r in out.collect()}
+
+
+def test_parse_basic_group_comments_crlf(spark):
+    body = (
+        "# policy\r\n"
+        "User-Agent: *\r\n"
+        "Disallow: /private/  # inline\r\n"
+        "Allow:   /private/ok\r\n"
+    )
+    assert _rules(spark, [("h", body)]) == {
+        ("h", "disallow", "/private/"),
+        ("h", "allow", "/private/ok"),
+    }
+
+
+def test_parse_agent_run_and_foreign_group(spark):
+    body = (
+        "User-agent: bing\n"
+        "User-agent: *\n"
+        "Disallow: /a\n"
+        "\n"
+        "Unknown-directive: x\n"
+        "Disallow: /b\n"
+        "User-agent: google\n"
+        "Disallow: /g\n"
+    )
+    # blank lines + unknown directives do NOT close the group; the
+    # google group contributes nothing
+    assert _rules(spark, [("h", body)]) == {
+        ("h", "disallow", "/a"),
+        ("h", "disallow", "/b"),
+    }
+
+
+def test_parse_star_only_group_and_empty_values(spark):
+    body = (
+        "User-agent: google\n"
+        "Disallow: /g\n"
+        "User-agent: *\n"
+        "Disallow:\n"  # the allow-everything idiom: no rule
+        "Allow:\n"
+    )
+    assert _rules(spark, [("h", body)]) == set()
+
+
+def test_parse_no_star_group_anywhere(spark):
+    assert (
+        _rules(spark, [("h", "User-agent: google\nDisallow: /\n")])
+        == set()
+    )
+
+
+def _decide(spark, rules_rows, urls):
+    rules = parse_robots(_robots(spark, rules_rows))
+    u = spark.createDataFrame([(x,) for x in urls], "url string")
+    return {
+        r.url: r.robots_allowed
+        for r in robots_allowed(rules, u).collect()
+    }
+
+
+def test_longest_match_and_defaults(spark):
+    body = "User-agent: *\nDisallow: /p/\nAllow: /p/ok\n"
+    got = _decide(
+        spark,
+        [("h.org", body)],
+        [
+            "https://h.org/p/secret",  # disallow matches
+            "https://h.org/p/ok/deep",  # allow is longer -> allowed
+            "https://h.org/other",  # no match -> allowed
+            "https://h.org/",  # root, no match -> allowed
+            "https://nobody.org/p/secret",  # no robots -> allowed
+        ],
+    )
+    assert got == {
+        "https://h.org/p/secret": False,
+        "https://h.org/p/ok/deep": True,
+        "https://h.org/other": True,
+        "https://h.org/": True,
+        "https://nobody.org/p/secret": True,
+    }
+
+
+def test_equal_length_allow_wins(spark):
+    body = "User-agent: *\nDisallow: /ab\nAllow: /ab\n"
+    got = _decide(spark, [("h.org", body)], ["https://h.org/abc"])
+    assert got == {"https://h.org/abc": True}
+
+
+def test_pathless_url_is_root(spark):
+    body = "User-agent: *\nDisallow: /\n"
+    got = _decide(
+        spark, [("h.org", body)], ["https://h.org", "https://h.org/x"]
+    )
+    # a bare authority url is path '/', matched by the root disallow
+    assert got == {"https://h.org": False, "https://h.org/x": False}
+
+
+def test_match_plan_has_no_window(spark):
+    rules = parse_robots(_robots(spark, [("h.org", "User-agent: *\nDisallow: /p/\n")]))
+    u = spark.createDataFrame([("https://h.org/p/x",)], "url string")
+    out = robots_allowed(rules, u)
+    plan = audit.physical_plan(out)
+    # the decision is a partial-aggregable max(struct); the match side
+    # adds NO Window beyond what parse_robots itself uses
+    assert "partial_max" in plan, plan
+    parse_windows = audit.physical_plan(rules).count("Window")
+    assert plan.count("Window") <= parse_windows
