@@ -209,6 +209,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # robots.txt parsing + frontier filter (operators/robots.py)
     "robots_rules_parse": G.q_robots_rules_parse,
     "robots_frontier_filter": G.q_robots_frontier_filter,
+    # descriptive page metadata (operators/headmeta.page_meta)
+    "page_meta_harvest": G.q_page_meta_harvest,
 }
 
 _ORACLES: dict[str, str] = {
@@ -338,6 +340,7 @@ _ORACLES: dict[str, str] = {
     "hreflang_clusters": G.O_HREFLANG_CLUSTERS,
     "robots_rules_parse": G.O_ROBOTS_RULES,
     "robots_frontier_filter": G.O_ROBOTS_FRONTIER,
+    "page_meta_harvest": G.O_PAGE_META,
 }
 
 

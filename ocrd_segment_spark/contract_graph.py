@@ -812,3 +812,51 @@ SELECT doc_id, {_D_RB_URL} AS url,
        NOT (doc_id % 4 = 1 AND doc_id % 5 <> 3) AS robots_allowed
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# page metadata: title / description / OpenGraph
+# ---------------------------------------------------------------------------
+
+_PM_HTML = """concat('<html><head>',
+  CASE WHEN doc_id % 7 = 0 THEN ''
+       ELSE concat('<title> T', chr(10), '  ', cast(doc_id as string), ' </title>') END,
+  CASE doc_id % 3
+    WHEN 0 THEN concat('<meta name="description" content="D', cast(doc_id as string), '">')
+    WHEN 1 THEN concat('<meta content="D', cast(doc_id as string), '" name="description">')
+    ELSE '' END,
+  CASE doc_id % 4
+    WHEN 0 THEN concat('<meta property="og:title" content="OT', cast(doc_id as string), '">')
+    WHEN 2 THEN concat('<META CONTENT="OT', cast(doc_id as string), '" PROPERTY="og:title">')
+    ELSE '' END,
+  CASE WHEN doc_id % 5 = 0
+       THEN concat('<meta property="og:description" content="OD ', cast(doc_id as string), '">')
+       ELSE '' END,
+  '</head><body>t</body></html>')"""
+
+
+def q_page_meta_harvest(spark, sf_dir):
+    """Descriptive head metadata (operators/headmeta.page_meta):
+    title (whitespace-normalized, spanning a newline in the fixture),
+    meta description and og:title/og:description under both attribute
+    orders and mixed case, absent fields NULL. Scan-stage column math;
+    the oracle derives every field from the fixture arithmetic."""
+    from .operators.headmeta import page_meta
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_HM_URL} as url", f"cast({_PM_HTML} as binary) as html"
+    )
+    return page_meta(pages).select(
+        "doc_id", "title", "meta_description", "og_title", "og_description"
+    )
+
+
+O_PAGE_META = """
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN NULL
+       ELSE 'T ' || CAST(doc_id AS VARCHAR) END AS title,
+  CASE WHEN doc_id % 3 IN (0, 1) THEN 'D' || CAST(doc_id AS VARCHAR) END AS meta_description,
+  CASE WHEN doc_id % 4 IN (0, 2) THEN 'OT' || CAST(doc_id AS VARCHAR) END AS og_title,
+  CASE WHEN doc_id % 5 = 0 THEN 'OD ' || CAST(doc_id AS VARCHAR) END AS og_description
+FROM documents
+"""

@@ -329,3 +329,60 @@ def hreflang_clusters(
         F.col(url_col).alias("url"),
         F.expr(f"size(array_distinct({resolved}))").alias("n_alternates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# page metadata: title / description / OpenGraph
+# ---------------------------------------------------------------------------
+
+# [^<]* spans newlines by itself (a negated class needs no DOTALL),
+# so the pattern stays flag-free in the Java/RE2 common subset
+_TITLE = "<[Tt][Ii][Tt][Ll][Ee][^>]*>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>"
+_NAME_DESC = '[Nn][Aa][Mm][Ee]="[Dd]escription"'
+_PROP_OG = '[Pp][Rr][Oo][Pp][Ee][Rr][Tt][Yy]="og:{field}"'
+
+
+def _meta_pair(html: str, key_pat: str) -> str:
+    """first content= of a <meta> carrying key_pat, either order."""
+    return _first_nonempty(
+        html,
+        f"{_META}[^>]*{key_pat}[^>]*{_CONTENT}",
+        f"{_META}[^>]*{_CONTENT}[^>]*{key_pat}",
+    )
+
+
+def page_meta(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(title, meta_description, og_title, og_description) appended —
+    the descriptive head metadata a dataset card or search index wants
+    next to the extracted text. First match wins per field; title text
+    is whitespace-NORMALIZED (trimmed, internal runs collapsed to one
+    space — titles routinely wrap across indented source lines), the
+    meta/og values are taken verbatim (they are attribute values;
+    their whitespace is the author's). Empty harvests are NULL.
+
+    Frozen to the same tag-soup regex discipline as the canonical/
+    robots harvest: explicit case classes, both attribute orders for
+    meta tags, Java/RE2-common patterns so a SQL oracle can restate
+    them. Scan-stage column math — zero shuffle, zero Python."""
+    h = f"cast({html_col} as string)"
+    # explicit whitespace class: Java \s includes \x0B, RE2's does not
+    # — the collapse stays in the shared subset (CLAUDE.md regex trap)
+    title = (
+        f"nullif(trim(regexp_replace("
+        f"regexp_extract({h}, '{_TITLE}', 1), '[ \\\\t\\\\n\\\\r]+', ' ')), '')"
+    )
+    return (
+        df.withColumn("title", F.expr(title))
+        .withColumn(
+            "meta_description", F.expr(_meta_pair(h, _NAME_DESC))
+        )
+        .withColumn(
+            "og_title", F.expr(_meta_pair(h, _PROP_OG.format(field="title")))
+        )
+        .withColumn(
+            "og_description",
+            F.expr(_meta_pair(h, _PROP_OG.format(field="description"))),
+        )
+    )

@@ -323,3 +323,52 @@ def test_corpus_job_honor_meta_off_sentinels(spark, tmp_path):
     )
     assert funnel["dropped_noindex"] == -1
     assert funnel["dropped_canonical_alias"] == -1
+
+
+# ---------------------------------------------------------- page_meta
+from ocrd_segment_spark.operators.headmeta import page_meta  # noqa: E402
+
+
+def test_page_meta_title_normalization_and_orders(spark):
+    rows = [
+        _page(
+            "https://a.org/1",
+            "<title>  My\n   Page  Title </title>"
+            '<meta name="description" content="first desc">'
+            '<META CONTENT="og t" PROPERTY="og:title">'
+            '<meta property="og:description" content=" og d ">',
+        ),
+        _page("https://a.org/2", "<title></title>"),  # empty -> NULL
+        _page("https://a.org/3", ""),  # absent -> NULL
+    ]
+    got = {
+        r.url: (r.title, r.meta_description, r.og_title, r.og_description)
+        for r in page_meta(_pages(spark, rows)).collect()
+    }
+    assert got == {
+        "https://a.org/1": (
+            "My Page Title",
+            "first desc",
+            "og t",
+            " og d ",  # attribute values stay verbatim
+        ),
+        "https://a.org/2": (None, None, None, None),
+        "https://a.org/3": (None, None, None, None),
+    }
+
+
+def test_page_meta_first_match_wins_and_scan_stage(spark):
+    rows = [
+        _page(
+            "https://a.org/1",
+            "<title>one</title><title>two</title>"
+            '<meta name="description" content="d1">'
+            '<meta name="description" content="d2">',
+        )
+    ]
+    df = page_meta(_pages(spark, rows))
+    [r] = df.collect()
+    assert (r.title, r.meta_description) == ("one", "d1")
+    plan = audit.physical_plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
