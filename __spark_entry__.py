@@ -211,6 +211,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_frontier_filter": G.q_robots_frontier_filter,
     # descriptive page metadata (operators/headmeta.page_meta)
     "page_meta_harvest": G.q_page_meta_harvest,
+    # packed training sequences (operators/sampling.pack_sequences)
+    "pack_sequences": G.q_pack_sequences,
 }
 
 _ORACLES: dict[str, str] = {
@@ -341,6 +343,7 @@ _ORACLES: dict[str, str] = {
     "robots_rules_parse": G.O_ROBOTS_RULES,
     "robots_frontier_filter": G.O_ROBOTS_FRONTIER,
     "page_meta_harvest": G.O_PAGE_META,
+    "pack_sequences": G.O_PACK_SEQUENCES,
 }
 
 

@@ -860,3 +860,59 @@ SELECT doc_id,
   CASE WHEN doc_id % 5 = 0 THEN 'OD ' || CAST(doc_id AS VARCHAR) END AS og_description
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# packed training sequences
+# ---------------------------------------------------------------------------
+
+_PACK_B = (
+    "(("
+    + _D_STR_HASH.format(s="concat('pack', CAST(doc_id AS VARCHAR))")
+    + f") * 48271 + 11) % {P} % 1000000"
+)
+_PACK_L = 1000
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Packed-sequence manifest (operators/sampling.pack_sequences):
+    documents concatenate in the frozen (hashed key, key) order into a
+    token stream sliced into L-token sequences, docs splitting AT
+    boundaries — one row per (doc, sequence) overlap with exact slice
+    offsets. Spark runs the shared distributed prefix-sum + a
+    row-local overlap explode; the oracle states the one global
+    running sum + generate_series it must equal exactly."""
+    from .operators.sampling import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "cast(length(text) as bigint) as n_tokens"
+    )
+    return pack_sequences(d, _PACK_L).select(
+        "doc_id", "n_tokens", "seq_id", "doc_from", "doc_to", "seq_offset"
+    )
+
+
+O_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tokens,
+         {_PACK_B} AS b
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY b ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+), s AS (
+  SELECT doc_id, n_tokens, cum, cum - n_tokens AS strt
+  FROM c WHERE n_tokens > 0
+), o AS (
+  SELECT doc_id, n_tokens, strt,
+         unnest(generate_series(CAST(strt // {_PACK_L} AS BIGINT), CAST((cum - 1) // {_PACK_L} AS BIGINT))) AS seq_id
+  FROM s
+)
+SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(0, seq_id * {_PACK_L} - strt) AS BIGINT) AS doc_from,
+       CAST(least(n_tokens, (seq_id + 1) * {_PACK_L} - strt) AS BIGINT) AS doc_to,
+       CAST(greatest(0, strt - seq_id * {_PACK_L}) AS BIGINT) AS seq_offset
+FROM o
+"""

@@ -378,3 +378,72 @@ def token_budget_stratified(
         .filter(F.col("__cum") <= budget_expr)
         .drop("__sample_key", "__nt", "__b", "__g", "__st", "__off", "__cum")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "pack",
+    n_groups: int = 1024,
+) -> DataFrame:
+    """Packed-training-sequence manifest — the GPT-style layout a
+    pretraining run feeds: all documents concatenate (in the frozen
+    (hashed key, key) order the budget/shard family shares) into one
+    virtual token stream, and sequence ``s`` is the slice
+    ``[s*L, (s+1)*L)`` of that stream. Documents split AT sequence
+    boundaries (the concatenation convention — boundaries are EOS
+    markers, not padding), so every sequence except the last is
+    exactly full. One manifest row per (document, sequence) overlap:
+
+      (key, n_tokens, seq_id, doc_from, doc_to, seq_offset)
+
+    where ``[doc_from, doc_to)`` is the document's token slice and
+    ``seq_offset`` its start inside the sequence; per sequence the
+    slices tile [0, L) exactly. Zero-token and NULL-key documents are
+    excluded (nothing to place / no deterministic order).
+
+    Scale shape: the SAME distributed prefix-sum as
+    token_budget_sample / shard_by_tokens (no global window), then a
+    ROW-LOCAL explode over each document's overlapped sequence range
+    (ceil(nt/L)+1 bounded). Writers wanting sequence-clustered files
+    partition the manifest by ``seq_id div sequences_per_file``."""
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    L = int(seq_tokens)
+    d = _prep_budget_frame(df, token_col, key_col, salt, n_groups)
+    c = _with_global_cumsum(d)
+    out_cols = [
+        F.col(key_col),
+        F.col("__nt").alias("n_tokens"),
+        F.col("seq_id"),
+        F.expr(f"greatest(0L, seq_id * {L} - __start)").alias("doc_from"),
+        F.expr(f"least(__nt, (seq_id + 1) * {L} - __start)").alias(
+            "doc_to"
+        ),
+        F.expr(f"greatest(0L, __start - seq_id * {L})").alias(
+            "seq_offset"
+        ),
+    ]
+    if c is None:
+        empty = df.sparkSession.range(0).selectExpr(
+            f"cast(null as long) as {key_col}",
+            "cast(null as long) as n_tokens",
+            "cast(null as long) as seq_id",
+            "cast(null as long) as doc_from",
+            "cast(null as long) as doc_to",
+            "cast(null as long) as seq_offset",
+        )
+        return empty
+    return (
+        c.filter(F.col("__nt") > 0)
+        .withColumn("__start", F.col("__cum") - F.col("__nt"))
+        .withColumn(
+            "seq_id",
+            F.expr(
+                f"explode(sequence(__start div {L}, (__cum - 1) div {L}))"
+            ),
+        )
+        .select(*out_cols)
+    )

@@ -80,3 +80,62 @@ def test_minhash_hot_bucket_cap_bounds_viral_pairs(spark):
     # uncapped for contrast: full quadratic
     full = minhash_lsh_candidates(docs, max_bucket=None)
     assert full.filter((F.col("doc1") < 40) & (F.col("doc2") < 40)).count() == 780
+
+
+# ---------------------------------------------- packed sequences
+def test_pack_sequences_tiles_and_splits(spark):
+    from ocrd_segment_spark.operators.sampling import pack_sequences
+    from ocrd_segment_spark.plans import audit
+
+    L = 100
+    d = spark.range(0, 50).selectExpr(
+        "id as doc_id", "(id % 7) * 37 + 1 as n_tokens"
+    )
+    rows = pack_sequences(d, L).collect()
+    total = sum(r.n_tokens for r in
+                d.selectExpr("doc_id", "n_tokens").collect())
+    # slices reassemble each document exactly (contiguous, gap-free)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.doc_from)
+        assert rs[0].doc_from == 0
+        assert rs[-1].doc_to == rs[0].n_tokens
+        for a, b in zip(rs, rs[1:]):
+            assert a.doc_to == b.doc_from
+            assert b.seq_id == a.seq_id + 1 and b.seq_offset == 0
+    # every sequence except the last is exactly full and tiles [0, L)
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    last = max(by_seq)
+    assert set(by_seq) == set(range(last + 1))
+    for s, rs in by_seq.items():
+        rs.sort(key=lambda r: r.seq_offset)
+        assert rs[0].seq_offset == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.seq_offset + (a.doc_to - a.doc_from) == b.seq_offset
+        filled = sum(r.doc_to - r.doc_from for r in rs)
+        assert filled == (L if s < last else total - last * L)
+    # no global (unpartitioned) window in the plan
+    assert audit.unpartitioned_window_inputs(pack_sequences(d, L)) == []
+
+
+def test_pack_sequences_edge_rules(spark):
+    import pytest as _pytest
+
+    from ocrd_segment_spark.operators.sampling import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, 5), (2, 0), (None, 9), (3, None)],
+        "doc_id long, n_tokens long",
+    )
+    rows = pack_sequences(d, 4).collect()
+    # zero-token, NULL-key and NULL-token (weighs 0) docs are excluded
+    assert {r.doc_id for r in rows} == {1}
+    assert sorted((r.doc_from, r.doc_to) for r in rows) == [(0, 4), (4, 5)]
+    with _pytest.raises(ValueError):
+        pack_sequences(d, 0)
+    empty = pack_sequences(d.filter("doc_id IS NULL AND FALSE"), 4)
+    assert empty.count() == 0
