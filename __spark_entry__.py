@@ -213,6 +213,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_meta_harvest": G.q_page_meta_harvest,
     # packed training sequences (operators/sampling.pack_sequences)
     "pack_sequences": G.q_pack_sequences,
+    # incremental postings extension (operators/index.index_add_batch)
+    "index_add_batch": G.q_index_add_batch,
 }
 
 _ORACLES: dict[str, str] = {
@@ -344,6 +346,7 @@ _ORACLES: dict[str, str] = {
     "robots_frontier_filter": G.O_ROBOTS_FRONTIER,
     "page_meta_harvest": G.O_PAGE_META,
     "pack_sequences": G.O_PACK_SEQUENCES,
+    "index_add_batch": G.O_INDEX_ADD_BATCH,
 }
 
 

@@ -916,3 +916,42 @@ SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
        CAST(greatest(0, strt - seq_id * {_PACK_L}) AS BIGINT) AS seq_offset
 FROM o
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental postings extension
+# ---------------------------------------------------------------------------
+
+
+def q_index_add_batch(spark, sf_dir):
+    """Incremental index extension (operators/index.index_add_batch):
+    base index over the even doc_ids; the batch is every doc_id % 3 =
+    0 document UNIONED WITH a corrupted duplicate of itself ('~'-
+    prefixed text — the within-batch min-text rule must keep the
+    original), overlapping ids (doc_id % 6 = 0) skipped by the
+    anti-join. The returned delta must equal a from-scratch build
+    over exactly the fresh documents — the oracle states that build
+    directly, never running the merge."""
+    from .operators.index import build_postings, index_add_batch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = build_postings(docs.filter("doc_id % 2 = 0"))
+    batch = docs.filter("doc_id % 3 = 0").unionAll(
+        docs.filter("doc_id % 3 = 0").selectExpr(
+            "doc_id", "concat('~', text) as text"
+        )
+    )
+    return index_add_batch(base, batch)
+
+
+O_INDEX_ADD_BATCH = """
+WITH fresh AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+), t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+  FROM fresh
+)
+SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id
+"""

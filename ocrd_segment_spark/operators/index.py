@@ -130,3 +130,40 @@ def bm25_topk(
         .agg(F.round(F.sum("_s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def index_add_batch(
+    postings: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    indexed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Incrementally extend a persisted postings index with a new
+    crawl batch — the merge_corpus / ivf_add_batch discipline applied
+    to retrieval: dedup WITHIN the batch first (a union of shards can
+    repeat an id — one hash aggregate keeping the min-text copy,
+    deterministic), then anti-join the index so already-indexed ids
+    are skipped, then tokenize ONLY the survivors. Returns the
+    postings DELTA to append; ``old postings ∪ delta`` equals a from-
+    scratch build over ``old corpus ∪ fresh docs`` EXACTLY, because
+    postings are document-local — unlike IVF there is no model to
+    drift, which is precisely why inverted indexes are the cheap
+    incremental structure. (df_t / N / avgdl are derived at query
+    time by bm25_topk, so appended deltas need no stats rebuild.)
+
+    ``indexed_ids`` defaults to the distinct ids of ``postings``;
+    pass the persisted doc_lengths table instead so the anti-join
+    reads an id-per-doc artifact, not the full index."""
+    batch_once = (
+        new_docs.groupBy(id_col)
+        .agg(F.min(F.struct(F.col(text_col).alias("t"))).alias("_m"))
+        .select(id_col, F.col("_m.t").alias(text_col))
+    )
+    ids = (
+        postings.select(id_col).distinct()
+        if indexed_ids is None
+        else indexed_ids.select(id_col)
+    )
+    fresh = batch_once.join(ids, id_col, "left_anti")
+    return build_postings(fresh, id_col=id_col, text_col=text_col)

@@ -114,3 +114,51 @@ def test_query_term_filter_pushed_to_index_scan(spark, tmp_path):
     assert "In(term" in audit.pushed_filters(out), plan
     assert "TakeOrderedAndProject" in plan, plan
     assert audit.broadcast_join_count(out) >= 2  # df_t and N/avgdl
+
+
+# ------------------------------------------------- incremental index
+def test_index_add_batch_parity_and_dedup(spark):
+    from ocrd_segment_spark.operators.index import index_add_batch
+
+    old = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    base = build_postings(old)
+    batch = spark.createDataFrame(
+        [
+            (2, "zzz corrupted rearrival"),  # already indexed: skipped
+            (3, "c d"),
+            (3, "~ c d"),  # within-batch dup: min-text copy wins
+            (4, "d"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = index_add_batch(base, batch)
+    got = {(r.term, r.doc_id): r.tf for r in delta.collect()}
+    assert got == {("c", 3): 1, ("d", 3): 1, ("d", 4): 1}
+    # old ∪ delta == from-scratch over old corpus + fresh docs
+    full = build_postings(
+        old.unionAll(
+            spark.createDataFrame(
+                [(3, "c d"), (4, "d")], "doc_id long, text string"
+            )
+        )
+    )
+    merged = base.unionAll(delta)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_index_add_batch_indexed_ids_artifact(spark):
+    from ocrd_segment_spark.operators.index import index_add_batch
+
+    old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    base = build_postings(old)
+    batch = spark.createDataFrame(
+        [(1, "a"), (5, "e")], "doc_id long, text string"
+    )
+    via_ids = index_add_batch(
+        base, batch, indexed_ids=doc_lengths(base)
+    )
+    assert {(r.term, r.doc_id) for r in via_ids.collect()} == {("e", 5)}
