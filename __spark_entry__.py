@@ -215,6 +215,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": G.q_pack_sequences,
     # incremental postings extension (operators/index.index_add_batch)
     "index_add_batch": G.q_index_add_batch,
+    # Dolma-style unit-grain bloom dedup (operators/bloom.py)
+    "paragraph_bloom_flags": G.q_paragraph_bloom_flags,
 }
 
 _ORACLES: dict[str, str] = {
@@ -347,6 +349,7 @@ _ORACLES: dict[str, str] = {
     "page_meta_harvest": G.O_PAGE_META,
     "pack_sequences": G.O_PACK_SEQUENCES,
     "index_add_batch": G.O_INDEX_ADD_BATCH,
+    "paragraph_bloom_flags": G.O_PARAGRAPH_BLOOM,
 }
 
 

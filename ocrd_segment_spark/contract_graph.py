@@ -955,3 +955,69 @@ WITH fresh AS (
 )
 SELECT term, doc_id, count(*) AS tf FROM t GROUP BY term, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# unit-grain Bloom dedup (Dolma-style paragraph seen-set)
+# ---------------------------------------------------------------------------
+
+_UB_M = 1 << 14
+# unit j of doc d = 'u'||(d*4+j) — injective, so exactly the even
+# docs' units are inserted and every odd doc's hit is a bloom
+# collision, deterministic on both sides
+_UB_TEXT = (
+    "concat_ws('|', transform(sequence(0, 3),"
+    " j -> concat('u', cast(doc_id * 4 + j as string))))"
+)
+_D_UB_UNIT = "'u' || CAST(doc_id * 4 + j AS VARCHAR)"
+_D_UB_H = _D_STR_HASH.format(s="unit")
+_D_UB_POS = f"((2*i + 3) * {_D_UB_H} + 5*i + 7) % {P} % {_UB_M}"
+
+
+def q_paragraph_bloom_flags(spark, sf_dir):
+    """Unit-grain Bloom seen-set (operators/bloom.build_unit_bloom +
+    unit_seen_stats): filter built over the even docs' '|'-separated
+    units, all docs probed — (n_units, n_units_seen, seen_unit_frac)
+    per doc. Inserted units always count (no false negatives); odd
+    docs' hits are the filter's deterministic collisions, which the
+    oracle reproduces bit-for-bit from the same position family."""
+    from .operators.bloom import build_unit_bloom, unit_seen_stats
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_UB_TEXT} as text"
+    )
+    bloom = build_unit_bloom(
+        docs.filter("doc_id % 2 = 0"), sep="|", m_bits=_UB_M, k=4
+    )
+    return unit_seen_stats(bloom, docs, sep="|", m_bits=_UB_M, k=4)
+
+
+O_PARAGRAPH_BLOOM = f"""
+WITH cu AS (
+  SELECT DISTINCT {_D_UB_UNIT} AS unit
+  FROM documents, (SELECT unnest([0,1,2,3]) AS j) WHERE doc_id % 2 = 0
+), ip AS (
+  SELECT {_D_UB_POS} AS pos
+  FROM cu, (SELECT unnest([0,1,2,3]) AS i)
+), w AS (
+  SELECT pos // 32 AS word_id,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM ip GROUP BY pos // 32
+), pu AS (
+  SELECT doc_id, j, {_D_UB_UNIT} AS unit
+  FROM documents, (SELECT unnest([0,1,2,3]) AS j)
+), pp AS (
+  SELECT doc_id, j, {_D_UB_POS} AS pos
+  FROM pu, (SELECT unnest([0,1,2,3]) AS i)
+), hit AS (
+  SELECT doc_id, j,
+         min(CASE WHEN coalesce(bits & (1::BIGINT << CAST(pos % 32 AS INT)), 0) <> 0
+                  THEN 1 ELSE 0 END) AS s
+  FROM pp LEFT JOIN w ON pp.pos // 32 = w.word_id
+  GROUP BY doc_id, j
+)
+SELECT doc_id, count(*) AS n_units,
+       CAST(sum(s) AS BIGINT) AS n_units_seen,
+       round(sum(s) / (count(*) * 1.0), 6) AS seen_unit_frac
+FROM hit GROUP BY doc_id
+"""

@@ -109,3 +109,101 @@ def bloom_maybe_seen(
         .agg((F.min("hit") == 1).alias("maybe_seen"))
     )
     return probes.join(hits, url_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# unit-grain seen-set: Dolma-style paragraph Bloom dedup
+# ---------------------------------------------------------------------------
+
+
+def build_unit_bloom(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Bloom filter over the corpus's text UNITS (paragraphs/lines on
+    the literal ``sep``, empty units dropped) — the Dolma dedupe
+    approach: cross-document paragraph dedup WITHOUT materializing a
+    corpus-sized paragraph table, at the price of a bounded
+    false-positive rate. Same (word_id, bits) artifact and frozen
+    position family as the url filter; the (m_bits, k) pair is part of
+    the filter's identity."""
+    import re as _re
+
+    units = df.select(
+        F.explode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("unit")
+    ).filter(F.col("unit") != "")
+    return build_bloom(units, url_col="unit", m_bits=m_bits, k=k)
+
+
+def unit_seen_stats(
+    bloom: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(id, n_units, n_units_seen, seen_unit_frac) per probe document:
+    how much of the document is made of units already in the corpus
+    filter. No false negatives per unit (a really-seen paragraph
+    always counts); false positives at the configured rate. Dolma-
+    style policy composes on top: drop documents whose fraction
+    crosses a threshold, or route them to span-preserving removal
+    (operators/paragraphs) for unit-level surgery.
+
+    Shape: explode units with position, k broadcast lookups per unit,
+    fold to per-unit hits then per-doc counts — both aggregates are
+    partial-combinable and keyed by (doc, pos) / doc, so every
+    exchange is probe-batch-sized."""
+    import re as _re
+
+    pos = bloom_positions_sql("unit", m_bits, k)
+    units = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.split(F.col(text_col), _re.escape(sep))
+            ).alias("__pos", "unit"),
+        )
+        .filter(F.col("unit") != "")
+    )
+    per_unit = (
+        units.select(
+            "__id", "__pos", F.expr(f"explode({pos})").alias("p")
+        )
+        .selectExpr(
+            "__id",
+            "__pos",
+            "p div 32 as word_id",
+            "shiftleft(1L, cast(p % 32 as int)) as mask",
+        )
+        .join(F.broadcast(bloom), "word_id", "left")
+        .selectExpr(
+            "__id",
+            "__pos",
+            "cast(coalesce(bits & mask, 0L) != 0L as int) as hit",
+        )
+        .groupBy("__id", "__pos")
+        .agg((F.min("hit") == 1).alias("seen"))
+    )
+    return (
+        per_unit.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum(F.col("seen").cast("long")).alias("n_units_seen"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_units",
+            "n_units_seen",
+            F.expr(
+                "round(n_units_seen / (n_units * 1.0D), 6)"
+            ).alias("seen_unit_frac"),
+        )
+    )

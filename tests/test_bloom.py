@@ -79,3 +79,52 @@ def test_probe_plan_broadcasts_filter(spark):
     out = bloom_maybe_seen(bloom, _urls(spark, 0, 100), m_bits=M, k=K)
     assert audit.broadcast_join_count(out) >= 1
     assert "CartesianProduct" not in audit.physical_plan(out)
+
+
+# ------------------------------------------- unit-grain (Dolma-style)
+def test_unit_bloom_seen_fractions(spark):
+    from ocrd_segment_spark.operators.bloom import (
+        build_unit_bloom,
+        unit_seen_stats,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha\nbeta\ngamma")], "doc_id long, text string"
+    )
+    bloom = build_unit_bloom(corpus, m_bits=M, k=K)
+    probes = spark.createDataFrame(
+        [
+            (10, "alpha\nbeta\ngamma"),  # fully seen
+            (11, "alpha\ntotally new paragraph here"),  # half seen
+            (12, "nothing\nmatches\nat all today"),
+            (13, "beta\n\nbeta"),  # empty unit dropped; dup counts twice
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_units, r.n_units_seen, r.seen_unit_frac)
+        for r in unit_seen_stats(bloom, probes, m_bits=M, k=K).collect()
+    }
+    assert got[10] == (3, 3, 1.0)
+    assert got[11][0] == 2 and got[11][1] >= 1  # 'alpha' always counts
+    assert got[13] == (2, 2, 1.0)
+    # doc 12: only collisions can count; with m=2^14 and 3 inserted
+    # units the probability is ~0 — pin the deterministic outcome
+    assert got[12] == (3, 0, 0.0)
+
+
+def test_unit_bloom_no_false_negatives_bulk(spark):
+    from pyspark.sql import functions as F
+
+    from ocrd_segment_spark.operators.bloom import (
+        build_unit_bloom,
+        unit_seen_stats,
+    )
+
+    corpus = spark.range(0, 200).selectExpr(
+        "id as doc_id",
+        "concat('p', cast(id as string), chr(10), 'q', cast(id as string)) as text",
+    )
+    bloom = build_unit_bloom(corpus, m_bits=M, k=K)
+    stats = unit_seen_stats(bloom, corpus, m_bits=M, k=K)
+    assert stats.filter(F.col("seen_unit_frac") < 1.0).count() == 0
