@@ -54,6 +54,9 @@ Stages (each narrow or one bounded shuffle):
    REMAPPED region_spans): the clean table then keeps region
    structure (spans slice clean_text exactly) without re-running
    extraction; the line-based variant remains for span-less corpora.
+   ``--pack-sequences N`` writes ``<output>_packed`` — the GPT-style
+   packed-training-sequence manifest (docs concatenate in frozen
+   hashed order, split AT N-token boundaries).
    ``--near-dup-audit`` writes LSH-then-verify candidate pairs;
    ``--decontaminate <bench>`` writes ``<output>_contaminated``
    (eval-set n-gram overlap, broadcast). Span-preserving PII
@@ -234,6 +237,16 @@ def main() -> None:
         " tokens otherwise",
     )
     ap.add_argument(
+        "--pack-sequences",
+        type=int,
+        default=None,
+        help="write <output>_packed: the GPT-style packed-training-"
+        "sequence manifest (operators/sampling.pack_sequences) over"
+        " the written corpus — docs concatenate in frozen hashed order"
+        " and split AT N-token sequence boundaries; metered in subword"
+        " tokens when --count-bpe ran, whitespace tokens otherwise",
+    )
+    ap.add_argument(
         "--decontaminate",
         default=None,
         help="optional path: parquet of benchmark/eval documents"
@@ -263,6 +276,8 @@ def main() -> None:
                  "rank drop stage)")
     if args.shard_tokens is not None and args.shard_tokens < 1:
         ap.error("--shard-tokens must be >= 1")
+    if args.pack_sequences is not None and args.pack_sequences < 1:
+        ap.error("--pack-sequences must be >= 1")
 
     from ocrd_segment_spark.session import submit_session
 
@@ -297,6 +312,7 @@ def main() -> None:
         host_ranks_path=args.host_ranks,
         host_rank_min=args.host_rank_min,
         shard_tokens=args.shard_tokens,
+        pack_seq_tokens=args.pack_sequences,
         python_parallelism=args.python_parallelism,
     )
     spark.stop()
@@ -332,6 +348,7 @@ def build_corpus(
     host_ranks_path: str | None = None,
     host_rank_min: float | None = None,
     shard_tokens: int | None = None,
+    pack_seq_tokens: int | None = None,
     python_parallelism: int | None = None,
 ) -> dict:
     """The pipeline body (importable for tests). Returns the funnel
@@ -698,6 +715,7 @@ def build_corpus(
     funnel["pii_docs_redacted"] = -1
     funnel["contaminated_docs"] = -1
     funnel["shards_written"] = -1
+    funnel["sequences_packed"] = -1
     if shard_tokens is not None:
         # token-balanced training-shard layout over the WRITTEN corpus
         # (post-write pattern: one committed-parquet scan, the
@@ -721,6 +739,25 @@ def build_corpus(
             output_path + "_sharded"
         )
         funnel["shards_written"] = s_obs.get["n_shards"]
+    if pack_seq_tokens is not None:
+        # packed-training-sequence manifest over the WRITTEN corpus
+        # (post-write pattern: one committed scan, the shared prefix-
+        # sum + row-local overlap explode, no branch of the live DAG).
+        # seq ids are contiguous from 0, so max+1 rides the write.
+        from ocrd_segment_spark.operators.sampling import pack_sequences
+
+        corpus = spark.read.parquet(output_path)
+        tok_col = "n_bpe_tokens" if count_bpe else "n_tokens"
+        packed = pack_sequences(
+            corpus, pack_seq_tokens, token_col=tok_col, key_col="url"
+        )
+        p_obs = Observation("packed")
+        packed = packed.observe(
+            p_obs,
+            (F.coalesce(F.max("seq_id"), F.lit(-1)) + 1).alias("n_seqs"),
+        )
+        packed.write.mode("overwrite").parquet(output_path + "_packed")
+        funnel["sequences_packed"] = p_obs.get["n_seqs"]
     if decontaminate_path is not None:
         # benchmark decontamination over the WRITTEN corpus (post-write
         # pattern again): the eval set's shingle hashes are broadcast,

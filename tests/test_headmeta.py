@@ -372,3 +372,38 @@ def test_page_meta_first_match_wins_and_scan_stage(spark):
     plan = audit.physical_plan(df)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_job_pack_sequences(spark, tmp_path):
+    """--pack-sequences writes the packed manifest over the written
+    corpus; slices tile full sequences and the funnel counts them."""
+    from jobs.corpus_job import build_corpus
+
+    t = "the children were playing in the garden near the river all afternoon"
+    rows = [
+        (f"https://a.org/{i}", 1,
+         f"<html><body><p>{t} page {i}</p></body></html>".encode())
+        for i in range(6)
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts long, html binary"
+    ).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    funnel = build_corpus(
+        spark, src, out, min_quality=0.0, min_tokens=0,
+        pack_seq_tokens=20,
+    )
+    packed = spark.read.parquet(out + "_packed").collect()
+    assert funnel["sequences_packed"] == max(r.seq_id for r in packed) + 1
+    # the manifest covers every corpus token exactly once
+    total = sum(r.doc_to - r.doc_from for r in packed)
+    assert total == sum(r.n_tokens for r in packed if r.doc_from == 0)
+    # every sequence except the last is exactly full
+    by_seq = {}
+    for r in packed:
+        by_seq.setdefault(r.seq_id, 0)
+        by_seq[r.seq_id] += r.doc_to - r.doc_from
+    last = max(by_seq)
+    assert all(v == 20 for s, v in by_seq.items() if s != last)
+    assert 0 < by_seq[last] <= 20

@@ -418,6 +418,7 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "boilerplate_regions_removed": -1, "pii_docs_redacted": -1,
         "contaminated_docs": -1,
         "outlink_edges": -1, "shards_written": -1,
+        "sequences_packed": -1,
     }
 
 
