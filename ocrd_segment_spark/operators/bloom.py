@@ -38,14 +38,17 @@ DEFAULT_M_BITS = 1 << 20
 DEFAULT_K = 4
 
 
-def bloom_positions_sql(col: str, m_bits: int, k: int) -> str:
-    """SQL fragment: array<bigint> of the k bit positions for one key —
-    the ONE home of the frozen position rule (build and probe share it,
-    so the family can never drift between the two sides)."""
-    h = STR_HASH.format(s=col)
+def bloom_positions_sql(hash_col: str, m_bits: int, k: int) -> str:
+    """SQL fragment: array<bigint> of the k bit positions from a
+    PRE-BOUND key-hash column — the ONE home of the frozen position
+    rule (build and probe share it, so the family can never drift
+    between the two sides). The hash must be bound to a column FIRST
+    (``STR_HASH`` projected once per row): inlining the per-character
+    fold here would re-run it per lambda element — k× the dominant
+    scan cost, the CLAUDE.md interpreted-HOF trap."""
     return (
         f"transform(sequence(0, {k - 1}),"
-        f" i -> ((2*i + 3) * {h} + 5*i + 7) % {P} % {m_bits}L)"
+        f" i -> ((2*i + 3) * {hash_col} + 5*i + 7) % {P} % {m_bits}L)"
     )
 
 
@@ -60,9 +63,10 @@ def build_bloom(
     to :func:`bloom_maybe_seen` with the SAME (m_bits, k) — the
     parameters are part of the filter's identity, exactly like the
     persisted LSH index pins its band parameters."""
-    pos = bloom_positions_sql(url_col, m_bits, k)
+    pos = bloom_positions_sql("__h", m_bits, k)
     return (
-        df.selectExpr(f"explode({pos}) as pos")
+        df.selectExpr(f"{STR_HASH.format(s=url_col)} as __h")
+        .selectExpr(f"explode({pos}) as pos")
         .selectExpr(
             "pos div 32 as word_id",
             "shiftleft(1L, cast(pos % 32 as int)) as mask",
@@ -90,11 +94,13 @@ def bloom_maybe_seen(
     rows are partition-local, so map-side combine ships ONE row per
     probe), then a key join re-attaches the probe's other columns —
     every exchange is probe-batch-sized."""
-    pos = bloom_positions_sql(url_col, m_bits, k)
+    pos = bloom_positions_sql("__h", m_bits, k)
     hits = (
         probes.select(
-            F.col(url_col), F.expr(f"explode({pos})").alias("pos")
+            F.col(url_col),
+            F.expr(STR_HASH.format(s=url_col)).alias("__h"),
         )
+        .select(F.col(url_col), F.expr(f"explode({pos})").alias("pos"))
         .selectExpr(
             url_col,
             "pos div 32 as word_id",
@@ -163,7 +169,7 @@ def unit_seen_stats(
     exchange is probe-batch-sized."""
     import re as _re
 
-    pos = bloom_positions_sql("unit", m_bits, k)
+    pos = bloom_positions_sql("__h", m_bits, k)
     units = (
         docs.select(
             F.col(id_col).alias("__id"),
@@ -172,6 +178,7 @@ def unit_seen_stats(
             ).alias("__pos", "unit"),
         )
         .filter(F.col("unit") != "")
+        .withColumn("__h", F.expr(STR_HASH.format(s="unit")))
     )
     per_unit = (
         units.select(

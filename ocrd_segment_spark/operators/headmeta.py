@@ -85,13 +85,20 @@ def _first_nonempty(html: str, pat_a: str, pat_b: str) -> str:
 
 def resolved_canonical_sql(href: str, scheme: str, host: str) -> str:
     """Spark-SQL CASE for the frozen canonical-href resolution rule
-    (module docstring); the DuckDB oracle states the same CASE."""
+    (module docstring); the DuckDB oracle states the same CASE. The
+    relative arms require the page's OWN scheme/host to be present —
+    a malformed page url (empty extraction) must resolve to NULL, not
+    a junk ':///path' that would alias unrelated pages into one
+    collapse group."""
     return f"""CASE
       WHEN {href} IS NULL THEN NULL
       WHEN {href} RLIKE '^[Hh][Tt][Tt][Pp][Ss]?://' THEN {href}
-      WHEN {href} RLIKE '^//' THEN concat({scheme}, ':', {href})
+      WHEN {href} RLIKE '^//' THEN
+        IF({scheme} != '', concat({scheme}, ':', {href}), NULL)
       WHEN {href} RLIKE '^[A-Za-z][A-Za-z0-9+.-]*:' THEN NULL
-      WHEN {href} RLIKE '^/' THEN concat({scheme}, '://', {host}, {href})
+      WHEN {href} RLIKE '^/' THEN
+        IF({scheme} != '' AND {host} != '',
+           concat({scheme}, '://', {host}, {href}), NULL)
       ELSE NULL
     END"""
 
@@ -236,6 +243,11 @@ def canonical_representatives(
     )
     flagged = m.withColumn("__rn", F.row_number().over(w))
     helper = ["__gk", "__self", "__rn", "canonical_href", "canonical_url", "robots"]
+    if not meta_precomputed:
+        # the internal harvest added noindex too — every derived
+        # column goes, so "input rows, all columns preserved" holds;
+        # a precomputed caller owns its meta columns and keeps them
+        helper.append("noindex")
     if flag_col is None:
         return flagged.filter("__rn = 1").drop(*helper)
     return flagged.withColumn(
@@ -268,8 +280,8 @@ def hreflang_links(
 
     Scan-stage column math + explode — zero shuffle, zero Python."""
     h = _LINK_TAGS.format(col=html_col)
-    scheme = f"lower(regexp_extract({url_col}, '{_SCHEME}', 1))"
-    host = f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
+    scheme = f"lower(regexp_extract(url, '{_SCHEME}', 1))"
+    host = f"lower(regexp_extract(url, '{_ABS_HOST}', 1))"
     return (
         df.select(
             F.col(url_col).alias("url"), F.expr(h).alias("__tags")
@@ -285,11 +297,7 @@ def hreflang_links(
         .withColumn(
             "alt_url",
             F.expr(
-                resolved_canonical_sql(
-                    "nullif(__href, '')",
-                    f"lower(regexp_extract(url, '{_SCHEME}', 1))",
-                    f"lower(regexp_extract(url, '{_ABS_HOST}', 1))",
-                )
+                resolved_canonical_sql("nullif(__href, '')", scheme, host)
             ),
         )
         .filter(F.col("alt_url").isNotNull())

@@ -54,12 +54,27 @@ def parse_robots(
 ) -> DataFrame:
     """(host, rule, path) rules of every wildcard-agent group —
     ``rule`` is ``allow`` or ``disallow``, ``path`` the verbatim
-    rule path. One posexplode + one host-grain window pass."""
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            F.split(F.expr(f"cast({body_col} as string)"), "\n")
-        ).alias("ln", "__raw"),
+    rule path. One posexplode + one body-grain window pass.
+
+    A host may arrive with SEVERAL bodies (refetch, http+https pair):
+    identical bodies collapse to one (distinct), different bodies
+    parse independently (windows key on the body digest, so two
+    bodies' lines can never interleave into one agent group) and
+    their rules union — the conservative read of a conflicted fetch
+    table. Duplicate (rule, path) pairs across bodies stay duplicate
+    rows; robots_allowed's max(struct) is insensitive to that."""
+    lines = (
+        df.selectExpr(
+            f"{host_col} as host",
+            f"cast({body_col} as string) as __body",
+        )
+        .distinct()
+        .withColumn("__bid", F.md5("__body"))
+        .select(
+            "host",
+            "__bid",
+            F.posexplode(F.split("__body", "\n")).alias("ln", "__raw"),
+        )
     ).withColumn(
         "__line",
         F.expr(
@@ -69,11 +84,12 @@ def parse_robots(
     )
     typed = lines.selectExpr(
         "host",
+        "__bid",
         "ln",
         "lower(regexp_extract(__line, '^([A-Za-z-]+)\\\\s*:', 1)) as __name",
         "trim(regexp_extract(__line, '^[A-Za-z-]+\\\\s*:(.*)$', 1)) as __value",
     ).withColumn("__is_agent", F.col("__name") == "user-agent")
-    w = W.partitionBy("host").orderBy("ln")
+    w = W.partitionBy("host", "__bid").orderBy("ln")
     grouped = (
         typed.withColumn(
             "__agent_run_start",
@@ -87,7 +103,7 @@ def parse_robots(
     )
     starred = (
         grouped.filter("__is_agent AND __value = '*'")
-        .select("host", "__block")
+        .select("host", "__bid", "__block")
         .distinct()
     )
     return (
@@ -95,7 +111,7 @@ def parse_robots(
             F.col("__name").isin("allow", "disallow")
             & (F.col("__value") != "")
         )
-        .join(starred, ["host", "__block"])
+        .join(starred, ["host", "__bid", "__block"])
         .select(
             "host",
             F.col("__name").alias("rule"),
@@ -109,10 +125,14 @@ def robots_allowed(
 ) -> DataFrame:
     """``urls`` + ``robots_allowed`` boolean under the frozen
     longest-match rule. ``rules`` is :func:`parse_robots` output (or
-    the persisted table a crawler maintains)."""
+    the persisted table a crawler maintains); its ``host`` values are
+    lowercased on the join side, matching the lowercase the probe url
+    derivation applies — a mixed-case fetch table must not silently
+    match nothing."""
     u = urls.withColumn(
         "__host", F.expr(f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))")
     ).withColumn("__path", F.expr(_URL_PATH.format(u=url_col)))
+    rules = rules.withColumn("host", F.lower(F.col("host")))
     matched = (
         u.select(url_col, "__host", "__path")
         .join(rules, u["__host"] == rules["host"], "left")

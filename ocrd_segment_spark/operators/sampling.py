@@ -412,8 +412,12 @@ def pack_sequences(
     if seq_tokens < 1:
         raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
     L = int(seq_tokens)
-    d = _prep_budget_frame(df, token_col, key_col, salt, n_groups)
-    c = _with_global_cumsum(d)
+    # the manifest only needs (key, tokens) — select BEFORE prep so
+    # the frame's localCheckpoint materializes two columns, not the
+    # whole corpus row (the job passes the full written corpus here)
+    d = _prep_budget_frame(
+        df.select(key_col, token_col), token_col, key_col, salt, n_groups
+    )
     out_cols = [
         F.col(key_col),
         F.col("__nt").alias("n_tokens"),
@@ -426,16 +430,16 @@ def pack_sequences(
             "seq_offset"
         ),
     ]
+    c = _with_global_cumsum(d)
     if c is None:
-        empty = df.sparkSession.range(0).selectExpr(
-            f"cast(null as long) as {key_col}",
-            "cast(null as long) as n_tokens",
-            "cast(null as long) as seq_id",
-            "cast(null as long) as doc_from",
-            "cast(null as long) as doc_to",
-            "cast(null as long) as seq_offset",
+        # schema-preserving empty manifest: the key keeps its real
+        # type (a bigint-null stand-in would fork the parquet schema
+        # between empty and non-empty runs)
+        return (
+            d.withColumn("__start", F.lit(0).cast("long"))
+            .withColumn("seq_id", F.lit(0).cast("long"))
+            .select(*out_cols)
         )
-        return empty
     return (
         c.filter(F.col("__nt") > 0)
         .withColumn("__start", F.col("__cum") - F.col("__nt"))

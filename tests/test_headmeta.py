@@ -407,3 +407,27 @@ def test_corpus_job_pack_sequences(spark, tmp_path):
     last = max(by_seq)
     assert all(v == 20 for s, v in by_seq.items() if s != last)
     assert 0 < by_seq[last] <= 20
+
+
+def test_malformed_page_url_resolves_null_not_junk(spark):
+    """A page whose own url has no scheme/host must resolve rooted and
+    protocol-relative canonicals to NULL — never ':///p/x' junk that
+    aliases unrelated pages into one collapse group."""
+    rows = [
+        _page("not-a-url", '<link rel="canonical" href="/p/x">'),
+        _page("also-bad", '<link rel="canonical" href="//h.org/p/x">'),
+    ]
+    got = {r.url: r.canonical_url
+           for r in head_meta(_pages(spark, rows)).collect()}
+    assert got == {"not-a-url": None, "also-bad": None}
+
+
+def test_canonical_representatives_preserves_input_columns(spark):
+    from ocrd_segment_spark.operators.headmeta import (
+        canonical_representatives,
+    )
+
+    rows = [_page("https://a.org/1", "")]
+    df = _pages(spark, rows)
+    out = canonical_representatives(df)
+    assert out.columns == df.columns

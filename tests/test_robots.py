@@ -129,3 +129,28 @@ def test_match_plan_has_no_window(spark):
     assert "partial_max" in plan, plan
     parse_windows = audit.physical_plan(rules).count("Window")
     assert plan.count("Window") <= parse_windows
+
+
+def test_duplicate_host_bodies_union_without_interleave(spark):
+    """Identical refetched bodies collapse; DIFFERENT bodies for one
+    host parse independently — a foreign group in one body must never
+    capture rules from the other body's wildcard group."""
+    b1 = "User-agent: *\nDisallow: /a\n"
+    b2 = "User-agent: google\nDisallow: /g\nUser-agent: *\nAllow: /b\n"
+    got = _rules(
+        spark, [("h", b1), ("h", b1), ("h", b2), ("H2", b1)]
+    )
+    assert got == {
+        ("h", "disallow", "/a"),
+        ("h", "allow", "/b"),
+        ("H2", "disallow", "/a"),
+    }
+
+
+def test_mixed_case_rules_host_still_matches(spark):
+    got = _decide(
+        spark,
+        [("Example.ORG", "User-agent: *\nDisallow: /p/\n")],
+        ["https://example.org/p/x"],
+    )
+    assert got == {"https://example.org/p/x": False}

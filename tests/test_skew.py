@@ -139,3 +139,12 @@ def test_pack_sequences_edge_rules(spark):
         pack_sequences(d, 0)
     empty = pack_sequences(d.filter("doc_id IS NULL AND FALSE"), 4)
     assert empty.count() == 0
+
+
+def test_pack_sequences_empty_input_keeps_key_type(spark):
+    from ocrd_segment_spark.operators.sampling import pack_sequences
+
+    d = spark.createDataFrame([], "url string, n_tokens long")
+    out = pack_sequences(d, 10, key_col="url")
+    assert out.count() == 0
+    assert dict(out.dtypes)["url"] == "string"
