@@ -217,6 +217,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_add_batch": G.q_index_add_batch,
     # Dolma-style unit-grain bloom dedup (operators/bloom.py)
     "paragraph_bloom_flags": G.q_paragraph_bloom_flags,
+    # cross-snapshot corpus diff (operators/snapshots.py)
+    "corpus_diff": G.q_corpus_diff,
 }
 
 _ORACLES: dict[str, str] = {
@@ -350,6 +352,7 @@ _ORACLES: dict[str, str] = {
     "pack_sequences": G.O_PACK_SEQUENCES,
     "index_add_batch": G.O_INDEX_ADD_BATCH,
     "paragraph_bloom_flags": G.O_PARAGRAPH_BLOOM,
+    "corpus_diff": G.O_CORPUS_DIFF,
 }
 
 

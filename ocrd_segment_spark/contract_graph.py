@@ -1021,3 +1021,58 @@ SELECT doc_id, count(*) AS n_units,
        round(sum(s) / (count(*) * 1.0), 6) AS seen_unit_frac
 FROM hit GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot corpus diff (operators/snapshots.corpus_diff)
+# ---------------------------------------------------------------------------
+
+# previous corpus = doc_id % 7 <> 0; new snapshot = doc_id % 5 <> 0 —
+# so %7-only docs read 'added', %5-only 'removed'. Every 3rd doc's
+# text gains a '+' in the new snapshot (changed); %13 docs carry NULL
+# text on the prev side and, when even, on the cur side too — the
+# NULL-vs-NULL unchanged and NULL-vs-text changed arms both fire.
+_DIFF_PREV_TEXT = "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END"
+_DIFF_CUR_TEXT = (
+    "CASE WHEN doc_id % 13 = 0 AND doc_id % 2 = 0 THEN NULL"
+    " WHEN doc_id % 3 = 0 THEN concat(text, '+') ELSE text END"
+)
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot-over-snapshot corpus delta (operators/snapshots.
+    corpus_diff): full-outer pairing on the url key with scan-side md5
+    digests — added / removed / changed / unchanged per the frozen
+    null-safe rule. The shuffle carries (key, digest), never text."""
+    from .operators.snapshots import corpus_diff
+
+    d = _t(spark, sf_dir, "documents")
+    prev = d.filter("doc_id % 7 <> 0").selectExpr(
+        "concat('u', cast(doc_id as string)) as url",
+        f"{_DIFF_PREV_TEXT} as text",
+    )
+    cur = d.filter("doc_id % 5 <> 0").selectExpr(
+        "concat('u', cast(doc_id as string)) as url",
+        f"{_DIFF_CUR_TEXT} as text",
+    )
+    return corpus_diff(prev, cur)
+
+
+O_CORPUS_DIFF = f"""
+WITH prev AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS key,
+         md5({_DIFF_PREV_TEXT}) AS prev_digest
+  FROM documents WHERE doc_id % 7 <> 0
+), cur AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS key,
+         md5({_DIFF_CUR_TEXT}) AS cur_digest
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(prev.key, cur.key) AS key,
+       CASE WHEN prev.key IS NULL THEN 'added'
+            WHEN cur.key IS NULL THEN 'removed'
+            WHEN prev_digest IS NOT DISTINCT FROM cur_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       prev_digest, cur_digest
+FROM prev FULL OUTER JOIN cur ON prev.key = cur.key
+"""
