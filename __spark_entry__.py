@@ -219,6 +219,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_bloom_flags": G.q_paragraph_bloom_flags,
     # cross-snapshot corpus diff (operators/snapshots.py)
     "corpus_diff": G.q_corpus_diff,
+    # sitemap harvesting + robots Sitemap: directives (operators/sitemaps.py)
+    "sitemap_harvest": G.q_sitemap_harvest,
+    "robots_sitemaps": G.q_robots_sitemaps,
 }
 
 _ORACLES: dict[str, str] = {
@@ -353,6 +356,8 @@ _ORACLES: dict[str, str] = {
     "index_add_batch": G.O_INDEX_ADD_BATCH,
     "paragraph_bloom_flags": G.O_PARAGRAPH_BLOOM,
     "corpus_diff": G.O_CORPUS_DIFF,
+    "sitemap_harvest": G.O_SITEMAP_HARVEST,
+    "robots_sitemaps": G.O_ROBOTS_SITEMAPS,
 }
 
 

@@ -1076,3 +1076,136 @@ SELECT coalesce(prev.key, cur.key) AS key,
        prev_digest, cur_digest
 FROM prev FULL OUTER JOIN cur ON prev.key = cur.key
 """
+
+
+# ---------------------------------------------------------------------------
+# sitemap harvesting (operators/sitemaps)
+# ---------------------------------------------------------------------------
+
+# Twelve synthetic sitemap bodies (one host each): doc_id%4==0 → a
+# sitemapindex (two children, one with lastmod + padded loc, plus a
+# trailing '<urlset' COMMENT — the first-occurrence precedence rule
+# must still read it as an index); %4∈{1,3} → a urlset whose four
+# blocks exercise newline-spanning entries, loc trimming, the
+# empty-lastmod→NULL arm, a duplicate loc (dedupe keeps the non-NULL
+# min lastmod) and an empty-loc drop; %4==3 additionally embeds a
+# '<sitemapindex' comment AFTER the urlset tag (still a urlset);
+# %4==2 → not a sitemap at all (zero rows). The oracle states the
+# EXPECTED rows from the same arithmetic — it never parses.
+
+_SM_N = 12
+_SM_HOST = "concat('h', cast(doc_id as string), '.example.org')"
+_SM_LM = "cast(doc_id % 9 + 1 as string)"
+_SM_BODY = f"""CASE doc_id % 4 WHEN 0 THEN concat(
+    '<?xml version="1.0"?>', chr(10),
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">', chr(10),
+    '<sitemap>', chr(10),
+    '<loc> https://', {_SM_HOST}, '/sm', cast(doc_id as string), 'a.xml </loc>', chr(10),
+    '<lastmod>2024-01-0', {_SM_LM}, '</lastmod>', chr(10),
+    '</sitemap>', chr(10),
+    '<sitemap><loc>https://', {_SM_HOST}, '/sm', cast(doc_id as string), 'b.xml</loc></sitemap>', chr(10),
+    '</sitemapindex>', chr(10),
+    '<!-- mirrors <urlset> elsewhere -->')
+  WHEN 2 THEN '<html>not a sitemap</html>'
+  ELSE concat(
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">', chr(10),
+    '<url>', chr(10),
+    '<loc>https://', {_SM_HOST}, '/p/', cast(doc_id as string), '/0</loc>', chr(10),
+    '<lastmod>2023-05-0', {_SM_LM}, '</lastmod>', chr(10),
+    '</url>', chr(10),
+    '<url><loc> https://', {_SM_HOST}, '/p/', cast(doc_id as string), '/1 </loc><lastmod></lastmod></url>', chr(10),
+    '<url><loc>https://', {_SM_HOST}, '/p/', cast(doc_id as string), '/1</loc><lastmod>2022-01-01</lastmod></url>', chr(10),
+    '<url><loc></loc></url>', chr(10),
+    '</urlset>',
+    CASE WHEN doc_id % 4 = 3 THEN concat(chr(10), '<!-- index at <sitemapindex> -->') ELSE '' END)
+  END"""
+
+
+def q_sitemap_harvest(spark, sf_dir):
+    """Sitemap parsing (operators/sitemaps.sitemap_entries): urlset vs
+    sitemapindex by first-tag precedence, (?s) non-greedy block
+    harvest, loc trim, empty lastmod → NULL, (host, loc) dedupe to the
+    min lastmod. Scan-stage column math + one partial-aggregable
+    group; bodies ride as binary (the fetch-table shape)."""
+    from .operators.sitemaps import sitemap_entries
+
+    fetched = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_SM_N}")
+        .selectExpr(
+            f"{_SM_HOST} as host", f"cast({_SM_BODY} as binary) as body"
+        )
+    )
+    return sitemap_entries(fetched)
+
+
+_D_SM_HOST = "'h' || CAST(doc_id AS VARCHAR) || '.example.org'"
+_D_SM_LM = "CAST(doc_id % 9 + 1 AS VARCHAR)"
+O_SITEMAP_HARVEST = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_SM_N}),
+idx AS (SELECT doc_id FROM d WHERE doc_id % 4 = 0),
+us AS (SELECT doc_id FROM d WHERE doc_id % 4 IN (1, 3))
+SELECT {_D_SM_HOST} AS host,
+       'https://' || {_D_SM_HOST} || '/sm' || CAST(doc_id AS VARCHAR) || 'a.xml' AS loc,
+       '2024-01-0' || {_D_SM_LM} AS lastmod, TRUE AS is_index
+FROM idx
+UNION ALL
+SELECT {_D_SM_HOST},
+       'https://' || {_D_SM_HOST} || '/sm' || CAST(doc_id AS VARCHAR) || 'b.xml',
+       NULL, TRUE
+FROM idx
+UNION ALL
+SELECT {_D_SM_HOST},
+       'https://' || {_D_SM_HOST} || '/p/' || CAST(doc_id AS VARCHAR) || '/0',
+       '2023-05-0' || {_D_SM_LM}, FALSE
+FROM us
+UNION ALL
+SELECT {_D_SM_HOST},
+       'https://' || {_D_SM_HOST} || '/p/' || CAST(doc_id AS VARCHAR) || '/1',
+       '2022-01-01', FALSE
+FROM us
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sitemap: directives in robots.txt (RFC 9309 group-independent)
+# ---------------------------------------------------------------------------
+
+_RSM_BODY = """concat(
+  'User-agent: *', chr(10),
+  'Disallow: /private', chr(10),
+  'Sitemap: https://', concat('h', cast(doc_id as string), '.example.org'), '/sitemap.xml   # primary', chr(10),
+  'sitemap:https://', concat('h', cast(doc_id as string), '.example.org'), '/sm2.xml', chr(13), chr(10),
+  CASE WHEN doc_id % 3 = 0 THEN concat('SITEMAP: https://cdn.example.net/global.xml', chr(10)) ELSE '' END,
+  'Sitemap:', chr(10),
+  'Sitemap: https://', concat('h', cast(doc_id as string), '.example.org'), '/sitemap.xml', chr(10))"""
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive harvest from robots.txt (operators/sitemaps.
+    robots_sitemap_urls): case-insensitive name, inline comments and
+    CRLF stripped, empty values dropped, duplicates collapsed,
+    user-agent groups ignored entirely (group-independent per RFC
+    9309). Column math + one distinct."""
+    from .operators.sitemaps import robots_sitemap_urls
+
+    robots = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id < 8")
+        .selectExpr(
+            "concat('h', cast(doc_id as string), '.example.org') as host",
+            f"cast({_RSM_BODY} as binary) as body",
+        )
+    )
+    return robots_sitemap_urls(robots)
+
+
+O_ROBOTS_SITEMAPS = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 8),
+h AS (SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) || '.example.org' AS host FROM d)
+SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url FROM h
+UNION ALL
+SELECT host, 'https://' || host || '/sm2.xml' FROM h
+UNION ALL
+SELECT host, 'https://cdn.example.net/global.xml' FROM h WHERE doc_id % 3 = 0
+"""
