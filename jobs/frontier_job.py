@@ -1,0 +1,162 @@
+"""Crawl-frontier planning job: sitemaps + robots + seen-set → frontier.
+
+    python tools/package.py                       # → dist/engine.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/engine.zip \\
+        jobs/frontier_job.py \\
+        --sitemaps /path/to/sitemap_fetches \\
+        --output   /path/to/frontier \\
+        [--robots /path/to/robots_fetches] \\
+        [--seen /path/to/fetched_urls] \\
+        [--host-ranks /path/to/host_ranks] \\
+        [--child-sitemaps /path/to/children] \\
+        [--stats /path/to/stats] \\
+        [--bloom-bits 1048576] [--bloom-k 4]
+
+Composes the discovery operators into the table a fetch scheduler
+consumes: sitemap url sets parsed (operators/sitemaps), child
+sitemaps split out for the next fetch round, candidate urls filtered
+by the REP longest-match rule (operators/robots), the already-fetched
+set excluded through the Bloom seen-set (operators/bloom — no false
+negatives, so nothing fetched is refetched; the configured
+false-positive rate trades a sliver of discovery recall for never
+joining the full corpus), and host PageRank (jobs/linkgraph_job.py
+output) attached as the scheduling priority.
+
+Scale shape: every input here is host- or frontier-grain — orders of
+magnitude below page grain. The one corpus-sized artifact (the seen
+set) enters only as the Bloom bit table (≤ m/32 rows, broadcast). Drop
+accounting rides the terminal write as an Observation on the
+pre-filter node — single pass, no re-scan, the corpus_job discipline.
+The output is NOT globally sorted: rank ordering at 10^9 frontier rows
+is the consumer's top-k problem (domain_cap / token-budget style), not
+a full sort this job should pay for.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+STATS_KEYS = (
+    "sitemap_entries",
+    "child_sitemaps",
+    "candidate_urls",
+    "dropped_robots",
+    "dropped_seen",
+    "frontier_urls",
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sitemaps", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--robots", default=None)
+    ap.add_argument("--seen", default=None, help="parquet of fetched urls (url column)")
+    ap.add_argument("--host-ranks", default=None, help="linkgraph_job --ranks output")
+    ap.add_argument("--child-sitemaps", default=None)
+    ap.add_argument("--stats", default=None)
+    ap.add_argument("--bloom-bits", type=int, default=1 << 20)
+    ap.add_argument("--bloom-k", type=int, default=4)
+    args = ap.parse_args()
+
+    from pyspark.sql import Observation, functions as F
+
+    from ocrd_segment_spark.functions.urls import host_of
+    from ocrd_segment_spark.operators.bloom import (
+        bloom_maybe_seen,
+        build_bloom,
+    )
+    from ocrd_segment_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+    from ocrd_segment_spark.operators.sitemaps import sitemap_entries
+    from ocrd_segment_spark.session import submit_session
+
+    spark = submit_session("ocrd-segment-frontier")
+    stats = {k: -1 for k in STATS_KEYS}
+
+    entries = sitemap_entries(spark.read.parquet(args.sitemaps))
+    e_obs = Observation("entries")
+    entries = entries.observe(
+        e_obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("is_index").cast("long")).alias("children"),
+    )
+
+    children = entries.filter("is_index")
+    if args.child_sitemaps is not None:
+        children.write.mode("overwrite").parquet(args.child_sitemaps)
+        stats["sitemap_entries"] = e_obs.get["total"]
+        stats["child_sitemaps"] = e_obs.get["children"] or 0
+
+    # candidate urls: the loc's OWN host keys robots/rank joins (a
+    # cross-host submission schedules against the host it points AT);
+    # a loc declared by several sitemaps is one candidate, freshest
+    # hint = min lastmod string (the sitemap_entries tie-break).
+    cands = (
+        entries.filter(~F.col("is_index"))
+        .select(F.col("loc").alias("url"), F.col("lastmod"))
+        .groupBy("url")
+        .agg(F.min("lastmod").alias("lastmod"))
+        .withColumn("host", host_of("url"))
+    )
+
+    if args.robots is not None:
+        rules = parse_robots(spark.read.parquet(args.robots))
+        cands = robots_allowed(rules, cands)
+    else:
+        cands = cands.withColumn("robots_allowed", F.lit(True))
+
+    if args.seen is not None:
+        seen = spark.read.parquet(args.seen).select("url")
+        bloom = build_bloom(
+            seen, m_bits=args.bloom_bits, k=args.bloom_k
+        )
+        cands = bloom_maybe_seen(
+            bloom, cands, m_bits=args.bloom_bits, k=args.bloom_k
+        )
+    else:
+        cands = cands.withColumn("maybe_seen", F.lit(False))
+
+    f_obs = Observation("frontier")
+    cands = cands.observe(
+        f_obs,
+        F.count(F.lit(1)).alias("cands"),
+        F.sum((~F.col("robots_allowed")).cast("long")).alias("robots"),
+        F.sum(
+            (F.col("robots_allowed") & F.col("maybe_seen")).cast("long")
+        ).alias("seen"),
+    )
+    frontier = cands.filter(
+        F.col("robots_allowed") & ~F.col("maybe_seen")
+    ).select("url", "host", "lastmod")
+
+    if args.host_ranks is not None:
+        ranks = spark.read.parquet(args.host_ranks).select(
+            F.col("node").alias("host"), F.col("rank").alias("host_rank")
+        )
+        frontier = frontier.join(ranks, "host", "left").withColumn(
+            "host_rank", F.coalesce("host_rank", F.lit(0.0))
+        )
+    else:
+        frontier = frontier.withColumn("host_rank", F.lit(0.0))
+
+    frontier.write.mode("overwrite").parquet(args.output)
+    stats["sitemap_entries"] = e_obs.get["total"]
+    stats["child_sitemaps"] = e_obs.get["children"] or 0
+    stats["candidate_urls"] = f_obs.get["cands"]
+    stats["dropped_robots"] = f_obs.get["robots"] or 0
+    stats["dropped_seen"] = f_obs.get["seen"] or 0
+    stats["frontier_urls"] = (
+        stats["candidate_urls"] - stats["dropped_robots"] - stats["dropped_seen"]
+    )
+    print(f"FRONTIER {stats}")
+    if args.stats is not None:
+        spark.createDataFrame([stats]).write.mode("append").parquet(args.stats)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
