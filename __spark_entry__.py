@@ -222,6 +222,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sitemap harvesting + robots Sitemap: directives (operators/sitemaps.py)
     "sitemap_harvest": G.q_sitemap_harvest,
     "robots_sitemaps": G.q_robots_sitemaps,
+    # span-preserving sentence segmentation (operators/sentences.py)
+    "sentence_spans": G.q_sentence_spans,
 }
 
 _ORACLES: dict[str, str] = {
@@ -358,6 +360,7 @@ _ORACLES: dict[str, str] = {
     "corpus_diff": G.O_CORPUS_DIFF,
     "sitemap_harvest": G.O_SITEMAP_HARVEST,
     "robots_sitemaps": G.O_ROBOTS_SITEMAPS,
+    "sentence_spans": G.O_SENTENCE_SPANS,
 }
 
 

@@ -1209,3 +1209,81 @@ SELECT host, 'https://' || host || '/sm2.xml' FROM h
 UNION ALL
 SELECT host, 'https://cdn.example.net/global.xml' FROM h WHERE doc_id % 3 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# span-preserving sentence segmentation (operators/sentences)
+# ---------------------------------------------------------------------------
+
+# Controlled sentence fixtures: terminator runs ('?!' — the LAST
+# terminator hosts the boundary), multi-space gaps, lowercase
+# continuations that must NOT split, boundary-free docs (one
+# sentence), empty and all-space docs (zero rows). The oracle derives
+# the SAME frozen rule by the other route — window prefix-sum over
+# unit lengths vs the operator's marker-position transform.
+_SS_TEXT = """CASE WHEN doc_id % 11 = 0 THEN ''
+  WHEN doc_id % 13 = 1 THEN '   '
+  ELSE concat(
+    'Hello ', source, '. World no',
+    CASE WHEN doc_id % 3 = 0 THEN '?!  Yes way' ELSE ' yes more' END,
+    CASE WHEN doc_id % 5 = 0 THEN '' ELSE '. lower stays. Final' END)
+  END"""
+
+_D_SS_TEXT = """CASE WHEN doc_id % 11 = 0 THEN ''
+  WHEN doc_id % 13 = 1 THEN '   '
+  ELSE 'Hello ' || source || '. World no' ||
+    CASE WHEN doc_id % 3 = 0 THEN '?!  Yes way' ELSE ' yes more' END ||
+    CASE WHEN doc_id % 5 = 0 THEN '' ELSE '. lower stays. Final' END
+  END"""
+
+
+def q_sentence_spans(spark, sf_dir):
+    """Sentence segmentation with original-text spans (operators/
+    sentences.sentence_spans): frozen ([.!?])( +)([A-Z]) boundary,
+    split after the terminator, leading spaces stripped with the span
+    following, 0-based renumbering over kept sentences. All JVM column
+    math — marker insertion + O(n) marker-position offsets, no
+    shuffle, rows explode in place."""
+    from .operators.sentences import sentence_spans
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SS_TEXT} as text"
+    )
+    return sentence_spans(d)
+
+
+O_SENTENCE_SPANS = f"""
+WITH d AS (SELECT doc_id, {_D_SS_TEXT} AS text FROM documents),
+m AS (
+  SELECT doc_id,
+         regexp_replace(text, '([.!?])( +)([A-Z])',
+                        '\\1' || chr(31) || '\\2\\3', 'g') AS marked
+  FROM d
+), p AS (
+  SELECT doc_id, string_split(marked, chr(31)) AS parts FROM m
+), u AS (
+  SELECT doc_id,
+         unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS i,
+         parts
+  FROM p
+), u2 AS (
+  SELECT doc_id, i, parts[CAST(i AS INT)] AS unit FROM u
+), w AS (
+  SELECT doc_id, i, unit,
+         CAST(coalesce(sum(length(unit))
+                OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS ust
+  FROM u2
+), s AS (
+  SELECT doc_id, i, ltrim(unit) AS sentence,
+         ust + length(unit) - length(ltrim(unit)) AS strt
+  FROM w
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS sent_idx,
+       CAST(strt AS BIGINT) AS start,
+       CAST(strt + length(sentence) AS BIGINT) AS "end",
+       sentence
+FROM s WHERE sentence <> ''
+"""
