@@ -224,6 +224,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_sitemaps": G.q_robots_sitemaps,
     # span-preserving sentence segmentation (operators/sentences.py)
     "sentence_spans": G.q_sentence_spans,
+    # BPE merge training (operators/bpe.train_merges)
+    "bpe_train_merges": G.q_bpe_train_merges,
 }
 
 _ORACLES: dict[str, str] = {
@@ -361,6 +363,7 @@ _ORACLES: dict[str, str] = {
     "sitemap_harvest": G.O_SITEMAP_HARVEST,
     "robots_sitemaps": G.O_ROBOTS_SITEMAPS,
     "sentence_spans": G.O_SENTENCE_SPANS,
+    "bpe_train_merges": G.O_BPE_TRAIN,
 }
 
 

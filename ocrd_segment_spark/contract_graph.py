@@ -1287,3 +1287,32 @@ SELECT doc_id,
        sentence
 FROM s WHERE sentence <> ''
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (operators/bpe.train_merges)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_K = 6
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """Learned BPE merges (operators/bpe.train_merges, distributed
+    path): k rounds of frequency-weighted adjacent-pair argmax +
+    left-to-right non-overlapping application over the word-frequency
+    table. The oracle unrolls the identical rounds; pytest separately
+    pins distributed == driver-loop equality, so all THREE
+    derivations of the frozen rule must agree."""
+    from .operators.bpe import train_merges
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    return train_merges(docs, _BPE_TRAIN_K)
+
+
+def _bpe_train_oracle() -> str:
+    from .operators.bpe import train_oracle_sql
+
+    return train_oracle_sql(_BPE_TRAIN_K)
+
+
+O_BPE_TRAIN = _bpe_train_oracle()

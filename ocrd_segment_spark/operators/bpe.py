@@ -293,3 +293,189 @@ SELECT t.doc_id,
        CAST(coalesce(p.n_unk_pieces, 0) AS BIGINT) AS n_unk_pieces
 FROM {table} t LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich-style, over the word-frequency table)
+# ---------------------------------------------------------------------------
+
+# symbol separator inside a training sequence; words never contain it
+# (it is ASCII control and the WS split would have to have produced it)
+TRAIN_SEP = "\x1f"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n): the corpus word-frequency aggregate every BPE
+    trainer actually trains on (Sennrich et al., ACL 2016 — training
+    never touches the corpus again after this count). Same frozen
+    normalization as the counting path above: ASCII lowercase fold +
+    the explicit WS class. Corpus-sized input, ONE shuffle with
+    map-side partial counts, vocabulary-sized output."""
+    lowered = f"translate({text_col}, '{_UPPER}', '{_LOWER}')"
+    return (
+        docs.selectExpr(
+            f"explode(split({lowered}, '{WS_CLASS_SPARK}')) as word"
+        )
+        .filter("word != ''")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_PAIRS_EXPR = (
+    "filter(zip_with(__parts,"
+    " slice(__parts, 2, greatest(size(__parts) - 1, 0)),"
+    " (a, b) -> struct(a, b)), p -> p.b is not null)"
+)
+
+
+def train_merges(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    via: str = "distributed",
+    max_words: int | None = None,
+) -> DataFrame:
+    """Learn the top-``k`` BPE merges → (rank, lhs, rhs, merged, cnt).
+
+    Frozen semantics (stated so the DuckDB oracle can unroll them):
+    words start as character sequences (no end-of-word marker —
+    stated out); each round counts ADJACENT symbol pairs weighted by
+    word frequency (naive adjacency — overlapping occurrences in a
+    word each count, the textbook formulation), picks the pair with
+    the max count (ties: lhs asc, rhs asc — binary string order), and
+    applies it to every sequence left-to-right non-overlapping (both
+    engines' ``replace`` semantics, probed and pinned by pytest).
+    Training stops early when no pair remains.
+
+    Two shapes, one frozen rule (pytest asserts they agree exactly):
+
+    - ``via='distributed'``: k rounds over the vocabulary-grain
+      sequence table — per round one pair-explode shuffle, a
+      take-ordered(1) argmax (never a full sort), a literal-bound
+      ``replace``, and a ``localCheckpoint`` to bound lineage (the
+      connected-components discipline). The right shape when k is
+      small or the word table must stay distributed.
+    - ``via='driver'``: collect the word-frequency table (optionally
+      capped to ``max_words`` by (n desc, word asc) — a TOP-K, not a
+      sample) and run the classic in-memory loop. This is the
+      PRODUCTION shape for real k (~30k): the distributed part of BPE
+      training is the corpus-sized count in :func:`word_freqs`; the
+      merge loop runs over a model-sized table (10^5..10^6 distinct
+      words at crawl scale — the collect is model-sized by
+      definition, the LM/IVF precedent) and 30k driver round-trips
+      over a distributed frame would be pure overhead.
+
+    The per-round argmax collect in the distributed path is 1 row ×
+    k rounds — the trainer's OUTPUT is a model; merges pass through
+    the driver because that is where the model is assembled.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if via not in ("distributed", "driver"):
+        raise ValueError(f"via must be distributed|driver, got {via!r}")
+    spark = docs.sparkSession
+    freqs = word_freqs(docs, text_col)
+    if max_words is not None:
+        freqs = (
+            freqs.orderBy(F.desc("n"), F.asc("word")).limit(max_words)
+        )
+    schema = "rank bigint, lhs string, rhs string, merged string, cnt bigint"
+    merges: list[tuple] = []
+    if via == "driver":
+        vocab = {r["word"]: r["n"] for r in freqs.collect()}
+        seqs = {w: list(w) for w in vocab}
+        for rank in range(1, k + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for w, syms in seqs.items():
+                n = vocab[w]
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + n
+            if not counts:
+                break
+            (lhs, rhs), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+            for w, syms in seqs.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lhs
+                        and syms[i + 1] == rhs
+                    ):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                seqs[w] = out
+        return spark.createDataFrame(merges, schema)
+
+    seqs = freqs.selectExpr(
+        "n", "array_join(split(word, ''), chr(31)) as seq"
+    ).localCheckpoint()
+    for rank in range(1, k + 1):
+        pairs = (
+            seqs.withColumn("__parts", F.expr("split(seq, chr(31))"))
+            .select("n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("lhs"), F.asc("rhs")
+        ).take(1)
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["cnt"]
+        merges.append((rank, lhs, rhs, lhs + rhs, int(cnt)))
+        seqs = seqs.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(lhs + TRAIN_SEP + rhs),
+                F.lit(lhs + rhs),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(merges, schema)
+
+
+def train_oracle_sql(
+    k: int, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB restatement of :func:`train_merges`: the identical k
+    rounds unrolled as CTE trios (pair counts → argmax → replace) over
+    the same word-frequency table — the pagerank-oracle discipline."""
+    head = f"""WITH w0 AS (
+  SELECT array_to_string(string_split(word, ''), chr(31)) AS seq, n FROM (
+    SELECT w AS word, count(*) AS n FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(
+        translate({text_col}, '{_UPPER}', '{_LOWER}'), '{WS_CLASS_DUCK}'),
+        x -> x <> '')) AS w
+      FROM {table})
+    GROUP BY w)
+)"""
+    rounds = []
+    for r in range(1, k + 1):
+        p = r - 1
+        rounds.append(f""", p{r} AS (
+  SELECT parts[CAST(i AS INT)] AS lhs, parts[CAST(i AS INT) + 1] AS rhs,
+         CAST(sum(n) AS BIGINT) AS cnt
+  FROM (
+    SELECT string_split(seq, chr(31)) AS parts, n,
+           unnest(generate_series(1, CAST(len(string_split(seq, chr(31))) - 1 AS BIGINT))) AS i
+    FROM w{p})
+  GROUP BY 1, 2
+), b{r} AS (
+  SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+), w{r} AS (
+  SELECT replace(seq, lhs || chr(31) || rhs, lhs || rhs) AS seq, n
+  FROM w{p}, b{r}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs,"
+        f" lhs || rhs AS merged, cnt FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return head + "".join(rounds) + "\n" + finals

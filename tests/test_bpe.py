@@ -3,6 +3,7 @@ reference tokenizer, and the DuckDB recursive-CTE oracle are three
 statements of ONE frozen greedy longest-match rule."""
 
 import duckdb
+import pytest
 
 from ocrd_segment_spark.operators.bpe import (
     VOCAB,
@@ -141,3 +142,69 @@ def test_loaded_vocabulary_drives_the_fold(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_train_merges_distributed_equals_driver(spark):
+    from ocrd_segment_spark.operators.bpe import train_merges
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "wider wide widest lower"),
+            (4, "Tab\tand\nnewline   spaced"),
+        ],
+        "doc_id long, text string",
+    )
+    d = [tuple(r) for r in train_merges(docs, 8).collect()]
+    v = [tuple(r) for r in train_merges(docs, 8, via="driver").collect()]
+    assert d == v
+    assert len(d) == 8
+    # ranks are 1..8 and every merged piece is lhs+rhs
+    assert [r[0] for r in d] == list(range(1, 9))
+    assert all(r[3] == r[1] + r[2] for r in d)
+
+
+def test_train_merges_first_merge_is_hand_checkable(spark):
+    from ocrd_segment_spark.operators.bpe import train_merges
+
+    # 'aaab' x3: pairs (a,a)x2 per word = 6, (a,b) = 3 → (a,a) wins;
+    # round 2 applies left-to-right non-overlap: aa|ab → (aa,ab)? no:
+    # seq after merge = [aa, a, b] → pairs (aa,a)=3, (a,b)=3 → tie,
+    # lhs 'a' < 'aa' → (a,b) wins round 2.
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["cnt"])
+        for r in train_merges(docs, 2).collect()
+    ]
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 3)]
+
+
+def test_train_merges_early_stop_and_errors(spark):
+    from ocrd_segment_spark.operators.bpe import train_merges
+
+    single = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    assert train_merges(single, 5).count() == 0  # no pairs anywhere
+    with pytest.raises(ValueError):
+        train_merges(single, 0)
+    with pytest.raises(ValueError):
+        train_merges(single, 3, via="sideways")
+
+
+def test_train_merges_max_words_cap(spark):
+    from ocrd_segment_spark.operators.bpe import train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "zz zz zz qq qq xy")], "doc_id long, text string"
+    )
+    # cap to the single most frequent word: only 'zz' survives
+    got = [tuple(r) for r in train_merges(docs, 1, max_words=1).collect()]
+    assert got == [(1, "z", "z", "zz", 3)]
+    assert got == [
+        tuple(r)
+        for r in train_merges(docs, 1, via="driver", max_words=1).collect()
+    ]
