@@ -226,6 +226,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_spans": G.q_sentence_spans,
     # BPE merge training (operators/bpe.train_merges)
     "bpe_train_merges": G.q_bpe_train_merges,
+    # charset sniffing (functions/charset.py)
+    "charset_sniff": G.q_charset_sniff,
 }
 
 _ORACLES: dict[str, str] = {
@@ -364,6 +366,7 @@ _ORACLES: dict[str, str] = {
     "robots_sitemaps": G.O_ROBOTS_SITEMAPS,
     "sentence_spans": G.O_SENTENCE_SPANS,
     "bpe_train_merges": G.O_BPE_TRAIN,
+    "charset_sniff": G.O_CHARSET_SNIFF,
 }
 
 

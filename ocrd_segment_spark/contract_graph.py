@@ -1316,3 +1316,58 @@ def _bpe_train_oracle() -> str:
 
 
 O_BPE_TRAIN = _bpe_train_oracle()
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (functions/charset.with_charset)
+# ---------------------------------------------------------------------------
+
+# Five body shapes: html5 <meta charset> (quoted, mixed case),
+# http-equiv with spaced '=', a UTF-8 BOM page (chr(65279) survives
+# the utf-8 cast to binary as EF BB BF — the bom arm really fires),
+# a single-quoted declaration, and a declaration pushed past the
+# 1024-char sniff window (must fall to default). utf-16 BOM arms are
+# not utf-8-encodable and are pytest-pinned instead. Expected-output
+# oracle (the robots discipline).
+# the U+FEFF literal is bound in Python (Spark SQL chr() is mod-256
+# ASCII and cannot produce it); it utf-8-encodes to EF BB BF in the
+# binary cast, so the bom arm fires on real bytes.
+_CS_BODY = """CASE doc_id % 5
+  WHEN 0 THEN '<html><head><meta charset="ISO-8859-1"></head><body>x</body></html>'
+  WHEN 1 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset = Windows-1252"></head></html>'
+  WHEN 2 THEN concat('﻿', '<html><head><title>bom page</title></head></html>')
+  WHEN 3 THEN concat('<html><head><meta charset=', chr(39), 'KOI8-R', chr(39), '></head></html>')
+  ELSE concat('<html><head><title>', repeat('x', 1100), '</title><meta charset="utf-32"></head></html>')
+  END"""
+
+
+def q_charset_sniff(spark, sf_dir):
+    """Charset sniffing (functions/charset.with_charset): BOM >
+    meta-charset (first 1024 chars, explicit-whitespace class, either
+    quote style, spaced '=') > utf-8 default. One pure-JVM column
+    expression over the binary html — hex-prefix compares + one
+    regexp_extract, zero Python, zero shuffle."""
+    from .functions.charset import with_charset
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"cast({_CS_BODY} as binary) as html"
+    )
+    return with_charset(pages).select("doc_id", "charset", "charset_source")
+
+
+O_CHARSET_SNIFF = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'iso-8859-1'
+         WHEN 1 THEN 'windows-1252'
+         WHEN 2 THEN 'utf-8'
+         WHEN 3 THEN 'koi8-r'
+         ELSE 'utf-8' END AS charset,
+       CASE doc_id % 5
+         WHEN 0 THEN 'meta'
+         WHEN 1 THEN 'meta'
+         WHEN 2 THEN 'bom'
+         WHEN 3 THEN 'meta'
+         ELSE 'default' END AS charset_source
+FROM documents
+"""
