@@ -186,6 +186,12 @@ def main() -> None:
         " so scrubbing no longer orphans the span-aligned table",
     )
     ap.add_argument(
+        "--sniff-charset",
+        action="store_true",
+        help="charset-repair pre-stage: decode legacy/BOM pages to clean"
+        " utf-8 before any html-reading stage (functions/charset)",
+    )
+    ap.add_argument(
         "--snapshot-collapse",
         action="store_true",
         help="collapse multi-crawl inputs to the LATEST capture per"
@@ -307,6 +313,7 @@ def main() -> None:
         decontaminate_path=args.decontaminate,
         near_dup_audit=args.near_dup_audit,
         snapshot_collapse=args.snapshot_collapse,
+        sniff_charset=args.sniff_charset,
         honor_meta=args.honor_meta,
         outlinks_path=args.outlinks,
         host_ranks_path=args.host_ranks,
@@ -343,6 +350,7 @@ def build_corpus(
     decontaminate_path: str | None = None,
     near_dup_audit: str | None = None,
     snapshot_collapse: bool = False,
+    sniff_charset: bool = False,
     honor_meta: bool = False,
     outlinks_path: str | None = None,
     host_ranks_path: str | None = None,
@@ -400,6 +408,16 @@ def build_corpus(
             ).alias("dropped_domain"),
         )
         pages = flagged.filter(~F.col("blocked")).drop("blocked", "reg_domain")
+    if sniff_charset:
+        # charset-repair pre-stage (functions/charset.reencode_non_utf8):
+        # placed before every html-reading stage (head_meta harvest and
+        # the kernel both see clean utf-8); the clean majority is a
+        # pass-through filter, only the legacy/BOM tail pays Python.
+        from ocrd_segment_spark.functions.charset import reencode_non_utf8
+
+        pages = reencode_non_utf8(
+            pages, python_parallelism=python_parallelism
+        ).drop("charset", "charset_source")
     hr_obs = None
     if host_ranks_path is not None and host_rank_min is not None:
         # link-graph quality prior (the blocklist shape, continuous

@@ -8,7 +8,7 @@
         --input  /path/to/pages_parquet \\
         --output /path/to/extracted \\
         --metrics /path/to/metrics \\
-        [--no-resume] [--python-parallelism N] \\
+        [--no-resume] [--python-parallelism N] [--sniff-charset] \\
         [--max-link-density 0.5] [--min-region-chars 2] \\
         [--simplify-gap 0] [--spread 0]
 
@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
+    ap.add_argument(
+        "--sniff-charset", action="store_true",
+        help="charset-repair pre-stage: decode legacy/BOM pages to"
+        " clean utf-8 before extraction (functions/charset)",
+    )
     ap.add_argument("--max-link-density", type=float, default=0.5)
     ap.add_argument("--min-region-chars", type=int, default=2)
     ap.add_argument("--simplify-gap", type=int, default=0)
@@ -56,6 +61,7 @@ def main() -> None:
         resume=not args.no_resume,
         metrics_path=args.metrics,
         python_parallelism=args.python_parallelism,
+        sniff_charset=args.sniff_charset,
     )
     spark.stop()
 

@@ -123,3 +123,37 @@ def decode_pages(
 
     capped = _cap_python_tasks(df, python_parallelism)
     return capped.mapInPandas(batches, out_schema)
+
+
+def reencode_non_utf8(
+    df: DataFrame,
+    html_col: str = "html",
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """Charset-repair pre-stage for the extraction jobs: sniff every
+    page, route the already-clean majority (``charset = utf-8`` with
+    no BOM) straight through untouched, and send only the tail —
+    legacy encodings and BOM'd pages — through the Python decode +
+    UTF-8 re-encode. Returns the input schema plus ``charset`` /
+    ``charset_source`` lineage columns; downstream extraction reads
+    the repaired ``html`` bytes and needs no other change.
+
+    Scale shape: the split is one scan-stage predicate evaluated on
+    the sniff expression (both branches read the SAME scan — Spark
+    plans this as one source with two filters); the mapInPandas stage
+    sees only the tail fraction of pages. Row order across the union
+    is not preserved — extraction is url-keyed and order-independent.
+    """
+    sniffed = with_charset(df, html_col)
+    clean = sniffed.filter(
+        (F.col("charset") == "utf-8") & (F.col("charset_source") != "bom")
+    )
+    tail = sniffed.filter(
+        (F.col("charset") != "utf-8") | (F.col("charset_source") == "bom")
+    )
+    repaired = (
+        decode_pages(tail, html_col, python_parallelism)
+        .withColumn(html_col, F.encode("decoded_text", "UTF-8"))
+        .drop("decoded_text", "decode_ok")
+    )
+    return clean.unionByName(repaired)

@@ -286,6 +286,7 @@ def run_extract(
     resume: bool = True,
     metrics_path: str | None = None,
     python_parallelism: int | None = None,
+    sniff_charset: bool = False,
 ) -> None:
     """Batch run with checkpoint-resume semantics.
 
@@ -320,6 +321,16 @@ def run_extract(
                 for tag in ("PATH_NOT_FOUND", "Path does not exist", "UNABLE_TO_INFER_SCHEMA")
             ):
                 raise
+    if sniff_charset:
+        # charset-repair pre-stage (functions/charset): the clean-utf8
+        # majority passes through untouched; only the legacy/BOM tail
+        # pays a Python decode. Opt-in — with it off, byte identity to
+        # the utf-8-cast reference semantics is exact by construction.
+        from .functions.charset import reencode_non_utf8
+
+        pages = reencode_non_utf8(
+            pages, python_parallelism=python_parallelism
+        ).drop("charset", "charset_source")
     result = extract_pages(pages, params, python_parallelism)
     if metrics_path is not None:
         result = result.cache()

@@ -79,3 +79,25 @@ def test_unknown_codec_falls_back_marked(spark):
 def test_declaration_past_window_is_default(spark):
     body = b"<title>" + b"x" * 1100 + b'</title><meta charset="koi8-r">'
     assert _sniff(spark, body)[0] == ("utf-8", "default")
+
+
+def test_run_extract_sniff_charset_repairs_legacy_pages(spark, tmp_path):
+    from ocrd_segment_spark.pipeline import run_extract
+
+    para = "<html><body><p>caf\xe9 menu and r\xe9sum\xe9 here</p></body></html>"
+    pages = [
+        ("https://a.org/u8", ("<html><body><p>plain utf-8 page</p></body></html>").encode("utf-8")),
+        ("https://a.org/l1", ('<html><head><meta charset="iso-8859-1"></head>' + para).encode("iso-8859-1")),
+        ("https://a.org/u16", para.encode("utf-16")),
+    ]
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(pages, "url string, html binary").write.parquet(inp)
+    run_extract(spark, inp, out, sniff_charset=True)
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert "café menu and résumé here" in got["https://a.org/l1"]
+    assert "café menu and résumé here" in got["https://a.org/u16"]
+    assert "plain utf-8 page" in got["https://a.org/u8"]
