@@ -186,6 +186,13 @@ def main() -> None:
         " so scrubbing no longer orphans the span-aligned table",
     )
     ap.add_argument(
+        "--diff-prev",
+        default=None,
+        help="path of the PREVIOUS corpus parquet: adds diff_added/"
+        "removed/changed/unchanged counters vs the newly written"
+        " corpus (operators/snapshots.corpus_diff, post-write stage)",
+    )
+    ap.add_argument(
         "--sniff-charset",
         action="store_true",
         help="charset-repair pre-stage: decode legacy/BOM pages to clean"
@@ -314,6 +321,7 @@ def main() -> None:
         near_dup_audit=args.near_dup_audit,
         snapshot_collapse=args.snapshot_collapse,
         sniff_charset=args.sniff_charset,
+        diff_prev_path=args.diff_prev,
         honor_meta=args.honor_meta,
         outlinks_path=args.outlinks,
         host_ranks_path=args.host_ranks,
@@ -351,6 +359,7 @@ def build_corpus(
     near_dup_audit: str | None = None,
     snapshot_collapse: bool = False,
     sniff_charset: bool = False,
+    diff_prev_path: str | None = None,
     honor_meta: bool = False,
     outlinks_path: str | None = None,
     host_ranks_path: str | None = None,
@@ -734,6 +743,26 @@ def build_corpus(
     funnel["contaminated_docs"] = -1
     funnel["shards_written"] = -1
     funnel["sequences_packed"] = -1
+    for _k in ("diff_added", "diff_removed", "diff_changed", "diff_unchanged"):
+        funnel[_k] = -1
+    if diff_prev_path is not None:
+        # snapshot-over-snapshot delta vs a PREVIOUS corpus (post-write
+        # pattern: both sides read committed parquet; the full-outer
+        # join carries (url, md5) only — operators/snapshots). The
+        # summary collect is 4 rows.
+        from ocrd_segment_spark.operators.snapshots import (
+            corpus_diff,
+            diff_summary,
+        )
+
+        d = corpus_diff(
+            spark.read.parquet(diff_prev_path),
+            spark.read.parquet(output_path),
+            key_col="url",
+            text_col="extracted_text",
+        )
+        for r in diff_summary(d).collect():
+            funnel[f"diff_{r['status']}"] = r["n_urls"]
     if shard_tokens is not None:
         # token-balanced training-shard layout over the WRITTEN corpus
         # (post-write pattern: one committed-parquet scan, the
