@@ -228,6 +228,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train_merges": G.q_bpe_train_merges,
     # charset sniffing (functions/charset.py)
     "charset_sniff": G.q_charset_sniff,
+    # typographic punctuation fold (functions/normalize.py)
+    "punct_fold": G.q_punct_fold,
 }
 
 _ORACLES: dict[str, str] = {
@@ -367,6 +369,7 @@ _ORACLES: dict[str, str] = {
     "sentence_spans": G.O_SENTENCE_SPANS,
     "bpe_train_merges": G.O_BPE_TRAIN,
     "charset_sniff": G.O_CHARSET_SNIFF,
+    "punct_fold": G.O_PUNCT_FOLD,
 }
 
 

@@ -1371,3 +1371,55 @@ SELECT doc_id,
          ELSE 'default' END AS charset_source
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# typographic punctuation folding (functions/normalize.punct_fold_col)
+# ---------------------------------------------------------------------------
+
+# fixture binds the unicode punctuation as literals in BOTH engines'
+# SQL (python-embedded — no chr() games); the oracle restates the
+# identical translate()/replace() builtins over the same frozen map.
+_PF_DECOR = "“Qu’d” – x… •"
+
+
+def q_punct_fold(spark, sf_dir):
+    """Typographic fold (functions/normalize): 1:1 translate of smart
+    quotes/dashes/spaces/bullets (span-safe — length-preserving), plus
+    the opt-in 1→3 ellipsis expansion as a second column. Pure JVM
+    translate/replace, scan-stage, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from .functions.normalize import punct_fold_col, with_punct_fold
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"concat('{_PF_DECOR} ', text)").alias("text"),
+    )
+    out = with_punct_fold(d)
+    return out.select(
+        "doc_id",
+        "text_folded",
+        "punct_changed",
+        punct_fold_col("text", ellipsis=True).alias("text_folded_e"),
+    )
+
+
+def _punct_oracle() -> str:
+    from .functions.normalize import PUNCT_FROM, PUNCT_TO
+
+    f = PUNCT_FROM.replace("'", "''")
+    t = PUNCT_TO.replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT doc_id, '{_PF_DECOR} ' || text AS text FROM documents
+)
+SELECT doc_id,
+       translate(text, '{f}', '{t}') AS text_folded,
+       translate(text, '{f}', '{t}') <> text AS punct_changed,
+       replace(translate(text, '{f}', '{t}'), '…', '...') AS text_folded_e
+FROM d
+"""
+
+
+O_PUNCT_FOLD = _punct_oracle()

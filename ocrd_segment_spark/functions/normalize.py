@@ -67,3 +67,51 @@ def with_nfc(
     from ..pipeline import _cap_python_tasks
 
     return _cap_python_tasks(df, python_parallelism).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# typographic punctuation folding (span-safe by default)
+# ---------------------------------------------------------------------------
+
+# frozen 1:1 map — Windows-1252-style "smart" typography → ASCII. Kept
+# strictly one-codepoint-to-one so the DEFAULT fold is LENGTH-
+# preserving and therefore span-SAFE (unlike NFC, it may run between
+# extraction and span consumers). Pairs: curly/low-9 single quotes and
+# acute accent → ', curly/low-9 double quotes + guillemets → ", figure/
+# en/em/horizontal-bar dashes + minus sign → -, NBSP + narrow NBSP +
+# thin space → space, bullet → *.
+PUNCT_FROM = (
+    "\u2018\u2019\u201a\u201b\u00b4"  # single quotes + acute accent
+    "\u201c\u201d\u201e\u00ab\u00bb"  # double quotes + guillemets
+    "\u2012\u2013\u2014\u2015\u2212"  # figure/en/em/bar dashes + minus
+    "\u00a0\u202f\u2009"  # nbsp, narrow nbsp, thin space
+    "\u2022"  # bullet
+)
+PUNCT_TO = "'''''" + '"""""' + "-----" + "   " + "*"
+
+
+def punct_fold_col(text_col: str = "text", ellipsis: bool = False):
+    """Column: ``text_col`` with the frozen 1:1 typographic fold
+    applied (``translate`` — one JVM pass, identical builtin in
+    DuckDB). ``ellipsis=True`` additionally expands U+2026 to ``...``
+    — a 1→3 rewrite that changes offsets, so it is OPT-IN and must
+    not run on span-aligned text (the NFC placement caveat)."""
+    from pyspark.sql import functions as F
+
+    out = F.translate(F.col(text_col), PUNCT_FROM, PUNCT_TO)
+    if ellipsis:
+        out = F.replace(out, F.lit("…"), F.lit("..."))
+    return out
+
+
+def with_punct_fold(
+    df: DataFrame, text_col: str = "text", ellipsis: bool = False
+) -> DataFrame:
+    """Append ``text_folded`` + ``punct_changed``. Pure column math —
+    zero Python, zero shuffle, scan-stage."""
+    from pyspark.sql import functions as F
+
+    folded = punct_fold_col(text_col, ellipsis=ellipsis)
+    return df.withColumn("text_folded", folded).withColumn(
+        "punct_changed", F.col(text_col).eqNullSafe(F.col("text_folded")) == False  # noqa: E712
+    )

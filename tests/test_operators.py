@@ -763,3 +763,34 @@ def test_token_budget_stratified_edges(spark):
             ).collect()
         }
         assert got[lang] == solo
+
+
+def test_punct_fold_map_and_span_safety(spark):
+    from ocrd_segment_spark.functions.normalize import with_punct_fold
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "“Smart” ‘quotes’ — and nbsp • b"),
+        (2, "plain ascii stays"),
+        (3, None),
+        (4, "dots… here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_folded"], r["punct_changed"])
+        for r in with_punct_fold(df).collect()
+    }
+    assert got[1] == ('"Smart" \'quotes\' - and nbsp * b', True)
+    assert got[2] == ("plain ascii stays", False)
+    assert got[3] == (None, False)  # null-safe change flag
+    # default fold is length-preserving (span-safe) even on ellipsis
+    assert len(got[4][0]) == len(rows[3][1])
+
+    from ocrd_segment_spark.functions.normalize import punct_fold_col
+
+    e = (
+        df.filter("doc_id = 4")
+        .select(punct_fold_col("text", ellipsis=True).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert e == "dots... here"
