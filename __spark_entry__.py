@@ -230,6 +230,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_sniff": G.q_charset_sniff,
     # typographic punctuation fold (functions/normalize.py)
     "punct_fold": G.q_punct_fold,
+    # robots crawl-delay harvest (operators/robots.crawl_delays)
+    "robots_crawl_delay": G.q_robots_crawl_delay,
 }
 
 _ORACLES: dict[str, str] = {
@@ -370,6 +372,7 @@ _ORACLES: dict[str, str] = {
     "bpe_train_merges": G.O_BPE_TRAIN,
     "charset_sniff": G.O_CHARSET_SNIFF,
     "punct_fold": G.O_PUNCT_FOLD,
+    "robots_crawl_delay": G.O_ROBOTS_CRAWL_DELAY,
 }
 
 

@@ -68,6 +68,7 @@ def main() -> None:
         build_bloom,
     )
     from ocrd_segment_spark.operators.robots import (
+        crawl_delays,
         parse_robots,
         robots_allowed,
     )
@@ -103,9 +104,11 @@ def main() -> None:
         .withColumn("host", host_of("url"))
     )
 
-    if args.robots is not None:
-        rules = parse_robots(spark.read.parquet(args.robots))
-        cands = robots_allowed(rules, cands)
+    robots_df = (
+        spark.read.parquet(args.robots) if args.robots is not None else None
+    )
+    if robots_df is not None:
+        cands = robots_allowed(parse_robots(robots_df), cands)
     else:
         cands = cands.withColumn("robots_allowed", F.lit(True))
 
@@ -143,6 +146,12 @@ def main() -> None:
     else:
         frontier = frontier.withColumn("host_rank", F.lit(0.0))
 
+    if robots_df is not None:
+        # politeness interval per host (operators/robots.crawl_delays)
+        # joins as a scheduling column; null = scheduler default pace
+        frontier = frontier.join(crawl_delays(robots_df), "host", "left")
+    else:
+        frontier = frontier.withColumn("crawl_delay", F.lit(None).cast("double"))
     frontier.write.mode("overwrite").parquet(args.output)
     stats["sitemap_entries"] = e_obs.get["total"]
     stats["child_sitemaps"] = e_obs.get["children"] or 0

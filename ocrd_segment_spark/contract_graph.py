@@ -1423,3 +1423,54 @@ FROM d
 
 
 O_PUNCT_FOLD = _punct_oracle()
+
+
+# ---------------------------------------------------------------------------
+# robots crawl-delay harvest (operators/robots.crawl_delays)
+# ---------------------------------------------------------------------------
+
+# six hosts: every wildcard group declares d.5 seconds; even hosts add
+# a second (larger) integer declaration — max wins; a googlebot group
+# declares 99 (must NOT bind the generic crawler); host 3 opens a
+# second wildcard group with a non-numeric and a negative value (both
+# dropped, the d.5 survives).
+_RCD_BODY = """concat(
+  'User-agent: *', chr(10),
+  'Crawl-delay: ', cast(doc_id as string), '.5', chr(10),
+  CASE WHEN doc_id % 2 = 0
+       THEN concat('crawl-delay: ', cast(doc_id * 10 as string), chr(10))
+       ELSE '' END,
+  'User-agent: googlebot', chr(10),
+  'Crawl-delay: 99', chr(10),
+  CASE WHEN doc_id = 3
+       THEN concat('User-agent: *', chr(10), 'Crawl-delay: abc', chr(10),
+                   'Crawl-delay: -4', chr(10))
+       ELSE '' END)"""
+
+
+def q_robots_crawl_delay(spark, sf_dir):
+    """Crawl-delay harvest (operators/robots.crawl_delays): wildcard
+    groups only, try-cast to double seconds, invalid/negative dropped,
+    per-host MAX (the conservative pace). Shares the grouping grammar
+    with parse_robots via one helper — the two cannot drift."""
+    from .operators.robots import crawl_delays
+
+    robots = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id < 6")
+        .selectExpr(
+            "concat('h', cast(doc_id as string), '.example.org') as host",
+            f"cast({_RCD_BODY} as binary) as body",
+        )
+    )
+    return crawl_delays(robots)
+
+
+O_ROBOTS_CRAWL_DELAY = """
+SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.org' AS host,
+       greatest(CAST(doc_id AS DOUBLE) + 0.5,
+                CASE WHEN doc_id % 2 = 0
+                     THEN CAST(doc_id AS DOUBLE) * 10.0
+                     ELSE 0.0 END) AS crawl_delay
+FROM documents WHERE doc_id < 6
+"""

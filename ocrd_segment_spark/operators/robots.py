@@ -49,20 +49,20 @@ _ABS_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 _URL_PATH = "coalesce(nullif(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$', 1), ''), '/')"
 
 
-def parse_robots(
-    df: DataFrame, host_col: str = "host", body_col: str = "body"
+def _wildcard_directives(
+    df: DataFrame, host_col: str, body_col: str
 ) -> DataFrame:
-    """(host, rule, path) rules of every wildcard-agent group —
-    ``rule`` is ``allow`` or ``disallow``, ``path`` the verbatim
-    rule path. One posexplode + one body-grain window pass.
+    """(host, __bid, __name, __value) — every directive line that
+    belongs to a wildcard-agent group, the shared front half of
+    :func:`parse_robots` and :func:`crawl_delays` (one home for the
+    grouping grammar so the two can never drift).
 
     A host may arrive with SEVERAL bodies (refetch, http+https pair):
     identical bodies collapse to one (distinct), different bodies
     parse independently (windows key on the body digest, so two
     bodies' lines can never interleave into one agent group) and
-    their rules union — the conservative read of a conflicted fetch
-    table. Duplicate (rule, path) pairs across bodies stay duplicate
-    rows; robots_allowed's max(struct) is insensitive to that."""
+    their directives union — the conservative read of a conflicted
+    fetch table."""
     lines = (
         df.selectExpr(
             f"{host_col} as host",
@@ -106,17 +106,53 @@ def parse_robots(
         .select("host", "__bid", "__block")
         .distinct()
     )
+    return grouped.join(starred, ["host", "__bid", "__block"]).select(
+        "host", "__bid", "__name", "__value"
+    )
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, rule, path) rules of every wildcard-agent group —
+    ``rule`` is ``allow`` or ``disallow``, ``path`` the verbatim
+    rule path. One posexplode + one body-grain window pass (the
+    shared :func:`_wildcard_directives` front half). Duplicate
+    (rule, path) pairs across bodies stay duplicate rows;
+    robots_allowed's max(struct) is insensitive to that."""
     return (
-        grouped.filter(
+        _wildcard_directives(df, host_col, body_col)
+        .filter(
             F.col("__name").isin("allow", "disallow")
             & (F.col("__value") != "")
         )
-        .join(starred, ["host", "__bid", "__block"])
         .select(
             "host",
             F.col("__name").alias("rule"),
             F.col("__value").alias("path"),
         )
+    )
+
+
+def crawl_delays(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, crawl_delay) — the politeness interval a frontier
+    scheduler honors between fetches to one host. Frozen rule:
+    ``crawl-delay`` directives of wildcard-agent groups only (the
+    same group scope as the path rules — a delay addressed to a
+    specific crawler does not bind a generic one), values try-cast
+    to DOUBLE seconds (non-numeric dropped), negatives dropped, and
+    the per-host MAX wins — when fetch tables conflict, the slowest
+    declared pace is the conservative read. Hosts with no valid
+    directive emit no row (absence = scheduler default)."""
+    return (
+        _wildcard_directives(df, host_col, body_col)
+        .filter(F.col("__name") == "crawl-delay")
+        .withColumn("__d", F.expr("try_cast(__value as double)"))
+        .filter(F.col("__d").isNotNull() & (F.col("__d") >= 0))
+        .groupBy("host")
+        .agg(F.max("__d").alias("crawl_delay"))
     )
 
 

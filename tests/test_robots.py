@@ -154,3 +154,22 @@ def test_mixed_case_rules_host_still_matches(spark):
         ["https://example.org/p/x"],
     )
     assert got == {"https://example.org/p/x": False}
+
+
+def test_crawl_delays_frozen_rule(spark):
+    from ocrd_segment_spark.operators.robots import crawl_delays
+
+    bodies = [
+        ("a.org", b"User-agent: *\nCrawl-delay: 2\nCrawl-delay: 1.5\n"),
+        # second body for the same host: max across bodies
+        ("a.org", b"User-agent: *\nCrawl-delay: 7\n"),
+        # only a branded group: no wildcard rule, no row
+        ("b.org", b"User-agent: googlebot\nCrawl-delay: 99\n"),
+        # invalid + negative only: no row
+        ("c.org", b"User-agent: *\nCrawl-delay: fast\nCrawl-delay: -1\n"),
+        # inline comment and CRLF survive the line discipline
+        ("d.org", b"User-agent: *\r\nCrawl-delay: 3.25  # be nice\r\n"),
+    ]
+    df = spark.createDataFrame(bodies, "host string, body binary")
+    got = {r["host"]: r["crawl_delay"] for r in crawl_delays(df).collect()}
+    assert got == {"a.org": 7.0, "d.org": 3.25}
