@@ -479,3 +479,22 @@ def train_oracle_sql(
         for r in range(1, k + 1)
     )
     return head + "".join(rounds) + "\n" + finals
+
+
+def merges_to_vocab(
+    merges: DataFrame, base: tuple[str, ...] = _CHARS
+) -> tuple[str, ...]:
+    """Bridge the trainer to the meter: a :func:`train_merges` output
+    becomes a piece table for :func:`with_bpe_counts` /
+    :func:`tokenize_word` — base characters plus every learned merged
+    piece, deduplicated, sorted (piece order is irrelevant to the
+    fold; pieces_by_length regroups). The collect is the merge table —
+    model-sized by definition.
+
+    Stated: inference here is the module's greedy longest-match
+    (WordPiece-style) over the LEARNED pieces, not merge-order BPE
+    replay — the frozen choice the whole metering path already makes;
+    for piece tables learned by this trainer the two rarely differ on
+    natural text, and determinism is what the contract needs."""
+    pieces = {r["merged"] for r in merges.select("merged").collect()}
+    return tuple(sorted(set(base) | pieces))

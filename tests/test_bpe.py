@@ -208,3 +208,38 @@ def test_train_merges_max_words_cap(spark):
         tuple(r)
         for r in train_merges(docs, 1, via="driver", max_words=1).collect()
     ]
+
+
+def test_trained_merges_feed_the_meter(spark):
+    from ocrd_segment_spark.operators.bpe import (
+        merges_to_vocab,
+        oracle_sql,
+        train_merges,
+        with_bpe_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "banana bandana banana"), (2, "ban ban banana")],
+        "doc_id long, text string",
+    )
+    vocab = merges_to_vocab(train_merges(train, 3))
+    assert any(len(p) > 1 for p in vocab)  # learned pieces present
+
+    probe = spark.createDataFrame(
+        [(1, "Banana band"), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_unk_pieces"])
+        for r in with_bpe_counts(probe, vocab=vocab).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES (1, 'Banana band'),"
+        " (2, '')) t(doc_id, text)"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(oracle_sql(table="d", vocab=vocab)).fetchall()
+    }
+    assert oracle == got
+    assert got[2] == (0, 0)
