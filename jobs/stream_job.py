@@ -117,6 +117,11 @@ def main() -> None:
         " unbounded stream — run canonical collapse as a batch"
         " compaction stage instead",
     )
+    ap.add_argument(
+        "--sniff-charset", action="store_true",
+        help="charset-repair pre-stage before html-reading stages"
+        " (batch-job parity; functions/charset)",
+    )
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
@@ -147,6 +152,7 @@ def main() -> None:
         max_compression=args.max_compression,
         blocklist_path=args.blocklist,
         honor_noindex=args.honor_noindex,
+        sniff_charset=args.sniff_charset,
         count_bpe=args.count_bpe,
         bpe_vocab_path=args.bpe_vocab,
         available_now=args.available_now,
@@ -173,6 +179,7 @@ def run_stream(
     max_compression: float | None = None,
     blocklist_path: str | None = None,
     honor_noindex: bool = False,
+    sniff_charset: bool = False,
     count_bpe: bool = False,
     bpe_vocab_path: str | None = None,
     available_now: bool = True,
@@ -236,6 +243,22 @@ def run_stream(
             )
 
         pre_stages.append(_blocklist_stage)
+    if sniff_charset:
+        # charset repair AFTER the (url-only) blocklist, BEFORE every
+        # html-reading stage — batch-job parity. The clean-utf8 branch
+        # and the decoded tail are two filters of one streaming source
+        # unioned back (streaming-legal); the mapInPandas decode runs
+        # per microbatch on the tail only. The sniff is plain column
+        # expressions (no HOF lambdas), so the codegen-less microbatch
+        # no-CSE trap does not apply.
+        from ocrd_segment_spark.functions.charset import reencode_non_utf8
+
+        def _charset_stage(pages):
+            return reencode_non_utf8(
+                pages, python_parallelism=python_parallelism
+            ).drop("charset", "charset_source")
+
+        pre_stages.append(_charset_stage)
     if honor_noindex:
         # robots-noindex honoring BEFORE extraction — row-local column
         # math (head_meta harvest), trivially streaming-legal. The

@@ -419,6 +419,8 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "contaminated_docs": -1,
         "outlink_edges": -1, "shards_written": -1,
         "sequences_packed": -1,
+        "diff_added": -1, "diff_removed": -1,
+        "diff_changed": -1, "diff_unchanged": -1,
     }
 
 
