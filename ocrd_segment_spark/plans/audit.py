@@ -75,3 +75,14 @@ def whole_stage_codegen_subtrees(df: DataFrame) -> int:
     )
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
     return int(m.group(1)) if m else 0
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange NODES. The formatted plan mentions each node
+    twice (tree line + detail header) — counting the detail headers
+    counts nodes exactly once."""
+    import re
+
+    return len(
+        re.findall(r"^\(\d+\) Exchange", physical_plan(df), flags=re.M)
+    )

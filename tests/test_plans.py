@@ -208,3 +208,82 @@ def test_quality_classifier_is_pure_jvm(spark):
     plan = audit.physical_plan(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert not audit.has_exchange(out)
+
+
+def test_sentence_spans_is_narrow_codegen(spark):
+    """Sentence segmentation must be scan-stage column math: no
+    shuffle anywhere (the explode is in-place) and the expression
+    chain lives inside whole-stage codegen (the HOF lambdas only
+    touch bound attributes, the rebuild_with_spans discipline)."""
+    from ocrd_segment_spark.operators.sentences import sentence_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = sentence_spans(docs)
+    assert not audit.has_exchange(out)
+    assert audit.whole_stage_codegen_subtrees(out) >= 1
+
+
+def test_punct_fold_is_narrow(spark):
+    from ocrd_segment_spark.functions.normalize import with_punct_fold
+
+    out = with_punct_fold(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    )
+    assert not audit.has_exchange(out)
+
+
+def test_corpus_diff_shuffles_digests_not_text(spark):
+    """The full-outer join must consume the pre-projected (key,
+    digest) frames: no text column crosses the exchange, and each
+    side reads only (url, text) at the scan."""
+    from ocrd_segment_spark.operators.snapshots import corpus_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "concat('u', doc_id) as url", "text"
+    )
+    out = corpus_diff(docs, docs)
+    plan = audit.physical_plan(out)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+    assert "md5" in plan
+
+
+def test_sitemap_entries_single_partial_agg(spark):
+    """One shuffle (the dedupe groupBy) with a map-side partial
+    aggregate before it — harvest itself is scan-stage."""
+    from ocrd_segment_spark.operators.sitemaps import sitemap_entries
+
+    fetched = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "concat('h', doc_id) as host",
+        "cast(concat('<urlset><url><loc>u', doc_id, '</loc></url></urlset>') as binary) as body",
+    )
+    out = sitemap_entries(fetched)
+    assert audit.exchange_count(out) == 1
+    plan = audit.physical_plan(out)
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_bpe_pair_count_round_is_one_shuffle(spark):
+    """One training round's pair count: explode + ONE exchange with
+    map-side partial sum (the take-ordered argmax adds no extra
+    shuffle of the pair table)."""
+    from pyspark.sql import functions as F
+    from ocrd_segment_spark.operators.bpe import _PAIRS_EXPR, word_freqs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    seqs = word_freqs(docs).selectExpr(
+        "n", "array_join(split(word, ''), chr(31)) as seq"
+    )
+    pairs = (
+        seqs.withColumn("__parts", F.expr("split(seq, chr(31))"))
+        .select("n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.a").alias("lhs"), F.col("p.b").alias("rhs"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+    # word_freqs costs one exchange, the pair count one more — never a
+    # third (no join, no window in the round's hot path)
+    assert audit.exchange_count(pairs) == 2
