@@ -89,8 +89,6 @@ def main() -> None:
     children = entries.filter("is_index")
     if args.child_sitemaps is not None:
         children.write.mode("overwrite").parquet(args.child_sitemaps)
-        stats["sitemap_entries"] = e_obs.get["total"]
-        stats["child_sitemaps"] = e_obs.get["children"] or 0
 
     # candidate urls: the loc's OWN host keys robots/rank joins (a
     # cross-host submission schedules against the host it points AT);

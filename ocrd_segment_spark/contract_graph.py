@@ -1305,14 +1305,20 @@ def q_bpe_train_merges(spark, sf_dir):
     derivations of the frozen rule must agree."""
     from .operators.bpe import train_merges
 
-    docs = _t(spark, sf_dir, "documents").select("text")
+    # every third document: the trainer's cost is rounds × word-table
+    # scans and the contract only needs the rule exercised, not the
+    # largest possible vocabulary (gate-runtime control)
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 3 = 0").select("text")
     return train_merges(docs, _BPE_TRAIN_K)
 
 
 def _bpe_train_oracle() -> str:
     from .operators.bpe import train_oracle_sql
 
-    return train_oracle_sql(_BPE_TRAIN_K)
+    return train_oracle_sql(
+        _BPE_TRAIN_K,
+        table="(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+    )
 
 
 O_BPE_TRAIN = _bpe_train_oracle()

@@ -108,12 +108,20 @@ def decode_pages(
                     texts.append(None)
                     oks.append(False)
                     continue
+                # the whole resolve+decode is guarded: the sniff regex
+                # accepts any token, and the registry resolves several
+                # NON-text codecs (hex, base64, idna, undefined) whose
+                # decode raises LookupError/UnicodeError/ValueError even
+                # with errors='replace' — one hostile page must never
+                # fail the task (review-found, pinned by pytest)
                 try:
-                    codec = codecs.lookup(cs or "utf-8").name
+                    text = bytes(raw).decode(
+                        codecs.lookup(cs or "utf-8").name, errors="replace"
+                    )
                     ok = True
-                except LookupError:
-                    codec, ok = "utf-8", False
-                text = bytes(raw).decode(codec, errors="replace")
+                except (LookupError, UnicodeError, ValueError):
+                    text = bytes(raw).decode("utf-8", errors="replace")
+                    ok = False
                 texts.append(text.lstrip("\ufeff"))
                 oks.append(ok)
             pdf = pdf.copy()
@@ -138,11 +146,17 @@ def reencode_non_utf8(
     ``charset_source`` lineage columns; downstream extraction reads
     the repaired ``html`` bytes and needs no other change.
 
-    Scale shape: the split is one scan-stage predicate evaluated on
-    the sniff expression (both branches read the SAME scan — Spark
-    plans this as one source with two filters); the mapInPandas stage
-    sees only the tail fraction of pages. Row order across the union
-    is not preserved — extraction is url-keyed and order-independent.
+    Scale shape, stated honestly: Spark does NOT reuse a scan across
+    union branches, so the source is read TWICE with complementary
+    filters (the sniff predicate is not parquet-pushable). The
+    trade is deliberate: the clean >95% majority carries ZERO Python
+    cost, while the alternative single-pass shape would ship every
+    page's bytes through an extra Arrow round-trip on top of the one
+    the extraction kernel already pays. If a pipeline is scan-I/O
+    bound rather than Python-bound, sniff once into a persisted
+    charset column instead and filter on that. Row order across the
+    union is not preserved — extraction is url-keyed and
+    order-independent.
     """
     sniffed = with_charset(df, html_col)
     clean = sniffed.filter(

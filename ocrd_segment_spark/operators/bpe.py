@@ -430,25 +430,93 @@ def train_merges(
             break
         lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["cnt"]
         merges.append((rank, lhs, rhs, lhs + rhs, int(cnt)))
-        seqs = seqs.withColumn(
-            "seq",
-            F.replace(
-                F.col("seq"),
-                F.lit(lhs + TRAIN_SEP + rhs),
-                F.lit(lhs + rhs),
-            ),
-        ).localCheckpoint()
+        seqs = _apply_merge(seqs, lhs, rhs).localCheckpoint()
     return spark.createDataFrame(merges, schema)
+
+
+def _apply_merge(seqs: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping application of the
+    (lhs, rhs) merge to every sequence, on the symbol ARRAY. A flat
+    string replace of lhs+SEP+rhs is WRONG here: it also matches when
+    lhs is a proper suffix of the preceding multi-char symbol (e.g.
+    symbols [ab, c] match a (b, c) merge), gluing symbols that were
+    never adjacent (review-found; regression-pinned in test_bpe).
+
+    Closed form of the driver loop's greedy scan: a match position is
+    taken iff its offset from the start of its maximal run of
+    consecutive match positions is EVEN (runs only arise when lhs ==
+    rhs over repeated symbols; elsewhere matches cannot overlap).
+    Pure array column math, O(symbols²) per word — words are short."""
+    L, R = F.lit(lhs), F.lit(rhs)
+    d = (
+        seqs.withColumn("__p", F.expr("split(seq, chr(31))"))
+        .withColumn("__n", F.size("__p"))
+        .withColumn(
+            "__mk",
+            F.when(
+                F.col("__n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - 2),
+                    lambda i: (F.get("__p", i) == L)
+                    & (F.get("__p", i + 1) == R),
+                ),
+            ).otherwise(F.expr("cast(array() as array<boolean>)")),
+        )
+    )
+    # run start of match i = last non-match position before i, + 1
+    d = d.withColumn(
+        "__t",
+        F.transform(
+            F.col("__mk"),
+            lambda m, i: m
+            & (
+                (
+                    i
+                    - (
+                        F.aggregate(
+                            F.filter(
+                                F.sequence(F.lit(0), i),
+                                lambda j: (j < i) & ~F.get("__mk", j),
+                            ),
+                            F.lit(-1),
+                            lambda a, j: F.greatest(a, j),
+                        )
+                        + 1
+                    )
+                )
+                % 2
+                == 0
+            ),
+        ),
+    )
+    keep = F.filter(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda i: (i == 0)
+        | ~F.coalesce(F.get("__t", i - 1), F.lit(False)),
+    )
+    out = F.transform(
+        keep,
+        lambda i: F.when(
+            F.coalesce(F.get("__t", i), F.lit(False)), F.concat(L, R)
+        ).otherwise(F.get("__p", i)),
+    )
+    return d.withColumn("seq", F.array_join(out, TRAIN_SEP)).select(
+        "n", "seq"
+    )
 
 
 def train_oracle_sql(
     k: int, table: str = "documents", text_col: str = "text"
 ) -> str:
     """DuckDB restatement of :func:`train_merges`: the identical k
-    rounds unrolled as CTE trios (pair counts → argmax → replace) over
-    the same word-frequency table — the pagerank-oracle discipline."""
-    head = f"""WITH w0 AS (
-  SELECT array_to_string(string_split(word, ''), chr(31)) AS seq, n FROM (
+    rounds unrolled over the same word-frequency table — pair counts →
+    argmax → the run-parity greedy application, stated RELATIONALLY
+    (positions exploded per word, window count of preceding non-match
+    rows groups each run, row_number parity picks the taken matches,
+    lag marks consumed successors). A third independent derivation of
+    the frozen rule alongside the array form and the driver loop."""
+    head = f"""WITH w0 AS MATERIALIZED (
+  SELECT word, array_to_string(string_split(word, ''), chr(31)) AS seq, n FROM (
     SELECT w AS word, count(*) AS n FROM (
       SELECT unnest(list_filter(regexp_split_to_array(
         translate({text_col}, '{_UPPER}', '{_LOWER}'), '{WS_CLASS_DUCK}'),
@@ -459,19 +527,42 @@ def train_oracle_sql(
     rounds = []
     for r in range(1, k + 1):
         p = r - 1
-        rounds.append(f""", p{r} AS (
-  SELECT parts[CAST(i AS INT)] AS lhs, parts[CAST(i AS INT) + 1] AS rhs,
-         CAST(sum(n) AS BIGINT) AS cnt
+        rounds.append(f""", s{r} AS MATERIALIZED (
+  SELECT word, n, i, parts[CAST(i AS INT)] AS sym,
+         lead(parts[CAST(i AS INT)]) OVER (PARTITION BY word ORDER BY i) AS nxt
   FROM (
-    SELECT string_split(seq, chr(31)) AS parts, n,
-           unnest(generate_series(1, CAST(len(string_split(seq, chr(31))) - 1 AS BIGINT))) AS i
+    SELECT word, n, string_split(seq, chr(31)) AS parts,
+           unnest(generate_series(1, CAST(len(string_split(seq, chr(31))) AS BIGINT))) AS i
     FROM w{p})
-  GROUP BY 1, 2
-), b{r} AS (
+), p{r} AS MATERIALIZED (
+  SELECT sym AS lhs, nxt AS rhs, CAST(sum(n) AS BIGINT) AS cnt
+  FROM s{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
   SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
-), w{r} AS (
-  SELECT replace(seq, lhs || chr(31) || rhs, lhs || rhs) AS seq, n
-  FROM w{p}, b{r}
+), m{r} AS MATERIALIZED (
+  SELECT word, n, i, sym,
+         coalesce(sym = (SELECT lhs FROM b{r})
+                  AND nxt = (SELECT rhs FROM b{r}), false) AS m
+  FROM s{r}
+), g{r} AS MATERIALIZED (
+  SELECT word, n, i, sym, m,
+         count(*) FILTER (WHERE NOT m)
+           OVER (PARTITION BY word ORDER BY i) AS grp
+  FROM m{r}
+), t{r} AS MATERIALIZED (
+  SELECT word, n, i, sym,
+         CASE WHEN m THEN
+           (row_number() OVER (PARTITION BY word, grp, m ORDER BY i) - 1) % 2 = 0
+         ELSE false END AS taken
+  FROM g{r}
+), a{r} AS MATERIALIZED (
+  SELECT word, n, i,
+         CASE WHEN taken THEN (SELECT lhs || rhs FROM b{r}) ELSE sym END AS osym,
+         coalesce(lag(taken) OVER (PARTITION BY word ORDER BY i), false) AS consumed
+  FROM t{r}
+), w{r} AS MATERIALIZED (
+  SELECT word, string_agg(osym, chr(31) ORDER BY i) AS seq, n
+  FROM a{r} WHERE NOT consumed GROUP BY word, n
 )""")
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS rank, lhs, rhs,"

@@ -49,6 +49,39 @@ _ABS_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
 _URL_PATH = "coalesce(nullif(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)$', 1), ''), '/')"
 
 
+def logical_lines(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, __bid, ln, __line): robots.txt logical lines — split on
+    newline, trailing CR stripped, '#'-comments removed, blanks
+    trimmed, identical (host, body) pairs collapsed, lines keyed by
+    the body digest. The ONE home of the line grammar: the directive
+    parser below and the Sitemap: harvest (operators/sitemaps) both
+    consume it, so a comment/CRLF fix can never apply to one and not
+    the other (review-found drift channel)."""
+    return (
+        df.selectExpr(
+            f"{host_col} as host",
+            f"cast({body_col} as string) as __body",
+        )
+        .distinct()
+        .withColumn("__bid", F.md5("__body"))
+        .select(
+            "host",
+            "__bid",
+            F.posexplode(F.split("__body", "\n")).alias("ln", "__raw"),
+        )
+        .withColumn(
+            "__line",
+            F.expr(
+                "trim(regexp_replace(regexp_replace(__raw, '#.*$', ''),"
+                " '\r$', ''))"
+            ),
+        )
+        .drop("__raw")
+    )
+
+
 def _wildcard_directives(
     df: DataFrame, host_col: str, body_col: str
 ) -> DataFrame:
@@ -63,25 +96,7 @@ def _wildcard_directives(
     bodies' lines can never interleave into one agent group) and
     their directives union — the conservative read of a conflicted
     fetch table."""
-    lines = (
-        df.selectExpr(
-            f"{host_col} as host",
-            f"cast({body_col} as string) as __body",
-        )
-        .distinct()
-        .withColumn("__bid", F.md5("__body"))
-        .select(
-            "host",
-            "__bid",
-            F.posexplode(F.split("__body", "\n")).alias("ln", "__raw"),
-        )
-    ).withColumn(
-        "__line",
-        F.expr(
-            "trim(regexp_replace(regexp_replace(__raw, '#.*$', ''),"
-            " '\r$', ''))"
-        ),
-    )
+    lines = logical_lines(df, host_col, body_col)
     typed = lines.selectExpr(
         "host",
         "__bid",
@@ -151,7 +166,10 @@ def crawl_delays(
         .filter(F.col("__name") == "crawl-delay")
         .withColumn("__d", F.expr("try_cast(__value as double)"))
         .filter(F.col("__d").isNotNull() & (F.col("__d") >= 0))
-        .groupBy("host")
+        # lowercased like robots_allowed's join side: a mixed-case
+        # fetch table must neither split one host's max nor miss the
+        # (lowercased) frontier join (review-found)
+        .groupBy(F.lower(F.col("host")).alias("host"))
         .agg(F.max("__d").alias("crawl_delay"))
     )
 

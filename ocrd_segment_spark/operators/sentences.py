@@ -26,15 +26,17 @@ it; a learned splitter would not be portable to a SQL oracle):
   - ``sent_idx`` renumbers 0..n-1 over the KEPT sentences.
 
 Implementation shape (100 TB): one global regexp_replace inserts a
-US (0x1F) marker per boundary, then spans derive from marker
-POSITIONS — start of unit k+1 = (1-based marker position) − (markers
-before it) − 1, an O(n) ``transform`` over the marker-position array
-(the rebuild_with_spans discipline: never the O(n²)
-aggregate+array_append prefix scan). Everything is JVM column math;
-the only "shuffle" is none — output rows explode in place. The
-DuckDB oracle derives the SAME spans by the other route (window
-prefix-sum over unit lengths), so the contract cross-checks two
-independent derivations of one frozen rule.
+US (0x1F) marker per boundary; since markers are pure insertions the
+original text is the split units concatenated, and each unit's start
+is the sum of the unit lengths before it — computed as a per-unit
+scalar ``aggregate`` over an int-array slice (no array_append
+accumulator, no per-character substring scan; O(u²) integer adds in
+the sentence count u, linear in characters). Everything is JVM
+column math; the only "shuffle" is none — output rows explode in
+place. The DuckDB oracle derives the SAME spans by the other route
+(window prefix-sum over unit lengths in the relational form), so the
+contract cross-checks two independent derivations of one frozen
+rule.
 """
 
 from __future__ import annotations
@@ -60,23 +62,31 @@ def sentence_spans(
             f" concat('$1', chr(31), '$2$3'))"
         ).alias("__m"),
     )
-    units = F.split("__m", SEP)
-    # 1-based positions of the inserted markers; unit k+1 begins at
-    # original offset (position − k − 1). The per-char lambda touches
-    # only the bound __m attribute — CSE-safe under codegen.
-    seps = F.filter(
-        F.sequence(F.lit(1), F.length("__m")),
-        lambda i: F.col("__m").substr(i, F.lit(1)) == F.lit(SEP),
+    # offsets from UNIT lengths: markers were inserted (nothing was
+    # deleted), so the original text is the units concatenated and
+    # start_k = Σ length(unit_j) for j < k. The per-start aggregate
+    # folds an int slice to a SCALAR — no array_append accumulator
+    # (the measured O(n²)-copies trap) and no per-CHARACTER substr
+    # scan (UTF8String.substring walks bytes to the index, quadratic
+    # on long documents — review-found). Cost is O(u²) integer adds
+    # in the SENTENCE count u, linear in characters.
+    marked = marked.withColumn("__u", F.split("__m", SEP)).withColumn(
+        "__lens",
+        F.transform("__u", lambda u: F.length(u).cast("long")),
     )
-    starts = F.concat(
-        F.array(F.lit(0).cast("long")),
-        F.transform(seps, lambda p, k: p.cast("long") - k - 1),
+    starts = F.transform(
+        F.sequence(F.lit(0), F.size("__u") - 1),
+        lambda k: F.aggregate(
+            F.slice("__lens", F.lit(1), k),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
     )
     sent = (
         marked.withColumn(
             "__z",
             F.zip_with(
-                units,
+                F.col("__u"),
                 starts,
                 lambda u, st: F.struct(
                     F.ltrim(u).alias("sentence"),

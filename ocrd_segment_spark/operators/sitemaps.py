@@ -104,18 +104,12 @@ def robots_sitemap_urls(
     bodies, distinct per host. Group-independent per RFC 9309, so no
     agent-group bookkeeping: every non-comment line whose directive
     name is ``sitemap`` (case-insensitive) contributes its trimmed
-    value verbatim (absolute-url validation belongs to the fetcher)."""
-    lines = df.selectExpr(
-        f"{host_col} as host", f"cast({body_col} as string) as __body"
-    ).select(
-        "host",
-        F.explode(F.split("__body", "\n")).alias("__raw"),
-    ).withColumn(
-        "__line",
-        F.expr(
-            "trim(regexp_replace(regexp_replace(__raw, '#.*$', ''), '\r$', ''))"
-        ),
-    )
+    value verbatim (absolute-url validation belongs to the fetcher).
+    Line grammar comes from the ONE shared home
+    (operators/robots.logical_lines) — review-found drift channel."""
+    from .robots import logical_lines
+
+    lines = logical_lines(df, host_col, body_col)
     return (
         lines.filter(
             F.expr(

@@ -243,3 +243,33 @@ def test_trained_merges_feed_the_meter(spark):
     }
     assert oracle == got
     assert got[2] == (0, 0)
+
+
+def test_train_merges_suffix_boundary_regression(spark):
+    """Review-found: a flat string replace of lhs+SEP+rhs also matches
+    when lhs is a proper suffix of the preceding multi-char symbol
+    ([ab, c] must NOT satisfy a (b, c) merge). The run-parity array
+    application must track the driver loop exactly — including the
+    lhs == rhs run case, where greedy non-overlap skips alternate
+    positions."""
+    from ocrd_segment_spark.operators.bpe import train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab abc zbc zbc")], "doc_id long, text string"
+    )
+    d = [tuple(r) for r in train_merges(docs, 4).collect()]
+    assert d == [tuple(r) for r in train_merges(docs, 4, via="driver").collect()]
+    assert d == [
+        (1, "a", "b", "ab", 4),
+        (2, "b", "c", "bc", 2),  # must NOT glue 'ab|c' into 'abc' here
+        (3, "z", "bc", "zbc", 2),
+        (4, "ab", "c", "abc", 1),
+    ]
+
+    runs = spark.createDataFrame(
+        [(1, "aaaa aaaaa aa a")], "doc_id long, text string"
+    )
+    d2 = [tuple(r) for r in train_merges(runs, 3).collect()]
+    assert d2 == [tuple(r) for r in train_merges(runs, 3, via="driver").collect()]
+    assert d2[0] == (1, "a", "a", "aa", 8)
+    assert d2[1] == (2, "aa", "aa", "aaaa", 2)  # greedy pairs, not aaa

@@ -101,3 +101,21 @@ def test_run_extract_sniff_charset_repairs_legacy_pages(spark, tmp_path):
     assert "café menu and résumé here" in got["https://a.org/l1"]
     assert "café menu and résumé here" in got["https://a.org/u16"]
     assert "plain utf-8 page" in got["https://a.org/u8"]
+
+
+def test_non_text_codec_claims_cannot_crash_decode(spark):
+    # hex/base64/idna resolve in the codec registry but are not text
+    # codecs (or raise despite errors='replace') — one hostile page
+    # must fall back to utf-8 with decode_ok=false, never fail a task
+    rows = [
+        ("hex", b'<meta charset="hex">payload'),
+        ("b64", b'<meta charset="base64">payload'),
+        ("idna", b'<meta charset="idna">\xffpayload'),
+        ("undef", b'<meta charset="undefined">x'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    from ocrd_segment_spark.functions.charset import decode_pages, with_charset
+
+    out = {r["url"]: r for r in decode_pages(with_charset(df)).collect()}
+    assert all(not out[u]["decode_ok"] for u in ("hex", "b64", "undef"))
+    assert "payload" in out["hex"]["decoded_text"]

@@ -173,3 +173,17 @@ def test_crawl_delays_frozen_rule(spark):
     df = spark.createDataFrame(bodies, "host string, body binary")
     got = {r["host"]: r["crawl_delay"] for r in crawl_delays(df).collect()}
     assert got == {"a.org": 7.0, "d.org": 3.25}
+
+
+def test_crawl_delays_mixed_case_hosts_merge_lowercased(spark):
+    from ocrd_segment_spark.operators.robots import crawl_delays
+
+    df = spark.createDataFrame(
+        [
+            ("Example.ORG", b"User-agent: *\nCrawl-delay: 10\n"),
+            ("example.org", b"User-agent: *\nCrawl-delay: 4\n"),
+        ],
+        "host string, body binary",
+    )
+    got = {r["host"]: r["crawl_delay"] for r in crawl_delays(df).collect()}
+    assert got == {"example.org": 10.0}
