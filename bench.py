@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ocrd_segment_spark.session import build_session
 from ocrd_segment_spark.pipeline import extract_pages
 from ocrd_segment_spark import contract as C
+from ocrd_segment_spark import contract_graph as G
 from ocrd_segment_spark import contract_ml as M
 from ocrd_segment_spark.functions.sublevels import words_table
 
@@ -354,6 +355,10 @@ def main() -> None:
         "decontaminate": lambda: M.q_decontaminate(spark, SF_DIR).count(),
         "substring_dedup": lambda: M.q_dedup_exact_substring(spark, SF_DIR).count(),
         "word_spans_derive": bench_word_spans,
+        # round-5 session-3 operators (all JVM-side)
+        "sentence_spans": lambda: G.q_sentence_spans(spark, SF_DIR).count(),
+        "corpus_diff": lambda: G.q_corpus_diff(spark, SF_DIR).count(),
+        "bpe_train_merges": lambda: G.q_bpe_train_merges(spark, SF_DIR).collect(),
         "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
         and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
         "extract_pages": bench_extract,

@@ -432,6 +432,46 @@ the artifact instead of silently becoming the headline.
   docs keep (no evidence). Weights digest-pinned like the langid
   model; coverage caveat documented (toy seeds → out-of-vocabulary
   text scores ≈ bias).
+
+## Round-5 session-3 surface: discovery, diffing, segmentation, training
+
+- **Sitemap harvest + robots Sitemap:/Crawl-delay** (operators/
+  sitemaps, robots.crawl_delays): scan-stage column math over
+  host-grain fetch tables (orders of magnitude below page grain);
+  the line grammar has ONE home (robots.logical_lines) shared by the
+  rule parser, the delay harvest and the sitemap-directive harvest.
+- **Frontier planning job** (jobs/frontier_job.py): sitemaps → REP
+  longest-match filter → Bloom seen-set (broadcast bit table, no
+  false negatives) → PageRank priority + crawl-delay columns. The one
+  corpus-sized input enters only as the bloom table; drop accounting
+  rides the terminal write as Observations; output deliberately
+  unsorted (frontier ordering is the consumer's top-k problem).
+- **Cross-snapshot corpus diff** (operators/snapshots + corpus_job
+  --diff-prev): full-outer on the url key with SCAN-SIDE md5, so the
+  shuffle carries 32-byte digests, never text — the batch-vs-corpus
+  incremental-merge shape at 10^12 rows.
+- **Sentence segmentation with spans** (operators/sentences): frozen
+  regular boundary rule, offsets from unit-length sums (scalar
+  aggregate per start — no per-character scan, no array_append
+  accumulator), zero shuffle; the oracle derives the same spans via
+  the independent window-prefix-sum route.
+- **BPE merge training** (operators/bpe.train_merges): the
+  distributed part of BPE training is the ONE corpus-sized
+  word-frequency shuffle; the k merge rounds then run over the
+  vocabulary-grain table (distributed loop with run-parity greedy
+  application == the driver in-memory loop, pinned equal; the
+  production shape for real k~30k is the driver loop over the
+  model-sized collected table). Gate lesson: DuckDB inlines CTEs per
+  reference — the unrolled-round oracle needs MATERIALIZED or it
+  re-executes the chain exponentially (7 min → 33 s).
+- **Charset repair** (functions/charset + --sniff-charset on all
+  three jobs): pure-JVM sniff (BOM hex-prefix > meta > default);
+  only the legacy/BOM tail pays the Python decode. Stated honestly:
+  the union reads the source twice (the sniff predicate is not
+  pushable) — the trade keeps the >95% clean majority at zero Python
+  cost; scan-I/O-bound pipelines should persist the charset column.
+- **Punctuation folding** (functions/normalize.punct_fold_col): 1:1
+  translate, length-preserving and therefore span-safe by default.
 """
 
 
