@@ -232,6 +232,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "punct_fold": G.q_punct_fold,
     # robots crawl-delay harvest (operators/robots.crawl_delays)
     "robots_crawl_delay": G.q_robots_crawl_delay,
+    # temperature-based language mixture weights (operators/sampling)
+    "lang_mixture_weights": G.q_lang_mixture_weights,
+    # reciprocal-link fraction (operators/linkgraph)
+    "link_reciprocity": G.q_link_reciprocity,
 }
 
 _ORACLES: dict[str, str] = {
@@ -373,6 +377,8 @@ _ORACLES: dict[str, str] = {
     "charset_sniff": G.O_CHARSET_SNIFF,
     "punct_fold": G.O_PUNCT_FOLD,
     "robots_crawl_delay": G.O_ROBOTS_CRAWL_DELAY,
+    "lang_mixture_weights": G.O_LANG_MIXTURE,
+    "link_reciprocity": G.O_LINK_RECIPROCITY,
 }
 
 

@@ -1480,3 +1480,80 @@ SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example.org' AS host,
                      ELSE 0.0 END) AS crawl_delay
 FROM documents WHERE doc_id < 6
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based language mixture weights (operators/sampling)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_mixture_weights(spark, sf_dir):
+    """XLM-style alpha-sampling weights (operators/sampling.
+    lang_mixture_weights): per-language token totals raised to alpha
+    = 0.5 and normalized. sqrt is exactly rounded per IEEE-754 in
+    both engines — the reason the contract pins alpha = 0.5 (general
+    pow is transcendental and not identically rounded across libm).
+    Languages-grain output; one partial agg + the 1-row broadcast
+    total."""
+    from .operators.sampling import lang_mixture_weights
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "lang", "n_chars as n_tokens"
+    )
+    return lang_mixture_weights(d)
+
+
+O_LANG_MIXTURE = """
+WITH per AS (
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), r AS (
+  SELECT lang, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS rr FROM per
+), t AS (SELECT sum(rr) AS tot FROM r)
+SELECT lang, n_tokens,
+       round(CASE WHEN tot > 0 THEN rr / tot ELSE 0.0 END, 6) AS weight
+FROM r, t
+"""
+
+
+# ---------------------------------------------------------------------------
+# link reciprocity (operators/linkgraph.link_reciprocity)
+# ---------------------------------------------------------------------------
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Reciprocal-link fraction per source host (operators/linkgraph.
+    link_reciprocity) over the same synthesized 29-node graph the
+    PageRank key uses: distinct ordered pairs, self-join against the
+    reversal, per-source partial agg. The link-farm signal consumed
+    like the PageRank floor."""
+    from .operators.linkgraph import link_reciprocity
+
+    edges = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "concat('h', cast(doc_id % 23 as string)) as src_host",
+            "concat('h', cast((doc_id * 7 + n_chars) % 29 as string)) as dst_host",
+        )
+        .filter("src_host <> dst_host")
+    )
+    return link_reciprocity(edges)
+
+
+O_LINK_RECIPROCITY = """
+WITH e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + n_chars) % 29 AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'h' || CAST(doc_id % 23 AS VARCHAR)
+        <> 'h' || CAST((doc_id * 7 + n_chars) % 29 AS VARCHAR)
+), m AS (
+  SELECT e.src, e.dst,
+         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS back
+  FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+)
+SELECT src AS host, count(*) AS n_out,
+       CAST(sum(back) AS BIGINT) AS n_reciprocal,
+       round(sum(back) * 1.0 / count(*), 6) AS reciprocity
+FROM m GROUP BY src
+"""

@@ -291,3 +291,39 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return ranks.select("node", "rank")
+
+
+def link_reciprocity(edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host") -> DataFrame:
+    """(host, n_out, n_reciprocal, reciprocity) — per source host, the
+    fraction of its distinct out-neighbors that link BACK. A classic
+    link-spam signal (public practice: organic link neighborhoods are
+    mostly one-directional; link farms and exchange rings reciprocate
+    near 1.0), consumed the same way as the PageRank floor
+    (corpus_job --host-rank-min's shape). Frozen: edges dedupe to
+    distinct ordered host pairs first (multiplicity is a spam
+    vector), self-edges are ignored by construction of host_edges;
+    reciprocity rounds to 6 decimals.
+
+    Scale shape: host-grain throughout — one distinct, one self-join
+    of the edge table against its own reversal (equi-join on the
+    pair, AQE-planned), one partial-aggregable group on the source."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    marked = e.join(
+        rev.withColumn("__back", F.lit(True)), ["src", "dst"], "left"
+    )
+    return marked.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").alias("n_out"),
+        F.coalesce(F.sum(F.col("__back").cast("long")), F.lit(0)).alias(
+            "n_reciprocal"
+        ),
+        F.round(
+            F.coalesce(F.sum(F.col("__back").cast("long")), F.lit(0))
+            * F.lit(1.0)
+            / F.count("*"),
+            6,
+        ).alias("reciprocity"),
+    )

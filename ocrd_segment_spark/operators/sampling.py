@@ -451,3 +451,52 @@ def pack_sequences(
         )
         .select(*out_cols)
     )
+
+
+def lang_mixture_weights(
+    df, lang_col: str = "lang", tokens_col: str = "n_tokens",
+    alpha: float = 0.5,
+) -> "DataFrame":
+    """Temperature-based multilingual sampling weights (the XLM /
+    mT5-style alpha rule, public practice): per language,
+    ``q_l = p_l^alpha / Σ_m p_m^alpha`` with ``p_l`` the language's
+    token share — alpha < 1 up-weights low-resource languages, alpha
+    = 1 is proportional sampling. Output (lang, n_tokens, weight),
+    weight rounded to 6 decimals; languages with zero tokens get
+    weight 0 (they cannot be up-sampled from nothing).
+
+    ``alpha=0.5`` (the default) is computed as ``sqrt`` — exactly
+    rounded per IEEE-754 in every engine, so the DuckDB oracle
+    matches bit-for-bit. Other alphas go through ``pow``, which is
+    transcendental and NOT guaranteed identically rounded across
+    libm implementations — fine for production, but contract keys
+    must pin alpha=0.5 (the repo's no-transcendentals-cross-engine
+    rule).
+
+    Scale shape: ONE partial-aggregable groupBy on the language (the
+    output is languages-grain, tens of rows) + the 1-row total
+    crossJoined back broadcast-style (the textstats pattern)."""
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(tokens_col).alias("n_tokens")
+    )
+    raised = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    per = per.withColumn("__r", raised)
+    total = per.agg(F.sum("__r").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(
+                F.when(F.col("__tot") > 0, F.col("__r") / F.col("__tot"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("weight"),
+        )
+    )

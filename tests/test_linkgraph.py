@@ -401,3 +401,21 @@ def test_corpus_job_host_rank_floor(spark, tmp_path):
     assert funnel["dropped_stale_snapshot"] == -1
     assert funnel["outlink_edges"] == -1
     assert funnel["shards_written"] == -1
+
+
+def test_link_reciprocity_hand_case(spark):
+    from ocrd_segment_spark.operators.linkgraph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),  # mutual
+            ("a", "c"),              # one-way
+            ("a", "b"),              # duplicate edge must not double-count
+        ],
+        "src_host string, dst_host string",
+    )
+    got = {
+        r["host"]: (r["n_out"], r["n_reciprocal"], r["reciprocity"])
+        for r in link_reciprocity(edges).collect()
+    }
+    assert got == {"a": (2, 1, 0.5), "b": (1, 1, 1.0)}

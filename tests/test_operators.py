@@ -796,3 +796,24 @@ def test_punct_fold_map_and_span_safety(spark):
         .collect()[0]["t"]
     )
     assert e == "dots... here"
+
+
+def test_lang_mixture_weights_alpha_half_and_one(spark):
+    from ocrd_segment_spark.operators.sampling import lang_mixture_weights
+
+    docs = spark.createDataFrame(
+        [("en", 45), ("en", 45), ("de", 10), ("fr", 0)],
+        "lang string, n_tokens long",
+    )
+    # sqrt(90)/(sqrt(90)+sqrt(10)) = 3/4 exactly (both are √10 multiples)
+    half = {
+        r["lang"]: (r["n_tokens"], r["weight"])
+        for r in lang_mixture_weights(docs).collect()
+    }
+    assert half == {"en": (90, 0.75), "de": (10, 0.25), "fr": (0, 0.0)}
+    # alpha=1 is proportional sampling
+    prop = {
+        r["lang"]: r["weight"]
+        for r in lang_mixture_weights(docs, alpha=1.0).collect()
+    }
+    assert prop == {"en": 0.9, "de": 0.1, "fr": 0.0}
