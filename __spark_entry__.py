@@ -236,6 +236,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_mixture_weights": G.q_lang_mixture_weights,
     # reciprocal-link fraction (operators/linkgraph)
     "link_reciprocity": G.q_link_reciprocity,
+    # positional postings + exact phrase retrieval (operators/index)
+    "positional_postings": G.q_positional_postings,
+    "phrase_topk": G.q_phrase_topk,
 }
 
 _ORACLES: dict[str, str] = {
@@ -379,6 +382,8 @@ _ORACLES: dict[str, str] = {
     "robots_crawl_delay": G.O_ROBOTS_CRAWL_DELAY,
     "lang_mixture_weights": G.O_LANG_MIXTURE,
     "link_reciprocity": G.O_LINK_RECIPROCITY,
+    "positional_postings": G.O_POSITIONAL_POSTINGS,
+    "phrase_topk": G.O_PHRASE_TOPK,
 }
 
 

@@ -1557,3 +1557,80 @@ SELECT src AS host, count(*) AS n_out,
        round(sum(back) * 1.0 / count(*), 6) AS reciprocity
 FROM m GROUP BY src
 """
+
+
+# ---------------------------------------------------------------------------
+# positional postings + exact phrase retrieval (operators/index)
+# ---------------------------------------------------------------------------
+
+# planted phrases over synthetic tokens that cannot occur in the
+# natural fixture text: %3==0 docs carry TWO occurrences of the
+# phrase, %3==1 docs carry it REVERSED (must not match — the whole
+# point of positions), the rest carry the terms separated by filler.
+_PH_TEXT = """concat(text, CASE doc_id % 3
+  WHEN 0 THEN ' zqx1 zqx2 filler zqx1 zqx2'
+  WHEN 1 THEN ' zqx2 zqx1'
+  ELSE ' zqx1 pad zqx2' END)"""
+_D_PH_TEXT = """text || CASE doc_id % 3
+  WHEN 0 THEN ' zqx1 zqx2 filler zqx1 zqx2'
+  WHEN 1 THEN ' zqx2 zqx1'
+  ELSE ' zqx1 pad zqx2' END"""
+
+_D_PH_TOKS = """
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t AS term FROM (
+    SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower({text}), ' '), x -> x <> '') AS l
+      FROM documents {where}))
+"""
+
+
+def q_positional_postings(spark, sf_dir):
+    """Positional postings (operators/index.build_positional_postings):
+    one row per token occurrence, pos = 0-based index in the filtered
+    token sequence — the frozen build_postings tokenization. Scan-stage
+    posexplode, token-grain output."""
+    from .operators.index import build_positional_postings
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 50").select(
+        "doc_id", "text"
+    )
+    return build_positional_postings(d)
+
+
+O_POSITIONAL_POSTINGS = (
+    "SELECT term, doc_id, pos FROM ("
+    + _D_PH_TOKS.format(text="text", where="WHERE doc_id < 50")
+    + ")"
+)
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact phrase retrieval (operators/index.phrase_topk): the
+    phrase's terms at consecutive positions, overlaps counted, top-k
+    by (n_matches desc, doc_id). Index scan filtered to the phrase
+    terms first; one compound equi-join per extra term; TakeOrdered
+    top-k. The reversed planting must not match."""
+    from .operators.index import (
+        build_positional_postings,
+        phrase_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PH_TEXT} as text"
+    )
+    return phrase_topk(build_positional_postings(d), ["zqx1", "zqx2"], k=10)
+
+
+O_PHRASE_TOPK = (
+    "WITH toks AS ("
+    + _D_PH_TOKS.format(text=_D_PH_TEXT, where="")
+    + """), a AS (
+  SELECT t0.doc_id, t0.pos FROM toks t0
+  JOIN toks t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.term = 'zqx1' AND t1.term = 'zqx2'
+)
+SELECT doc_id, count(*) AS n_matches FROM a GROUP BY doc_id
+ORDER BY n_matches DESC, doc_id ASC LIMIT 10
+"""
+)

@@ -167,3 +167,64 @@ def index_add_batch(
     )
     fresh = batch_once.join(ids, id_col, "left_anti")
     return build_postings(fresh, id_col=id_col, text_col=text_col)
+
+
+def build_positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, doc_id, pos) positional postings — one row per token
+    OCCURRENCE, ``pos`` the 0-based index in the FILTERED token
+    sequence (same frozen tokenization as :func:`build_postings`;
+    :func:`doc_lengths` equals ``count(*)`` per doc over this table,
+    so the two index forms stay consistent). The phrase-query
+    primitive: tf-only postings cannot distinguish "new york" from
+    "york new".
+
+    Scale shape: posexplode is scan-stage; the table is token-grain
+    (≈ corpus token count — the standard positional-index size trade,
+    ~2-3× the tf-only postings). Layout-neutral like build_postings;
+    repartition('term') at write."""
+    return df.selectExpr(
+        f"{id_col} as doc_id",
+        f"posexplode({_TOKS.format(col=text_col)}) as (pos, term)",
+    ).select("term", "doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+def phrase_topk(
+    positional: DataFrame, phrase: list[str], k: int = 10
+) -> DataFrame:
+    """Top-k documents for an EXACT phrase → (doc_id, n_matches):
+    docs where the phrase's terms occur at consecutive positions,
+    ranked by occurrence count desc, doc_id asc. Terms are matched
+    verbatim against the index's tokenization (callers lowercase, as
+    the tokenizer does).
+
+    Frozen: a match at position p requires term_i at p + i for every
+    i; overlapping matches each count (a phrase can overlap itself
+    only with a repeated prefix — counting them is the simple stated
+    rule). Single-term phrases degenerate to tf ranking.
+
+    Scale shape: the index scan filters to the phrase's terms FIRST
+    (an IN over a literal handful — pushed to a written index's
+    parquet scan), so every join is candidate-sized: anchor = the
+    first term's occurrences, then one equi-join per remaining term
+    on (doc_id, pos + i) — m-1 joins for an m-term phrase, each on a
+    compound equi-key (no theta join anywhere), AQE-planned. The
+    final top-k is a TakeOrdered, never a full sort."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cand = positional.filter(F.col("term").isin(list(set(phrase))))
+    anchor = cand.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = cand.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        anchor = anchor.join(nxt, ["doc_id", "p0"])
+    matches = anchor.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+    return matches.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)

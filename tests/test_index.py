@@ -162,3 +162,44 @@ def test_index_add_batch_indexed_ids_artifact(spark):
         base, batch, indexed_ids=doc_lengths(base)
     )
     assert {(r.term, r.doc_id) for r in via_ids.collect()} == {("e", 5)}
+
+
+def test_positional_postings_and_phrase_search(spark):
+    from ocrd_segment_spark.operators.index import (
+        build_positional_postings,
+        doc_lengths,
+        build_postings,
+        phrase_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york city"),
+            (2, "york new is reversed"),
+            (3, "new  york"),  # double space: empties dropped, still adjacent
+            (4, "New York uppercase folds"),
+            (5, "new not york apart"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = build_positional_postings(docs)
+    # consistency with the tf index: count(*) per doc == dl
+    dl = {r["doc_id"]: r["dl"] for r in doc_lengths(build_postings(docs)).collect()}
+    cnt = {r["doc_id"]: r["n"] for r in pos.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert cnt == dl
+
+    got = [
+        (r["doc_id"], r["n_matches"])
+        for r in phrase_topk(pos, ["new", "york"], k=10).collect()
+    ]
+    assert got == [(1, 2), (3, 1), (4, 1)]  # overlapless double count, gap/reversal excluded
+
+    # overlapping self-phrase: 'a a a' has two overlapping 'a a' matches
+    rep = spark.createDataFrame([(9, "a a a")], "doc_id long, text string")
+    got2 = phrase_topk(build_positional_postings(rep), ["a", "a"]).collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in got2] == [(9, 2)]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        phrase_topk(pos, [])
