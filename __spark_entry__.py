@@ -239,6 +239,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # positional postings + exact phrase retrieval (operators/index)
     "positional_postings": G.q_positional_postings,
     "phrase_topk": G.q_phrase_topk,
+    # warm-started PageRank (incremental crawl-over-crawl re-rank)
+    "pagerank_warm_start": G.q_pagerank_warm_start,
 }
 
 _ORACLES: dict[str, str] = {
@@ -384,6 +386,7 @@ _ORACLES: dict[str, str] = {
     "link_reciprocity": G.O_LINK_RECIPROCITY,
     "positional_postings": G.O_POSITIONAL_POSTINGS,
     "phrase_topk": G.O_PHRASE_TOPK,
+    "pagerank_warm_start": G.O_PAGERANK_WARM,
 }
 
 

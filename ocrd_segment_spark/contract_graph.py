@@ -212,11 +212,18 @@ def q_linkgraph_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
-def _pagerank_oracle(iterations: int, damping: float) -> str:
-    """Unrolled power-iteration SQL: r0 = 1/N; r[i] = (1-d)/N +
+def _pagerank_oracle(
+    iterations: int, damping: float, r0_sql: str | None = None
+) -> str:
+    """Unrolled power-iteration SQL: r0 = 1/N (or the warm-start
+    clause when ``r0_sql`` is given); r[i] = (1-d)/N +
     d*(in-contributions + dangling_mass/N) — the exact frozen formula
     of operators/linkgraph.pagerank, one CTE trio (dangling mass,
     contributions, ranks) per round."""
+    default_r0 = """r0 AS (
+  SELECT node, outdeg, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+  FROM base
+)"""
     head = """WITH e AS (
   SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
          'h' || CAST((doc_id * 7 + n_chars) % 29 AS VARCHAR) AS dst
@@ -231,10 +238,7 @@ base AS (
   SELECT nodes.node, coalesce(deg.outdeg, 0) AS outdeg
   FROM nodes LEFT JOIN deg ON nodes.node = deg.node
 ),
-r0 AS (
-  SELECT node, outdeg, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
-  FROM base
-)"""
+""" + (r0_sql if r0_sql is not None else default_r0)
     parts = [head]
     for i in range(1, iterations + 1):
         p = i - 1
@@ -1634,3 +1638,61 @@ SELECT doc_id, count(*) AS n_matches FROM a GROUP BY doc_id
 ORDER BY n_matches DESC, doc_id ASC LIMIT 10
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# PageRank warm start (incremental re-rank from a previous crawl)
+# ---------------------------------------------------------------------------
+
+# previous-crawl ranks for hosts h0..h9 only (synthesized (i+1)/100);
+# the other 19 nodes enter at the uniform prior; total mass then
+# normalizes to 1 before the (fewer) rounds run.
+_PR_WARM_ITERS = 2
+
+
+def q_pagerank_warm_start(spark, sf_dir):
+    """Warm-started PageRank (operators/linkgraph.pagerank with
+    init_ranks): r0 = coalesce(previous rank, 1/N) normalized to mass
+    1, then the frozen power iteration — the incremental crawl-over-
+    crawl form (fewer rounds from the old fixed point). Oracle
+    unrolls the identical rounds from the identical r0."""
+    from .operators.linkgraph import pagerank
+
+    edges = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "concat('h', cast(doc_id % 23 as string)) as src_host",
+            "concat('h', cast((doc_id * 7 + n_chars) % 29 as string)) as dst_host",
+        )
+        .filter("src_host <> dst_host")
+    )
+    init = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "concat('h', cast(doc_id % 10 as string)) as node",
+            "cast(doc_id % 10 + 1 as double) / 100.0 as rank",
+        )
+        .distinct()
+    )
+    pr = pagerank(
+        edges, iterations=_PR_WARM_ITERS, damping=_PR_DAMPING,
+        init_ranks=init,
+    )
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+_WARM_R0 = """init AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 10 AS VARCHAR) AS node,
+         CAST(doc_id % 10 + 1 AS DOUBLE) / 100.0 AS rank
+  FROM documents
+), rawt AS (
+  SELECT base.node, base.outdeg,
+         coalesce(init.rank, CAST(1 AS DOUBLE) / (SELECT n FROM nn)) AS raw
+  FROM base LEFT JOIN init ON base.node = init.node
+),
+r0 AS (
+  SELECT node, outdeg, raw / (SELECT sum(raw) FROM rawt) AS rank
+  FROM rawt
+)"""
+
+O_PAGERANK_WARM = _pagerank_oracle(_PR_WARM_ITERS, _PR_DAMPING, _WARM_R0)

@@ -203,6 +203,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src_host",
     dst_col: str = "dst_host",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (node,
     rank). Frozen semantics (the textbook power iteration, stated so
@@ -215,7 +216,15 @@ def pagerank(
       where D is the total rank mass on dangling nodes (outdeg 0);
     - exactly ``iterations`` rounds, no convergence test — determinism
       over adaptivity (rank users gate on RELATIVE order; a fixed
-      small k is the production shape too, per the original paper).
+      small k is the production shape too, per the original paper);
+    - ``init_ranks`` (node, rank) WARM-STARTS the iteration from a
+      previous crawl's ranks — the incremental form (index_add_batch
+      discipline): re-ranking a slightly-grown graph from the old
+      fixed point needs far fewer rounds than from uniform. Frozen
+      rule: r0 = coalesce(old rank, 1/N) per node, then normalized to
+      total mass 1 (a 1-row aggregate crossJoined back broadcast) —
+      nodes new to the graph enter at the uniform prior, departed
+      nodes' mass vanishes with the normalization.
 
     Scale shape: every frame here is host-grain. Each round is one
     shuffle join (ranks ⋈ edges on src) + one aggregation on dst; the
@@ -245,15 +254,31 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
     )
-    ranks = (
-        nodes.join(outdeg, "node", "left")
-        .select(
-            "node",
-            F.lit(1.0 / n_nodes).alias("rank"),
-            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
-        )
-        .localCheckpoint()
+    base = nodes.join(outdeg, "node", "left").select(
+        "node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")
     )
+    if init_ranks is None:
+        ranks = base.select(
+            "node", F.lit(1.0 / n_nodes).alias("rank"), "outdeg"
+        ).localCheckpoint()
+    else:
+        raw = base.join(
+            init_ranks.select("node", F.col("rank").alias("__init")),
+            "node",
+            "left",
+        ).withColumn(
+            "__raw", F.coalesce("__init", F.lit(1.0 / n_nodes))
+        )
+        tot = raw.agg(F.sum("__raw").alias("__tot"))
+        ranks = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                (F.col("__raw") / F.col("__tot")).alias("rank"),
+                "outdeg",
+            )
+            .localCheckpoint()
+        )
     teleport = (1.0 - damping) / n_nodes
     for _ in range(iterations):
         contrib = (

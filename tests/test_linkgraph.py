@@ -419,3 +419,32 @@ def test_link_reciprocity_hand_case(spark):
         for r in link_reciprocity(edges).collect()
     }
     assert got == {"a": (2, 1, 0.5), "b": (1, 1, 1.0)}
+
+
+def test_pagerank_warm_start_mass_and_convergence(spark):
+    from ocrd_segment_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src_host string, dst_host string",
+    )
+    # cold fixed point (enough rounds to settle)
+    cold = {r["node"]: r["rank"] for r in pagerank(edges, iterations=40).collect()}
+    assert abs(sum(cold.values()) - 1.0) < 1e-9
+    init = spark.createDataFrame(
+        [(n, r) for n, r in cold.items()], "node string, rank double"
+    )
+    # warm-starting AT the fixed point: one round must stay there
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=1, init_ranks=init).collect()
+    }
+    for n in cold:
+        assert abs(warm[n] - cold[n]) < 1e-9
+    # partial init (new node joins): mass still normalizes to 1
+    part = spark.createDataFrame([("a", 0.9)], "node string, rank double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=2, init_ranks=part).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
