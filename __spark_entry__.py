@@ -16,6 +16,7 @@ from ocrd_segment_spark import contract as C
 from ocrd_segment_spark import contract_levels as L
 from ocrd_segment_spark import contract_graph as G
 from ocrd_segment_spark import contract_ml as M
+from ocrd_segment_spark import contract_web as WB
 from ocrd_segment_spark.pipeline import extract_pages
 
 
@@ -241,6 +242,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_topk": G.q_phrase_topk,
     # warm-started PageRank (incremental crawl-over-crawl re-rank)
     "pagerank_warm_start": G.q_pagerank_warm_start,
+    # sketches / scheduling / structured data (session 4)
+    "hll_host_cardinality": WB.q_hll_host_cardinality,
+    "hll_merge_parity": WB.q_hll_merge_parity,
+    "cms_heavy_hitters": WB.q_cms_heavy_hitters,
+    "hits_scores": WB.q_hits_scores,
+    "crawl_wave_plan": WB.q_crawl_wave_plan,
+    "jsonld_types": WB.q_jsonld_types,
 }
 
 _ORACLES: dict[str, str] = {
@@ -387,6 +395,12 @@ _ORACLES: dict[str, str] = {
     "positional_postings": G.O_POSITIONAL_POSTINGS,
     "phrase_topk": G.O_PHRASE_TOPK,
     "pagerank_warm_start": G.O_PAGERANK_WARM,
+    "hll_host_cardinality": WB.O_HLL_HOST_CARDINALITY,
+    "hll_merge_parity": WB.O_HLL_MERGE_PARITY,
+    "cms_heavy_hitters": WB.O_CMS_HEAVY_HITTERS,
+    "hits_scores": WB.O_HITS_SCORES,
+    "crawl_wave_plan": WB.O_CRAWL_WAVE_PLAN,
+    "jsonld_types": WB.O_JSONLD_TYPES,
 }
 
 

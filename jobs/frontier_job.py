@@ -11,7 +11,8 @@
         [--host-ranks /path/to/host_ranks] \\
         [--child-sitemaps /path/to/children] \\
         [--stats /path/to/stats] \\
-        [--bloom-bits 1048576] [--bloom-k 4]
+        [--bloom-bits 1048576] [--bloom-k 4] \\
+        [--wave-seconds 60 [--default-delay 1.0]]
 
 Composes the discovery operators into the table a fetch scheduler
 consumes: sitemap url sets parsed (operators/sitemaps), child
@@ -58,6 +59,22 @@ def main() -> None:
     ap.add_argument("--stats", default=None)
     ap.add_argument("--bloom-bits", type=int, default=1 << 20)
     ap.add_argument("--bloom-k", type=int, default=4)
+    ap.add_argument(
+        "--wave-seconds",
+        type=float,
+        default=None,
+        help="bin the frontier into dispatch waves of this many "
+        "seconds (operators/robots.crawl_waves); adds fetch_seq / "
+        "eta_s / wave columns and partitions the output by wave so "
+        "each dispatch round reads exactly one partition",
+    )
+    ap.add_argument(
+        "--default-delay",
+        type=float,
+        default=1.0,
+        help="crawl delay (s) for hosts without a robots directive "
+        "(only used with --wave-seconds)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import Observation, functions as F
@@ -150,7 +167,20 @@ def main() -> None:
         frontier = frontier.join(crawl_delays(robots_df), "host", "left")
     else:
         frontier = frontier.withColumn("crawl_delay", F.lit(None).cast("double"))
-    frontier.write.mode("overwrite").parquet(args.output)
+    if args.wave_seconds is not None:
+        from ocrd_segment_spark.operators.robots import crawl_waves
+
+        frontier = crawl_waves(
+            frontier,
+            wave_seconds=args.wave_seconds,
+            default_delay=args.default_delay,
+        )
+        # each dispatch round reads one partition (partition pruning)
+        frontier.write.mode("overwrite").partitionBy("wave").parquet(
+            args.output
+        )
+    else:
+        frontier.write.mode("overwrite").parquet(args.output)
     stats["sitemap_entries"] = e_obs.get["total"]
     stats["child_sitemaps"] = e_obs.get["children"] or 0
     stats["candidate_urls"] = f_obs.get["cands"]

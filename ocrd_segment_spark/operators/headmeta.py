@@ -394,3 +394,64 @@ def page_meta(
             F.expr(_meta_pair(h, _PROP_OG.format(field="description"))),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data
+# ---------------------------------------------------------------------------
+
+# script elements whose type declares JSON-LD; payload = the run of
+# non-'<' characters after the opening tag. Frozen OUT: payloads
+# containing '<' (JSON-LD embedding literal HTML markup in a string
+# value) truncate at the first '<' — the harvest never backtracks, so
+# the pattern stays in the Java-regex/RE2 common subset (no non-greedy
+# dotall across the closing tag, no lookahead). The MIME value matches
+# the canonical lowercase spelling only ('application/ld+json', the
+# registered form) — '+' is spelled as the class [+] so neither
+# engine's string literal needs a backslash.
+_JSONLD = (
+    "<[Ss][Cc][Rr][Ii][Pp][Tt][^>]*"
+    '[Tt][Yy][Pp][Ee]="application/ld[+]json"[^>]*>([^<]*)'
+)
+
+
+def jsonld_blocks(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, block_idx, payload) — one row per JSON-LD script block in
+    document order (pages without blocks emit no rows). Raw payload,
+    untrimmed: validation/parsing belongs to the consumer
+    (:func:`jsonld_types`), not the harvest. Scan-stage column math,
+    zero shuffle — rides the same pass that reads ``html``."""
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string), '{_JSONLD}', 1)"
+            )
+        ).alias("block_idx", "payload"),
+    )
+
+
+def jsonld_types(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, block_idx, jsonld_type, name): the schema.org identity of
+    each JSON-LD block — the highest-value structured-data signal a
+    web pipeline harvests (page type routing: Article/Product/Recipe
+    pages get type-specific curation downstream). Frozen parse rule:
+    top-level object's ``@type`` and ``name`` members; string values
+    come back bare, array/number values as their JSON text (both
+    engines verified to agree on each), malformed JSON and non-object
+    roots yield NULL columns but KEEP the row so parse failures stay
+    countable (``@graph`` indirection is frozen OUT — consumers
+    flatten it upstream if they need it). JSON parsing is JVM-side
+    (``get_json_object``); the DuckDB oracle guards with
+    ``json_valid`` to match Spark's null-on-malformed behavior."""
+    blocks = jsonld_blocks(df, html_col=html_col, url_col=url_col)
+    return blocks.select(
+        "url",
+        "block_idx",
+        F.expr("get_json_object(payload, \"$['@type']\")").alias("jsonld_type"),
+        F.expr("get_json_object(payload, '$.name')").alias("name"),
+    )

@@ -318,6 +318,103 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a directed edge list
+    → (node, hub, authority). PageRank's complement as a crawl prior:
+    authority separates well-cited content hosts from the DIRECTORY
+    hosts that cite them (which get hub mass instead) — a frontier
+    that seeds from high-authority hosts and expands via high-hub
+    hosts covers a crawl faster than rank alone. Frozen semantics
+    (stated so the DuckDB oracle can unroll them):
+
+    - edges dedupe to DISTINCT (src, dst) — multiplicity is a spam
+      vector (the pagerank rule);
+    - nodes = union of both endpoints; h0 = 1/N each;
+    - per round: a_j = Σ_{i→j} h_i then L1-normalized (a /= Σa);
+      h_i = Σ_{i→j} a_j over the NEW a, then L1-normalized. L1 instead
+      of the paper's L2 is a frozen deviation shared by both engines:
+      relative order is identical and the normalizer stays a plain SUM
+      (partial-aggregable; no sqrt in the reduce);
+    - nodes with no in-edges hold authority 0, no out-edges hub 0;
+    - exactly ``iterations`` rounds (determinism over adaptivity, the
+      pagerank rule); hub/authority round to 6 at the end only.
+
+    Scale shape: host-grain like pagerank — per round two shuffle
+    joins (edges ⋈ scores) + two aggregations, each L1 normalizer a
+    1-row aggregate crossJoined back broadcast-style;
+    ``localCheckpoint`` per round bounds the lineage."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, hub double, authority double"
+        )
+    scores = nodes.select(
+        "node",
+        F.lit(1.0 / n_nodes).alias("hub"),
+        F.lit(0.0).alias("authority"),
+    ).localCheckpoint()
+    for _ in range(iterations):
+        a_raw = (
+            e.join(
+                scores.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("a_raw").alias("__ta"))
+        auth = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "node", (F.col("a_raw") / F.col("__ta")).alias("authority")
+        )
+        h_raw = (
+            e.join(
+                auth.select(F.col("node").alias("dst"), "authority"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("h_raw").alias("__th"))
+        hub = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            "node", (F.col("h_raw") / F.col("__th")).alias("hub")
+        )
+        scores = (
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return scores.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def link_reciprocity(edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host") -> DataFrame:
     """(host, n_out, n_reciprocal, reciprocity) — per source host, the
     fraction of its distinct out-neighbors that link BACK. A classic

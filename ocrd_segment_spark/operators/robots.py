@@ -217,3 +217,56 @@ def robots_allowed(
         )
     )
     return urls.join(matched, url_col, "left")
+
+
+def crawl_waves(
+    frontier: DataFrame,
+    wave_seconds: float = 60.0,
+    default_delay: float = 1.0,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """``frontier`` + (fetch_seq, eta_s, wave): turn per-host
+    politeness intervals into an executable fetch schedule. A frontier
+    with crawl delays is not yet a plan — a scheduler needs to know
+    WHEN each url may be fetched so it can bin work into dispatch
+    rounds without hammering any host. Frozen rule:
+
+    - fetch_seq = position within the host's queue, freshest first:
+      row_number over (lastmod DESC NULLS LAST, url ASC) — urls
+      without a freshness hint go last, ties are deterministic;
+    - eta_s = (fetch_seq - 1) * coalesce(crawl_delay, default_delay)
+      — the earliest polite start offset for that fetch, seconds from
+      the host's first fetch;
+    - wave = floor(eta_s / wave_seconds) as int — the dispatch round
+      it lands in. A host with delay 10 and 30 urls spreads over 5
+      waves of 60 s; a host with no delay puts everything in wave 0.
+
+    Scale shape: ONE window per host partition (host-grain keys; a
+    mega-host is AQE-skew territory, not a buffer risk — row_number
+    needs no full-partition buffering) plus row-local column math.
+    Downstream, `wave` is the natural write-partition column: each
+    dispatch round reads exactly one partition (partition pruning),
+    which is the 100 TB reason this is a COLUMN and not a sort order.
+    """
+    if wave_seconds <= 0:
+        raise ValueError(f"wave_seconds must be > 0, got {wave_seconds}")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(host_col).orderBy(
+        F.col("lastmod").desc_nulls_last(), F.col(url_col).asc()
+    )
+    return (
+        frontier.withColumn("fetch_seq", F.row_number().over(w))
+        .withColumn(
+            "eta_s",
+            F.round(
+                (F.col("fetch_seq") - 1)
+                * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+                6,
+            ),
+        )
+        .withColumn(
+            "wave", F.floor(F.col("eta_s") / F.lit(float(wave_seconds))).cast("int")
+        )
+    )

@@ -431,3 +431,60 @@ def test_canonical_representatives_preserves_input_columns(spark):
     df = _pages(spark, rows)
     out = canonical_representatives(df)
     assert out.columns == df.columns
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data
+# ---------------------------------------------------------------------------
+
+
+def _jsonld_pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_jsonld_blocks_and_types(spark):
+    from ocrd_segment_spark.operators.headmeta import jsonld_types
+
+    html = (
+        b'<html><head>'
+        b'<SCRIPT defer type="application/ld+json">'
+        b'{"@type":"Article","name":"First"}</SCRIPT>'
+        b'<script type="application/ld+json">'
+        b'{"@type":["Product","Offer"],"name":7}</script>'
+        b'<script type="application/ld+json">not json {</script>'
+        b'<script type="text/javascript">var x=1;</script>'
+        b"</head></html>"
+    )
+    out = sorted(
+        jsonld_types(_jsonld_pages(spark, [("u", html)])).collect(),
+        key=lambda r: r["block_idx"],
+    )
+    assert len(out) == 3  # javascript block never matches
+    assert (out[0]["jsonld_type"], out[0]["name"]) == ("Article", "First")
+    # array @type and numeric name stringify as JSON text
+    assert out[1]["jsonld_type"] == '["Product","Offer"]'
+    assert out[1]["name"] == "7"
+    # malformed JSON keeps the row with NULLs (countable failure)
+    assert out[2]["jsonld_type"] is None and out[2]["name"] is None
+
+
+def test_jsonld_no_blocks_no_rows(spark):
+    from ocrd_segment_spark.operators.headmeta import jsonld_types
+
+    html = b"<html><head><script>var a;</script></head></html>"
+    assert jsonld_types(_jsonld_pages(spark, [("u", html)])).count() == 0
+
+
+def test_jsonld_payload_truncates_at_lt(spark):
+    from ocrd_segment_spark.operators.headmeta import jsonld_types
+
+    # frozen rule: payload ends at the first '<' — embedded markup in
+    # a JSON string truncates the block (documented, not silent: the
+    # truncated payload fails json parsing → NULL columns, row kept)
+    html = (
+        b'<script type="application/ld+json">'
+        b'{"@type":"Article","name":"a <b> tag"}</script>'
+    )
+    out = jsonld_types(_jsonld_pages(spark, [("u", html)])).collect()
+    assert len(out) == 1
+    assert out[0]["jsonld_type"] is None

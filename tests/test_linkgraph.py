@@ -448,3 +448,69 @@ def test_pagerank_warm_start_mass_and_convergence(spark):
         for r in pagerank(edges, iterations=2, init_ranks=part).collect()
     }
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_hub_authority_separation(spark):
+    from ocrd_segment_spark.operators.linkgraph import hits
+
+    # two pure hubs pointing at one pure authority: by symmetry the
+    # hubs split hub mass 0.5/0.5; 'auth' takes all authority
+    edges = spark.createDataFrame(
+        [("hub1", "auth"), ("hub2", "auth")],
+        "src_host string, dst_host string",
+    )
+    rows = {r["node"]: r for r in hits(edges, iterations=3).collect()}
+    assert rows["auth"]["authority"] == 1.0
+    assert rows["auth"]["hub"] == 0.0
+    assert rows["hub1"]["hub"] == 0.5
+    assert rows["hub2"]["hub"] == 0.5
+    assert rows["hub1"]["authority"] == 0.0
+
+
+def test_hits_l1_mass_conserved(spark):
+    from ocrd_segment_spark.operators.linkgraph import hits
+
+    edges = spark.range(0, 200).selectExpr(
+        "concat('h', cast(id % 11 as string)) as src_host",
+        "concat('h', cast((id * 3 + 1) % 13 as string)) as dst_host",
+    ).filter("src_host <> dst_host")
+    out = hits(edges, iterations=4).collect()
+    assert abs(sum(r["hub"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["authority"] for r in out) - 1.0) < 1e-4
+
+
+def test_hits_multiplicity_ignored(spark):
+    from ocrd_segment_spark.operators.linkgraph import hits
+
+    base = [("a", "b"), ("c", "b"), ("a", "d")]
+    e1 = spark.createDataFrame(base, "src_host string, dst_host string")
+    e2 = spark.createDataFrame(
+        base + [("a", "b")] * 5, "src_host string, dst_host string"
+    )
+    r1 = sorted(map(tuple, hits(e1, iterations=2).collect()))
+    r2 = sorted(map(tuple, hits(e2, iterations=2).collect()))
+    assert r1 == r2
+
+
+def test_hits_empty_edges(spark):
+    from ocrd_segment_spark.operators.linkgraph import hits
+
+    empty = spark.createDataFrame([], "src_host string, dst_host string")
+    assert hits(empty, iterations=2).count() == 0
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest as _pytest
+
+    from ocrd_segment_spark.operators.linkgraph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_host string, dst_host string"
+    )
+    with _pytest.raises(ValueError):
+        hits(edges, iterations=0)

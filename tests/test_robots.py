@@ -187,3 +187,68 @@ def test_crawl_delays_mixed_case_hosts_merge_lowercased(spark):
     )
     got = {r["host"]: r["crawl_delay"] for r in crawl_delays(df).collect()}
     assert got == {"example.org": 10.0}
+
+
+# ---------------------------------------------------------------------------
+# crawl-wave planner
+# ---------------------------------------------------------------------------
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, host string, lastmod string, crawl_delay double"
+    )
+
+
+def test_crawl_waves_schedule_and_default_delay(spark):
+    from ocrd_segment_spark.operators.robots import crawl_waves
+
+    rows = [
+        # slow host: delay 30 → one fetch per wave of 60s after 2
+        ("https://s.org/a", "s.org", "2026-03-01", 30.0),
+        ("https://s.org/b", "s.org", "2026-02-01", 30.0),
+        ("https://s.org/c", "s.org", "2026-01-01", 30.0),
+        ("https://s.org/d", "s.org", None, 30.0),  # no lastmod → last
+        # no declared delay → default 1.0, everything in wave 0
+        ("https://f.org/x", "f.org", None, None),
+        ("https://f.org/y", "f.org", None, None),
+    ]
+    out = {
+        r["url"]: r
+        for r in crawl_waves(
+            _frontier(spark, rows), wave_seconds=60.0, default_delay=1.0
+        ).collect()
+    }
+    # freshest first within the host
+    assert out["https://s.org/a"]["fetch_seq"] == 1
+    assert out["https://s.org/b"]["fetch_seq"] == 2
+    assert out["https://s.org/c"]["fetch_seq"] == 3
+    assert out["https://s.org/d"]["fetch_seq"] == 4  # NULLS LAST
+    assert out["https://s.org/a"]["eta_s"] == 0.0
+    assert out["https://s.org/d"]["eta_s"] == 90.0
+    assert [out[f"https://s.org/{u}"]["wave"] for u in "abcd"] == [0, 0, 1, 1]
+    assert out["https://f.org/x"]["wave"] == 0
+    assert out["https://f.org/y"]["eta_s"] == 1.0
+
+
+def test_crawl_waves_deterministic_tiebreak(spark):
+    from ocrd_segment_spark.operators.robots import crawl_waves
+
+    rows = [
+        ("https://t.org/b", "t.org", "2026-01-01", 5.0),
+        ("https://t.org/a", "t.org", "2026-01-01", 5.0),
+    ]
+    out = {
+        r["url"]: r["fetch_seq"]
+        for r in crawl_waves(_frontier(spark, rows)).collect()
+    }
+    assert out["https://t.org/a"] == 1  # same lastmod → url ASC
+
+
+def test_crawl_waves_rejects_nonpositive_wave(spark):
+    import pytest as _pytest
+
+    from ocrd_segment_spark.operators.robots import crawl_waves
+
+    with _pytest.raises(ValueError):
+        crawl_waves(_frontier(spark, []), wave_seconds=0.0)
