@@ -249,6 +249,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_scores": WB.q_hits_scores,
     "crawl_wave_plan": WB.q_crawl_wave_plan,
     "jsonld_types": WB.q_jsonld_types,
+    "index_delete_parity": WB.q_index_delete_parity,
+    "content_type_sniff": WB.q_content_type_sniff,
+    "epoch_shuffle": WB.q_epoch_shuffle,
+    "mixture_sample": WB.q_mixture_sample,
 }
 
 _ORACLES: dict[str, str] = {
@@ -401,6 +405,10 @@ _ORACLES: dict[str, str] = {
     "hits_scores": WB.O_HITS_SCORES,
     "crawl_wave_plan": WB.O_CRAWL_WAVE_PLAN,
     "jsonld_types": WB.O_JSONLD_TYPES,
+    "index_delete_parity": WB.O_INDEX_DELETE_PARITY,
+    "content_type_sniff": WB.O_CONTENT_TYPE_SNIFF,
+    "epoch_shuffle": WB.O_EPOCH_SHUFFLE,
+    "mixture_sample": WB.O_MIXTURE_SAMPLE,
 }
 
 

@@ -447,3 +447,179 @@ SELECT url, CAST(block_idx AS BIGINT) AS block_idx,
             THEN json_extract_string(payload, '$.name') END AS name
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# index tombstone deletes (exact stats parity with a rebuild)
+# ---------------------------------------------------------------------------
+
+
+def q_index_delete_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletes (operators/index.delete_docs): build the full
+    postings index, tombstone every doc_id % 3 = 0, then BM25-score
+    the SAME query as the bm25_topk key. The oracle never indexed the
+    deleted docs at all — equality proves a tombstone anti-join keeps
+    every corpus statistic (N, avgdl, df_t, idf) consistent with the
+    surviving set: no stale-idf poisoning."""
+    from .contract_graph import _BM25_K, _BM25_QUERY
+    from .operators.index import bm25_topk, build_postings, delete_docs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = build_postings(docs)
+    tombstones = docs.filter("doc_id % 3 = 0").select("doc_id")
+    return bm25_topk(
+        delete_docs(postings, tombstones), _BM25_QUERY, k=_BM25_K
+    )
+
+
+def _o_index_delete_parity() -> str:
+    from .contract_graph import O_BM25_TOPK
+
+    assert O_BM25_TOPK.count("FROM documents") == 1
+    return O_BM25_TOPK.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 3 <> 0"
+    )
+
+
+O_INDEX_DELETE_PARITY = _o_index_delete_parity()
+
+
+# ---------------------------------------------------------------------------
+# content-type sniffing (magic bytes)
+# ---------------------------------------------------------------------------
+
+# blob per doc_id % 10 (Spark builds REAL bytes via unhex/concat; the
+# oracle derives the expected label from the same arithmetic — the
+# hreflang-oracle style: never runs the harvest)
+_CT_BLOB = """CASE doc_id % 10
+  WHEN 0 THEN cast(concat('%PDF-1.4 ', cast(doc_id as string)) as binary)
+  WHEN 1 THEN concat(unhex('1F8B08'), cast('gz' as binary))
+  WHEN 2 THEN concat(unhex('504B0304'), cast('zip' as binary))
+  WHEN 3 THEN concat(unhex('89504E470D0A1A0A'), cast('png' as binary))
+  WHEN 4 THEN cast('GIF89a-body' as binary)
+  WHEN 5 THEN concat(unhex('FFD8FFE0'), cast('jpeg' as binary))
+  WHEN 6 THEN concat(cast('RIFF' as binary), unhex('AA000000'), cast('WEBPVP8 ' as binary))
+  WHEN 7 THEN concat(unhex('EFBBBF'), cast(concat('\\n  <!DOCTYPE html><html>', cast(doc_id as string)) as binary))
+  WHEN 8 THEN cast('  <?xml version="1.0"?><r/>' as binary)
+  ELSE cast(concat('plain text ', cast(doc_id as string)) as binary)
+END"""
+
+
+def q_content_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte dispatch (functions/multimodal.with_content_type):
+    real byte blobs for all ten arms — pdf, gzip, zip, png, gif,
+    jpeg(+marker tail), webp (RIFF with size bytes between the two
+    tags), BOM+whitespace html, leading-space xml, and a plain-text
+    fallthrough to octet-stream. All classification runs in the hex
+    domain; the oracle derives the expected label from the doc_id
+    arithmetic that built each blob."""
+    from .functions.multimodal import with_content_type
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_CT_BLOB} as blob"
+    )
+    return with_content_type(pages, blob_col="blob").select(
+        "doc_id", "content_type"
+    )
+
+
+O_CONTENT_TYPE_SNIFF = """
+SELECT doc_id,
+       CASE doc_id % 10
+         WHEN 0 THEN 'application/pdf'
+         WHEN 1 THEN 'application/gzip'
+         WHEN 2 THEN 'application/zip'
+         WHEN 3 THEN 'image/png'
+         WHEN 4 THEN 'image/gif'
+         WHEN 5 THEN 'image/jpeg'
+         WHEN 6 THEN 'image/webp'
+         WHEN 7 THEN 'text/html'
+         WHEN 8 THEN 'text/xml'
+         ELSE 'application/octet-stream'
+       END AS content_type
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 8
+_SHUF_SEED = "e1"
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order assignment (operators/sampling.
+    shuffle_assignment): shard = scrambled-hash mod 8, pos = rank
+    within the shard by (hash, id) — a reproducible permutation
+    without a global sort. The oracle restates the fold + LCG
+    scramble and the same window."""
+    from .operators.sampling import shuffle_assignment
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_assignment(
+        d, id_col="doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS
+    ).select("doc_id", F.col("shard").cast("int").alias("shard"), "pos")
+
+
+O_EPOCH_SHUFFLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         (({_D_STR_HASH.format(s=f"concat('{_SHUF_SEED}', CAST(doc_id AS VARCHAR))")})
+          * 48271 + 11) % {P} % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket % {_SHUF_SHARDS} AS INT) AS shard,
+       row_number() OVER (PARTITION BY bucket % {_SHUF_SHARDS}
+                          ORDER BY bucket ASC, doc_id ASC) AS pos
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture application: target shares → keep probs → deterministic rows
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full data-mixture loop (operators/sampling): temperature
+    weights (alpha = 0.5 — the sqrt arm, identically rounded in every
+    IEEE engine) → maximal-retention keep probabilities (c = min
+    p/q; the most-upweighted language keeps 100%) → content-addressed
+    row filter. The oracle restates the whole chain including the
+    round-6 on the intermediate weight (lang_mixture_weights rounds
+    its output; the keep-prob math consumes the ROUNDED value)."""
+    from .operators.sampling import apply_mixture, lang_mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = lang_mixture_weights(d, lang_col="lang", tokens_col="n_chars")
+    return apply_mixture(
+        d, w, lang_col="lang", key_col="doc_id", salt="mix"
+    ).select("doc_id", "lang")
+
+
+O_MIXTURE_SAMPLE = f"""
+WITH per AS MATERIALIZED (
+  SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS n FROM documents GROUP BY lang
+), w AS MATERIALIZED (
+  SELECT lang, n,
+         round(sqrt(n) / (SELECT sum(sqrt(n)) FROM per), 6) AS q
+  FROM per
+), r AS MATERIALIZED (
+  SELECT lang, n / (SELECT sum(n) FROM per) AS p, q FROM w
+), c AS (
+  SELECT min(p / q) AS c FROM r WHERE q > 0
+), kp AS (
+  SELECT lang,
+         CASE WHEN q <= 0 THEN CAST(0 AS DOUBLE)
+              ELSE least(CAST(1 AS DOUBLE), (SELECT c FROM c) * q / p) END
+           AS keep_prob
+  FROM r
+)
+SELECT doc_id, documents.lang
+FROM documents JOIN kp ON documents.lang = kp.lang
+WHERE (({_D_STR_HASH.format(s="concat('mix', CAST(doc_id AS VARCHAR))")})
+      * 48271 + 11) % {P} % 1000000
+      < CAST(floor(keep_prob * 1000000) AS BIGINT)
+"""

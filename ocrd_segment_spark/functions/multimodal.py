@@ -19,7 +19,7 @@ import hashlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 META_SCHEMA = (
     "doc_id long, n_bytes long, content_md5 string, modality string,"
@@ -199,3 +199,100 @@ def feature_chain_predicate(features_col, selector: str = "", feature_filter: st
             features_col, F.array([F.lit(x) for x in forbidden])
         )
     return cond
+
+
+# ---------------------------------------------------------------------------
+# content-type sniffing (magic bytes) — crawl ingestion dispatch
+# ---------------------------------------------------------------------------
+
+# A fetch table's Content-Type header is advisory and frequently wrong
+# (the reason every browser ships MIME sniffing); a 100 TB ingest
+# routes each blob by its FIRST BYTES instead: html → the extraction
+# kernel, images → binary_meta, archives/pdf → their own lanes. The
+# whole classification runs in the HEX domain (the charset-sniff
+# discipline): upper(hex(prefix)) is a plain ASCII string in every
+# engine, so prefix tests and even the BOM/whitespace skip are
+# portable string ops with zero binary-cast semantics to disagree on
+# (DuckDB's blob→varchar escapes non-printables; Spark's replaces —
+# casting was never parity-safe, hex is).
+#
+# Frozen rule set, first match wins (vocabulary stated, not guessed —
+# the exact spellings below and nothing else):
+#   %PDF-            → application/pdf
+#   1F 8B            → application/gzip
+#   PK 03 04         → application/zip
+#   89 PNG ..        → image/png
+#   GIF87a / GIF89a  → image/gif
+#   FF D8 FF         → image/jpeg
+#   BM               → image/bmp
+#   RIFF....WEBP     → image/webp
+#   [BOM][ws]* then '<!DOCTYPE' | '<!doctype' | '<html' | '<HTML'
+#                    → text/html
+#   [BOM][ws]* then '<?xml' → text/xml
+#   anything else    → application/octet-stream
+# ws = ASCII 09/0A/0C/0D/20; BOM = EF BB BF. Mixed-case tag spellings
+# outside the four listed are frozen OUT (a sniffer, not a parser —
+# the kernel downstream tolerates what the sniffer routes to it).
+
+SNIFF_PREFIX_BYTES = 64
+
+# hex spellings of the text-arm tokens
+_H_DOCTYPE_U = "3C21444F4354595045"  # <!DOCTYPE
+_H_DOCTYPE_L = "3C21646F6374797065"  # <!doctype
+_H_HTML_L = "3C68746D6C"  # <html
+_H_HTML_U = "3C48544D4C"  # <HTML
+_H_XML = "3C3F786D6C"  # <?xml
+_H_SKIP = "^(EFBBBF)?((09|0A|0C|0D|20))*"
+
+
+def content_type_sql(hex_col: str, trimmed_col: str) -> str:
+    """SQL CASE for the frozen magic-byte rule — the one home of the
+    rule (the DuckDB oracle restates the same hex constants over the
+    same prefix length). Both operands are PRE-BOUND columns: ``h`` =
+    upper(hex(64-byte prefix)), ``t`` = h with the BOM/whitespace
+    prefix stripped (:data:`_H_SKIP`) — binding them keeps the hex
+    and the regexp to one evaluation per row instead of one per CASE
+    arm (see :func:`with_content_type`)."""
+    h, t = hex_col, trimmed_col
+    return f"""CASE
+      WHEN startswith({h}, '255044462D') THEN 'application/pdf'
+      WHEN startswith({h}, '1F8B') THEN 'application/gzip'
+      WHEN startswith({h}, '504B0304') THEN 'application/zip'
+      WHEN startswith({h}, '89504E470D0A1A0A') THEN 'image/png'
+      WHEN startswith({h}, '474946383761') OR startswith({h}, '474946383961')
+        THEN 'image/gif'
+      WHEN startswith({h}, 'FFD8FF') THEN 'image/jpeg'
+      WHEN startswith({h}, '424D') THEN 'image/bmp'
+      WHEN startswith({h}, '52494646') AND substring({h}, 17, 8) = '57454250'
+        THEN 'image/webp'
+      WHEN startswith({t}, '{_H_DOCTYPE_U}') OR startswith({t}, '{_H_DOCTYPE_L}')
+        OR startswith({t}, '{_H_HTML_L}') OR startswith({t}, '{_H_HTML_U}')
+        THEN 'text/html'
+      WHEN startswith({t}, '{_H_XML}') THEN 'text/xml'
+      ELSE 'application/octet-stream'
+    END"""
+
+
+def with_content_type(df: DataFrame, blob_col: str = "html") -> DataFrame:
+    """Append ``content_type`` per the frozen magic-byte rule. Pure
+    scan-stage column math (hex of a 64-byte prefix + string CASE) —
+    zero Python, zero shuffle; NULL blobs classify as NULL (a missing
+    fetch body is not octet-stream). The whitespace-skip is bound to
+    its own column so the regexp runs once per row, not once per CASE
+    arm (the CSE discipline)."""
+    hexp = F.expr(
+        f"upper(hex(substring({blob_col}, 1, {SNIFF_PREFIX_BYTES})))"
+    )
+    return (
+        df.withColumn("__hx", hexp)
+        .withColumn(
+            "__tx", F.expr(f"regexp_replace(__hx, '{_H_SKIP}', '')")
+        )
+        .withColumn(
+            "content_type",
+            F.when(
+                F.col(blob_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(F.expr(content_type_sql("__hx", "__tx"))),
+        )
+        .drop("__hx", "__tx")
+    )

@@ -228,3 +228,30 @@ def phrase_topk(
         F.count(F.lit(1)).alias("n_matches")
     )
     return matches.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(k)
+
+
+def delete_docs(
+    postings: DataFrame, tombstones: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove documents from a postings index (tf-only or positional)
+    — the other half of the index_add_batch lifecycle: takedowns,
+    dedup-cluster losers, and recrawled-then-changed pages all retire
+    ids. One anti-join; the result equals a from-scratch build over
+    the surviving corpus EXACTLY (postings are document-local — the
+    same property that makes appends exact), and because bm25_topk
+    derives N / avgdl / df_t from whatever postings+doclens it is
+    handed, deleting BEFORE scoring keeps every corpus statistic
+    consistent with the surviving set: no stale-idf poisoning, which
+    is the classic tombstone bug in incremental search stacks (the
+    contract key proves score parity against an oracle that never
+    indexed the deleted docs at all).
+
+    Deployment shapes, both served by this one operator: query-time
+    masking (apply to the scan, cheap, keeps the written index) or
+    compaction (apply + rewrite, amortized). ``tombstones`` is an
+    id-grain table — broadcast when takedown-sized; a mass delete
+    (a whole snapshot) is an AQE-planned shuffle anti-join on the
+    id key."""
+    return postings.join(
+        tombstones.select(id_col).distinct(), id_col, "left_anti"
+    ).select(*postings.columns)  # joins front the key; keep input order

@@ -500,3 +500,126 @@ def lang_mixture_weights(
             ).alias("weight"),
         )
     )
+
+
+def shuffle_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "",
+    n_shards: int = 64,
+) -> DataFrame:
+    """``df`` + (shard, pos): a deterministic training-order
+    assignment — the "global shuffle" a training pipeline needs
+    before sequence packing, WITHOUT a global sort. Frozen rule:
+    shard = scrambled-hash(seed:id) mod n_shards; pos = rank within
+    the shard by (scrambled hash asc, id asc — the tiebreak makes
+    hash collisions deterministic). Reading shards in order and each
+    shard by pos is a reproducible pseudo-random permutation of the
+    corpus; a different seed is a different permutation (epoch 2 =
+    seed 'e2'), and NOTHING re-shuffles the data at rest — the
+    assignment is columns, the consumer's reader does shard-local
+    sorted reads.
+
+    Scale shape: one shuffle keyed by shard (n_shards partitions,
+    ~uniform by construction) + a per-shard row_number window — a
+    shard is corpus/n_shards rows, the knob that keeps any single
+    sort partition-sized. A 100 TB corpus at n_shards = 2^16 sorts
+    ~1.5 GB per shard. The global-sort alternative is one giant
+    range-exchange; this is the same data moved ONCE with bounded
+    sort buffers."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window as W
+
+    out = df.withColumn("__sample_key", F.col(id_col)).withColumn(
+        "__sh", _bucket("__sample_key", seed)
+    )
+    w = W.partitionBy(F.col("__sh") % n_shards).orderBy(
+        F.col("__sh").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("shard", (F.col("__sh") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__sample_key", "__sh")
+    )
+
+
+def mixture_keep_probs(weights: DataFrame) -> DataFrame:
+    """(lang, keep_prob) from :func:`lang_mixture_weights` output:
+    turn target SHARES into per-document keep PROBABILITIES with
+    maximal data retention. q_l is the target share, p_l = n_tokens /
+    Σ n_tokens the corpus share; keeping lang l with probability
+    r_l = c·q_l/p_l yields exactly the target mixture for any c, and
+    c = min_l(p_l/q_l) is the largest c with every r_l <= 1 — the
+    argmin language (the most up-weighted one) keeps everything,
+    everything else downsamples proportionally. Pure double
+    arithmetic (+,·,/,min — identically rounded in every IEEE engine;
+    the no-transcendentals contract rule), languages-grain frames
+    throughout, the min a 1-row broadcast."""
+    per = weights.select(
+        "lang",
+        F.col("n_tokens").cast("double").alias("__n"),
+        F.col("weight").cast("double").alias("__q"),
+    )
+    tot = per.agg(F.sum("__n").alias("__tot"))
+    ratio = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (F.col("__n") / F.col("__tot")).alias("__p"),
+        "__q",
+    )
+    c = ratio.filter(F.col("__q") > 0).agg(
+        F.min(F.col("__p") / F.col("__q")).alias("__c")
+    )
+    return ratio.crossJoin(F.broadcast(c)).select(
+        "lang",
+        F.when(F.col("__q") <= 0, F.lit(0.0))
+        .otherwise(
+            F.least(F.lit(1.0), F.col("__c") * F.col("__q") / F.col("__p"))
+        )
+        .alias("keep_prob"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    prob_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with its OWN probability (a column — joined
+    keep_probs, quality-derived weights, decay schedules), decided by
+    the same content-addressed bucket as :func:`hash_sample`:
+    deterministic, partition-independent, resumable. A row is kept
+    iff bucket(salt:key) < floor(prob · BUCKETS) — probabilities
+    quantize to 1/BUCKETS (10^-6), stated rather than hidden. Zero
+    shuffle beyond whatever join produced ``prob_col``."""
+    out = df.withColumn("__sample_key", F.col(key_col))
+    return out.filter(
+        _bucket("__sample_key", salt)
+        < F.floor(F.col(prob_col) * F.lit(float(BUCKETS))).cast("long")
+    ).drop("__sample_key")
+
+
+def apply_mixture(
+    df: DataFrame,
+    weights: DataFrame,
+    lang_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Resample ``df`` to the target language mixture: broadcast-join
+    :func:`mixture_keep_probs` of the weights and apply
+    :func:`weighted_sample`. Languages missing from the weights table
+    are DROPPED (keep_prob absent → 0 — an unweighted language has no
+    place in the declared mixture; pass an explicit weight row to
+    keep it). The join is languages-grain broadcast; the filter is
+    row-local."""
+    probs = mixture_keep_probs(weights)
+    joined = df.join(
+        F.broadcast(probs.withColumnRenamed("lang", lang_col)),
+        lang_col,
+        "left",
+    ).withColumn("keep_prob", F.coalesce("keep_prob", F.lit(0.0)))
+    return weighted_sample(
+        joined, "keep_prob", key_col=key_col, salt=salt
+    ).drop("keep_prob")

@@ -817,3 +817,203 @@ def test_lang_mixture_weights_alpha_half_and_one(spark):
         for r in lang_mixture_weights(docs, alpha=1.0).collect()
     }
     assert prop == {"en": 0.9, "de": 0.1, "fr": 0.0}
+
+
+# ---------------------------------------------------------------------------
+# content-type sniffing
+# ---------------------------------------------------------------------------
+
+
+def test_content_type_magic_bytes(spark):
+    from ocrd_segment_spark.functions.multimodal import with_content_type
+
+    rows = [
+        (1, b"%PDF-1.7 blah"),
+        (2, b"\x1f\x8b\x08rest"),
+        (3, b"PK\x03\x04zipfile"),
+        (4, b"\x89PNG\r\n\x1a\nihdr"),
+        (5, b"GIF87a..."),
+        (6, b"\xff\xd8\xff\xe1exif"),
+        (7, b"BM..bitmap"),
+        (8, b"RIFF\x10\x00\x00\x00WEBPVP8 "),
+        (9, b"\xef\xbb\xbf\n\t  <!DOCTYPE html><html>"),
+        (10, b"<html><body>x</body></html>"),
+        (11, b"  <?xml version=\"1.0\"?><r/>"),
+        (12, b"just some text"),
+        (13, b"RIFF\x10\x00\x00\x00WAVEfmt "),  # RIFF but not WEBP
+        (14, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {
+        r["doc_id"]: r["content_type"]
+        for r in with_content_type(df, blob_col="blob").collect()
+    }
+    assert got == {
+        1: "application/pdf",
+        2: "application/gzip",
+        3: "application/zip",
+        4: "image/png",
+        5: "image/gif",
+        6: "image/jpeg",
+        7: "image/bmp",
+        8: "image/webp",
+        9: "text/html",
+        10: "text/html",
+        11: "text/xml",
+        12: "application/octet-stream",
+        13: "application/octet-stream",
+        14: None,
+    }
+
+
+def test_content_type_no_shuffle(spark):
+    from ocrd_segment_spark.functions.multimodal import with_content_type
+    from ocrd_segment_spark.plans import audit
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, blob binary")
+    out = with_content_type(df, blob_col="blob")
+    assert not audit.has_exchange(out)
+
+
+# ---------------------------------------------------------------------------
+# index deletes
+# ---------------------------------------------------------------------------
+
+
+def test_index_delete_equals_rebuild(spark):
+    from ocrd_segment_spark.operators.index import (
+        bm25_topk,
+        build_postings,
+        delete_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window"),
+            (2, "join join join filler"),
+            (3, "window spark spark"),
+            (4, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    full = build_postings(docs)
+    tomb = spark.createDataFrame([(2,)], "doc_id long")
+    masked = bm25_topk(delete_docs(full, tomb), ["join", "spark"], k=10)
+    rebuilt = bm25_topk(
+        build_postings(docs.filter("doc_id <> 2")), ["join", "spark"], k=10
+    )
+    assert sorted(map(tuple, masked.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_index_delete_then_add_roundtrip(spark):
+    from ocrd_segment_spark.operators.index import (
+        build_postings,
+        delete_docs,
+        index_add_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d")], "doc_id long, text string"
+    )
+    postings = build_postings(docs)
+    tomb = spark.createDataFrame([(2,)], "doc_id long")
+    pruned = delete_docs(postings, tomb)
+    # re-adding the deleted doc after compaction restores the index
+    delta = index_add_batch(pruned, docs.filter("doc_id = 2"))
+    restored = pruned.unionByName(delta)
+    assert sorted(map(tuple, restored.collect())) == sorted(
+        map(tuple, postings.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle / mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_assignment_is_permutation(spark):
+    from ocrd_segment_spark.operators.sampling import shuffle_assignment
+
+    d = spark.range(0, 1000).selectExpr("id as doc_id")
+    out = shuffle_assignment(d, n_shards=8, seed="e1").collect()
+    assert len(out) == 1000
+    # (shard, pos) is a key: positions are 1..n_shard within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # shard sizes near-uniform (hash balance): within 3x of each other
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 3 * min(sizes)
+
+
+def test_shuffle_assignment_seed_changes_order(spark):
+    from ocrd_segment_spark.operators.sampling import shuffle_assignment
+
+    d = spark.range(0, 200).selectExpr("id as doc_id")
+    e1 = {(r["doc_id"]): (r["shard"], r["pos"])
+          for r in shuffle_assignment(d, seed="e1", n_shards=4).collect()}
+    e2 = {(r["doc_id"]): (r["shard"], r["pos"])
+          for r in shuffle_assignment(d, seed="e2", n_shards=4).collect()}
+    assert e1 != e2  # different epoch, different permutation
+    e1b = {(r["doc_id"]): (r["shard"], r["pos"])
+           for r in shuffle_assignment(d, seed="e1", n_shards=4).collect()}
+    assert e1 == e1b  # same seed, identical assignment
+
+
+def test_mixture_keep_probs_maximal_retention(spark):
+    from ocrd_segment_spark.operators.sampling import (
+        lang_mixture_weights,
+        mixture_keep_probs,
+    )
+
+    d = spark.createDataFrame(
+        [("en", 9000), ("de", 900), ("sw", 100)],
+        "lang string, n_tokens long",
+    )
+    w = lang_mixture_weights(d, tokens_col="n_tokens", alpha=0.5)
+    probs = {r["lang"]: r["keep_prob"] for r in mixture_keep_probs(w).collect()}
+    # alpha<1 upweights the smallest language most → it keeps 100%
+    assert probs["sw"] == 1.0
+    # the biggest language downsamples hardest
+    assert probs["en"] < probs["de"] < 1.0
+
+
+def test_apply_mixture_hits_target_shares(spark):
+    from ocrd_segment_spark.operators.sampling import (
+        apply_mixture,
+        lang_mixture_weights,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.range(0, 20000).selectExpr(
+        "id as doc_id",
+        "IF(id % 10 < 8, 'en', IF(id % 10 = 8, 'de', 'sw')) as lang",
+        "100 as n_tokens",
+    )
+    w = lang_mixture_weights(d, tokens_col="n_tokens", alpha=0.5)
+    kept = apply_mixture(d, w, key_col="doc_id", salt="t")
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    target = {r["lang"]: r["weight"] for r in w.collect()}
+    for lang, n in counts.items():
+        # achieved share within 2 points of the declared target share
+        assert abs(n / total - target[lang]) < 0.02, (lang, n / total, target)
+
+
+def test_apply_mixture_drops_unweighted_lang(spark):
+    from ocrd_segment_spark.operators.sampling import apply_mixture
+
+    d = spark.createDataFrame(
+        [(1, "en"), (2, "xx")], "doc_id long, lang string"
+    )
+    w = spark.createDataFrame(
+        [("en", 100, 1.0)], "lang string, n_tokens long, weight double"
+    )
+    out = apply_mixture(d, w)
+    assert [r["lang"] for r in out.collect()] == ["en"]
