@@ -199,6 +199,15 @@ def main() -> None:
         " utf-8 before any html-reading stage (functions/charset)",
     )
     ap.add_argument(
+        "--sniff-content-type",
+        action="store_true",
+        help="drop non-html fetch bodies by magic bytes BEFORE"
+        " extraction (functions/multimodal.with_content_type): pdfs,"
+        " images and archives mislabeled as pages never pay kernel"
+        " time; runs AFTER --sniff-charset when both are on, so"
+        " utf-16 html is decoded before it is classified",
+    )
+    ap.add_argument(
         "--snapshot-collapse",
         action="store_true",
         help="collapse multi-crawl inputs to the LATEST capture per"
@@ -321,6 +330,7 @@ def main() -> None:
         near_dup_audit=args.near_dup_audit,
         snapshot_collapse=args.snapshot_collapse,
         sniff_charset=args.sniff_charset,
+        sniff_content_type=args.sniff_content_type,
         diff_prev_path=args.diff_prev,
         honor_meta=args.honor_meta,
         outlinks_path=args.outlinks,
@@ -359,6 +369,7 @@ def build_corpus(
     near_dup_audit: str | None = None,
     snapshot_collapse: bool = False,
     sniff_charset: bool = False,
+    sniff_content_type: bool = False,
     diff_prev_path: str | None = None,
     honor_meta: bool = False,
     outlinks_path: str | None = None,
@@ -427,6 +438,35 @@ def build_corpus(
         pages = reencode_non_utf8(
             pages, python_parallelism=python_parallelism
         ).drop("charset", "charset_source")
+    ct_obs = None
+    if sniff_content_type:
+        # magic-byte ingestion gate (functions/multimodal.
+        # with_content_type): only text/html bodies reach the kernel —
+        # the blocklist discipline applied to payload TYPE. Placed
+        # after charset repair so legacy-encoded html classifies as
+        # html, not octet-stream. Scan-stage column math; the drop
+        # count rides the terminal write via the Observation.
+        from ocrd_segment_spark.functions.multimodal import (
+            with_content_type,
+        )
+
+        flagged = with_content_type(pages, blob_col="html")
+        ct_obs = Observation("ctype")
+        flagged = flagged.observe(
+            ct_obs,
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("content_type").isNull()
+                        | (F.col("content_type") != "text/html")
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("dropped"),
+        )
+        pages = flagged.filter(F.col("content_type") == "text/html").drop(
+            "content_type"
+        )
     hr_obs = None
     if host_ranks_path is not None and host_rank_min is not None:
         # link-graph quality prior (the blocklist shape, continuous
@@ -688,6 +728,9 @@ def build_corpus(
         # stages each count what they removed, in their stage order
         "dropped_domain": (
             dom_obs.get["dropped_domain"] if dom_obs is not None else -1
+        ),
+        "dropped_content_type": (
+            ct_obs.get["dropped"] if ct_obs is not None else -1
         ),
         "dropped_host_rank": (
             hr_obs.get["dropped"] if hr_obs is not None else -1

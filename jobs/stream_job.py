@@ -122,6 +122,13 @@ def main() -> None:
         help="charset-repair pre-stage before html-reading stages"
         " (batch-job parity; functions/charset)",
     )
+    ap.add_argument(
+        "--sniff-content-type", action="store_true",
+        help="drop non-html bodies by magic bytes before extraction"
+        " (batch-job parity; functions/multimodal.with_content_type);"
+        " row-local column math, streaming-legal, runs after"
+        " --sniff-charset when both are on",
+    )
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
@@ -153,6 +160,7 @@ def main() -> None:
         blocklist_path=args.blocklist,
         honor_noindex=args.honor_noindex,
         sniff_charset=args.sniff_charset,
+        sniff_content_type=args.sniff_content_type,
         count_bpe=args.count_bpe,
         bpe_vocab_path=args.bpe_vocab,
         available_now=args.available_now,
@@ -180,6 +188,7 @@ def run_stream(
     blocklist_path: str | None = None,
     honor_noindex: bool = False,
     sniff_charset: bool = False,
+    sniff_content_type: bool = False,
     count_bpe: bool = False,
     bpe_vocab_path: str | None = None,
     available_now: bool = True,
@@ -259,6 +268,23 @@ def run_stream(
             ).drop("charset", "charset_source")
 
         pre_stages.append(_charset_stage)
+    if sniff_content_type:
+        # magic-byte ingestion gate AFTER charset repair (utf-16 html
+        # must decode before it is classified) — row-local column
+        # math over the hex prefix, streaming-legal; batch parity
+        # with corpus_job --sniff-content-type.
+        from ocrd_segment_spark.functions.multimodal import (
+            with_content_type,
+        )
+
+        def _ctype_stage(pages):
+            return (
+                with_content_type(pages, blob_col="html")
+                .filter(F.col("content_type") == "text/html")
+                .drop("content_type")
+            )
+
+        pre_stages.append(_ctype_stage)
     if honor_noindex:
         # robots-noindex honoring BEFORE extraction — row-local column
         # math (head_meta harvest), trivially streaming-legal. The

@@ -1075,3 +1075,36 @@ def test_corpus_job_clean_then_redact_composition(spark, tmp_path):
         assert "<EMAIL>" not in r["clean_text"]  # nothing left to redact
         for s in r["region_spans"]:
             assert 0 <= s["start"] <= s["end"] <= len(r["clean_text"])
+
+
+def test_corpus_job_content_type_gate(spark, tmp_path):
+    """--sniff-content-type drops non-html bodies BEFORE extraction
+    (a pdf and a png mislabeled as pages never pay kernel time); the
+    count rides the terminal write."""
+    from jobs.corpus_job import build_corpus
+
+    html = "<html><body><p>the children were playing in the garden" \
+           " near the river today</p></body></html>"
+    rows = [
+        ("https://a.org/page", html.encode()),
+        ("https://a.org/doc.pdf", b"%PDF-1.7 not a page at all"),
+        ("https://a.org/logo", b"\x89PNG\r\n\x1a\n...."),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    funnel = build_corpus(
+        spark, src, str(tmp_path / "corpus"),
+        min_quality=0.0, min_tokens=0, sniff_content_type=True,
+    )
+    assert funnel["dropped_content_type"] == 2
+    assert funnel["pages"] == 1
+    assert funnel["corpus_docs"] == 1
+    kept = {r["url"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {"https://a.org/page"}
+    # flag off → stage not run is -1, not 0 (fixed-schema discipline)
+    funnel2 = build_corpus(
+        spark, src, str(tmp_path / "corpus2"),
+        min_quality=0.0, min_tokens=0,
+    )
+    assert funnel2["dropped_content_type"] == -1

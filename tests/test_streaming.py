@@ -562,3 +562,32 @@ def test_stream_job_honor_noindex_parity(spark, tmp_path):
 
     assert batch == {"https://a.org/main"}
     assert stream == {"https://a.org/main", "https://a.org/alias"}
+
+
+def test_stream_job_content_type_parity(spark, tmp_path):
+    """--sniff-content-type drops non-html bodies on the stream
+    exactly as in batch: same kept url set on the same input."""
+    from jobs.corpus_job import build_corpus
+    from jobs.stream_job import run_stream
+
+    t1 = "the children were playing in the garden near the river today"
+    rows = [
+        ("https://a.org/page",
+         f"<html><body><p>{t1}</p></body></html>".encode()),
+        ("https://a.org/doc.pdf", b"%PDF-1.7 binary payload"),
+        ("https://a.org/archive", b"PK\x03\x04zipped"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+
+    build_corpus(spark, src, str(tmp_path / "bcorpus"),
+                 min_quality=0.0, min_tokens=1, sniff_content_type=True)
+    batch = {r.url for r in
+             spark.read.parquet(str(tmp_path / "bcorpus")).collect()}
+    q = run_stream(spark, src, str(tmp_path / "scorpus"),
+                   str(tmp_path / "ckpt"),
+                   min_quality=0.0, min_tokens=1, sniff_content_type=True)
+    assert q.awaitTermination(300), "streaming drain did not terminate"
+    stream = {r.url for r in
+              spark.read.parquet(str(tmp_path / "scorpus")).collect()}
+    assert batch == stream == {"https://a.org/page"}
