@@ -26,6 +26,7 @@ from ocrd_segment_spark.pipeline import extract_pages
 from ocrd_segment_spark import contract as C
 from ocrd_segment_spark import contract_graph as G
 from ocrd_segment_spark import contract_ml as M
+from ocrd_segment_spark import contract_web as WB
 from ocrd_segment_spark.functions.sublevels import words_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -359,6 +360,10 @@ def main() -> None:
         "sentence_spans": lambda: G.q_sentence_spans(spark, SF_DIR).count(),
         "corpus_diff": lambda: G.q_corpus_diff(spark, SF_DIR).count(),
         "bpe_train_merges": lambda: G.q_bpe_train_merges(spark, SF_DIR).collect(),
+        # round-5 session-4 operators (all JVM-side)
+        "hits_scores": lambda: WB.q_hits_scores(spark, SF_DIR).collect(),
+        "cms_heavy_hitters": lambda: WB.q_cms_heavy_hitters(spark, SF_DIR).collect(),
+        "hll_host_cardinality": lambda: WB.q_hll_host_cardinality(spark, SF_DIR).count(),
         "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
         and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
         "extract_pages": bench_extract,

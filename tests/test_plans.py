@@ -287,3 +287,91 @@ def test_bpe_pair_count_round_is_one_shuffle(spark):
     # word_freqs costs one exchange, the pair count one more — never a
     # third (no join, no window in the round's hot path)
     assert audit.exchange_count(pairs) == 2
+
+
+def test_crawl_waves_window_is_host_partitioned(spark):
+    """crawl_waves ranks WITHIN hosts — the window must be keyed (an
+    unpartitioned row_number is a single-task global sort)."""
+    from ocrd_segment_spark.operators.robots import crawl_waves
+
+    frontier = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "concat('u', doc_id) as url",
+        "concat('h', doc_id % 7) as host",
+        "cast(null as string) as lastmod",
+        "cast(1.0 as double) as crawl_delay",
+    )
+    out = crawl_waves(frontier)
+    assert audit.unpartitioned_window_inputs(out) == []
+
+
+def test_jsonld_harvest_is_narrow(spark):
+    """jsonld_types is scan-stage column math: regexp + posexplode +
+    JSON path extraction, zero Exchange."""
+    from ocrd_segment_spark.operators.headmeta import jsonld_types
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "concat('u', doc_id) as url",
+        "cast('<script type=\"application/ld+json\">{}</script>' as binary) as html",
+    )
+    assert not audit.has_exchange(jsonld_types(pages))
+
+
+def test_hll_group_build_single_exchange(spark):
+    """Per-group register build: ONE (group, reg)-keyed exchange with
+    map-side partial max; the estimate adds the group-grain aggregate
+    and nothing else (never a distinct over the key column)."""
+    from ocrd_segment_spark.operators.sketches import hll_distinct_by
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "concat('h', doc_id % 7) as host", "concat('u', doc_id) as url"
+    )
+    out = hll_distinct_by(d, ("host",), key_col="url", r=64)
+    assert audit.exchange_count(out) == 2  # registers + estimate
+    plan = audit.physical_plan(out)
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_cms_build_partial_aggregated(spark):
+    """Sketch build: the (i, col) shuffle is partial-summed map-side —
+    at most d*w rows per map partition cross the wire."""
+    from pyspark.sql import functions as F
+    from ocrd_segment_spark.operators.sketches import cms_build
+
+    toks = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias(
+            "term"
+        )
+    )
+    sketch = cms_build(toks, d=4, w=256)
+    assert audit.exchange_count(sketch) == 1
+    plan = audit.physical_plan(sketch)
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_mixture_apply_weight_join_broadcast(spark):
+    """apply_mixture's keep-prob join is languages-grain broadcast;
+    the row filter itself adds no exchange on the corpus side."""
+    from ocrd_segment_spark.operators.sampling import (
+        apply_mixture,
+        lang_mixture_weights,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    w = lang_mixture_weights(d, tokens_col="n_chars")
+    out = apply_mixture(d, w)
+    assert audit.broadcast_join_count(out) >= 1
+    assert "CartesianProduct" not in audit.physical_plan(out)
+
+
+def test_content_type_sniff_pushes_no_python(spark):
+    """The sniffer is one projection: no Exchange, no Python stage
+    (BatchEvalPython/ArrowEvalPython absent from the plan)."""
+    from ocrd_segment_spark.functions.multimodal import with_content_type
+
+    pages = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "cast(text as binary) as html"
+    )
+    out = with_content_type(pages)
+    plan = audit.physical_plan(out)
+    assert not audit.has_exchange(out)
+    assert "EvalPython" not in plan

@@ -472,6 +472,55 @@ the artifact instead of silently becoming the headline.
   cost; scan-I/O-bound pipelines should persist the charset column.
 - **Punctuation folding** (functions/normalize.punct_fold_col): 1:1
   translate, length-preserving and therefore span-safe by default.
+## Round-5 session-4 surface: sketches, scheduling, dispatch, mixtures
+
+- **HyperLogLog / count-min sketches** (operators/sketches): the
+  answers to "distinct urls per host" and "globally frequent tokens"
+  that never shuffle key-grain data. HLL register build = ONE
+  (group, reg) exchange with map-side partial max (≤ r rows per group
+  per map partition); register tables MERGE by max — proven through
+  the gate (hll_merge_parity: Spark merges shard sketches, the oracle
+  builds once). Count-min's build shuffle is bounded at d·w rows per
+  map partition regardless of corpus size; heavy hitters surface with
+  NO false negatives and exact-verify prunes the rest (the LSH
+  find-then-verify discipline). Measured estimator quality: 14.4% RMS
+  over ten adversarial key shapes at r=64 vs the 13.0% theoretical —
+  after a measured lesson: the polynomial fold's raw trailing bits
+  biased estimates 2×, so HLL finalizes through a Mueller integer mix
+  chosen because every product stays under 2^63 (ANSI-legal BIGINT
+  math both engines restate bit-for-bit).
+- **HITS hubs/authorities** (operators/linkgraph.hits): PageRank's
+  complement — host-grain rounds, two shuffle joins per round, L1
+  normalizers as 1-row broadcasts, localCheckpoint-bounded lineage.
+- **Crawl-wave planner** (operators/robots.crawl_waves + frontier_job
+  --wave-seconds): politeness intervals → dispatch rounds. One
+  host-partitioned window; `wave` is the WRITE-PARTITION column so
+  each dispatch round reads exactly one partition (partition pruning
+  is the 100 TB reason it is a column, not a sort order).
+- **Index lifecycle closed** (operators/index.delete_docs): tombstone
+  anti-join whose BM25 statistics exactly equal a from-scratch
+  rebuild over the survivors (gate key vs an oracle that never
+  indexed the deleted docs) — no stale-idf poisoning; delete-then-
+  re-add restores the index bit-for-bit.
+- **Magic-byte ingestion gate** (functions/multimodal.
+  with_content_type + --sniff-content-type on corpus/stream jobs):
+  mislabeled pdfs/images/archives drop BEFORE extraction and never
+  pay kernel time. The entire classification runs in the HEX domain —
+  blob→varchar casts are not engine-parity-safe (DuckDB escapes,
+  Spark replaces); hex is.
+- **JSON-LD harvest** (operators/headmeta.jsonld_types): scan-stage
+  regex + JVM JSON path extraction; parse failures stay countable.
+- **Epoch shuffle** (operators/sampling.shuffle_assignment): a
+  reproducible global permutation as (shard, pos) COLUMNS — one
+  shard-keyed exchange with per-shard bounded sorts; n_shards is the
+  knob that keeps any single sort partition-sized (2^16 shards →
+  ~1.5 GB per sort at 100 TB). Never a global range exchange.
+- **Mixture application** (operators/sampling.mixture_keep_probs +
+  apply_mixture): temperature shares → keep probabilities with
+  maximal retention (c = min p/q: the most-upweighted language keeps
+  100%) → content-addressed row filter. Languages-grain broadcast
+  join; the row decision is the same zero-shuffle bucket predicate as
+  every other sampler in the repo.
 """
 
 
