@@ -253,6 +253,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_type_sniff": WB.q_content_type_sniff,
     "epoch_shuffle": WB.q_epoch_shuffle,
     "mixture_sample": WB.q_mixture_sample,
+    "lang_mix_stats": WB.q_lang_mix_stats,
 }
 
 _ORACLES: dict[str, str] = {
@@ -409,6 +410,7 @@ _ORACLES: dict[str, str] = {
     "content_type_sniff": WB.O_CONTENT_TYPE_SNIFF,
     "epoch_shuffle": WB.O_EPOCH_SHUFFLE,
     "mixture_sample": WB.O_MIXTURE_SAMPLE,
+    "lang_mix_stats": WB.O_LANG_MIX_STATS,
 }
 
 

@@ -389,47 +389,51 @@ def q_lang_id_ngram(spark, sf_dir):
     return with_lang_ngram(d).select("doc_id", "pred_lang", "lang_logp")
 
 
-def _lang_ngram_oracle() -> str:
+def _lang_ngram_oracle(src: str = "documents", key: str = "doc_id") -> str:
+    """Parameterized so contract_web's unit-grain lang_mix_stats key
+    reuses the IDENTICAL model + scoring chain over an exploded-unit
+    source (src must expose (key, text)); the defaults keep
+    O_LANG_ID_NGRAM byte-identical to its pre-parameterization text."""
     from .operators.langid import model_values_sql
 
     return f"""
 WITH model(g, lang, logp) AS (VALUES {model_values_sql()}),
 norm AS (
-  SELECT doc_id,
+  SELECT {key},
          trim(regexp_replace(
             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
                             'abcdefghijklmnopqrstuvwxyz'),
             '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS s
-  FROM documents
+  FROM {src}
 ),
 grams AS (
-  SELECT doc_id, s[i] AS g
+  SELECT {key}, s[i] AS g
   FROM norm, LATERAL (SELECT unnest(generate_series(1, length(s))) AS i)
   WHERE length(s) >= 1
   UNION ALL
-  SELECT doc_id, s[i] || s[i+1] AS g
+  SELECT {key}, s[i] || s[i+1] AS g
   FROM norm, LATERAL (SELECT unnest(generate_series(1, length(s) - 1)) AS i)
   WHERE length(s) >= 2
 ),
-per AS (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY doc_id, g),
+per AS (SELECT {key}, g, count(*) AS n FROM grams GROUP BY {key}, g),
 -- dense model: the inner join charges every language the smoothing
 -- floor for vocab grams it lacks; out-of-vocabulary grams drop here
 folded AS (
-  SELECT doc_id, lang,
+  SELECT {key}, lang,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list_transform(list_sort(list({{'g': g, 'n': n, 'logp': logp}})),
                           x -> x.n * x.logp)),
            (a, x) -> a + x) AS score
   FROM per JOIN model USING (g)
-  GROUP BY doc_id, lang
+  GROUP BY {key}, lang
 ),
 best AS (
-  SELECT doc_id, max({{'s': score, 'lang': lang}}) AS b
-  FROM folded GROUP BY doc_id
+  SELECT {key}, max({{'s': score, 'lang': lang}}) AS b
+  FROM folded GROUP BY {key}
 )
-SELECT d.doc_id, coalesce(b.b.lang, 'und') AS pred_lang,
+SELECT d.{key}, coalesce(b.b.lang, 'und') AS pred_lang,
        round(b.b.s, 6) AS lang_logp
-FROM documents d LEFT JOIN best b USING (doc_id)
+FROM {src} d LEFT JOIN best b USING ({key})
 """
 
 

@@ -623,3 +623,80 @@ WHERE (({_D_STR_HASH.format(s="concat('mix', CAST(doc_id AS VARCHAR))")})
       * 48271 + 11) % {P} % 1000000
       < CAST(floor(keep_prob * 1000000) AS BIGINT)
 """
+
+
+# ---------------------------------------------------------------------------
+# mixed-language detection: unit-grain language spans
+# ---------------------------------------------------------------------------
+
+# two seed sentences (operators/langid.SEED_CORPUS de[0] / zh[0]) —
+# the fixture needs units whose language the frozen model decides
+# deterministically; training seeds are exactly that
+_MIX_DE = "der schnelle braune fuchs springt über den faulen hund am flussufer"
+_MIX_ZH = "敏捷的棕色狐狸跳过了河边那只懒惰的狗"
+
+# doc text + an injected second unit: % 3 == 0 → German unit,
+# % 3 == 1 → Chinese unit, % 3 == 2 → nothing (trailing sep splits to
+# an empty unit, which the frozen rule drops → single-unit doc)
+_MIX_TEXT = (
+    "concat(text, '\\n', CASE doc_id % 3"
+    f" WHEN 0 THEN '{_MIX_DE}'"
+    f" WHEN 1 THEN '{_MIX_ZH}'"
+    " ELSE '' END)"
+)
+_D_MIX_TEXT = (
+    "text || chr(10) || CASE doc_id % 3"
+    f" WHEN 0 THEN '{_MIX_DE}'"
+    f" WHEN 1 THEN '{_MIX_ZH}'"
+    " ELSE '' END"
+)
+
+
+def q_lang_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language detection (operators/langid.lang_mix_stats):
+    every unit scored under the SAME frozen 11-language model as the
+    document pass, aggregated to (n_units, n_langs, majority_lang,
+    majority_frac) — the code-switching signal document-level argmax
+    cannot see. Two thirds of the fixture docs carry an injected
+    second unit in another language; the oracle reruns the IDENTICAL
+    model chain (contract_ml._lang_ngram_oracle, parameterized) over
+    the exploded units."""
+    from .operators.langid import lang_mix_stats
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_MIX_TEXT} as text"
+    )
+    return lang_mix_stats(d).select(
+        "doc_id", "n_units", "n_langs", "majority_lang", "majority_frac"
+    )
+
+
+def _o_lang_mix_stats() -> str:
+    from .contract_ml import _lang_ngram_oracle
+
+    scored = _lang_ngram_oracle(src="u", key="k")
+    return f"""
+WITH docs2 AS MATERIALIZED (
+  SELECT doc_id, {_D_MIX_TEXT} AS text FROM documents
+), u AS MATERIALIZED (
+  SELECT doc_id * 10 + (i - 1) AS k, unit AS text
+  FROM (
+    SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS unit
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2)
+  ) WHERE unit <> ''
+), scored AS MATERIALIZED (
+  {scored}
+), per AS (
+  SELECT k // 10 AS doc_id, pred_lang, count(*) AS n
+  FROM scored GROUP BY k // 10, pred_lang
+)
+SELECT doc_id, sum(n) AS n_units,
+       count(DISTINCT pred_lang) AS n_langs,
+       max({{'c': n, 'lang': pred_lang}}).lang AS majority_lang,
+       round(max({{'c': n, 'lang': pred_lang}}).c * CAST(1.0 AS DOUBLE)
+             / sum(n), 6) AS majority_frac
+FROM per GROUP BY doc_id
+"""
+
+
+O_LANG_MIX_STATS = _o_lang_mix_stats()

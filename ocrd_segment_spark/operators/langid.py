@@ -76,7 +76,7 @@ import string
 from collections import Counter
 from functools import lru_cache
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 _FOLD = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
 _WS = re.compile(r"[ \t\n\r\f\v]+")
@@ -463,4 +463,97 @@ def model_values_sql() -> str:
     return ", ".join(
         "('{}', '{}', {!r})".format(g.replace("'", "''"), l, p)
         for g, l, p in train_profiles()
+    )
+
+
+def with_unit_langs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    python_parallelism: int | None = None,
+    margin: float | None = None,
+) -> DataFrame:
+    """(id, unit_idx, unit, pred_lang, lang_logp) — the document split
+    on the literal ``sep`` (empty units dropped, the Bloom unit rule)
+    and every unit scored under the SAME frozen model as the document
+    pass. Mixed-language documents (boilerplate in one language
+    wrapping content in another, comment sections, code-switching) are
+    invisible to a document-level argmax — unit grain is where they
+    show.
+
+    Scale shape: the explode is scan-stage; the scoring pass is the
+    same Arrow-batched mapInPandas as :func:`with_lang_ngram` applied
+    at unit grain — total scoring work is unchanged (the model is
+    O(chars) and the chars are the same ones), the row count is what
+    grows, so cap it with ``python_parallelism`` exactly like the
+    document pass."""
+    import re as _re
+
+    units = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("unit_idx", "unit"),
+    ).filter(F.col("unit") != "")
+    return with_lang_ngram(
+        units,
+        text_col="unit",
+        python_parallelism=python_parallelism,
+        margin=margin,
+    )
+
+
+def lang_mix_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    python_parallelism: int | None = None,
+    margin: float | None = None,
+) -> DataFrame:
+    """(id, n_units, n_langs, majority_lang, majority_frac) per
+    document over :func:`with_unit_langs` — the mixed-language /
+    code-switching signal a curation pipeline filters or routes on
+    (a doc whose units disagree about their language is usually
+    boilerplate+content sandwich, not prose). Frozen majority rule:
+    the (count, lang)-MAX struct — highest unit count wins, ties go
+    to the lexicographically LARGEST language (a stated max, not an
+    arbitrary engine order); majority_frac rounds to 6.
+
+    Scale shape: one (id, lang) partial-count shuffle + one id-grain
+    aggregate — both map-side combinable; no window."""
+    per = (
+        with_unit_langs(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            sep=sep,
+            python_parallelism=python_parallelism,
+            margin=margin,
+        )
+        .groupBy(id_col, "pred_lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_units"),
+            F.countDistinct("pred_lang").alias("n_langs"),
+            F.max(
+                F.struct(
+                    F.col("__n").alias("c"),
+                    F.col("pred_lang").alias("lang"),
+                )
+            ).alias("__m"),
+        )
+        .select(
+            id_col,
+            "n_units",
+            "n_langs",
+            F.col("__m.lang").alias("majority_lang"),
+            F.expr("round(__m.c * 1.0D / n_units, 6)").alias(
+                "majority_frac"
+            ),
+        )
     )

@@ -304,3 +304,56 @@ def test_lang_margin_threads_through_extraction(spark):
     assert strict["pred_lang"] == UND and strict["lang_logp"] is None
     default = extract_pages(df, lang_id=True).collect()[0]
     assert default["pred_lang"] == "en"
+
+
+# ---------------------------------------------------------------------------
+# unit-grain language spans / mixed-language stats
+# ---------------------------------------------------------------------------
+
+
+def test_unit_langs_score_each_unit(spark):
+    from ocrd_segment_spark.operators.langid import (
+        SEED_CORPUS,
+        with_unit_langs,
+    )
+
+    en = SEED_CORPUS["en"][0]
+    de = SEED_CORPUS["de"][0]
+    d = spark.createDataFrame(
+        [(1, f"{en}\n{de}"), (2, en), (3, f"{en}\n\n{de}")],
+        "doc_id long, text string",
+    )
+    out = with_unit_langs(d).collect()
+    by = {(r["doc_id"], r["unit_idx"]): r["pred_lang"] for r in out}
+    assert by[(1, 0)] == "en" and by[(1, 1)] == "de"
+    assert by[(2, 0)] == "en"
+    # the empty middle unit of doc 3 is dropped, indices keep the
+    # ORIGINAL split positions (posexplode before the filter)
+    assert by[(3, 0)] == "en" and by[(3, 2)] == "de"
+    assert (3, 1) not in by
+
+
+def test_lang_mix_stats_majority_and_tie(spark):
+    from ocrd_segment_spark.operators.langid import (
+        SEED_CORPUS,
+        lang_mix_stats,
+    )
+
+    en = SEED_CORPUS["en"][0]
+    de = SEED_CORPUS["de"][0]
+    d = spark.createDataFrame(
+        [
+            (1, f"{en}\n{en}\n{de}"),  # en majority 2/3
+            (2, f"{en}\n{de}"),  # 1-1 tie → lexicographically LARGER
+            (3, en),  # single unit
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lang_mix_stats(d).collect()}
+    assert rows[1]["majority_lang"] == "en"
+    assert rows[1]["n_langs"] == 2 and rows[1]["n_units"] == 3
+    assert rows[1]["majority_frac"] == 0.666667
+    # frozen tie rule: (count, lang)-max → 'en' > 'de'
+    assert rows[2]["majority_lang"] == "en"
+    assert rows[2]["majority_frac"] == 0.5
+    assert rows[3]["n_langs"] == 1 and rows[3]["majority_frac"] == 1.0
