@@ -17,6 +17,7 @@ from ocrd_segment_spark import contract_levels as L
 from ocrd_segment_spark import contract_graph as G
 from ocrd_segment_spark import contract_ml as M
 from ocrd_segment_spark import contract_web as WB
+from ocrd_segment_spark import contract_ingest as I
 from ocrd_segment_spark.pipeline import extract_pages
 
 
@@ -254,6 +255,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_shuffle": WB.q_epoch_shuffle,
     "mixture_sample": WB.q_mixture_sample,
     "lang_mix_stats": WB.q_lang_mix_stats,
+    "warc_ingest": I.q_warc_ingest,
 }
 
 _ORACLES: dict[str, str] = {
@@ -411,6 +413,7 @@ _ORACLES: dict[str, str] = {
     "epoch_shuffle": WB.O_EPOCH_SHUFFLE,
     "mixture_sample": WB.O_MIXTURE_SAMPLE,
     "lang_mix_stats": WB.O_LANG_MIX_STATS,
+    "warc_ingest": I.O_WARC_INGEST,
 }
 
 

@@ -409,6 +409,7 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "dropped_domain": -1, "dropped_host_rank": -1,
         "dropped_stale_snapshot": -1,
         "dropped_noindex": -1, "dropped_canonical_alias": -1,
+        "dropped_content_type": -1,
         "pages": 0, "dropped_quality": 0, "dropped_lang": 0,
         "dropped_gopher": 0, "dropped_entropy": -1, "dropped_lm": -1,
         "dropped_compression": -1, "dropped_clf": -1, "kept_after_filters": 0,
