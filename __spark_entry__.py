@@ -256,6 +256,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": WB.q_mixture_sample,
     "lang_mix_stats": WB.q_lang_mix_stats,
     "warc_ingest": I.q_warc_ingest,
+    "trustrank_scores": I.q_trustrank,
+    "dedup_containment": I.q_dedup_containment,
+    "hist_quantiles": I.q_hist_quantiles,
 }
 
 _ORACLES: dict[str, str] = {
@@ -414,6 +417,9 @@ _ORACLES: dict[str, str] = {
     "mixture_sample": WB.O_MIXTURE_SAMPLE,
     "lang_mix_stats": WB.O_LANG_MIX_STATS,
     "warc_ingest": I.O_WARC_INGEST,
+    "trustrank_scores": I.O_TRUSTRANK,
+    "dedup_containment": I.O_DEDUP_CONTAINMENT,
+    "hist_quantiles": I.O_HIST_QUANTILES,
 }
 
 

@@ -181,3 +181,242 @@ SELECT seg, target_uri AS url,
        substr(payload, strpos(payload, e'\\r\\n\\r\\n') + 4) AS html_text
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# TrustRank — seeded PageRank, trust flows outward from vetted hosts
+# ---------------------------------------------------------------------------
+
+_TR_ITERATIONS = 4
+_TR_DAMPING = 0.85
+TR_SEEDS = ("h1", "h2", "h3")
+
+# same synthetic host-graph shape as the pagerank key (contract_graph):
+# ~23 src hosts, ~29 dst hosts, self-loops removed
+_TR_SRC = "concat('h', cast(doc_id % 23 as string))"
+_TR_DST = "concat('h', cast((doc_id * 7 + n_chars) % 29 as string))"
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded TrustRank (operators/linkgraph.trustrank): teleport mass
+    restricted to the trusted seed hosts, dangling mass returned to
+    the seeds — hosts unreachable from the seed neighborhood score 0,
+    which is the spam-demotion contract. The oracle unrolls the same
+    fixed-iteration recurrence with the seed vector stated inline."""
+    from .operators.linkgraph import trustrank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.selectExpr(
+        f"{_TR_SRC} as src_host", f"{_TR_DST} as dst_host"
+    ).filter(F.col("src_host") != F.col("dst_host"))
+    seeds = docs.sparkSession.createDataFrame(
+        [(s,) for s in TR_SEEDS], "node string"
+    )
+    out = trustrank(
+        edges, seeds, iterations=_TR_ITERATIONS, damping=_TR_DAMPING
+    )
+    return out.select("node", F.round("trust", 6).alias("trust"))
+
+
+def _trustrank_oracle(iterations: int, damping: float) -> str:
+    d_src = "'h' || CAST(doc_id % 23 AS VARCHAR)"
+    d_dst = "'h' || CAST((doc_id * 7 + n_chars) % 29 AS VARCHAR)"
+    seeds_rows = ", ".join(f"('{s}')" for s in TR_SEEDS)
+    svec = (
+        "CASE WHEN b.is_seed THEN CAST(1 AS DOUBLE) / (SELECT n FROM ns)"
+        " ELSE CAST(0 AS DOUBLE) END"
+    )
+    head = f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT {d_src} AS src, {d_dst} AS dst
+  FROM documents WHERE {d_src} <> {d_dst}
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+), seedtab(node) AS (VALUES {seeds_rows}),
+ns AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n
+  FROM nodes JOIN seedtab USING (node)
+),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+base AS MATERIALIZED (
+  SELECT nodes.node, coalesce(deg.outdeg, 0) AS outdeg,
+         seedtab.node IS NOT NULL AS is_seed
+  FROM nodes LEFT JOIN deg ON nodes.node = deg.node
+  LEFT JOIN seedtab ON nodes.node = seedtab.node
+), r0 AS (
+  SELECT b.node, b.outdeg, b.is_seed, {svec} AS trust FROM base b
+)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(f""", d{i} AS (
+  SELECT coalesce(sum(trust), CAST(0 AS DOUBLE)) AS dmass
+  FROM r{p} WHERE outdeg = 0
+), c{i} AS (
+  SELECT e.dst AS node, sum(r.trust / CAST(r.outdeg AS DOUBLE)) AS contrib
+  FROM e JOIN r{p} r ON e.src = r.node
+  WHERE r.outdeg > 0
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT b.node, b.outdeg, b.is_seed,
+         (CAST(1 AS DOUBLE) - {damping}) * {svec}
+         + {damping} * (coalesce(c{i}.contrib, CAST(0 AS DOUBLE))
+                        + (SELECT dmass FROM d{i}) * {svec}) AS trust
+  FROM base b LEFT JOIN c{i} ON b.node = c{i}.node
+)""")
+    parts.append(f"\nSELECT node, round(trust, 6) AS trust FROM r{iterations}")
+    return "".join(parts)
+
+
+O_TRUSTRANK = _trustrank_oracle(_TR_ITERATIONS, _TR_DAMPING)
+
+
+# ---------------------------------------------------------------------------
+# containment near-dup: the wrapper-page signal Jaccard misses
+# ---------------------------------------------------------------------------
+
+_WRAP_PRE = "home about contact login search "
+_WRAP_POST = " copyright terms privacy sitemap newsletter"
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment verify (operators/dedup.containment_verify_pairs):
+    every 20th document gets a planted WRAPPER twin (same text inside
+    nav/footer boilerplate). The wrapper's chrome dilutes Jaccard, but
+    the original's shingles are all inside it — containment1 must be
+    exactly 1.0 for every planted pair while jaccard sits well below.
+    The oracle restates the shared shingle chain with DuckDB lists."""
+    from .operators.dedup import containment_verify_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    wrapped = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit(_WRAP_PRE), F.col("text"), F.lit(_WRAP_POST)).alias(
+            "text"
+        ),
+    )
+    corpus = d.select("doc_id", "text").unionAll(wrapped)
+    pairs = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("doc1"),
+        (F.col("doc_id") + 200000).alias("doc2"),
+    )
+    return containment_verify_pairs(corpus, pairs)
+
+
+def _o_dedup_containment() -> str:
+    from .contract_ml import _D_STR_HASH, _D_TOKS
+    from .functions.hashing import P
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         '{_WRAP_PRE}' || text || '{_WRAP_POST}'
+  FROM documents WHERE doc_id % 20 = 0
+), t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM corpus
+), tokh AS (
+  SELECT doc_id,
+         list_transform(toks, s -> {_D_STR_HASH.format(s="s")}) AS th
+  FROM t WHERE len(toks) >= 3
+), hs AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(th) - 1),
+           i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P})) AS hs
+  FROM tokh
+), pairs AS (
+  SELECT doc_id AS doc1, doc_id + 200000 AS doc2
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT p.doc1 AS doc1, p.doc2 AS doc2,
+       round(len(list_intersect(a.hs, b.hs)) * CAST(1.0 AS DOUBLE) /
+             len(list_distinct(list_concat(a.hs, b.hs))), 6) AS jaccard,
+       round(len(list_intersect(a.hs, b.hs)) * CAST(1.0 AS DOUBLE) /
+             len(a.hs), 6) AS containment1,
+       round(len(list_intersect(a.hs, b.hs)) * CAST(1.0 AS DOUBLE) /
+             len(b.hs), 6) AS containment2,
+       round(greatest(
+             len(list_intersect(a.hs, b.hs)) * CAST(1.0 AS DOUBLE) / len(a.hs),
+             len(list_intersect(a.hs, b.hs)) * CAST(1.0 AS DOUBLE) / len(b.hs)
+       ), 6) AS containment
+FROM pairs p
+JOIN hs a ON a.doc_id = p.doc1
+JOIN hs b ON b.doc_id = p.doc2
+"""
+
+
+O_DEDUP_CONTAINMENT = _o_dedup_containment()
+
+
+# ---------------------------------------------------------------------------
+# log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-histogram quantiles (operators/sketches.
+    hist_build/hist_merge/hist_quantiles): per-language doc-length
+    p50/p90/p99 from O(bins) state. The Spark side builds TWO shard
+    histograms (even/odd doc_id) and MERGES them; the oracle builds
+    once over all rows and restates the frozen bin/rank/interpolation
+    arithmetic — equality through the typed gate proves both the
+    quantile rule and union-mergeability. Binning is exact integer +
+    power-of-two double arithmetic (no libm log2 — Spark's
+    log(x)/log(2) misrounds at exact powers of two)."""
+    from .operators.sketches import hist_build, hist_merge, hist_quantiles
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    h_even = hist_build(d.filter(F.col("doc_id") % 2 == 0), ("lang",), "n_chars")
+    h_odd = hist_build(d.filter(F.col("doc_id") % 2 == 1), ("lang",), "n_chars")
+    return hist_quantiles(hist_merge(h_even, h_odd), ("lang",), qs=_HIST_QS)
+
+
+def _o_hist_quantiles(k: int = 8) -> str:
+    d_bin = (
+        f"(length(bin(CAST(v + 1 AS BIGINT))) - 1) * {k}"
+        f" + CAST(floor(((CAST(v + 1 AS DOUBLE)"
+        f" / power(CAST(2 AS DOUBLE), length(bin(CAST(v + 1 AS BIGINT))) - 1))"
+        f" - CAST(1 AS DOUBLE)) * CAST({k} AS DOUBLE)) AS INT)"
+    )
+
+    def d_lo(b: str) -> str:
+        return (
+            f"(power(CAST(2 AS DOUBLE), ({b}) // {k})"
+            f" * (CAST(1 AS DOUBLE) + CAST(({b}) % {k} AS DOUBLE)"
+            f" / CAST({k} AS DOUBLE)) - CAST(1 AS DOUBLE))"
+        )
+
+    qvals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in _HIST_QS)
+    return f"""
+WITH v AS (
+  SELECT lang, n_chars AS v FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 0
+), b AS (
+  SELECT lang, {d_bin} AS bin, count(*) AS cnt FROM v GROUP BY lang, bin
+), c AS MATERIALIZED (
+  SELECT lang, bin, cnt,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM b
+), qs(q) AS (VALUES {qvals}),
+r AS (
+  SELECT lang, q, bin, cnt, cum,
+         floor(q * (n - 1)) + 1 AS rank
+  FROM c CROSS JOIN qs
+  WHERE cum >= floor(q * (n - 1)) + 1
+), m AS (
+  SELECT lang, q,
+         min({{'bin': bin, 'cnt': cnt, 'cum': cum, 'rank': rank}}) AS s
+  FROM r GROUP BY lang, q
+)
+SELECT lang, q,
+       round({d_lo("s.bin")}
+             + ({d_lo("s.bin + 1")} - {d_lo("s.bin")})
+             * (s.rank - (s.cum - s.cnt)) / s.cnt, 6) AS est
+FROM m
+"""
+
+
+O_HIST_QUANTILES = _o_hist_quantiles()

@@ -385,6 +385,58 @@ def jaccard_verify_pairs(
     )
 
 
+def containment_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT scored over a candidate-pair table —
+    the wrapper-page detector Jaccard misses. A page that embeds
+    another document whole (syndication shells, print views, quote
+    farms) can sit far below any Jaccard threshold because the
+    wrapper's own boilerplate inflates the union; containment of the
+    smaller shingle set in the larger is ~1.0 regardless of how much
+    chrome the wrapper adds (Broder's resemblance-vs-containment
+    distinction, SEQUENCES 1997).
+
+    Frozen rule: same word-n-gram shingle sets as
+    :func:`jaccard_verify_pairs`; per pair emit
+    ``jaccard = |A∩B| / |A∪B|``, ``containment1 = |A∩B| / |A|``,
+    ``containment2 = |A∩B| / |B|``, and
+    ``containment = max(containment1, containment2)`` (the decision
+    column: it is "the smaller set's coverage" whichever side that
+    is). All four rounded to 6.
+
+    Physical shape: identical to the Jaccard verify — shingles derive
+    once per doc (narrow), two id-grain equi-joins, cost linear in
+    |pairs| + |docs|, no quadratic form anywhere."""
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("toks", H.tokens("text"))
+        .filter(F.size("toks") >= n)
+        .withColumn("th", H.token_hashes("toks"))
+        .select("doc_id", H.shingle_hashes("th", n).alias("sh"))
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        pairs.select("doc1", "doc2")
+        .join(sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1")), "doc1")
+        .join(sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(inter / F.size(F.array_union("sh1", "sh2")), 6).alias("jaccard"),
+            F.round(inter / F.size("sh1"), 6).alias("containment1"),
+            F.round(inter / F.size("sh2"), 6).alias("containment2"),
+            F.round(
+                F.greatest(inter / F.size("sh1"), inter / F.size("sh2")), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -318,6 +318,120 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Seeded TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004)
+    over a directed host edge list → (node, trust). The spam-demotion
+    counterpart of :func:`pagerank`: teleportation is restricted to a
+    hand-vetted TRUSTED seed set, so trust flows outward from known-
+    good hosts and link farms that no trusted neighborhood references
+    score ~0 no matter how densely they interlink.
+
+    Frozen semantics (stated so the DuckDB oracle can unroll it):
+
+    - edges dedupe to DISTINCT (src, dst), exactly like pagerank;
+    - the seed vector s is uniform over the seeds PRESENT in the
+      graph (``seeds`` rows naming unknown nodes are ignored; an
+      empty intersection raises — trust needs at least one anchor);
+    - r0 = s;
+    - per round: r' = (1-d)·s + d·(Σ_in r/outdeg + D·s) — dangling
+      mass D teleports back to the SEEDS, not uniformly, keeping all
+      mass inside the trusted flow (total stays 1.0 by construction);
+    - exactly ``iterations`` rounds, no convergence test.
+
+    Non-seed hosts with no in-links therefore hold trust 0 (not
+    (1-d)/N as in pagerank) — the score separates "reachable from
+    trust" from "merely exists", which is the point.
+
+    Scale shape: identical to :func:`pagerank` — host-grain frames,
+    one shuffle-join + one aggregation per round, the seed vector is
+    a broadcast-joined flag column, dangling mass is a 1-row
+    aggregate, ``localCheckpoint`` per round bounds lineage."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    seed_nodes = (
+        nodes.join(seeds.select(F.col("node")).distinct(), "node").cache()
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        e.unpersist()
+        nodes.unpersist()
+        seed_nodes.unpersist()
+        raise ValueError("trustrank: no seed is present in the graph")
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    svec = F.when(F.col("is_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .join(seed_nodes.withColumn("is_seed", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+        )
+        .cache()
+    )
+    ranks = base.select("node", "outdeg", "is_seed", svec.alias("trust"))
+    ranks = ranks.localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                ranks.filter(F.col("outdeg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("trust") / F.col("outdeg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = ranks.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("trust"), F.lit(0.0)).alias("dmass")
+        )
+        ranks = (
+            ranks.select("node", "outdeg", "is_seed")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                "is_seed",
+                (
+                    F.lit(1.0 - damping) * svec
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("dmass") * svec
+                    )
+                ).alias("trust"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    seed_nodes.unpersist()
+    base.unpersist()
+    return ranks.select("node", "trust")
+
+
 def hits(
     edges: DataFrame,
     iterations: int = 4,

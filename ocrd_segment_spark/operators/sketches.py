@@ -306,3 +306,139 @@ def cms_heavy_hitters(
         .filter(F.col("exact_count") >= threshold)
         .select("term", "cms_count", "exact_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# log-histogram quantile sketch — mergeable quantiles in O(bins) state
+# ---------------------------------------------------------------------------
+
+HIST_K = 8  # sub-bins per octave; MUST be a power of two (exactness)
+
+# Frozen bin rule for a non-negative integer value v (doc lengths,
+# token counts, latencies): octave o = ilog2(v+1) via the BINARY
+# STRING LENGTH (length(bin(v+1)) - 1 — exact integer arithmetic, no
+# libm), sub-bin s = floor(((v+1)/2^o - 1) * K). With K a power of
+# two every step is EXACT double arithmetic ((v+1)/2^o is an exact
+# division by a power of two for v+1 <= 2^53; (x-1)*K is exact), so
+# Spark and DuckDB agree bit-for-bit — log2()-based binning would NOT
+# (Spark computes log(x)/log(2), which misrounds at exact powers of
+# two; DuckDB's std::log2 does not).
+_HIST_BIN = (
+    "cast((length(bin({v} + 1)) - 1) * {k}"
+    " + floor(((cast({v} + 1 as double)"
+    "          / power(cast(2 as double), length(bin({v} + 1)) - 1)) - 1.0)"
+    "         * cast({k} as double)) as int)"
+)
+
+# bin edges: lo(b) = 2^(b div K) * (1 + (b mod K)/K) - 1, hi = lo of b+1.
+_HIST_LO = (
+    "(power(cast(2 as double), cast({b} as int) div {k})"
+    " * (1.0 + cast(cast({b} as int) % {k} as double) / cast({k} as double))"
+    " - 1.0)"
+)
+
+
+def hist_bin_sql(value_col: str, k: int = HIST_K) -> str:
+    return _HIST_BIN.format(v=value_col, k=k)
+
+
+def hist_lo_sql(bin_col: str, k: int = HIST_K) -> str:
+    return _HIST_LO.format(b=bin_col, k=k)
+
+
+def hist_build(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    k: int = HIST_K,
+) -> DataFrame:
+    """Per-group log-histogram: (group..., bin, cnt). One shuffle with
+    map-side partial counts; state is O(octaves * k) rows per group
+    (~500 bins covers 0..2^60), so a 100 TB corpus's length
+    distribution per language is a few thousand rows total. Negative
+    or NULL values are excluded (counted by the caller if needed)."""
+    if k & (k - 1):
+        raise ValueError(f"k must be a power of two, got {k}")
+    return (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
+        .select(*group_cols, F.expr(hist_bin_sql(value_col, k)).alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Union-merge histograms built with the same (group, k): counts
+    add per (group, bin) — the mergeability that lets shards/epochs
+    sketch independently and combine."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: tuple[str, ...],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = HIST_K,
+) -> DataFrame:
+    """Quantile estimates from a log-histogram: (group..., q, est).
+
+    Frozen rule: rank = floor(q * (N - 1)) + 1 (1-based nearest-rank
+    over N values); the estimate interpolates linearly inside the
+    first bin whose cumulative count reaches the rank:
+    est = round(lo + (hi - lo) * (rank - cum_before) / cnt, 6).
+    Relative error is bounded by the bin width (2^(1/k) - 1 ≈ 9% at
+    k=8) — the usual log-histogram guarantee (HdrHistogram's design),
+    and unlike percentile_approx the state is mergeable and the
+    answer is REPRODUCIBLE (no sampling, no compaction races).
+
+    Shape: one per-group window over bin-grain rows (bounded state),
+    then a groupBy per q — group-grain frames throughout."""
+    from pyspark.sql import Window as W
+
+    cum = F.sum("cnt").over(
+        W.partitionBy(*group_cols).orderBy("bin").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    tot = F.sum("cnt").over(W.partitionBy(*group_cols))
+    base = hist.select(
+        *group_cols, "bin", "cnt", cum.alias("cum"), tot.alias("n")
+    )
+    qdf = base.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    ranked = (
+        base.crossJoin(F.broadcast(qdf))
+        .withColumn("rank", F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy(*group_cols, "q")
+        .agg(F.min(F.struct("bin", "cnt", "cum", "rank")).alias("s"))
+    )
+    slo = F.expr(hist_lo_sql("s.bin", k))
+    shi = F.expr(hist_lo_sql("s.bin + 1", k))
+    return ranked.select(
+        *group_cols,
+        "q",
+        F.round(
+            slo
+            + (shi - slo)
+            * (F.col("s.rank") - (F.col("s.cum") - F.col("s.cnt")))
+            / F.col("s.cnt"),
+            6,
+        ).alias("est"),
+    )
+
+
+def hist_quantiles_by(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = HIST_K,
+) -> DataFrame:
+    """Convenience: build + quantiles in one call."""
+    return hist_quantiles(
+        hist_build(df, group_cols, value_col, k), group_cols, qs, k
+    )

@@ -514,3 +514,50 @@ def test_hits_rejects_zero_iterations(spark):
     )
     with _pytest.raises(ValueError):
         hits(edges, iterations=0)
+
+
+def test_trustrank_mass_and_unreachable_zero(spark):
+    """Total trust stays 1.0; a host not reachable from any seed holds
+    exactly 0 trust (the spam-demotion contract pagerank cannot make)."""
+    from ocrd_segment_spark.operators.linkgraph import trustrank
+
+    # seed s -> a -> b; isolated farm f1 <-> f2 interlinks densely
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("f1", "f2"), ("f2", "f1")],
+        "src_host string, dst_host string",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r["node"]: r["trust"] for r in trustrank(edges, seeds, iterations=6).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out["f1"] == 0.0 and out["f2"] == 0.0
+    assert out["s"] > 0 and out["a"] > 0 and out["b"] > 0
+    # trust decays along the chain away from the seed
+    assert out["s"] > out["a"] > out["b"]
+
+
+def test_trustrank_dangling_mass_returns_to_seeds(spark):
+    """b is dangling: its mass must flow back to the seed, not leak."""
+    from ocrd_segment_spark.operators.linkgraph import trustrank
+
+    edges = spark.createDataFrame(
+        [("s", "b")], "src_host string, dst_host string"
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    out = {r["node"]: r["trust"] for r in trustrank(edges, seeds, iterations=8).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out["s"] > out["b"] > 0
+
+
+def test_trustrank_validation(spark):
+    import pytest as _pytest
+
+    from ocrd_segment_spark.operators.linkgraph import trustrank
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_host string, dst_host string"
+    )
+    ghost = spark.createDataFrame([("zz",)], "node string")
+    with _pytest.raises(ValueError):
+        trustrank(edges, ghost)
+    with _pytest.raises(ValueError):
+        trustrank(edges, ghost, iterations=0)

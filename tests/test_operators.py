@@ -1018,3 +1018,30 @@ def test_apply_mixture_drops_unweighted_lang(spark):
     )
     out = apply_mixture(d, w)
     assert [r["lang"] for r in out.collect()] == ["en"]
+
+
+def test_containment_catches_wrapper_pages(spark):
+    """A wrapper embedding a doc whole: containment1 = 1.0 even when
+    the added chrome drags Jaccard below a dedup threshold."""
+    from ocrd_segment_spark.operators.dedup import containment_verify_pairs
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    wrapper = (
+        "home nav menu login search breadcrumb " + core +
+        " footer copyright privacy terms contact sitemap feedback jobs"
+    )
+    docs = spark.createDataFrame(
+        [(1, core), (2, wrapper), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc1 long, doc2 long"
+    )
+    out = {(r["doc1"], r["doc2"]): r for r in containment_verify_pairs(docs, pairs).collect()}
+    wrap = out[(1, 2)]
+    assert wrap["containment1"] == 1.0          # core fully inside wrapper
+    assert wrap["containment"] == 1.0
+    assert wrap["jaccard"] < 0.5                # Jaccard alone would miss it
+    assert wrap["containment2"] < 1.0           # asymmetry is visible
+    other = out[(1, 3)]
+    assert other["jaccard"] == 0.0 and other["containment"] == 0.0

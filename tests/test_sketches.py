@@ -175,3 +175,59 @@ def test_hll_estimate_rejects_nothing_but_counts_null_free(spark):
     regs = hll_registers(d, key_col="url", r=R)
     est = hll_estimate(regs, r=R).collect()[0]["est_distinct"]
     assert abs(est - 2) < 1.0
+
+
+# ---------------------------------------------------------------- histogram
+def test_hist_quantiles_accuracy_bound(spark):
+    """Estimates land within one bin width of the exact nearest-rank
+    value (the log-histogram guarantee: rel. error <= 2^(1/k) - 1)."""
+    from ocrd_segment_spark.operators.sketches import hist_quantiles_by
+
+    vals = [(i % 7, v) for i, v in enumerate(range(1, 2001))]
+    df = spark.createDataFrame(vals, "g int, v long")
+    est = {
+        (r["g"], r["q"]): r["est"]
+        for r in hist_quantiles_by(df, ("g",), "v", qs=(0.5, 0.9)).collect()
+    }
+    import math
+    for g in range(7):
+        sorted_vals = sorted(v for gg, v in vals if gg == g)
+        n = len(sorted_vals)
+        for q in (0.5, 0.9):
+            exact = sorted_vals[int(math.floor(q * (n - 1)))]
+            rel = abs(est[(g, q)] - exact) / exact
+            assert rel <= 2 ** (1 / 8) - 1 + 1e-9, (g, q, est[(g, q)], exact)
+
+
+def test_hist_merge_equals_whole_build(spark):
+    from ocrd_segment_spark.operators.sketches import (
+        hist_build,
+        hist_merge,
+        hist_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, (i * 37) % 5000) for i in range(999)], "g int, v long"
+    )
+    whole = hist_quantiles(hist_build(df, ("g",), "v"), ("g",))
+    shards = [df.filter(F.col("v") % 3 == s) for s in range(3)]
+    merged = hist_quantiles(
+        hist_merge(*[hist_build(s, ("g",), "v") for s in shards]), ("g",)
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hist_build_validation_and_nulls(spark):
+    import pytest as _pytest
+
+    from ocrd_segment_spark.operators.sketches import hist_build
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, None), (1, -5), (1, 0)], "g int, v long"
+    )
+    with _pytest.raises(ValueError):
+        hist_build(df, ("g",), "v", k=6)
+    h = hist_build(df, ("g",), "v")
+    assert h.agg(F.sum("cnt")).collect()[0][0] == 2  # NULL and negative excluded
+    bins = {r["bin"] for r in h.collect()}
+    assert 0 in bins  # v=0 -> bin 0
