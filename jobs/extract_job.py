@@ -32,6 +32,18 @@ def main() -> None:
         help="charset-repair pre-stage: decode legacy/BOM pages to"
         " clean utf-8 before extraction (functions/charset)",
     )
+    ap.add_argument(
+        "--input-format", choices=("pages", "warc", "warc-gz"),
+        default="pages",
+        help="'pages' = canonical (url, html) parquet; 'warc' ="
+        " parquet of WARC segment blobs (binary 'data' column);"
+        " 'warc-gz' = per-record-gzipped segments (sources/warc)",
+    )
+    ap.add_argument(
+        "--warc-keep-all", action="store_true",
+        help="keep every parsable WARC response record (default gates"
+        " on HTTP 200 + text/html)",
+    )
     ap.add_argument("--max-link-density", type=float, default=0.5)
     ap.add_argument("--min-region-chars", type=int, default=2)
     ap.add_argument("--simplify-gap", type=int, default=0)
@@ -62,6 +74,8 @@ def main() -> None:
         metrics_path=args.metrics,
         python_parallelism=args.python_parallelism,
         sniff_charset=args.sniff_charset,
+        input_format=args.input_format,
+        warc_keep_all=args.warc_keep_all,
     )
     spark.stop()
 

@@ -7,7 +7,8 @@
         --input  /path/to/pages_parquet \\
         --edges  /path/to/host_edges \\
         --ranks  /path/to/host_ranks \\
-        [--iterations 5] [--damping 0.85]
+        [--iterations 5] [--damping 0.85] \\
+        [--trust-seeds good.com,ref.org --trust-ranks /path/to/trust]
 
 The producer for corpus_job's ``--host-ranks`` quality prior: anchors
 are harvested from the raw html scan-stage (pure JVM regex — no
@@ -30,14 +31,26 @@ def main() -> None:
     ap.add_argument("--ranks", required=True)
     ap.add_argument("--iterations", type=int, default=5)
     ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument(
+        "--trust-seeds", default=None,
+        help="comma-separated trusted hosts, or a parquet path with a"
+        " 'node' column; enables the TrustRank pass (--trust-ranks)",
+    )
+    ap.add_argument(
+        "--trust-ranks", default=None,
+        help="output path for TrustRank scores (requires --trust-seeds)",
+    )
     args = ap.parse_args()
     if not 0.0 < args.damping < 1.0:
         ap.error("--damping must be in (0, 1)")
+    if (args.trust_seeds is None) != (args.trust_ranks is None):
+        ap.error("--trust-seeds and --trust-ranks go together")
 
     from ocrd_segment_spark.operators.linkgraph import (
         host_edges,
         outlinks,
         pagerank,
+        trustrank,
     )
     from ocrd_segment_spark.session import submit_session
 
@@ -53,6 +66,21 @@ def main() -> None:
         committed, iterations=args.iterations, damping=args.damping
     )
     ranks.write.mode("overwrite").parquet(args.ranks)
+    if args.trust_seeds is not None:
+        if "," in args.trust_seeds or "/" not in args.trust_seeds:
+            seeds = spark.createDataFrame(
+                [(s.strip(),) for s in args.trust_seeds.split(",") if s.strip()],
+                "node string",
+            )
+        else:
+            seeds = spark.read.parquet(args.trust_seeds).select("node")
+        trust = trustrank(
+            committed,
+            seeds,
+            iterations=args.iterations,
+            damping=args.damping,
+        )
+        trust.write.mode("overwrite").parquet(args.trust_ranks)
     spark.stop()
 
 

@@ -287,6 +287,8 @@ def run_extract(
     metrics_path: str | None = None,
     python_parallelism: int | None = None,
     sniff_charset: bool = False,
+    input_format: str = "pages",
+    warc_keep_all: bool = False,
 ) -> None:
     """Batch run with checkpoint-resume semantics.
 
@@ -298,8 +300,36 @@ def run_extract(
 
     ``metrics_path``: per-partition lineage/metrics rows appended per
     run (north_star: 'per-partition lineage and extraction metrics'),
-    stamped with a run id derived from the Spark application id."""
+    stamped with a run id derived from the Spark application id.
+
+    ``input_format``: ``pages`` (default, the canonical (url, html)
+    table), ``warc`` (parquet of WARC segment blobs with a binary
+    ``data`` column; sources/warc parses records scan-stage), or
+    ``warc-gz`` (per-record-gzipped segments, decompressed by the
+    zlib member walk first). For the WARC formats the default
+    ingestion gate keeps HTTP 200 + text/html responses only;
+    ``warc_keep_all`` disables it (every parsable response record
+    becomes a page). Resume stays url-grain either way — the
+    anti-join runs AFTER parsing, so a resumed WARC run re-parses
+    blobs (cheap, scan-stage) but never re-extracts finished urls."""
     pages = spark.read.parquet(input_path)
+    if input_format not in ("pages", "warc", "warc-gz"):
+        raise ValueError(f"unknown input_format: {input_format!r}")
+    if input_format != "pages":
+        from .sources.warc import decode_warc_gz, warc_response_pages
+
+        blobs = pages
+        if input_format == "warc-gz":
+            blobs = decode_warc_gz(
+                blobs, python_parallelism=python_parallelism
+            ).filter(F.col("decode_ok"))
+        pages = warc_response_pages(blobs)
+        if not warc_keep_all:
+            pages = pages.filter(
+                (F.col("http_status") == 200)
+                & F.col("content_type").startswith("text/html")
+            )
+        pages = pages.select("url", "html")
     if resume:
         from pyspark.errors import AnalysisException
 

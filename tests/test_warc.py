@@ -145,3 +145,33 @@ def test_decode_warc_gz_members(spark):
         decode_warc_gz(df).filter(F.col("decode_ok")), keep_cols=("seg",)
     )
     assert pages.count() == 3
+
+
+def test_run_extract_warc_input_and_resume(spark, tmp_path):
+    """extract over WARC blobs end-to-end: the 200+text/html gate
+    applies, resume stays url-grain (second run appends nothing)."""
+    from ocrd_segment_spark.pipeline import run_extract
+
+    recs = [
+        _record("response", f"https://w.example/{i}", "2026-01-01T00:00:00Z",
+                _http(f"<html><body><p>warc doc {i} text</p></body></html>"))
+        for i in range(4)
+    ]
+    # one non-html and one 404 response: gated out by default
+    recs.append(_record("response", "https://w.example/plain",
+                        "2026-01-01T00:00:00Z",
+                        _http("plain payload", ctype="text/plain")))
+    recs.append(_record("response", "https://w.example/gone",
+                        "2026-01-01T00:00:00Z",
+                        _http("<html>x</html>", status="404 Not Found")))
+    src = str(tmp_path / "warc")
+    spark.createDataFrame(
+        [("s0", bytearray("".join(recs).encode()))], "seg string, data binary"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    run_extract(spark, src, out, input_format="warc")
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4
+    assert {r["url"] for r in rows} == {f"https://w.example/{i}" for i in range(4)}
+    run_extract(spark, src, out, input_format="warc")  # resume no-op
+    assert spark.read.parquet(out).count() == 4
