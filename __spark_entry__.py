@@ -259,6 +259,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trustrank_scores": I.q_trustrank,
     "dedup_containment": I.q_dedup_containment,
     "hist_quantiles": I.q_hist_quantiles,
+    "feed_harvest": I.q_feed_harvest,
 }
 
 _ORACLES: dict[str, str] = {
@@ -420,6 +421,7 @@ _ORACLES: dict[str, str] = {
     "trustrank_scores": I.O_TRUSTRANK,
     "dedup_containment": I.O_DEDUP_CONTAINMENT,
     "hist_quantiles": I.O_HIST_QUANTILES,
+    "feed_harvest": I.O_FEED_HARVEST,
 }
 
 

@@ -6,6 +6,7 @@
         jobs/frontier_job.py \\
         --sitemaps /path/to/sitemap_fetches \\
         --output   /path/to/frontier \\
+        [--feeds /path/to/feed_fetches] \\
         [--robots /path/to/robots_fetches] \\
         [--seen /path/to/fetched_urls] \\
         [--host-ranks /path/to/host_ranks] \\
@@ -40,6 +41,7 @@ import argparse
 
 STATS_KEYS = (
     "sitemap_entries",
+    "feed_entries",
     "child_sitemaps",
     "candidate_urls",
     "dropped_robots",
@@ -52,6 +54,11 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sitemaps", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--feeds", default=None,
+        help="parquet of fetched RSS/Atom feed documents (host, body);"
+        " announced links join the candidate set (operators/feeds)",
+    )
     ap.add_argument("--robots", default=None)
     ap.add_argument("--seen", default=None, help="parquet of fetched urls (url column)")
     ap.add_argument("--host-ranks", default=None, help="linkgraph_job --ranks output")
@@ -110,12 +117,37 @@ def main() -> None:
     # candidate urls: the loc's OWN host keys robots/rank joins (a
     # cross-host submission schedules against the host it points AT);
     # a loc declared by several sitemaps is one candidate, freshest
-    # hint = min lastmod string (the sitemap_entries tie-break).
+    # hint = min lastmod string (the sitemap_entries tie-break). Feed
+    # links join the same pool; their freshness hint speaks a
+    # different date dialect (RFC 822/3339 vs W3C), so the frozen
+    # rule keeps the channels separate and prefers the sitemap one:
+    # lastmod = coalesce(min sitemap lastmod, min feed published).
+    raw = entries.filter(~F.col("is_index")).select(
+        F.col("loc").alias("url"),
+        F.col("lastmod").alias("hint"),
+        F.lit("sitemap").alias("src"),
+    )
+    if args.feeds is not None:
+        from ocrd_segment_spark.operators.feeds import feed_entries
+
+        feeds = feed_entries(spark.read.parquet(args.feeds))
+        fe_obs = Observation("feeds")
+        feeds = feeds.observe(fe_obs, F.count(F.lit(1)).alias("total"))
+        raw = raw.unionByName(
+            feeds.select(
+                F.col("link").alias("url"),
+                F.col("published").alias("hint"),
+                F.lit("feed").alias("src"),
+            )
+        )
     cands = (
-        entries.filter(~F.col("is_index"))
-        .select(F.col("loc").alias("url"), F.col("lastmod"))
-        .groupBy("url")
-        .agg(F.min("lastmod").alias("lastmod"))
+        raw.groupBy("url")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("src") == "sitemap", F.col("hint"))),
+                F.min(F.when(F.col("src") == "feed", F.col("hint"))),
+            ).alias("lastmod")
+        )
         .withColumn("host", host_of("url"))
     )
 
@@ -182,6 +214,8 @@ def main() -> None:
     else:
         frontier.write.mode("overwrite").parquet(args.output)
     stats["sitemap_entries"] = e_obs.get["total"]
+    if args.feeds is not None:
+        stats["feed_entries"] = fe_obs.get["total"]
     stats["child_sitemaps"] = e_obs.get["children"] or 0
     stats["candidate_urls"] = f_obs.get["cands"]
     stats["dropped_robots"] = f_obs.get["robots"] or 0

@@ -420,3 +420,101 @@ FROM m
 
 
 O_HIST_QUANTILES = _o_hist_quantiles()
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom feed harvesting (operators/feeds)
+# ---------------------------------------------------------------------------
+
+# Twelve synthetic feed bodies: %4==0 → RSS 2.0 (item with trimmed
+# link + date, item with no date/empty title → NULLs, a duplicate
+# link with a LATER date and different title — field-wise min keeps
+# the earlier date and the lexicographic-min title, an empty-link
+# drop, and a trailing '<feed' comment the first-occurrence rule must
+# ignore); %4==1 → Atom (attribute links, entry tag with attributes,
+# href trimming, trailing '<rss' comment); %4==2 → not a feed (zero
+# rows); %4==3 → a '<feed' comment BEFORE the '<rss' tag: kind
+# resolves to atom by the frozen precedence rule, no <entry> blocks
+# exist, zero rows — the rule's sharp edge, pinned.
+
+_FD_N = 12
+_FD_HOST = "concat('h', cast(doc_id as string), '.example.org')"
+_FD_X = "cast(doc_id % 9 + 1 as string)"
+_FD_BODY = f"""CASE doc_id % 4 WHEN 0 THEN concat(
+    '<?xml version="1.0"?>', chr(10),
+    '<rss version="2.0"><channel>', chr(10),
+    '<title>chan</title><link>https://', {_FD_HOST}, '/</link>', chr(10),
+    '<item>', chr(10),
+    '<title>post ', cast(doc_id as string), ' a</title>', chr(10),
+    '<link> https://', {_FD_HOST}, '/a/', cast(doc_id as string), ' </link>', chr(10),
+    '<pubDate>2024-01-0', {_FD_X}, '</pubDate>', chr(10),
+    '</item>', chr(10),
+    '<item><link>https://', {_FD_HOST}, '/b/', cast(doc_id as string), '</link><title></title></item>', chr(10),
+    '<item><link>https://', {_FD_HOST}, '/a/', cast(doc_id as string), '</link><pubDate>2025-09-09</pubDate><title>zzz later</title></item>', chr(10),
+    '<item><link></link><title>ghost</title></item>', chr(10),
+    '</channel></rss>', chr(10), '<!-- mirrors <feed> -->')
+  WHEN 1 THEN concat(
+    '<feed xmlns="http://www.w3.org/2005/Atom">', chr(10),
+    '<title>feed</title>', chr(10),
+    '<entry>', chr(10),
+    '<title>entry ', cast(doc_id as string), ' zero</title>', chr(10),
+    '<link rel="alternate" href="https://', {_FD_HOST}, '/e/', cast(doc_id as string), '/0"/>', chr(10),
+    '<updated>2024-02-0', {_FD_X}, '</updated>', chr(10),
+    '</entry>', chr(10),
+    '<entry xml:lang="en"><link href=" https://', {_FD_HOST}, '/e/', cast(doc_id as string), '/1 "/></entry>', chr(10),
+    '</feed>', chr(10), '<!-- <rss inside comment -->')
+  WHEN 2 THEN '<html>not a feed</html>'
+  ELSE concat('<!-- syndication: <feed --> ',
+    '<rss version="2.0"><channel><item><link>https://', {_FD_HOST},
+    '/x</link></item></channel></rss>')
+  END"""
+
+
+def q_feed_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed harvesting (operators/feeds.feed_entries): RSS-vs-Atom by
+    first-occurrence precedence, (?s) block harvest, element links for
+    RSS / attribute hrefs for Atom, trim + empty→NULL, field-wise-min
+    dedupe on (host, link). Scan-stage column math + one
+    partial-aggregable group; the oracle states the expected rows
+    from the same arithmetic — it never parses."""
+    from .operators.feeds import feed_entries
+
+    fetched = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_FD_N}")
+        .selectExpr(
+            f"{_FD_HOST} as host", f"cast({_FD_BODY} as binary) as body"
+        )
+    )
+    return feed_entries(fetched)
+
+
+_D_FD_HOST = "'h' || CAST(doc_id AS VARCHAR) || '.example.org'"
+_D_FD_X = "CAST(doc_id % 9 + 1 AS VARCHAR)"
+O_FEED_HARVEST = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_FD_N}),
+rss AS (SELECT doc_id FROM d WHERE doc_id % 4 = 0),
+atom AS (SELECT doc_id FROM d WHERE doc_id % 4 = 1)
+SELECT {_D_FD_HOST} AS host,
+       'https://' || {_D_FD_HOST} || '/a/' || CAST(doc_id AS VARCHAR) AS link,
+       '2024-01-0' || {_D_FD_X} AS published,
+       'post ' || CAST(doc_id AS VARCHAR) || ' a' AS title,
+       'rss' AS kind
+FROM rss
+UNION ALL
+SELECT {_D_FD_HOST},
+       'https://' || {_D_FD_HOST} || '/b/' || CAST(doc_id AS VARCHAR),
+       NULL, NULL, 'rss'
+FROM rss
+UNION ALL
+SELECT {_D_FD_HOST},
+       'https://' || {_D_FD_HOST} || '/e/' || CAST(doc_id AS VARCHAR) || '/0',
+       '2024-02-0' || {_D_FD_X},
+       'entry ' || CAST(doc_id AS VARCHAR) || ' zero', 'atom'
+FROM atom
+UNION ALL
+SELECT {_D_FD_HOST},
+       'https://' || {_D_FD_HOST} || '/e/' || CAST(doc_id AS VARCHAR) || '/1',
+       NULL, NULL, 'atom'
+FROM atom
+"""
