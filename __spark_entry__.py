@@ -260,6 +260,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": I.q_dedup_containment,
     "hist_quantiles": I.q_hist_quantiles,
     "feed_harvest": I.q_feed_harvest,
+    "redirect_resolve": I.q_redirect_resolve,
 }
 
 _ORACLES: dict[str, str] = {
@@ -422,6 +423,7 @@ _ORACLES: dict[str, str] = {
     "dedup_containment": I.O_DEDUP_CONTAINMENT,
     "hist_quantiles": I.O_HIST_QUANTILES,
     "feed_harvest": I.O_FEED_HARVEST,
+    "redirect_resolve": I.O_REDIRECT_RESOLVE,
 }
 
 

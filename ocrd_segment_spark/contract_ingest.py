@@ -518,3 +518,116 @@ SELECT {_D_FD_HOST},
        NULL, NULL, 'atom'
 FROM atom
 """
+
+
+# ---------------------------------------------------------------------------
+# Redirect chain resolution (operators/redirects)
+# ---------------------------------------------------------------------------
+
+# Sixteen doc groups, scenario by doc_id % 8 on host h<doc_id>: (0) a
+# 2-step chain; (1) a self-loop; (2) a 2-cycle; (3) an ambiguous src
+# collapsing to min(dst); (4) a host-relative Location; (5) only
+# droppable forms (protocol-relative, mailto:, empty, a 200 with a
+# Location set) -> zero output rows; (6) a 6-step chain resolved at
+# max_hops=4 -> the two deep srcs unresolved, the exact-cap src (4
+# hops) resolved; (7) an ambiguity in the MIDDLE of a chain. The
+# oracle states the closed-form expected walk per scenario -- it never
+# recurses.
+
+_RD_N = 16
+_RD_H = "concat('https://h', cast(doc_id as string), '.example.org')"
+
+
+def _rd_row(path: str, status: int, loc: str) -> str:
+    return f"named_struct('path', {path}, 'status', {status}, 'loc', {loc})"
+
+
+def _rd_rows() -> str:
+    h = _RD_H
+    return f"""CASE doc_id % 8
+ WHEN 0 THEN array(
+   {_rd_row("'/c/0'", 301, f"concat({h}, '/c/1')")},
+   {_rd_row("'/c/1'", 302, f"concat({h}, '/c/2')")})
+ WHEN 1 THEN array({_rd_row("'/self'", 301, f"concat({h}, '/self')")})
+ WHEN 2 THEN array(
+   {_rd_row("'/cy/a'", 301, f"concat({h}, '/cy/b')")},
+   {_rd_row("'/cy/b'", 302, f"concat({h}, '/cy/a')")})
+ WHEN 3 THEN array(
+   {_rd_row("'/amb'", 301, f"concat({h}, '/z2')")},
+   {_rd_row("'/amb'", 307, f"concat({h}, '/z1')")})
+ WHEN 4 THEN array({_rd_row("'/rel'", 308, "' /rel/target '")})
+ WHEN 5 THEN array(
+   {_rd_row("'/drop1'", 301, "'//cdn.example.net/x'")},
+   {_rd_row("'/drop2'", 302, "'mailto:x@example.org'")},
+   {_rd_row("'/drop3'", 303, "''")},
+   {_rd_row("'/notredir'", 200, f"concat({h}, '/t')")})
+ WHEN 6 THEN transform(sequence(0, 5), i -> named_struct(
+   'path', concat('/l/', cast(i as string)), 'status', 301,
+   'loc', concat({h}, '/l/', cast(i + 1 as string))))
+ ELSE array(
+   {_rd_row("'/e/0'", 301, f"concat({h}, '/e/1')")},
+   {_rd_row("'/e/1'", 301, f"concat({h}, '/e/2')")},
+   {_rd_row("'/e/1'", 301, f"concat({h}, '/e/9')")})
+ END"""
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect harvest + pointer-doubling chain resolution
+    (operators/redirects): 3xx gate, Location normalization (absolute
+    kept, host-relative rebased on the src origin, protocol-relative /
+    mailto: / empty dropped), min(dst) ambiguity collapse, exact hop
+    counts up to max_hops=4, cycles and over-cap chains unresolved."""
+    from .operators.redirects import redirect_edges, resolve_redirects
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_RD_N}")
+        .selectExpr("doc_id", f"explode({_rd_rows()}) as r")
+        .selectExpr(
+            f"concat({_RD_H}, r.path) as url",
+            "r.status as http_status",
+            "r.loc as location",
+        )
+    )
+    out = resolve_redirects(redirect_edges(fx), max_hops=4)
+    return out.select(
+        "src_url",
+        "final_url",
+        F.col("hops").cast("int").alias("hops"),
+        "resolved",
+    )
+
+
+_D_RD_H = "'https://h' || CAST(doc_id AS VARCHAR) || '.example.org'"
+O_REDIRECT_RESOLVE = f"""
+WITH d AS (SELECT doc_id, {_D_RD_H} AS h FROM documents WHERE doc_id < {_RD_N})
+SELECT h || '/c/0' AS src_url, h || '/c/2' AS final_url,
+       CAST(2 AS INT) AS hops, TRUE AS resolved
+FROM d WHERE doc_id % 8 = 0
+UNION ALL
+SELECT h || '/c/1', h || '/c/2', CAST(1 AS INT), TRUE FROM d WHERE doc_id % 8 = 0
+UNION ALL
+SELECT h || '/self', CAST(NULL AS VARCHAR), CAST(NULL AS INT), FALSE
+FROM d WHERE doc_id % 8 = 1
+UNION ALL
+SELECT h || '/cy/a', CAST(NULL AS VARCHAR), CAST(NULL AS INT), FALSE
+FROM d WHERE doc_id % 8 = 2
+UNION ALL
+SELECT h || '/cy/b', CAST(NULL AS VARCHAR), CAST(NULL AS INT), FALSE
+FROM d WHERE doc_id % 8 = 2
+UNION ALL
+SELECT h || '/amb', h || '/z1', CAST(1 AS INT), TRUE FROM d WHERE doc_id % 8 = 3
+UNION ALL
+SELECT h || '/rel', h || '/rel/target', CAST(1 AS INT), TRUE
+FROM d WHERE doc_id % 8 = 4
+UNION ALL
+SELECT h || '/l/' || CAST(i AS VARCHAR),
+       CASE WHEN 6 - i <= 4 THEN h || '/l/6' END,
+       CASE WHEN 6 - i <= 4 THEN CAST(6 - i AS INT) END,
+       6 - i <= 4
+FROM (SELECT doc_id, h FROM d WHERE doc_id % 8 = 6), generate_series(0, 5) AS t(i)
+UNION ALL
+SELECT h || '/e/0', h || '/e/2', CAST(2 AS INT), TRUE FROM d WHERE doc_id % 8 = 7
+UNION ALL
+SELECT h || '/e/1', h || '/e/2', CAST(1 AS INT), TRUE FROM d WHERE doc_id % 8 = 7
+"""

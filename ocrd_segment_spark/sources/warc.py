@@ -113,7 +113,9 @@ def warc_response_pages(
     response (try_cast of the frozen status regexp); ``content_type``
     is the raw ``Content-Type`` HTTP header value ('' when absent —
     pair with functions/multimodal.with_content_type to sniff the
-    magic bytes instead of trusting the server). Downstream gating on
+    magic bytes instead of trusting the server); ``location`` is the
+    raw ``Location`` header ('' when absent) — 3xx rows feed
+    operators/redirects for chain resolution. Downstream gating on
     status/type is the caller's policy, not the parser's."""
     r = warc_records(blobs, data_col=data_col, keep_cols=keep_cols).filter(
         (F.col("warc_type") == "response") & F.col("payload").isNotNull()
@@ -130,6 +132,7 @@ def warc_response_pages(
         .try_cast("int")
         .alias("http_status"),
         _field(http_hdr, "Content-Type").alias("content_type"),
+        _field(http_hdr, "Location").alias("location"),
         F.expr(
             "substr(payload,"
             " length(substring_index(payload, '\\r\\n\\r\\n', 1)) + 5)"
