@@ -261,6 +261,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_quantiles": I.q_hist_quantiles,
     "feed_harvest": I.q_feed_harvest,
     "redirect_resolve": I.q_redirect_resolve,
+    "change_rates": G.q_change_rates,
 }
 
 _ORACLES: dict[str, str] = {
@@ -424,6 +425,7 @@ _ORACLES: dict[str, str] = {
     "hist_quantiles": I.O_HIST_QUANTILES,
     "feed_harvest": I.O_FEED_HARVEST,
     "redirect_resolve": I.O_REDIRECT_RESOLVE,
+    "change_rates": G.O_CHANGE_RATES,
 }
 
 

@@ -1696,3 +1696,81 @@ r0 AS (
 )"""
 
 O_PAGERANK_WARM = _pagerank_oracle(_PR_WARM_ITERS, _PR_DAMPING, _WARM_R0)
+
+
+# ---------------------------------------------------------------------------
+# change-rate recrawl estimation (operators/snapshots.change_rates)
+# ---------------------------------------------------------------------------
+
+# Twelve urls, four snapshots at QUADRATIC spacing (ts = base + s^2 h,
+# span 32400 s, avg interval 10800 s), scenario by doc_id % 4: (0)
+# never changes -> rate 0.0 (the -ln(1) = -0.0 IEEE edge, normalized
+# by + 0.0), recrawl NULL; (1) changes every interval; (2) digests
+# d0,d0,d1,d1 PLUS a duplicate (url, ts) observation at s=1 with a
+# smaller digest -- the min collapse rewrites the pattern to
+# d0,a0,d1,d1 = two changes over four collapsed observations; (3) a
+# single observation -> no interval, NULL estimates. The oracle
+# states the Cho & Garcia-Molina closed form per scenario with the
+# identical ROUND/LN arithmetic -- it never windows.
+
+_CR_N = 12
+_CR_ROWS = """CASE doc_id % 4
+ WHEN 0 THEN transform(sequence(0, 3), s ->
+   named_struct('s', s, 'digest', 'd0'))
+ WHEN 1 THEN transform(sequence(0, 3), s ->
+   named_struct('s', s, 'digest', concat('d', cast(s as string))))
+ WHEN 2 THEN concat(
+   transform(sequence(0, 3), s -> named_struct(
+     's', s, 'digest', concat('d', cast(cast(s / 2 as int) as string)))),
+   array(named_struct('s', 1, 'digest', 'a0')))
+ ELSE array(named_struct('s', 0, 'digest', 'd0'))
+ END"""
+
+
+def q_change_rates(spark, sf_dir):
+    """Per-url change-rate estimation over snapshot history
+    (operators/snapshots.change_rates): (url, ts) min-digest collapse,
+    null-safe consecutive-change counting, and the Cho &
+    Garcia-Molina bias-corrected Poisson rate with a 1/rate recrawl
+    interval. One url-keyed exchange serves both the lag window and
+    the aggregate."""
+    from .operators.snapshots import change_rates
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_CR_N}")
+        .selectExpr("doc_id", f"explode({_CR_ROWS}) as r")
+        .selectExpr(
+            "concat('u', cast(doc_id as string)) as url",
+            "timestamp_seconds(bigint(1700000000) + r.s * r.s * 3600)"
+            " as snap_ts",
+            "r.digest as digest",
+        )
+    )
+    return change_rates(fx)
+
+
+O_CHANGE_RATES = f"""
+WITH d AS (
+  SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < {_CR_N}
+), f AS (
+  SELECT ROUND(-LN(0.5 / 3.5) / (32400.0 / 3.0) * 86400.0 + 0.0, 6) AS r1,
+         ROUND(-LN(1.5 / 3.5) / (32400.0 / 3.0) * 86400.0 + 0.0, 6) AS r2
+)
+SELECT url, CAST(4 AS BIGINT) AS n_obs, CAST(0 AS BIGINT) AS n_changes,
+       CAST(32400 AS BIGINT) AS span_s,
+       TIMESTAMP '2023-11-15 07:13:20' AS last_ts, 0.0 AS rate_per_day,
+       CAST(NULL AS DOUBLE) AS recrawl_days
+FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT url, 4, 3, 32400, TIMESTAMP '2023-11-15 07:13:20', r1,
+       ROUND(1.0 / r1, 6) FROM d, f WHERE doc_id % 4 = 1
+UNION ALL
+SELECT url, 4, 2, 32400, TIMESTAMP '2023-11-15 07:13:20', r2,
+       ROUND(1.0 / r2, 6) FROM d, f WHERE doc_id % 4 = 2
+UNION ALL
+SELECT url, 1, 0, 0, TIMESTAMP '2023-11-14 22:13:20',
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM d WHERE doc_id % 4 = 3
+"""
