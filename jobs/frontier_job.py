@@ -46,6 +46,7 @@ STATS_KEYS = (
     "candidate_urls",
     "dropped_robots",
     "dropped_seen",
+    "dropped_template_cap",
     "frontier_urls",
 )
 
@@ -66,6 +67,16 @@ def main() -> None:
     ap.add_argument("--stats", default=None)
     ap.add_argument("--bloom-bits", type=int, default=1 << 20)
     ap.add_argument("--bloom-k", type=int, default=4)
+    ap.add_argument(
+        "--max-per-template",
+        type=int,
+        default=None,
+        help="cap frontier urls per structural url template"
+        " (operators/urltraps) — calendar/session/faceted crawler"
+        " traps stop owning the frontier; survivors are the"
+        " deterministic two-phase top-k (operators/sampling.domain_cap"
+        " on the template key)",
+    )
     ap.add_argument(
         "--wave-seconds",
         type=float,
@@ -183,6 +194,20 @@ def main() -> None:
         F.col("robots_allowed") & ~F.col("maybe_seen")
     ).select("url", "host", "lastmod")
 
+    t_obs = None
+    if args.max_per_template is not None:
+        from ocrd_segment_spark.operators.sampling import domain_cap
+        from ocrd_segment_spark.operators.urltraps import url_template
+
+        frontier = domain_cap(
+            frontier.withColumn("__tpl", url_template("url")),
+            args.max_per_template,
+            domain_col="__tpl",
+            key_col="url",
+        ).drop("__tpl")
+        t_obs = Observation("template_cap")
+        frontier = frontier.observe(t_obs, F.count(F.lit(1)).alias("kept"))
+
     if args.host_ranks is not None:
         ranks = spark.read.parquet(args.host_ranks).select(
             F.col("node").alias("host"), F.col("rank").alias("host_rank")
@@ -223,6 +248,10 @@ def main() -> None:
     stats["frontier_urls"] = (
         stats["candidate_urls"] - stats["dropped_robots"] - stats["dropped_seen"]
     )
+    if t_obs is not None:
+        kept = t_obs.get["kept"] or 0
+        stats["dropped_template_cap"] = stats["frontier_urls"] - kept
+        stats["frontier_urls"] = kept
     print(f"FRONTIER {stats}")
     if args.stats is not None:
         spark.createDataFrame([stats]).write.mode("append").parquet(args.stats)

@@ -631,3 +631,93 @@ SELECT h || '/e/0', h || '/e/2', CAST(2 AS INT), TRUE FROM d WHERE doc_id % 8 = 
 UNION ALL
 SELECT h || '/e/1', h || '/e/2', CAST(1 AS INT), TRUE FROM d WHERE doc_id % 8 = 7
 """
+
+
+# ---------------------------------------------------------------------------
+# URL trap-template mining (operators/urltraps)
+# ---------------------------------------------------------------------------
+
+# Forty urls, five template families by doc_id % 5: (0) a calendar
+# trap whose yyyy/m segments + page= values vary per doc; (1) a
+# 32-hex session/content token (md5 -- both engines construct the
+# SAME hex) collapsing to {x}; (2) query-order + duplicate-name
+# variance collapsing to sorted distinct names; (3) digits embedded
+# mid-segment plus a sub-8 hex run ('abc1234' stays 'abc{d}') and a
+# fragment to drop; (4) a bare-host url with only a query, incl. a
+# value-less flag param -> path '/'. The oracle CONSTRUCTS the same
+# urls and restates the full templatization chain (dual derivation).
+
+_UT_N = 40
+_UT_URL = """CASE doc_id % 5
+ WHEN 0 THEN concat('https://trap.example.org/cal/',
+   cast(2000 + doc_id as string), '/', cast(doc_id % 12 as string),
+   '?page=', cast(doc_id as string))
+ WHEN 1 THEN concat('https://s.example.org/item/',
+   md5(cast(doc_id as string)), '/x')
+ WHEN 2 THEN concat('https://q.example.org/s',
+   CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=9&b=0&a=dup' END)
+ WHEN 3 THEN concat('https://m.example.org/p', cast(doc_id as string),
+   'q/abc1234#frag')
+ ELSE concat('https://b.example.org?flag&x=', cast(doc_id as string))
+ END"""
+
+
+def q_url_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining (operators/urltraps.template_stats): the
+    frozen templatization (fragment drop, hex-run {x} before digit-run
+    {d}, sorted distinct query names, empty path -> '/') + one
+    partial-aggregable group with min-url exemplars."""
+    from .operators.urltraps import template_stats
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_UT_N}")
+        .selectExpr(f"{_UT_URL} as url")
+    )
+    return template_stats(fx)
+
+
+_D_UT_URL = """CASE doc_id % 5
+ WHEN 0 THEN 'https://trap.example.org/cal/' ||
+   CAST(2000 + doc_id AS VARCHAR) || '/' || CAST(doc_id % 12 AS VARCHAR) ||
+   '?page=' || CAST(doc_id AS VARCHAR)
+ WHEN 1 THEN 'https://s.example.org/item/' ||
+   md5(CAST(doc_id AS VARCHAR)) || '/x'
+ WHEN 2 THEN 'https://q.example.org/s' ||
+   CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=9&b=0&a=dup' END
+ WHEN 3 THEN 'https://m.example.org/p' || CAST(doc_id AS VARCHAR) ||
+   'q/abc1234#frag'
+ ELSE 'https://b.example.org?flag&x=' || CAST(doc_id AS VARCHAR)
+ END"""
+O_URL_TRAP_TEMPLATES = f"""
+WITH u AS (SELECT {_D_UT_URL} AS url FROM documents WHERE doc_id < {_UT_N}),
+t AS (
+  SELECT url,
+    regexp_replace(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS tail
+  FROM u
+), parts AS (
+  SELECT url,
+    CASE WHEN split_part(tail, '?', 1) = '' THEN '/'
+         ELSE split_part(tail, '?', 1) END AS path,
+    regexp_replace(tail, '^[^?]*\\??', '') AS query
+  FROM t
+), tpl AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+      || regexp_replace(regexp_replace(path, '[0-9a-f]{{8,}}', '{{x}}', 'g'),
+                        '[0-9]+', '{{d}}', 'g')
+      || CASE WHEN names = '' THEN '' ELSE '?' || names END AS template
+  FROM (
+    SELECT url, path,
+      -- DuckDB's list chain yields NULL (not '') on an empty list
+      COALESCE(array_to_string(list_sort(list_distinct(list_filter(
+        list_transform(string_split(query, '&'),
+                       p -> split_part(p, '=', 1)),
+        x -> x <> ''))), '&'), '') AS names
+    FROM parts
+  )
+)
+SELECT template, COUNT(*) AS n_urls, MIN(url) AS exemplar
+FROM tpl GROUP BY template
+"""
