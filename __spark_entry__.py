@@ -263,6 +263,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_resolve": I.q_redirect_resolve,
     "change_rates": G.q_change_rates,
     "url_trap_templates": I.q_url_trap_templates,
+    "pdf_text_extract": I.q_pdf_text_extract,
 }
 
 _ORACLES: dict[str, str] = {
@@ -428,6 +429,7 @@ _ORACLES: dict[str, str] = {
     "redirect_resolve": I.O_REDIRECT_RESOLVE,
     "change_rates": G.O_CHANGE_RATES,
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,
+    "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
 }
 
 

@@ -74,6 +74,13 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--stats", default=None)
+    ap.add_argument(
+        "--input-format", choices=("pages", "pdf"), default="pages",
+        help="'pages' = canonical (url, html) parquet through the"
+        " kernel; 'pdf' = (url, data) PDF blobs through the frozen"
+        " text-subset parser (sources/pdf) — language id runs as the"
+        " standalone pass, every downstream filter stage is shared",
+    )
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--langs", default=None, help="comma list; default: keep all")
@@ -286,6 +293,18 @@ def main() -> None:
     if args.preserve_spans and args.boilerplate_min_df is None:
         ap.error("--preserve-spans requires --boilerplate-min-df"
                  " (it selects WHICH boilerplate variant runs)")
+    if args.input_format == "pdf":
+        for flag, on in (
+            ("--sniff-charset", args.sniff_charset),
+            ("--sniff-content-type", args.sniff_content_type),
+            ("--honor-meta", args.honor_meta),
+            ("--snapshot-collapse", args.snapshot_collapse),
+            ("--preserve-spans", args.preserve_spans),
+            ("--outlinks", args.outlinks is not None),
+        ):
+            if on:
+                ap.error(f"{flag} reads html pages and cannot run on"
+                         " --input-format pdf")
     if args.bpe_vocab is not None and not args.count_bpe:
         ap.error("--bpe-vocab requires --count-bpe"
                  " (a vocabulary with no metering stage does nothing)")
@@ -309,6 +328,7 @@ def main() -> None:
         args.input,
         args.output,
         stats_path=args.stats,
+        input_format=args.input_format,
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
@@ -348,6 +368,7 @@ def build_corpus(
     input_path: str,
     output_path: str,
     stats_path: str | None = None,
+    input_format: str = "pages",
     min_quality: float = 0.5,
     min_tokens: int = 5,
     langs: list[str] | None = None,
@@ -555,12 +576,27 @@ def build_corpus(
     # longer routes drop decisions) scored INSIDE the extraction pass —
     # same frozen score_document, zero extra Arrow round-trip, the
     # whole scoring chain is ONE python stage + column math
-    extracted = extract_pages(
-        pages,
-        python_parallelism=python_parallelism,
-        lang_id=True,
-        lang_margin=lang_margin,
-    )
+    if input_format == "pdf":
+        # the PDF lane: frozen text-subset parse (sources/pdf) into
+        # the extracted-table shape, language id as the standalone
+        # pass (value-identical to the fused path, pytest-pinned) —
+        # still exactly one python codec stage + one scoring stage
+        from ocrd_segment_spark.operators.langid import with_lang_ngram
+        from ocrd_segment_spark.sources.pdf import pdf_pages
+
+        extracted = with_lang_ngram(
+            pdf_pages(pages, python_parallelism=python_parallelism),
+            text_col="extracted_text",
+            python_parallelism=python_parallelism,
+            margin=lang_margin,
+        )
+    else:
+        extracted = extract_pages(
+            pages,
+            python_parallelism=python_parallelism,
+            lang_id=True,
+            lang_margin=lang_margin,
+        )
     # the six-stage quality filter chain — ONE shared definition with
     # the streaming job (operators/corpus_filters; review pass 3 found
     # the chain hand-mirrored in both jobs, the exact drift channel

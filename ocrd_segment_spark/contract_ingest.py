@@ -721,3 +721,71 @@ t AS (
 SELECT template, COUNT(*) AS n_urls, MIN(url) AS exemplar
 FROM tpl GROUP BY template
 """
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (sources/pdf)
+# ---------------------------------------------------------------------------
+
+# Twelve synthetic PDFs (uncompressed content streams so the whole
+# fixture lives in SQL; the FlateDecode lane is pytest-pinned with
+# real zlib bytes, tests/test_pdf.py): %3==0 -> no /Length (tolerant
+# endstream scan), Tj + Td newline, a second non-stream object;
+# %3==1 -> /Length EXACTLY covers the first 29 bytes, proving the
+# declared length beats the endstream scan (a second BT block past
+# the cutoff must vanish), TJ array concat + the ' newline-then-show
+# operator; %3==2 -> a content stream with no BT at all (zero text,
+# parse_ok stays true). The oracle states expected rows closed-form.
+
+_PDF_N = 12
+_PDF_BODY = """CASE doc_id % 3
+ WHEN 0 THEN concat('%PDF-1.4', chr(10),
+   '1 0 obj', chr(10), '<< >>', chr(10), 'stream', chr(10),
+   'BT (Hello ', cast(doc_id as string), ') Tj 0 -14 Td (World) Tj ET',
+   chr(10), 'endstream', chr(10), 'endobj', chr(10),
+   '2 0 obj', chr(10), '<< /Type /Catalog >>', chr(10), 'endobj', chr(10))
+ WHEN 1 THEN concat('%PDF-1.4', chr(10),
+   '1 0 obj', chr(10), '<< /Length 29 >>', chr(10), 'stream', chr(10),
+   'BT [(A) -200 (B)] TJ (C) '' ET', chr(10),
+   'BT (past the length) Tj ET', chr(10),
+   'endstream', chr(10), 'endobj', chr(10))
+ ELSE concat('%PDF-1.4', chr(10),
+   '1 0 obj', chr(10), '<< >>', chr(10), 'stream', chr(10),
+   'q 1 0 0 1 0 0 cm Q', chr(10), 'endstream', chr(10), 'endobj', chr(10),
+   '2 0 obj', chr(10), '<< /Pages 3 0 R >>', chr(10), 'endobj', chr(10))
+ END"""
+
+
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (sources/pdf.pdf_text): object/stream
+    framing in file order, /Length honored over the endstream scan,
+    BT/ET block harvest with Tj / TJ-array / quote-op / Td-newline
+    semantics. One Arrow-batched python stage (the codec lane)."""
+    from .sources.pdf import pdf_text
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_PDF_N}")
+        .selectExpr(
+            "concat('u', cast(doc_id as string)) as url",
+            f"cast({_PDF_BODY} as binary) as data",
+        )
+    )
+    return pdf_text(fx)
+
+
+O_PDF_TEXT_EXTRACT = f"""
+WITH d AS (
+  SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < {_PDF_N}
+)
+SELECT url, CAST(2 AS INT) AS n_objects, CAST(1 AS INT) AS n_streams,
+       CAST(1 AS INT) AS n_text_streams,
+       'Hello ' || CAST(doc_id AS VARCHAR) || chr(10) || 'World' AS text,
+       TRUE AS parse_ok
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url, 1, 1, 1, 'AB' || chr(10) || 'C', TRUE FROM d WHERE doc_id % 3 = 1
+UNION ALL
+SELECT url, 2, 1, 0, '', TRUE FROM d WHERE doc_id % 3 = 2
+"""

@@ -1,0 +1,98 @@
+"""PDF text source (sources/pdf): frozen-subset parse, FlateDecode,
+escape decoding, Length honoring, and the extracted-table adapter."""
+
+import zlib
+
+from ocrd_segment_spark.sources.pdf import _extract_one, pdf_pages, pdf_text
+
+
+def _pdf(*objects: bytes) -> bytes:
+    body = b"".join(
+        b"%d 0 obj\n" % (i + 1) + o + b"\nendobj\n"
+        for i, o in enumerate(objects)
+    )
+    return b"%PDF-1.4\n" + body + b"%%EOF\n"
+
+
+def _stream(content: bytes, head: bytes = b"<< >>") -> bytes:
+    return head + b"\nstream\n" + content + b"\nendstream"
+
+
+def test_text_operators_and_lines():
+    pdf = _pdf(
+        _stream(b"BT (Hello 7) Tj 0 -14 Td (World) Tj T* (!) Tj ET"),
+        b"<< /Type /Catalog >>",
+    )
+    assert _extract_one(pdf) == (2, 1, 1, "Hello 7\nWorld\n!", True)
+
+
+def test_length_truncation_and_tj_array():
+    content = b"BT [(A) -200 (B)] TJ (C) ' ET"
+    pdf = _pdf(
+        _stream(
+            content + b"\nBT (past the Length) Tj ET",
+            head=b"<< /Length %d >>" % len(content),
+        )
+    )
+    # /Length wins over the endstream scan; ' = newline then show
+    assert _extract_one(pdf)[3] == "AB\nC"
+
+
+def test_escapes_hex_and_quote_ops():
+    content = b"BT (a\\(b\\)c\\\\d\\ne\\101) Tj <48 69> Tj (f) \" ET"
+    pdf = _pdf(_stream(content))
+    assert _extract_one(pdf)[3] == "a(b)c\\d\neAHi\nf"
+
+
+def test_flate_roundtrip_and_broken_stream():
+    content = b"BT (compressed) Tj ET"
+    z = zlib.compress(content)
+    good = _stream(z, head=b"<< /Length %d /Filter /FlateDecode >>" % len(z))
+    bad = _stream(b"not zlib", head=b"<< /Filter /FlateDecode >>")
+    n_obj, n_str, n_text, text, ok = _extract_one(_pdf(bad, good))
+    assert (n_obj, n_str, n_text) == (2, 2, 1)
+    assert text == "compressed" and ok is False
+
+
+def test_indirect_length_falls_back_to_endstream():
+    pdf = _pdf(_stream(b"BT (x) Tj ET", head=b"<< /Length 5 0 R >>"))
+    assert _extract_one(pdf)[3] == "x"
+
+
+def test_no_text_and_empty_blob():
+    assert _extract_one(_pdf(_stream(b"q 1 0 0 1 0 0 cm Q"))) == (
+        1, 1, 0, "", True,
+    )
+    assert _extract_one(b"") == (0, 0, 0, "", True)
+
+
+def test_pdf_text_dataframe(spark):
+    pdf = _pdf(_stream(b"BT (doc) Tj ET"))
+    df = spark.createDataFrame(
+        [("u1", bytearray(pdf))], "url string, data binary"
+    )
+    row = pdf_text(df).collect()[0]
+    assert (row["url"], row["text"], row["parse_ok"]) == ("u1", "doc", True)
+
+
+def test_pdf_pages_matches_extract_schema(spark):
+    from ocrd_segment_spark.pipeline import EXTRACT_SCHEMA
+
+    pdf = _pdf(
+        _stream(b"BT (body text) Tj ET"),
+        _stream(b"q Q"),
+    )
+    df = spark.createDataFrame(
+        [("u1", bytearray(pdf))], "url string, data binary"
+    )
+    out = pdf_pages(df)
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in EXTRACT_SCHEMA.fields
+    ]
+    row = out.collect()[0]
+    assert row["extracted_text"] == "body text"
+    assert row["region_spans"] == []
+    lin = row["lineage"]
+    assert lin["kernel_version"] == "pdf-subset-1"
+    assert not lin["parse_failed"]
+    assert (lin["n_candidates"], lin["n_kept"], lin["n_dropped"]) == (2, 1, 1)
