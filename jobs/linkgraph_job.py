@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=5)
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument(
+        "--redirects", default=None,
+        help="parquet of pages with (url, http_status, location) — the"
+        " WARC pages shape; outlink targets are rewritten through the"
+        " resolved redirect chains (operators/redirects) so edges"
+        " point at final resources, not hop-one aliases",
+    )
+    ap.add_argument(
         "--trust-seeds", default=None,
         help="comma-separated trusted hosts, or a parquet path with a"
         " 'node' column; enables the TrustRank pass (--trust-ranks)",
@@ -56,7 +63,29 @@ def main() -> None:
 
     spark = submit_session("ocrd-segment-linkgraph")
     pages = spark.read.parquet(args.input)
-    edges = host_edges(outlinks(pages))
+    ol = outlinks(pages)
+    if args.redirects is not None:
+        from pyspark.sql import functions as F
+
+        from ocrd_segment_spark.functions.urls import host_of
+        from ocrd_segment_spark.operators.redirects import (
+            redirect_edges,
+            resolve_redirects,
+        )
+
+        resolved = resolve_redirects(
+            redirect_edges(spark.read.parquet(args.redirects))
+        ).filter("resolved").select("src_url", "final_url")
+        # rewrite edge targets through the chain map; the map is
+        # 3xx-grain (far below edge grain) and joins on the href key.
+        # dst_host is re-derived for rewritten rows only.
+        ol = (
+            ol.join(resolved, ol.href == resolved.src_url, "left")
+            .withColumn("href", F.coalesce("final_url", "href"))
+            .drop("src_url", "final_url")
+            .withColumn("dst_host", host_of("href"))
+        )
+    edges = host_edges(ol)
     edges.write.mode("overwrite").parquet(args.edges)
     # ranks iterate over the COMMITTED edge table (post-write pattern:
     # each PageRank round re-reads edges, so reading committed parquet
