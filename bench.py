@@ -339,6 +339,68 @@ def main() -> None:
         )
         words_table(df, 8).agg(F.count("*"), F.sum("start")).collect()
 
+    def bench_url_templates():
+        # templatization + mining over the full documents table:
+        # urls synthesized with host/section/hex/query variety so the
+        # template group-by sees realistic cardinality
+        from ocrd_segment_spark.operators.urltraps import template_stats
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+        fx = d.selectExpr(
+            "concat('https://h', cast(doc_id % 97 as string), '.org/sec/',"
+            " cast(doc_id % 13 as string), '/item/',"
+            " md5(cast(doc_id as string)), '?page=',"
+            " cast(doc_id % 7 as string), '&ref=x') as url"
+        )
+        template_stats(fx).agg(F.sum("n_urls")).collect()
+
+    def bench_change_rates():
+        # 4 snapshots per url, alternating digests — the full
+        # window+aggregate path on one url-keyed exchange
+        from ocrd_segment_spark.operators.snapshots import change_rates
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+        h = d.selectExpr(
+            "concat('u', cast(doc_id as string)) as url",
+            "explode(sequence(0, 3)) as s",
+        ).selectExpr(
+            "url",
+            "timestamp_seconds(bigint(1700000000) + s * 86400) as snap_ts",
+            "concat('d', cast(cast(s / 2 as int) as string)) as digest",
+        )
+        change_rates(h).agg(F.sum("n_changes")).collect()
+
+    def bench_redirect_resolve():
+        # one 4-hop chain per document: pointer doubling walks every
+        # chain in ceil(log2(8)) = 3 join rounds
+        from ocrd_segment_spark.operators.redirects import resolve_redirects
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+        edges = d.selectExpr("doc_id", "explode(sequence(0, 3)) as i").selectExpr(
+            "concat('https://h', cast(doc_id as string), '.org/r/',"
+            " cast(i as string)) as src",
+            "concat('https://h', cast(doc_id as string), '.org/r/',"
+            " cast(i + 1 as string)) as dst",
+        )
+        resolve_redirects(edges, max_hops=8).agg(F.sum("hops")).collect()
+
+    def bench_pdf_extract():
+        # the PDF codec lane: one uncompressed single-stream pdf per
+        # document (delimiter chars stripped so the text is one
+        # literal string), full parse + text assembly throughput
+        from ocrd_segment_spark.sources.pdf import pdf_text
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        fx = d.selectExpr(
+            "cast(doc_id as string) as url",
+            "cast(concat('%PDF-1.4\\n1 0 obj\\n<< >>\\nstream\\nBT (',"
+            " translate(text, '()\\\\', ''),"
+            " ') Tj ET\\nendstream\\nendobj\\n') as binary) as data",
+        )
+        pdf_text(fx, python_parallelism=max(2, CPUS // 2)).agg(
+            F.sum(F.length("text"))
+        ).collect()
+
     # JVM-only queries first — mapInPandas stages spawn 16+ Python
     # worker processes whose residual memory pressure inflates later
     # JVM-side timings ~2× (measured); extraction runs last, after an
@@ -364,8 +426,14 @@ def main() -> None:
         "hits_scores": lambda: WB.q_hits_scores(spark, SF_DIR).collect(),
         "cms_heavy_hitters": lambda: WB.q_cms_heavy_hitters(spark, SF_DIR).collect(),
         "hll_host_cardinality": lambda: WB.q_hll_host_cardinality(spark, SF_DIR).count(),
+        # round-5 session-5 operators (JVM-side)
+        "url_templates": bench_url_templates,
+        "change_rates": bench_change_rates,
+        "redirect_resolve": bench_redirect_resolve,
         "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
         and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
+        # the PDF codec lane (python stage — keep with the python group)
+        "pdf_extract": bench_pdf_extract,
         "extract_pages": bench_extract,
         "extract_pages_18kb": lambda: extract_pages(
             spark.read.parquet(big_path), python_parallelism=max(2, CPUS // 2)
