@@ -129,9 +129,25 @@ def main() -> None:
         " row-local column math, streaming-legal, runs after"
         " --sniff-charset when both are on",
     )
+    ap.add_argument(
+        "--input-format", choices=("pages", "pdf"), default="pages",
+        help="'pages' = canonical (url, html) stream through the"
+        " kernel; 'pdf' = (url, data) PDF blob stream through the"
+        " frozen text-subset parser (sources/pdf) — batch-job parity"
+        " for corpus_job --input-format pdf",
+    )
     ap.add_argument("--available-now", action="store_true")
     ap.add_argument("--python-parallelism", type=int, default=None)
     args = ap.parse_args()
+    if args.input_format == "pdf":
+        for flag, on in (
+            ("--sniff-charset", args.sniff_charset),
+            ("--sniff-content-type", args.sniff_content_type),
+            ("--honor-noindex", args.honor_noindex),
+        ):
+            if on:
+                ap.error(f"{flag} reads html pages and cannot run on"
+                         " --input-format pdf")
     if args.bpe_vocab is not None and not args.count_bpe:
         ap.error("--bpe-vocab requires --count-bpe"
                  " (a vocabulary with no metering stage does nothing)")
@@ -163,6 +179,7 @@ def main() -> None:
         sniff_content_type=args.sniff_content_type,
         count_bpe=args.count_bpe,
         bpe_vocab_path=args.bpe_vocab,
+        input_format=args.input_format,
         available_now=args.available_now,
         python_parallelism=args.python_parallelism,
     )
@@ -191,6 +208,7 @@ def run_stream(
     sniff_content_type: bool = False,
     count_bpe: bool = False,
     bpe_vocab_path: str | None = None,
+    input_format: str = "pages",
     available_now: bool = True,
     python_parallelism: int | None = None,
 ):
@@ -353,7 +371,28 @@ def run_stream(
         return kept.select(*cols)
 
     # the exactly-once source/sink scaffolding lives in stream_extract;
-    # this job only supplies the score/filter chain
+    # this job only supplies the score/filter chain (and, for the PDF
+    # lane, the swapped source schema + extractor pair)
+    input_schema = None
+    extractor = None
+    if input_format == "pdf":
+        # the PDF lane (batch parity with corpus_job --input-format
+        # pdf): frozen text-subset parse into the extracted shape,
+        # language id as the standalone pass — both mapInPandas, both
+        # streaming-legal
+        from ocrd_segment_spark.operators.langid import with_lang_ngram
+        from ocrd_segment_spark.sources.pdf import pdf_pages
+
+        input_schema = "url string, data binary"
+
+        def extractor(blobs):
+            return with_lang_ngram(
+                pdf_pages(blobs, python_parallelism=python_parallelism),
+                text_col="extracted_text",
+                python_parallelism=python_parallelism,
+                margin=lang_margin,
+            )
+
     return stream_extract(
         spark,
         input_path,
@@ -365,6 +404,8 @@ def run_stream(
         python_parallelism=python_parallelism,
         lang_id=True,
         lang_margin=lang_margin,
+        input_schema=input_schema,
+        extractor=extractor,
     )
 
 

@@ -45,6 +45,8 @@ def stream_extract(
     python_parallelism: int | None = None,
     lang_id: bool = False,
     lang_margin: float | None = None,
+    input_schema=None,
+    extractor=None,
 ):
     """Continuous extraction with exactly-once semantics (checkpointed
     file-source offsets + parquet sink manifest). ``available_now``
@@ -55,14 +57,22 @@ def stream_extract(
     scaffolding exists in exactly one place. ``pre_transform`` runs on
     the raw pages BEFORE extraction — the hook for filters that must
     not pay kernel time (the domain blocklist: a stream-static
-    broadcast join, streaming-legal and narrow)."""
-    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
+    broadcast join, streaming-legal and narrow). ``input_schema`` /
+    ``extractor`` swap the source shape and the extraction transform
+    as a pair (the PDF lane: blobs in, extracted shape out) — the
+    exactly-once scaffolding stays this function's job either way."""
+    pages = spark.readStream.schema(
+        input_schema if input_schema is not None else PAGES_SCHEMA
+    ).parquet(input_path)
     if pre_transform is not None:
         pages = pre_transform(pages)
-    out = extract_pages(
-        pages, params, python_parallelism,
-        lang_id=lang_id, lang_margin=lang_margin,
-    )
+    if extractor is not None:
+        out = extractor(pages)
+    else:
+        out = extract_pages(
+            pages, params, python_parallelism,
+            lang_id=lang_id, lang_margin=lang_margin,
+        )
     if transform is not None:
         out = transform(out)
     writer = (

@@ -96,3 +96,35 @@ def test_pdf_pages_matches_extract_schema(spark):
     assert lin["kernel_version"] == "pdf-subset-1"
     assert not lin["parse_failed"]
     assert (lin["n_candidates"], lin["n_kept"], lin["n_dropped"]) == (2, 1, 1)
+
+
+def test_pdf_stream_matches_batch(spark, tmp_path):
+    # the stream_job PDF lane drains the same text the batch adapter
+    # produces (exactly-once scaffolding + swapped extractor pair)
+    from ocrd_segment_spark.streaming.extract_stream import stream_extract
+
+    src = str(tmp_path / "blobs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    blobs = [
+        (f"u{i}", bytearray(_pdf(_stream(b"BT (pdf %d) Tj T* (body) Tj ET" % i))))
+        for i in range(8)
+    ]
+    spark.createDataFrame(blobs, "url string, data binary").write.parquet(src)
+
+    q = stream_extract(
+        spark, src, out, ckpt,
+        input_schema="url string, data binary",
+        extractor=lambda b: pdf_pages(b),
+    )
+    assert q.awaitTermination(300)
+
+    streamed = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["url"]: r["extracted_text"]
+        for r in pdf_pages(spark.read.parquet(src)).collect()
+    }
+    assert streamed == batch and len(streamed) == 8
