@@ -771,7 +771,16 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast({_PDF_BODY} as binary) as data",
         )
     )
-    return pdf_text(fx)
+    # block_spans projected to a canonical string (the gate compares
+    # flat values; the nested form is pytest-covered)
+    return pdf_text(fx).select(
+        "url", "n_objects", "n_streams", "n_text_streams", "text",
+        "parse_ok",
+        F.expr(
+            "array_join(transform(block_spans,"
+            " s -> concat(s.start, '-', s.end)), ',')"
+        ).alias("spans_repr"),
+    )
 
 
 O_PDF_TEXT_EXTRACT = f"""
@@ -782,10 +791,13 @@ WITH d AS (
 SELECT url, CAST(2 AS INT) AS n_objects, CAST(1 AS INT) AS n_streams,
        CAST(1 AS INT) AS n_text_streams,
        'Hello ' || CAST(doc_id AS VARCHAR) || chr(10) || 'World' AS text,
-       TRUE AS parse_ok
+       TRUE AS parse_ok,
+       '0-' || CAST(12 + length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+         AS spans_repr
 FROM d WHERE doc_id % 3 = 0
 UNION ALL
-SELECT url, 1, 1, 1, 'AB' || chr(10) || 'C', TRUE FROM d WHERE doc_id % 3 = 1
+SELECT url, 1, 1, 1, 'AB' || chr(10) || 'C', TRUE, '0-4'
+FROM d WHERE doc_id % 3 = 1
 UNION ALL
-SELECT url, 2, 1, 0, '', TRUE FROM d WHERE doc_id % 3 = 2
+SELECT url, 2, 1, 0, '', TRUE, '' FROM d WHERE doc_id % 3 = 2
 """

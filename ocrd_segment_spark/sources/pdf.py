@@ -40,7 +40,14 @@ restate; spec references are ISO 32000-1):
   Unicode extraction needs the font's ToUnicode CMap, which is a
   rendering concern, not a dataflow one;
 - block texts join with ``\\n``, text-bearing streams join with
-  ``\\n``; a document with no BT block yields ``text = ''``.
+  ``\\n`` (one separator between ANY two adjacent blocks, so blocks
+  flatten across streams); a document with no BT block yields
+  ``text = ''``;
+- each BT block is a LAYOUT REGION: ``block_spans`` carries its
+  [start, end) character interval in ``text`` (latin-1 is 1:1, so
+  char offsets == byte offsets), and the extracted-table adapter
+  turns them into ordinary ``region_spans`` rows (rtype ``block``) —
+  PDFs keep the engine's span-centric contract.
 
 Scale shape (100 TB): one Arrow-batched mapInPandas stage (the codec
 lane — same cost model as decode_warc_gz), capped via
@@ -112,9 +119,11 @@ def _block_text(block: bytes) -> bytes:
     return bytes(out)
 
 
-def _extract_one(blob: bytes) -> tuple[int, int, int, str, bool]:
+def _extract_one(
+    blob: bytes,
+) -> tuple[int, int, int, str, bool, list[tuple[int, int]]]:
     n_objects = n_streams = n_text = 0
-    texts: list[str] = []
+    blocks: list[str] = []
     ok = True
     for om in OBJ.finditer(blob):
         n_objects += 1
@@ -138,11 +147,18 @@ def _extract_one(blob: bytes) -> tuple[int, int, int, str, bool]:
             except zlib.error:
                 ok = False
                 continue
-        blocks = [_block_text(b.group(1)) for b in BLOCK.finditer(data)]
-        if blocks:
+        stream_blocks = [
+            _block_text(b.group(1)).decode("latin-1")
+            for b in BLOCK.finditer(data)
+        ]
+        if stream_blocks:
             n_text += 1
-            texts.append(b"\n".join(blocks).decode("latin-1"))
-    return n_objects, n_streams, n_text, "\n".join(texts), ok
+            blocks.extend(stream_blocks)
+    spans, pos = [], 0
+    for b in blocks:
+        spans.append((pos, pos + len(b)))
+        pos += len(b) + 1
+    return n_objects, n_streams, n_text, "\n".join(blocks), ok, spans
 
 
 def pdf_text(
@@ -152,7 +168,8 @@ def pdf_text(
 ) -> DataFrame:
     """PDF blobs → one row per document:
     carried columns + (``n_objects``, ``n_streams``, ``n_text_streams``,
-    ``text``, ``parse_ok``) under the frozen subset rule above."""
+    ``text``, ``parse_ok``, ``block_spans``) under the frozen subset
+    rule above."""
     import pandas as pd
 
     other = [f.name for f in blobs.schema.fields if f.name != data_col]
@@ -163,7 +180,8 @@ def pdf_text(
             if f.name != data_col
         )
         + ", n_objects int, n_streams int, n_text_streams int,"
-        " text string, parse_ok boolean"
+        " text string, parse_ok boolean,"
+        " block_spans array<struct<start: long, end: long>>"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -178,6 +196,7 @@ def pdf_text(
             res["n_text_streams"] = [r[2] for r in rows]
             res["text"] = [r[3] for r in rows]
             res["parse_ok"] = [r[4] for r in rows]
+            res["block_spans"] = [r[5] for r in rows]
             yield res
 
     src = blobs
@@ -197,24 +216,32 @@ def pdf_pages(
     lane exactly like the HTML lane (jobs/corpus_job.py
     ``--input-format pdf``).
 
-    PDFs in this subset carry no DOM, so ``region_spans`` is the typed
-    EMPTY array (span-consuming post-stages are refused at the CLI,
-    not silently no-oped); ``lineage`` reports the stream funnel —
-    ``parse_failed`` mirrors an inflate failure, candidates/kept/
-    dropped count content streams."""
+    Each BT block is a layout region: ``region_spans`` carries one
+    ``rtype = 'block'`` row per block with its [start, end) interval
+    in ``extracted_text`` (the engine's span contract — S3-style
+    per-region crops slice PDF text exactly like HTML text).
+    ``lineage`` reports the stream funnel — ``parse_failed`` mirrors
+    an inflate failure, candidates/kept/dropped count content
+    streams."""
     from pyspark.sql import functions as F
-
-    from ..pipeline import REGION_SPAN_TYPE
 
     t = pdf_text(
         blobs.select(url_col, data_col),
         data_col=data_col,
         python_parallelism=python_parallelism,
     )
+    spans = F.expr(
+        "transform(block_spans, (s, i) -> named_struct("
+        " 'region_id', format_string('b%04d', i + 1),"
+        " 'rtype', 'block', 'subtype', '',"
+        " 'start', s.start, 'end', s.end,"
+        " 'parent_id', '', 'order', i,"
+        " 'score', 1.0D, 'dir', cast(null as string)))"
+    )
     return t.select(
         F.col(url_col).alias("url"),
         F.col("text").alias("extracted_text"),
-        F.expr("array()").cast(REGION_SPAN_TYPE).alias("region_spans"),
+        spans.alias("region_spans"),
         # field-by-field (a whole-struct cast to LINEAGE_TYPE trips on
         # nullable-to-NOT-NULL; names and types match field-wise)
         F.struct(

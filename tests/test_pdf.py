@@ -23,7 +23,9 @@ def test_text_operators_and_lines():
         _stream(b"BT (Hello 7) Tj 0 -14 Td (World) Tj T* (!) Tj ET"),
         b"<< /Type /Catalog >>",
     )
-    assert _extract_one(pdf) == (2, 1, 1, "Hello 7\nWorld\n!", True)
+    assert _extract_one(pdf) == (
+        2, 1, 1, "Hello 7\nWorld\n!", True, [(0, 15)],
+    )
 
 
 def test_length_truncation_and_tj_array():
@@ -49,9 +51,9 @@ def test_flate_roundtrip_and_broken_stream():
     z = zlib.compress(content)
     good = _stream(z, head=b"<< /Length %d /Filter /FlateDecode >>" % len(z))
     bad = _stream(b"not zlib", head=b"<< /Filter /FlateDecode >>")
-    n_obj, n_str, n_text, text, ok = _extract_one(_pdf(bad, good))
+    n_obj, n_str, n_text, text, ok, spans = _extract_one(_pdf(bad, good))
     assert (n_obj, n_str, n_text) == (2, 2, 1)
-    assert text == "compressed" and ok is False
+    assert text == "compressed" and ok is False and spans == [(0, 10)]
 
 
 def test_indirect_length_falls_back_to_endstream():
@@ -61,9 +63,9 @@ def test_indirect_length_falls_back_to_endstream():
 
 def test_no_text_and_empty_blob():
     assert _extract_one(_pdf(_stream(b"q 1 0 0 1 0 0 cm Q"))) == (
-        1, 1, 0, "", True,
+        1, 1, 0, "", True, [],
     )
-    assert _extract_one(b"") == (0, 0, 0, "", True)
+    assert _extract_one(b"") == (0, 0, 0, "", True, [])
 
 
 def test_pdf_text_dataframe(spark):
@@ -91,7 +93,12 @@ def test_pdf_pages_matches_extract_schema(spark):
     ]
     row = out.collect()[0]
     assert row["extracted_text"] == "body text"
-    assert row["region_spans"] == []
+    [span] = row["region_spans"]
+    assert (span["region_id"], span["rtype"], span["order"]) == (
+        "b0001", "block", 0,
+    )
+    # the span slices extracted_text exactly (the engine contract)
+    assert row["extracted_text"][span["start"]:span["end"]] == "body text"
     lin = row["lineage"]
     assert lin["kernel_version"] == "pdf-subset-1"
     assert not lin["parse_failed"]
