@@ -299,12 +299,16 @@ def main() -> None:
             ("--sniff-content-type", args.sniff_content_type),
             ("--honor-meta", args.honor_meta),
             ("--snapshot-collapse", args.snapshot_collapse),
-            ("--preserve-spans", args.preserve_spans),
             ("--outlinks", args.outlinks is not None),
         ):
             if on:
                 ap.error(f"{flag} reads html pages and cannot run on"
                          " --input-format pdf")
+        # --preserve-spans IS legal on pdf input: BT blocks are real
+        # region_spans (sources/pdf.pdf_pages), so the span-preserving
+        # boilerplate strip (page headers/footers repeated across a
+        # site's PDFs) rebuilds clean text with remapped spans exactly
+        # like the HTML lane
     if args.bpe_vocab is not None and not args.count_bpe:
         ap.error("--bpe-vocab requires --count-bpe"
                  " (a vocabulary with no metering stage does nothing)")
