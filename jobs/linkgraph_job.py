@@ -78,12 +78,20 @@ def main() -> None:
         ).filter("resolved").select("src_url", "final_url")
         # rewrite edge targets through the chain map; the map is
         # 3xx-grain (far below edge grain) and joins on the href key.
-        # dst_host is re-derived for rewritten rows only.
+        # dst_host is re-derived for REWRITTEN rows only — outlinks
+        # already resolved relative/protocol-relative hrefs against
+        # the page base, and host_of over those raw values would
+        # fabricate ''-host edges (review finding).
         ol = (
             ol.join(resolved, ol.href == resolved.src_url, "left")
+            .withColumn(
+                "dst_host",
+                F.when(
+                    F.col("final_url").isNotNull(), host_of("final_url")
+                ).otherwise(F.col("dst_host")),
+            )
             .withColumn("href", F.coalesce("final_url", "href"))
             .drop("src_url", "final_url")
-            .withColumn("dst_host", host_of("href"))
         )
     edges = host_edges(ol)
     edges.write.mode("overwrite").parquet(args.edges)

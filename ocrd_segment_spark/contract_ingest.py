@@ -429,7 +429,8 @@ O_HIST_QUANTILES = _o_hist_quantiles()
 # Twelve synthetic feed bodies: %4==0 → RSS 2.0 (item with trimmed
 # link + date, item with no date/empty title → NULLs, a duplicate
 # link with a LATER date and different title — field-wise min keeps
-# the earlier date and the lexicographic-min title, an empty-link
+# the earlier date and the lexicographic-min title, a host-relative
+# link rebased as https://host||link, a mailto: drop, an empty-link
 # drop, and a trailing '<feed' comment the first-occurrence rule must
 # ignore); %4==1 → Atom (attribute links, entry tag with attributes,
 # href trimming, trailing '<rss' comment); %4==2 → not a feed (zero
@@ -451,6 +452,8 @@ _FD_BODY = f"""CASE doc_id % 4 WHEN 0 THEN concat(
     '</item>', chr(10),
     '<item><link>https://', {_FD_HOST}, '/b/', cast(doc_id as string), '</link><title></title></item>', chr(10),
     '<item><link>https://', {_FD_HOST}, '/a/', cast(doc_id as string), '</link><pubDate>2025-09-09</pubDate><title>zzz later</title></item>', chr(10),
+    '<item><link>/rel/', cast(doc_id as string), '</link><title>rel post</title></item>', chr(10),
+    '<item><link>mailto:x@example.org</link><title>m</title></item>', chr(10),
     '<item><link></link><title>ghost</title></item>', chr(10),
     '</channel></rss>', chr(10), '<!-- mirrors <feed> -->')
   WHEN 1 THEN concat(
@@ -505,6 +508,11 @@ UNION ALL
 SELECT {_D_FD_HOST},
        'https://' || {_D_FD_HOST} || '/b/' || CAST(doc_id AS VARCHAR),
        NULL, NULL, 'rss'
+FROM rss
+UNION ALL
+SELECT {_D_FD_HOST},
+       'https://' || {_D_FD_HOST} || '/rel/' || CAST(doc_id AS VARCHAR),
+       NULL, 'rel post', 'rss'
 FROM rss
 UNION ALL
 SELECT {_D_FD_HOST},

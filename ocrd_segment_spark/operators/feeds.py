@@ -28,10 +28,17 @@ the DuckDB oracle can restate it; Java-regex/RE2 common subset,
     stays a STRING — RSS speaks RFC 822 dates, Atom RFC 3339;
     freshness consumers parse with try-semantics at use time, the
     harvest must not lose rows to a date dialect;
-  - entries with an empty link are dropped; (host, link) dedupes
-    with FIELD-WISE MIN over (published, title, kind) — SQL aggregate
-    semantics (NULLs ignored unless all-NULL), a deterministic
-    tie-break in the sitemap_entries discipline.
+  - link normalization (the redirects-operator discipline — relative
+    links are common in real feeds and must not reach the frontier
+    verbatim): absolute ``http://``/``https://`` links are kept
+    trimmed; host-relative links (``/…`` but not ``//…``) rebase as
+    ``https://`` || host || link (the feed table carries only the
+    host, so the scheme is the modern default — the fetcher follows
+    the redirect if the site is http-only); anything else
+    (protocol-relative, mailto:, empty, garbage) is dropped;
+  - (host, link) dedupes with FIELD-WISE MIN over (published, title,
+    kind) — SQL aggregate semantics (NULLs ignored unless all-NULL),
+    a deterministic tie-break in the sitemap_entries discipline.
 
 Scale shape (100 TB): scan-stage column math (regexp_extract_all +
 explode) over host-grain fetch tables, then one partial-aggregable
@@ -81,14 +88,23 @@ def feed_entries(
             )
         ).alias("__block"),
     )
+    raw_link = F.expr(
+        f"trim(CASE WHEN kind = 'rss'"
+        f" THEN regexp_extract(__block, '{RSS_LINK}', 1)"
+        f" ELSE regexp_extract(__block, '{ATOM_LINK}', 1) END)"
+    )
     fields = blocks.select(
         "host",
         "kind",
-        F.expr(
-            f"trim(CASE WHEN kind = 'rss'"
-            f" THEN regexp_extract(__block, '{RSS_LINK}', 1)"
-            f" ELSE regexp_extract(__block, '{ATOM_LINK}', 1) END)"
-        ).alias("link"),
+        F.when(
+            raw_link.startswith("http://") | raw_link.startswith("https://"),
+            raw_link,
+        )
+        .when(
+            raw_link.startswith("/") & ~raw_link.startswith("//"),
+            F.concat(F.lit("https://"), F.col("host"), raw_link),
+        )
+        .alias("link"),
         F.expr(
             f"nullif(trim(CASE WHEN kind = 'rss'"
             f" THEN regexp_extract(__block, '{RSS_DATE}', 1)"
@@ -97,7 +113,7 @@ def feed_entries(
         F.expr(f"nullif(trim(regexp_extract(__block, '{TITLE}', 1)), '')").alias(
             "title"
         ),
-    ).filter(F.col("link") != "")
+    ).filter(F.col("link").isNotNull())
     return fields.groupBy("host", "link").agg(
         F.min("published").alias("published"),
         F.min("title").alias("title"),

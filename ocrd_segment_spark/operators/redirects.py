@@ -16,11 +16,12 @@ them):
 
 - an edge exists for rows with ``300 <= http_status <= 399`` and a
   non-empty trimmed Location; the destination is the trimmed value when
-  it starts with ``http://`` or ``https://``, or
-  ``scheme://host-of-src || value`` when it starts with ``/``
-  (host-relative form); any other shape (protocol-relative ``//``,
-  dotted-relative, mailto:, garbage) is dropped — RFC 9110 wants an
-  absolute URI and the long tail is not worth a grammar;
+  it starts with ``http://`` or ``https://``, or the src's ORIGIN
+  (``scheme://authority``, port included — RFC 3986) ``|| value`` when
+  it starts with ``/`` (host-relative form); any other shape
+  (protocol-relative ``//``, dotted-relative, mailto:, garbage) is
+  dropped — RFC 9110 wants an absolute URI and the long tail is not
+  worth a grammar;
 - one src observed with several destinations (recrawls, A/B redirects)
   collapses to ``min(dst)`` — the deterministic field-wise-min
   tie-break used across the discovery operators;
@@ -63,8 +64,10 @@ def redirect_edges(
     ).filter(
         F.col("__status").between(300, 399) & (F.col("__loc") != "")
     )
+    # [^/?#] keeps the PORT in the origin (RFC 3986): a host-relative
+    # Location on https://h:8080/a must rebase onto the :8080 origin
     origin = F.regexp_extract(
-        "src", "^([A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+)", 1
+        "src", "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
     )
     dst = (
         F.when(

@@ -228,6 +228,11 @@ def _cap_python_tasks(src: DataFrame, python_parallelism: int | None) -> DataFra
         # task counts directly
         return src.repartition(python_parallelism)
     cur = src.rdd.getNumPartitions()
+    if cur == python_parallelism:
+        # already at the cap — a repartition here would full-shuffle
+        # for nothing (the PDF lane chains two capped python stages,
+        # review finding: the second stage paid a pointless shuffle)
+        return src
     return (
         src.coalesce(python_parallelism)
         if python_parallelism < cur

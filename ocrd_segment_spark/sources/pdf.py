@@ -25,16 +25,21 @@ restate; spec references are ISO 32000-1):
   to inflate is skipped and flags ``parse_ok = false`` (the decoded
   prefix of OTHER streams is kept — partial extraction beats a lost
   document);
-- text lives in ``BT … ET`` blocks of content streams. Within a
-  block, tokens apply in positional order: ``(string) Tj`` appends,
-  ``(string) '`` and ``(string) "`` append a newline THEN the string
-  (their T* semantics), ``<hex> Tj`` appends the hex-decoded bytes,
-  ``[…] TJ`` appends the array's literal strings concatenated
-  (kerning numbers ignored), and ``T*`` / ``x y Td`` / ``x y TD``
-  append a newline;
-- literal strings decode the spec's escapes: ``\\n \\r \\t \\b \\f
-  \\( \\) \\\\``, 1-3 digit octal ``\\ddd``, backslash-newline erased
-  (line continuation), any other ``\\x`` → ``x``;
+- text lives in ``BT … ET`` blocks of content streams, found by a
+  single left-to-right TOKEN SCAN in which strings are consumed
+  atomically — operator lookalikes inside shown text (a literal
+  ``ET``, ``Tj``, …) can never terminate a block or fire as
+  operators. Tokens apply in positional order: ``(string) Tj``
+  appends, ``(string) '`` and ``(string) "`` append a newline THEN
+  the string (their T* semantics), ``<hex>`` shows its hex-decoded
+  bytes under the same operators, ``[…] TJ`` appends the array's
+  strings concatenated (kerning numbers ignored), ``T*`` / ``x y
+  Td`` / ``x y TD`` append a newline, and a string with no show
+  operator is ignored;
+- literal strings keep spec-legal balanced unescaped parens verbatim
+  (ISO 32000-1 §7.3.4.2) and decode the escapes: ``\\n \\r \\t \\b
+  \\f \\( \\) \\\\``, 1-3 digit octal ``\\ddd``, backslash-newline
+  erased (line continuation), any other ``\\x`` → ``x``;
 - bytes map to text as latin-1 (1:1, lossless) — font encodings and
   CID-keyed text are OUT of the subset and documented as such: real
   Unicode extraction needs the font's ToUnicode CMap, which is a
@@ -67,17 +72,20 @@ from pyspark.sql import DataFrame
 OBJ = re.compile(rb"(?s)\d+ \d+ obj(.*?)endobj")
 STREAM_START = re.compile(rb"stream\r?\n")
 LENGTH = re.compile(rb"/Length\s+(\d+)(?![^/>]*R)")
+# the stream scanner's token alternation: literal strings are NOT
+# matched here — '(' hands off to _read_literal, which walks balanced
+# parens + escapes char-exactly (ISO 32000-1 §7.3.4.2 allows unescaped
+# balanced parens, and operator-lookalikes like 'ET' inside a shown
+# string must never terminate a block — both regex-impossible)
 TOKENS = re.compile(
-    rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|'|\")"
-    rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
-    rb"|\[((?:\\.|[^\]\\])*)\]\s*TJ"
-    rb"|(T\*)"
-    rb"|(?:[-\d.]+\s+[-\d.]+\s+(Td|TD))",
-    re.S,
+    rb"\("
+    rb"|<([0-9A-Fa-f\s]*)>"
+    rb"|\[|\]"
+    rb"|\bBT\b|\bET\b|\bTJ\b|\bTj\b|'|\""
+    rb"|T\*"
+    rb"|(?:[-\d.]+\s+[-\d.]+\s+(?:Td|TD))",
 )
-LITERAL = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
 ESCAPE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.S)
-BLOCK = re.compile(rb"(?s)\bBT\b(.*?)\bET\b")
 
 _SIMPLE = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -85,38 +93,108 @@ _SIMPLE = {
 }
 
 
-def _unescape(raw: bytes) -> bytes:
-    def sub(m: re.Match) -> bytes:
-        e = m.group(1)
-        if e in (b"\r\n", b"\r", b"\n"):
-            return b""  # line continuation
-        if e in _SIMPLE:
-            return _SIMPLE[e]
-        if e.isdigit() and all(c in b"01234567" for c in e):
-            return bytes([int(e, 8) & 0xFF])
-        return e
-    return ESCAPE.sub(sub, raw)
+def _escape_sub(m: re.Match) -> bytes:
+    e = m.group(1)
+    if e in (b"\r\n", b"\r", b"\n"):
+        return b""  # line continuation
+    if e in _SIMPLE:
+        return _SIMPLE[e]
+    if e.isdigit() and all(c in b"01234567" for c in e):
+        return bytes([int(e, 8) & 0xFF])
+    return e
 
 
-def _block_text(block: bytes) -> bytes:
+def _read_literal(data: bytes, i: int) -> tuple[bytes, int]:
+    """Decode the literal string starting at ``data[i] == '('``:
+    balanced unescaped parens stay verbatim, escapes decode per the
+    module rule. Returns (decoded bytes, index after the closing
+    paren)."""
+    depth, i = 1, i + 1
     out = bytearray()
-    for m in TOKENS.finditer(block):
-        lit, op, hx, arr, tstar, td = m.groups()
-        if lit is not None:
-            if op in (b"'", b'"'):
-                out += b"\n"
-            out += _unescape(lit)
-        elif hx is not None:
-            clean = bytes(c for c in hx if c not in b" \t\r\n")
-            if len(clean) % 2:
-                clean += b"0"
-            out += bytes.fromhex(clean.decode("ascii"))
-        elif arr is not None:
-            for s in LITERAL.finditer(arr):
-                out += _unescape(s.group(1))
-        elif tstar is not None or td is not None:
-            out += b"\n"
-    return bytes(out)
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            m = ESCAPE.match(data, i)
+            if m is None:  # trailing backslash at end of data
+                i += 1
+                continue
+            out += _escape_sub(m)
+            i = m.end()
+        elif c == 0x28:  # (
+            depth += 1
+            out += b"("
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out += b")"
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _hex_bytes(hx: bytes) -> bytes:
+    clean = bytes(c for c in hx if c not in b" \t\r\n")
+    if len(clean) % 2:
+        clean += b"0"
+    return bytes.fromhex(clean.decode("ascii"))
+
+
+def _stream_blocks(data: bytes) -> list[bytes]:
+    """All BT..ET block texts of one decoded content stream, by a
+    single left-to-right token scan: strings are consumed atomically
+    (so operator lookalikes inside shown text can't fire), shown
+    strings apply at their OPERATOR (Tj / TJ / ' / "), and strings
+    with no show operator are ignored."""
+    blocks: list[bytes] = []
+    buf: bytearray | None = None  # text of the open BT block
+    pending: bytes | None = None  # last scalar string awaiting its op
+    arr: list[bytes] | None = None  # open [ ... ] TJ array
+    i, n = 0, len(data)
+    while i < n:
+        m = TOKENS.search(data, i)
+        if m is None:
+            break
+        t = m.group(0)
+        i = m.end()
+        if t == b"(":
+            s, i = _read_literal(data, m.start())
+            if arr is not None:
+                arr.append(s)
+            else:
+                pending = s
+        elif t.startswith(b"<"):
+            s = _hex_bytes(m.group(1))
+            if arr is not None:
+                arr.append(s)
+            else:
+                pending = s
+        elif t == b"[":
+            arr = []
+        elif t == b"]":
+            pending = b"".join(arr) if arr is not None else None
+            arr = None
+        elif t in (b"TJ", b"Tj"):
+            if buf is not None and pending is not None:
+                buf += pending
+            pending = None
+        elif t in (b"'", b'"'):
+            if buf is not None and pending is not None:
+                buf += b"\n" + pending
+            pending = None
+        elif t == b"BT":
+            buf = bytearray()
+        elif t == b"ET":
+            if buf is not None:
+                blocks.append(bytes(buf))
+            buf = None
+        else:  # T* / Td / TD
+            if buf is not None:
+                buf += b"\n"
+    return blocks
 
 
 def _extract_one(
@@ -147,10 +225,7 @@ def _extract_one(
             except zlib.error:
                 ok = False
                 continue
-        stream_blocks = [
-            _block_text(b.group(1)).decode("latin-1")
-            for b in BLOCK.finditer(data)
-        ]
+        stream_blocks = [b.decode("latin-1") for b in _stream_blocks(data)]
         if stream_blocks:
             n_text += 1
             blocks.extend(stream_blocks)
@@ -199,10 +274,14 @@ def pdf_text(
             res["block_spans"] = [r[5] for r in rows]
             yield res
 
-    src = blobs
-    if python_parallelism:
-        src = src.repartition(python_parallelism)
-    return src.mapInPandas(gen, schema)
+    from ..pipeline import _cap_python_tasks
+
+    # the shared cores//2 python-task guard (coalesce when capping
+    # down, no-op at the cap) — NOT a bare repartition (review
+    # finding: the duplicated guard full-shuffled raw blobs)
+    return _cap_python_tasks(blobs, python_parallelism).mapInPandas(
+        gen, schema
+    )
 
 
 def pdf_pages(

@@ -12,6 +12,8 @@ RSS = (
     "<item><link>https://a.org/p/2</link><title></title></item>\n"
     "<item><link>https://a.org/p/1</link>"
     "<pubDate>2025-09-09</pubDate><title>zzz later</title></item>\n"
+    "<item><link>/rel/7</link><title>rel post</title></item>\n"
+    "<item><link>mailto:x@a.org</link><title>m</title></item>\n"
     "<item><link></link><title>ghost</title></item>\n"
     "</channel></rss>\n<!-- mirrors <feed> -->"
 )
@@ -44,6 +46,8 @@ def test_rss_items_trim_nulls_dedupe(spark):
         ("https://a.org/p/1", "rss"): ("2024-01-05", "post one"),
         # empty title and absent pubDate are NULL; empty link row dropped
         ("https://a.org/p/2", "rss"): (None, None),
+        # host-relative link rebased on the feed host; mailto dropped
+        ("https://a.org/rel/7", "rss"): (None, "rel post"),
     }
 
 
@@ -64,7 +68,7 @@ def test_kind_precedence_is_first_occurrence(spark):
     assert _rows(spark, tricky) == {}
     # trailing mentions (already inside the fixtures) change nothing:
     # RSS body carries '<feed' in a comment, ATOM carries '<rss'.
-    assert len(_rows(spark, RSS)) == 2
+    assert len(_rows(spark, RSS)) == 3
     assert len(_rows(spark, ATOM)) == 2
 
 
@@ -78,5 +82,5 @@ def test_mixed_batch_keeps_host_grain(spark):
         "host string, body binary",
     )
     out = feed_entries(df).collect()
-    assert len(out) == 4
+    assert len(out) == 6
     assert {r["host"] for r in out} == {"a.org", "b.org"}

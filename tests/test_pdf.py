@@ -135,3 +135,26 @@ def test_pdf_stream_matches_batch(spark, tmp_path):
         for r in pdf_pages(spark.read.parquet(src)).collect()
     }
     assert streamed == batch and len(streamed) == 8
+
+
+def test_operator_lookalikes_inside_strings():
+    # review finding: 'ET' inside a shown string must not end the
+    # block; 'Tj'/'BT' lookalikes must not fire as operators
+    pdf = _pdf(_stream(b"BT (MILLER ET AL 2020 Tj BT) Tj ET"))
+    assert _extract_one(pdf)[3] == "MILLER ET AL 2020 Tj BT"
+
+
+def test_balanced_unescaped_parens():
+    # ISO 32000-1 7.3.4.2: balanced parens need no escapes
+    pdf = _pdf(_stream(b"BT (see (note (1)) below) Tj ET"))
+    assert _extract_one(pdf)[3] == "see (note (1)) below"
+
+
+def test_unshown_strings_and_hex_in_arrays():
+    pdf = _pdf(_stream(
+        b"BT (ignored no-op string) (shown) Tj"
+        b" [(A) -3 <4243> (D)] TJ <48> ' ET"
+    ))
+    # no-op string ignored; TJ concatenates literal AND hex members;
+    # a hex string shows under ' with its newline
+    assert _extract_one(pdf)[3] == "shownABCD\nH"

@@ -96,3 +96,14 @@ def test_doubling_matches_reference_walk(spark):
         for r in resolve_redirects(_edges(spark, pairs), max_hops=cap).collect()
     }
     assert got == expect
+
+
+def test_relative_rebase_keeps_port(spark):
+    # review finding: the origin includes the port (RFC 3986)
+    pages = _pages(
+        spark, [("https://a.org:8080/x", 301, "/y")]
+    )
+    got = redirect_edges(pages).collect()
+    assert [(r["src"], r["dst"]) for r in got] == [
+        ("https://a.org:8080/x", "https://a.org:8080/y")
+    ]
