@@ -262,6 +262,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_harvest": I.q_feed_harvest,
     "redirect_resolve": I.q_redirect_resolve,
     "change_rates": G.q_change_rates,
+    "feed_discovery": G.q_feed_discovery,
     "url_trap_templates": I.q_url_trap_templates,
     "pdf_text_extract": I.q_pdf_text_extract,
 }
@@ -428,6 +429,7 @@ _ORACLES: dict[str, str] = {
     "feed_harvest": I.O_FEED_HARVEST,
     "redirect_resolve": I.O_REDIRECT_RESOLVE,
     "change_rates": G.O_CHANGE_RATES,
+    "feed_discovery": G.O_FEED_DISCOVERY,
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,
     "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
 }

@@ -241,6 +241,15 @@ def main() -> None:
         " (url, html); shares nothing with the extraction lineage",
     )
     ap.add_argument(
+        "--feed-links",
+        default=None,
+        help="optional path: write the feed urls pages advertise in"
+        " their heads (operators/headmeta.feed_links) — the discovery"
+        " producer for the feed-fetch table operators/feeds harvests"
+        " and frontier_job --feeds consumes. Same raw-scan side-output"
+        " discipline as --outlinks",
+    )
+    ap.add_argument(
         "--host-ranks",
         default=None,
         help="parquet of host ranks (node, rank — jobs/linkgraph_job"
@@ -300,6 +309,7 @@ def main() -> None:
             ("--honor-meta", args.honor_meta),
             ("--snapshot-collapse", args.snapshot_collapse),
             ("--outlinks", args.outlinks is not None),
+            ("--feed-links", args.feed_links is not None),
         ):
             if on:
                 ap.error(f"{flag} reads html pages and cannot run on"
@@ -358,6 +368,7 @@ def main() -> None:
         diff_prev_path=args.diff_prev,
         honor_meta=args.honor_meta,
         outlinks_path=args.outlinks,
+        feed_links_path=args.feed_links,
         host_ranks_path=args.host_ranks,
         host_rank_min=args.host_rank_min,
         shard_tokens=args.shard_tokens,
@@ -398,6 +409,7 @@ def build_corpus(
     diff_prev_path: str | None = None,
     honor_meta: bool = False,
     outlinks_path: str | None = None,
+    feed_links_path: str | None = None,
     host_ranks_path: str | None = None,
     host_rank_min: float | None = None,
     shard_tokens: int | None = None,
@@ -435,6 +447,19 @@ def build_corpus(
         edges = edges.observe(e_obs, F.count(F.lit(1)).alias("n_edges"))
         edges.write.mode("overwrite").parquet(outlinks_path)
         n_outlink_edges = e_obs.get["n_edges"]
+    n_feed_links = -1
+    if feed_links_path is not None:
+        # feed autodiscovery side-output, same raw-scan discipline as
+        # --outlinks: the advertised feeds of every crawled page feed
+        # the fetch scheduler, whose fetched bodies operators/feeds
+        # harvests into frontier_job --feeds
+        from ocrd_segment_spark.operators.headmeta import feed_links
+
+        fl = feed_links(pages)
+        fl_obs = Observation("feedlinks")
+        fl = fl.observe(fl_obs, F.count(F.lit(1)).alias("n"))
+        fl.write.mode("overwrite").parquet(feed_links_path)
+        n_feed_links = fl_obs.get["n"]
     dom_obs = None
     if blocklist_path is not None:
         # domain blocklist BEFORE extraction — blocked pages never pay
@@ -791,6 +816,7 @@ def build_corpus(
             else -1
         ),
         "outlink_edges": n_outlink_edges,
+        "feed_links_found": n_feed_links,
         "pages": counts["pages"],
         "dropped_quality": counts["dropped_quality"],
         "dropped_lang": counts["dropped_lang"],

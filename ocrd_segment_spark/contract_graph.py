@@ -1774,3 +1774,72 @@ SELECT url, 1, 0, 0, TIMESTAMP '2023-11-14 22:13:20',
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM d WHERE doc_id % 4 = 3
 """
+
+
+# ---------------------------------------------------------------------------
+# feed autodiscovery (operators/headmeta.feed_links)
+# ---------------------------------------------------------------------------
+
+# Sixteen pages on https://hN.example.org/page, scenario by
+# doc_id % 4: (0) an absolute rss declaration DUPLICATED verbatim
+# (per-page collapse) next to a stylesheet link (ignored); (1)
+# type-before-href attribute order, atom, a rooted href rebased on
+# the page origin; (2) a protocol-relative href gaining the page
+# scheme (TyPe attribute case variance) plus a mailto: drop; (3) no
+# feed links at all. The oracle states expected rows closed-form.
+
+_FL_N = 16
+_FL_PAGE = "concat('https://h', cast(doc_id as string), '.example.org/page')"
+_FL_HTML = f"""CASE doc_id % 4
+ WHEN 0 THEN concat('<html><head>',
+   '<link rel="alternate" type="application/rss+xml" href="https://h',
+   cast(doc_id as string), '.example.org/feed.xml">',
+   '<link rel="alternate" type="application/rss+xml" href="https://h',
+   cast(doc_id as string), '.example.org/feed.xml">',
+   '<link rel="stylesheet" href="/s.css">',
+   '</head><body>x</body></html>')
+ WHEN 1 THEN concat('<html><head>',
+   '<link type="application/atom+xml" rel="alternate" href="/atom.xml">',
+   '</head><body>x</body></html>')
+ WHEN 2 THEN concat('<html><head>',
+   '<link rel="alternate" TyPe="application/rss+xml"',
+   ' href="//feeds.example.net/f">',
+   '<link rel="alternate" type="application/rss+xml" href="mailto:x@y">',
+   '</head><body>x</body></html>')
+ ELSE '<html><head><title>t</title></head><body>x</body></html>'
+ END"""
+
+
+def q_feed_discovery(spark, sf_dir):
+    """Feed autodiscovery (operators/headmeta.feed_links): whole-tag
+    harvest keyed on the declared mime type (attribute order and name
+    case never matter), canonical-rule href resolution, row-local
+    per-page duplicate collapse. Scan-stage column math, zero
+    shuffle."""
+    from .operators.headmeta import feed_links
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_FL_N}")
+        .selectExpr(
+            f"{_FL_PAGE} as url",
+            f"cast({_FL_HTML} as binary) as html",
+        )
+    )
+    return feed_links(fx)
+
+
+_D_FL_PAGE = "'https://h' || CAST(doc_id AS VARCHAR) || '.example.org/page'"
+O_FEED_DISCOVERY = f"""
+WITH d AS (
+  SELECT doc_id, {_D_FL_PAGE} AS url,
+         'https://h' || CAST(doc_id AS VARCHAR) || '.example.org' AS origin
+  FROM documents WHERE doc_id < {_FL_N}
+)
+SELECT url, origin || '/feed.xml' AS feed_url, 'rss' AS kind
+FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT url, origin || '/atom.xml', 'atom' FROM d WHERE doc_id % 4 = 1
+UNION ALL
+SELECT url, 'https://feeds.example.net/f', 'rss' FROM d WHERE doc_id % 4 = 2
+"""

@@ -455,3 +455,49 @@ def jsonld_types(
         F.expr("get_json_object(payload, \"$['@type']\")").alias("jsonld_type"),
         F.expr("get_json_object(payload, '$.name')").alias("name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feed autodiscovery: <link type="application/{rss,atom}+xml">
+# ---------------------------------------------------------------------------
+
+# the TYPE attribute is the discriminator (rel="alternate" usually
+# rides along but is not required by the frozen rule); attribute NAME
+# matches case-insensitively, the mime VALUE is the registered
+# lowercase form (a frozen vocabulary, the headmeta discipline)
+_TYPE_FEED = '[Tt][Yy][Pp][Ee]="application/(rss|atom)[+]xml"'
+
+
+def feed_links(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, feed_url, kind): one row per feed a page advertises in
+    its head — the autodiscovery convention every blog/news platform
+    follows, and the producer for the feed-fetch table that
+    operators/feeds harvests. ``kind`` is 'rss' or 'atom' from the
+    declared mime type; hrefs resolve under the SAME frozen rule as
+    canonicals (absolute kept, protocol-relative gains the page
+    scheme, rooted paths rebase on the page origin, anything else
+    drops); duplicate (kind, href) declarations collapse PER PAGE
+    with row-local array math — the whole operator is scan-stage
+    column work, zero shuffle, zero Python."""
+    h = _LINK_TAGS.format(col=html_col)
+    scheme = f"lower(regexp_extract(url, '{_SCHEME}', 1))"
+    host = f"lower(regexp_extract(url, '{_ABS_HOST}', 1))"
+    items = f"""array_distinct(transform(
+      filter({h}, t -> t RLIKE '{_TYPE_FEED}'),
+      t -> named_struct(
+        'kind', regexp_extract(t, '{_TYPE_FEED}', 1),
+        'href', regexp_extract(t, '{_HREF}', 1))))"""
+    return (
+        df.select(F.col(url_col).alias("url"), F.expr(items).alias("__i"))
+        .select("url", F.explode("__i").alias("__f"))
+        .withColumn(
+            "feed_url",
+            F.expr(
+                resolved_canonical_sql("nullif(__f.href, '')", scheme, host)
+            ),
+        )
+        .filter(F.col("feed_url").isNotNull())
+        .select("url", "feed_url", F.col("__f.kind").alias("kind"))
+    )

@@ -488,3 +488,31 @@ def test_jsonld_payload_truncates_at_lt(spark):
     out = jsonld_types(_jsonld_pages(spark, [("u", html)])).collect()
     assert len(out) == 1
     assert out[0]["jsonld_type"] is None
+
+
+def test_feed_links_autodiscovery(spark):
+    from ocrd_segment_spark.operators.headmeta import feed_links
+
+    html = (
+        '<html><head>'
+        '<link rel="alternate" type="application/rss+xml" href="https://a.org/feed.xml">'
+        '<link rel="alternate" type="application/rss+xml" href="https://a.org/feed.xml">'
+        '<link TyPe="application/atom+xml" rel="alternate" href="/atom.xml">'
+        '<link rel="alternate" type="application/rss+xml" href="//feeds.b.net/f">'
+        '<link rel="alternate" type="application/rss+xml" href="mailto:x@y">'
+        '<link rel="stylesheet" href="/s.css">'
+        '</head><body>x</body></html>'
+    )
+    df = spark.createDataFrame(
+        [("https://a.org/page", bytearray(html.encode()))],
+        "url string, html binary",
+    )
+    got = {(r["feed_url"], r["kind"]) for r in feed_links(df).collect()}
+    assert got == {
+        # duplicate declaration collapsed per page
+        ("https://a.org/feed.xml", "rss"),
+        # rooted href rebased on the page origin; attr name case-free
+        ("https://a.org/atom.xml", "atom"),
+        # protocol-relative gains the page scheme; mailto dropped
+        ("https://feeds.b.net/f", "rss"),
+    }
