@@ -265,6 +265,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_discovery": G.q_feed_discovery,
     "url_trap_templates": I.q_url_trap_templates,
     "pdf_text_extract": I.q_pdf_text_extract,
+    "pdf_meta_links": I.q_pdf_meta_links,
 }
 
 _ORACLES: dict[str, str] = {
@@ -432,6 +433,7 @@ _ORACLES: dict[str, str] = {
     "feed_discovery": G.O_FEED_DISCOVERY,
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,
     "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
+    "pdf_meta_links": I.O_PDF_META_LINKS,
 }
 
 

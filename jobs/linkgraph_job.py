@@ -32,6 +32,17 @@ def main() -> None:
     ap.add_argument("--iterations", type=int, default=5)
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument(
+        "--input-format", choices=("pages", "pdf"), default="pages",
+        help="'pages' = (url, html) parquet, anchors harvested by the"
+        " scan-stage regex; 'pdf' = (url, data) PDF blobs, /URI link"
+        " actions harvested by sources/pdf.pdf_outlinks — the link"
+        " graph sees PDF documents too",
+    )
+    ap.add_argument(
+        "--python-parallelism", type=int, default=None,
+        help="python-task cap for the pdf lane's codec stage",
+    )
+    ap.add_argument(
         "--redirects", default=None,
         help="parquet of pages with (url, http_status, location) — the"
         " WARC pages shape; outlink targets are rewritten through the"
@@ -63,7 +74,14 @@ def main() -> None:
 
     spark = submit_session("ocrd-segment-linkgraph")
     pages = spark.read.parquet(args.input)
-    ol = outlinks(pages)
+    if args.input_format == "pdf":
+        from ocrd_segment_spark.sources.pdf import pdf_outlinks
+
+        ol = pdf_outlinks(
+            pages, python_parallelism=args.python_parallelism
+        )
+    else:
+        ol = outlinks(pages)
     if args.redirects is not None:
         from pyspark.sql import functions as F
 

@@ -809,3 +809,73 @@ FROM d WHERE doc_id % 3 = 1
 UNION ALL
 SELECT url, 2, 1, 0, '', TRUE, '' FROM d WHERE doc_id % 3 = 2
 """
+
+
+# ---------------------------------------------------------------------------
+# PDF metadata + link actions (sources/pdf.pdf_doc_meta)
+# ---------------------------------------------------------------------------
+
+# %3==0 -> an Info dict with /Title and /Author plus two /URI actions
+# (one duplicated -> first-seen dedupe); %3==1 -> no Info, a /URI
+# inside an (uncompressed) content stream, found on the raw surface;
+# %3==2 -> no metadata at all (NULLs, zero uris). UTF-16BE strings
+# and Flate surfaces are pytest-pinned (bytes SQL cannot synthesize).
+
+_PM_N = 12
+_PM_BODY = """CASE doc_id % 3
+ WHEN 0 THEN concat('%PDF-1.4', chr(10),
+   '1 0 obj', chr(10),
+   '<< /Title (Report ', cast(doc_id as string),
+   ') /Author (Au ', cast(doc_id as string), ') >>', chr(10),
+   'endobj', chr(10),
+   '2 0 obj', chr(10),
+   '<< /A << /S /URI /URI (https://x.org/', cast(doc_id as string),
+   ') >> >>', chr(10), 'endobj', chr(10),
+   '3 0 obj', chr(10),
+   '<< /A << /URI (https://x.org/', cast(doc_id as string),
+   ') >> /B << /URI (https://y.org/', cast(doc_id as string),
+   ') >> >>', chr(10), 'endobj', chr(10))
+ WHEN 1 THEN concat('%PDF-1.4', chr(10),
+   '1 0 obj', chr(10), '<< >>', chr(10), 'stream', chr(10),
+   'BT (t) Tj ET << /URI (https://s.org/', cast(doc_id as string),
+   ') >>', chr(10), 'endstream', chr(10), 'endobj', chr(10))
+ ELSE concat('%PDF-1.4', chr(10),
+   '1 0 obj', chr(10), '<< /Type /Catalog >>', chr(10), 'endobj', chr(10))
+ END"""
+
+
+def q_pdf_meta_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF descriptive metadata + /URI link actions
+    (sources/pdf.pdf_doc_meta): first /Title and /Author in file
+    order, URIs deduplicated first-seen across raw object bodies and
+    decoded streams. One Arrow-batched codec stage."""
+    from .sources.pdf import pdf_doc_meta
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_PM_N}")
+        .selectExpr(
+            "concat('u', cast(doc_id as string)) as url",
+            f"cast({_PM_BODY} as binary) as data",
+        )
+    )
+    return pdf_doc_meta(fx).select(
+        "url", "title", "author",
+        F.array_join("uris", ",").alias("uris_repr"),
+    )
+
+
+O_PDF_META_LINKS = f"""
+WITH d AS (
+  SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id AS VARCHAR) AS i
+  FROM documents WHERE doc_id < {_PM_N}
+)
+SELECT url, 'Report ' || i AS title, 'Au ' || i AS author,
+       'https://x.org/' || i || ',https://y.org/' || i AS uris_repr
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url, NULL, NULL, 'https://s.org/' || i FROM d WHERE doc_id % 3 = 1
+UNION ALL
+SELECT url, NULL, NULL, '' FROM d WHERE doc_id % 3 = 2
+"""

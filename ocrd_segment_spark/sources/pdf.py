@@ -334,3 +334,147 @@ def pdf_pages(
             ),
         ).alias("lineage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document metadata + link actions
+# ---------------------------------------------------------------------------
+
+_TITLE_KEY = re.compile(rb"/Title\s*\(")
+_AUTHOR_KEY = re.compile(rb"/Author\s*\(")
+_URI_KEY = re.compile(rb"/URI\s*\(")
+
+
+def _key_string(data: bytes, key: re.Pattern, first_only: bool):
+    """Decoded literal-string value(s) of ``/Key (…)`` occurrences.
+    PDF text strings beginning with the UTF-16BE BOM (FE FF) decode as
+    UTF-16BE per the spec; everything else stays latin-1 (the module
+    rule)."""
+    out = []
+    for m in key.finditer(data):
+        raw, _ = _read_literal(data, m.end() - 1)
+        if raw[:2] == b"\xfe\xff":
+            out.append(raw[2:].decode("utf-16-be", errors="replace"))
+        else:
+            out.append(raw.decode("latin-1"))
+        if first_only:
+            break
+    return out
+
+
+def _meta_one(blob: bytes) -> tuple[str | None, str | None, list[str]]:
+    """(title, author, uris) under the frozen rule: first /Title and
+    /Author literal in file order, every /URI action deduplicated in
+    first-seen order — harvested from raw object bodies AND inflated
+    FlateDecode streams (annotations live in either)."""
+    surfaces = [blob]
+    for om in OBJ.finditer(blob):
+        body = om.group(1)
+        sm = STREAM_START.search(body)
+        if sm is None or b"/FlateDecode" not in body[: sm.start()]:
+            continue
+        data = body[sm.end():]
+        lm = LENGTH.search(body[: sm.start()])
+        if lm is not None:
+            data = data[: int(lm.group(1))]
+        else:
+            end = data.find(b"endstream")
+            if end >= 0:
+                data = data[:end]
+            data = data.rstrip(b"\r\n")
+        try:
+            surfaces.append(zlib.decompress(data))
+        except zlib.error:
+            continue
+    title = author = None
+    uris: list[str] = []
+    seen: set[str] = set()
+    for s in surfaces:
+        if title is None:
+            t = _key_string(s, _TITLE_KEY, first_only=True)
+            title = t[0] if t else None
+        if author is None:
+            a = _key_string(s, _AUTHOR_KEY, first_only=True)
+            author = a[0] if a else None
+        for u in _key_string(s, _URI_KEY, first_only=False):
+            if u not in seen:
+                seen.add(u)
+                uris.append(u)
+    return title, author, uris
+
+
+def pdf_doc_meta(
+    blobs: DataFrame,
+    data_col: str = "data",
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """PDF blobs → carried columns + (``title``, ``author``,
+    ``uris``): the page_meta analog for the PDF lane (descriptive
+    metadata) plus every /URI link action — the outlink surface
+    :func:`pdf_outlinks` turns into link-graph edges."""
+    import pandas as pd
+
+    from ..pipeline import _cap_python_tasks
+
+    other = [f.name for f in blobs.schema.fields if f.name != data_col]
+    schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in blobs.schema.fields
+            if f.name != data_col
+        )
+        + ", title string, author string, uris array<string>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = [
+                _meta_one(bytes(b) if b is not None else b"")
+                for b in pdf_batch[data_col]
+            ]
+            res = pdf_batch[other].copy()
+            res["title"] = [r[0] for r in rows]
+            res["author"] = [r[1] for r in rows]
+            res["uris"] = [r[2] for r in rows]
+            yield res
+
+    return _cap_python_tasks(blobs, python_parallelism).mapInPandas(
+        gen, schema
+    )
+
+
+def pdf_outlinks(
+    blobs: DataFrame,
+    url_col: str = "url",
+    data_col: str = "data",
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """PDF /URI actions in the linkgraph ``outlinks`` shape
+    (url, src_host, href, dst_host) so ``host_edges`` — and therefore
+    PageRank and linkgraph_job — see PDF documents too. Absolute
+    http(s) targets only (frozen: a relative /URI has no base in this
+    subset); host derivation is the shared functions/urls rule."""
+    from pyspark.sql import functions as F
+
+    from ..functions.urls import host_of
+
+    meta = pdf_doc_meta(
+        blobs.select(url_col, data_col),
+        data_col=data_col,
+        python_parallelism=python_parallelism,
+    )
+    return (
+        meta.select(
+            F.col(url_col).alias("url"), F.explode("uris").alias("href")
+        )
+        .filter(
+            F.col("href").startswith("http://")
+            | F.col("href").startswith("https://")
+        )
+        .select(
+            "url",
+            host_of("url").alias("src_host"),
+            "href",
+            host_of("href").alias("dst_host"),
+        )
+    )

@@ -158,3 +158,40 @@ def test_unshown_strings_and_hex_in_arrays():
     # no-op string ignored; TJ concatenates literal AND hex members;
     # a hex string shows under ' with its newline
     assert _extract_one(pdf)[3] == "shownABCD\nH"
+
+
+def test_pdf_meta_and_outlinks(spark):
+    from ocrd_segment_spark.sources.pdf import pdf_doc_meta, pdf_outlinks
+
+    blob = (
+        b"1 0 obj\n<< /Title (Ann\\(ual\\) Report)"
+        b" /Author (\xfe\xff\x00J\x00o) >>\nendobj\n"
+        b"2 0 obj\n<< /A << /S /URI /URI (https://x.org/a) >> >>\nendobj\n"
+        b"3 0 obj\n<< /A << /URI (https://x.org/a) >>"
+        b" /B << /URI (ftp://drop.me/x) >> >>\nendobj\n"
+    )
+    zstream = zlib.compress(b"<< /URI (https://y.org/z) >>")
+    blob += (
+        b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(zstream) + zstream + b"\nendstream\nendobj\n"
+    )
+    df = spark.createDataFrame(
+        [("https://src.org/d.pdf", bytearray(blob))],
+        "url string, data binary",
+    )
+    m = pdf_doc_meta(df).collect()[0]
+    # escaped parens decode; UTF-16BE (BOM) strings decode per spec;
+    # URIs dedupe first-seen across raw bodies AND inflated streams
+    assert (m["title"], m["author"]) == ("Ann(ual) Report", "Jo")
+    assert m["uris"] == [
+        "https://x.org/a", "ftp://drop.me/x", "https://y.org/z",
+    ]
+    edges = {
+        (r["src_host"], r["href"], r["dst_host"])
+        for r in pdf_outlinks(df).collect()
+    }
+    # the outlink shape keeps absolute http(s) only (ftp dropped)
+    assert edges == {
+        ("src.org", "https://x.org/a", "x.org"),
+        ("src.org", "https://y.org/z", "y.org"),
+    }
