@@ -266,6 +266,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_trap_templates": I.q_url_trap_templates,
     "pdf_text_extract": I.q_pdf_text_extract,
     "pdf_meta_links": I.q_pdf_meta_links,
+    "warc_bytes_parity": I.q_warc_bytes_parity,
 }
 
 _ORACLES: dict[str, str] = {
@@ -434,6 +435,7 @@ _ORACLES: dict[str, str] = {
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,
     "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
     "pdf_meta_links": I.O_PDF_META_LINKS,
+    "warc_bytes_parity": I.O_WARC_BYTES_PARITY,
 }
 
 

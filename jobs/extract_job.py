@@ -44,6 +44,14 @@ def main() -> None:
         help="keep every parsable WARC response record (default gates"
         " on HTTP 200 + text/html)",
     )
+    ap.add_argument(
+        "--warc-byte-exact", action="store_true",
+        help="parse WARC records with the python byte walk + HTTP"
+        " Content-Encoding decode: Content-Length slices in BYTES and"
+        " gzip/deflate bodies inflate before extraction — use for"
+        " archives carrying compressed or non-UTF-8 payloads (the"
+        " default JVM string scan is faster but char-sliced)",
+    )
     ap.add_argument("--max-link-density", type=float, default=0.5)
     ap.add_argument("--min-region-chars", type=int, default=2)
     ap.add_argument("--simplify-gap", type=int, default=0)
@@ -76,6 +84,7 @@ def main() -> None:
         sniff_charset=args.sniff_charset,
         input_format=args.input_format,
         warc_keep_all=args.warc_keep_all,
+        warc_byte_exact=args.warc_byte_exact,
     )
     spark.stop()
 

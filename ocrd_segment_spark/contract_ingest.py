@@ -879,3 +879,27 @@ SELECT url, NULL, NULL, 'https://s.org/' || i FROM d WHERE doc_id % 3 = 1
 UNION ALL
 SELECT url, NULL, NULL, '' FROM d WHERE doc_id % 3 = 2
 """
+
+
+def q_warc_bytes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact WARC walk (sources/warc.warc_pages_bytes) over the
+    SAME synthetic blobs as warc_ingest, against the SAME restated
+    oracle — dual-implementation parity: the python byte walk and the
+    JVM string scan must agree wherever chars == bytes (the fixture is
+    ASCII; the byte walk's reason to exist — gzip / multibyte payloads
+    — is pytest-pinned, tests/test_warc_location.py)."""
+    from .sources.warc import warc_pages_bytes
+
+    blobs = warc_fixture_blobs(spark, sf_dir)
+    pages = warc_pages_bytes(blobs, keep_cols=("seg",))
+    return pages.select(
+        "seg",
+        "url",
+        "warc_ts",
+        "http_status",
+        "content_type",
+        F.col("html").cast("string").alias("html_text"),
+    )
+
+
+O_WARC_BYTES_PARITY = O_WARC_INGEST

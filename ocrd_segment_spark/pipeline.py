@@ -294,6 +294,7 @@ def run_extract(
     sniff_charset: bool = False,
     input_format: str = "pages",
     warc_keep_all: bool = False,
+    warc_byte_exact: bool = False,
 ) -> None:
     """Batch run with checkpoint-resume semantics.
 
@@ -316,19 +317,39 @@ def run_extract(
     ``warc_keep_all`` disables it (every parsable response record
     becomes a page). Resume stays url-grain either way — the
     anti-join runs AFTER parsing, so a resumed WARC run re-parses
-    blobs (cheap, scan-stage) but never re-extracts finished urls."""
+    blobs (cheap, scan-stage) but never re-extracts finished urls.
+
+    ``warc_byte_exact`` routes the WARC parse through the python
+    byte walk (sources/warc.warc_pages_bytes) + HTTP Content-Encoding
+    decode: Content-Length slices in BYTES and gzip/deflate bodies
+    inflate before extraction. The default JVM string scan is faster
+    but char-sliced — right for UTF-8/identity-encoded archives,
+    wrong for compressed or non-UTF-8 payloads."""
     pages = spark.read.parquet(input_path)
     if input_format not in ("pages", "warc", "warc-gz"):
         raise ValueError(f"unknown input_format: {input_format!r}")
     if input_format != "pages":
-        from .sources.warc import decode_warc_gz, warc_response_pages
+        from .sources.warc import (
+            decode_content_encoding,
+            decode_warc_gz,
+            warc_pages_bytes,
+            warc_response_pages,
+        )
 
         blobs = pages
         if input_format == "warc-gz":
             blobs = decode_warc_gz(
                 blobs, python_parallelism=python_parallelism
             ).filter(F.col("decode_ok"))
-        pages = warc_response_pages(blobs)
+        if warc_byte_exact:
+            pages = decode_content_encoding(
+                warc_pages_bytes(
+                    blobs, python_parallelism=python_parallelism
+                ),
+                python_parallelism=python_parallelism,
+            )
+        else:
+            pages = warc_response_pages(blobs)
         if not warc_keep_all:
             pages = pages.filter(
                 (F.col("http_status") == 200)

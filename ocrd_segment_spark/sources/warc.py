@@ -115,8 +115,11 @@ def warc_response_pages(
     pair with functions/multimodal.with_content_type to sniff the
     magic bytes instead of trusting the server); ``location`` is the
     raw ``Location`` header ('' when absent) — 3xx rows feed
-    operators/redirects for chain resolution. Downstream gating on
-    status/type is the caller's policy, not the parser's."""
+    operators/redirects for chain resolution; ``content_encoding`` is
+    the raw ``Content-Encoding`` header ('' when absent) — gzip/
+    deflate bodies decode via :func:`decode_content_encoding` before
+    any html-reading stage. Downstream gating on status/type is the
+    caller's policy, not the parser's."""
     r = warc_records(blobs, data_col=data_col, keep_cols=keep_cols).filter(
         (F.col("warc_type") == "response") & F.col("payload").isNotNull()
     )
@@ -133,6 +136,7 @@ def warc_response_pages(
         .alias("http_status"),
         _field(http_hdr, "Content-Type").alias("content_type"),
         _field(http_hdr, "Location").alias("location"),
+        _field(http_hdr, "Content-Encoding").alias("content_encoding"),
         F.expr(
             "substr(payload,"
             " length(substring_index(payload, '\\r\\n\\r\\n', 1)) + 5)"
@@ -197,3 +201,203 @@ def decode_warc_gz(
     if python_parallelism:
         src = src.repartition(python_parallelism)
     return src.mapInPandas(gen, schema)
+
+
+_ENCODED = ("gzip", "x-gzip", "deflate")
+
+
+def decode_content_encoding(
+    pages: DataFrame,
+    encoding_col: str = "content_encoding",
+    blob_col: str = "html",
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """Decode HTTP ``Content-Encoding``-compressed bodies in place:
+    rows whose (lowercased, trimmed) encoding is gzip / x-gzip /
+    deflate run through zlib; every other row — the identity
+    majority — passes through untouched on the JVM side (the
+    reencode_non_utf8 split-union discipline: only the compressed
+    tail pays Python).
+
+    ``deflate`` tries the zlib wrapper first, then raw deflate — real
+    servers ship both under the same name (the classic RFC 9110
+    ambiguity); ``gzip`` uses the wbits=47 auto-header form. A body
+    that fails to decode keeps its ORIGINAL bytes with
+    ``ce_decode_ok = false`` so the failure is gateable, never
+    silent. The encoding column is consumed (dropped) — decoded
+    bodies no longer carry it truthfully."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from ..pipeline import _cap_python_tasks
+
+    norm = F.lower(F.trim(F.col(encoding_col)))
+    is_enc = norm.isin(*_ENCODED)
+    clean = pages.filter(~is_enc).drop(encoding_col).withColumn(
+        "ce_decode_ok", F.lit(True)
+    )
+    tail = pages.filter(is_enc)
+
+    other = [f.name for f in tail.schema.fields
+             if f.name not in (blob_col, encoding_col)]
+    schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in tail.schema.fields
+            if f.name not in (blob_col, encoding_col)
+        )
+        + f", {blob_col} binary, ce_decode_ok boolean"
+    )
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import zlib
+
+        def one(raw, enc):
+            buf = bytes(raw) if raw is not None else b""
+            enc = (enc or "").strip().lower()
+            attempts = [47] if enc in ("gzip", "x-gzip") else [15, -15]
+            for wbits in attempts:
+                try:
+                    return zlib.decompress(buf, wbits), True
+                except zlib.error:
+                    continue
+            return buf, False
+
+        for pdf in batches:
+            rows = [one(b, e) for b, e in
+                    zip(pdf[blob_col], pdf[encoding_col])]
+            res = pdf[other].copy()
+            res[blob_col] = [r[0] for r in rows]
+            res["ce_decode_ok"] = [r[1] for r in rows]
+            yield res
+
+    decoded = _cap_python_tasks(tail, python_parallelism).mapInPandas(
+        gen, schema
+    )
+    return clean.unionByName(decoded.select(*clean.columns))
+
+
+# ---------------------------------------------------------------------------
+# byte-exact record walk
+# ---------------------------------------------------------------------------
+
+# The scan-stage JVM parse above rides a binary->string cast: perfect
+# for UTF-8/ASCII payloads (the text/html majority), but Content-Length
+# is a BYTE count sliced in CHARS there, and non-UTF-8 bytes (gzipped
+# bodies, binary attachments) do not survive the string round-trip.
+# This python walk is the byte-faithful twin for archives that carry
+# compressed or non-UTF-8 payloads: same frozen framing rule, byte
+# arithmetic throughout, headers decoded latin-1 (1:1).
+
+import re as _re
+
+_B_FIELD = {
+    name: _re.compile(name.encode() + rb": ([^\r\n]*)")
+    for name in (
+        "WARC-Type", "WARC-Target-URI", "WARC-Date", "Content-Length",
+        "Content-Type", "Location", "Content-Encoding",
+    )
+}
+_B_STATUS = _re.compile(rb"^HTTP/1\.[01] ([0-9]{3})")
+
+
+def _bfield(block: bytes, name: str) -> bytes:
+    m = _B_FIELD[name].search(block)
+    return m.group(1) if m else b""
+
+
+def warc_pages_bytes(
+    blobs: DataFrame,
+    data_col: str = "data",
+    keep_cols: tuple[str, ...] = (),
+    python_parallelism: int | None = None,
+) -> DataFrame:
+    """Byte-exact WARC blobs → pages: the same output shape as
+    :func:`warc_response_pages` (url, warc_ts, http_status,
+    content_type, location, content_encoding, html:binary) with
+    Content-Length sliced in BYTES, so gzip/multibyte payloads arrive
+    intact — pair with :func:`decode_content_encoding`. One
+    Arrow-batched codec-lane stage."""
+    import pandas as pd
+
+    from ..pipeline import _cap_python_tasks
+
+    schema = (
+        "".join(
+            f"{f.name} {f.dataType.simpleString()}, "
+            for f in blobs.schema.fields
+            if f.name in keep_cols
+        )
+        + "url string, warc_date string, http_status int,"
+        " content_type string, location string, content_encoding string,"
+        " html binary"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in keep_cols}
+            for k in ("url", "warc_date", "http_status", "content_type",
+                      "location", "content_encoding", "html"):
+                out[k] = []
+            for row in pdf.itertuples(index=False):
+                raw = getattr(row, data_col)
+                buf = bytes(raw) if raw is not None else b""
+                for rec in buf.split(b"WARC/1.0\r\n"):
+                    if not rec:
+                        continue
+                    sep = rec.find(b"\r\n\r\n")
+                    if sep < 0:
+                        continue
+                    hdr, rest = rec[:sep], rec[sep + 4:]
+                    if _bfield(hdr, "WARC-Type") != b"response":
+                        continue
+                    try:
+                        length = int(_bfield(hdr, "Content-Length"))
+                    except ValueError:
+                        continue
+                    payload = rest[:length]
+                    hsep = payload.find(b"\r\n\r\n")
+                    http_hdr = payload[:hsep] if hsep >= 0 else payload
+                    body = payload[hsep + 4:] if hsep >= 0 else b""
+                    sm = _B_STATUS.match(payload)
+                    for k in keep_cols:
+                        out[k].append(getattr(row, k))
+                    out["url"].append(
+                        _bfield(hdr, "WARC-Target-URI").decode("latin-1")
+                    )
+                    out["warc_date"].append(
+                        _bfield(hdr, "WARC-Date").decode("latin-1")
+                    )
+                    out["http_status"].append(
+                        int(sm.group(1)) if sm else None
+                    )
+                    out["content_type"].append(
+                        _bfield(http_hdr, "Content-Type").decode("latin-1")
+                    )
+                    out["location"].append(
+                        _bfield(http_hdr, "Location").decode("latin-1")
+                    )
+                    out["content_encoding"].append(
+                        _bfield(http_hdr, "Content-Encoding").decode("latin-1")
+                    )
+                    out["html"].append(body)
+            yield pd.DataFrame(out)
+
+    recs = _cap_python_tasks(blobs, python_parallelism).mapInPandas(
+        gen, schema
+    )
+    # warc_ts derivation shared with the JVM path (ASCII-safe in SQL)
+    return recs.select(
+        *keep_cols,
+        "url",
+        F.try_to_timestamp(
+            F.regexp_replace("warc_date", "Z$", ""),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss"),
+        ).alias("warc_ts"),
+        "http_status",
+        "content_type",
+        "location",
+        "content_encoding",
+        "html",
+    )
