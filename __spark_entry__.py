@@ -263,6 +263,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_resolve": I.q_redirect_resolve,
     "change_rates": G.q_change_rates,
     "feed_discovery": G.q_feed_discovery,
+    "outlinks_nofollow": G.q_outlinks_nofollow,
     "url_trap_templates": I.q_url_trap_templates,
     "pdf_text_extract": I.q_pdf_text_extract,
     "pdf_meta_links": I.q_pdf_meta_links,
@@ -432,6 +433,7 @@ _ORACLES: dict[str, str] = {
     "redirect_resolve": I.O_REDIRECT_RESOLVE,
     "change_rates": G.O_CHANGE_RATES,
     "feed_discovery": G.O_FEED_DISCOVERY,
+    "outlinks_nofollow": G.O_OUTLINKS_NOFOLLOW,
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,
     "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
     "pdf_meta_links": I.O_PDF_META_LINKS,

@@ -43,6 +43,13 @@ def main() -> None:
         help="python-task cap for the pdf lane's codec stage",
     )
     ap.add_argument(
+        "--drop-nofollow", action="store_true",
+        help="drop edges whose anchor carries rel=nofollow or whose"
+        " page declares meta robots nofollow (operators/linkgraph."
+        "outlinks_flagged) — comment/forum spam stops minting"
+        " PageRank. html input only",
+    )
+    ap.add_argument(
         "--redirects", default=None,
         help="parquet of pages with (url, http_status, location) — the"
         " WARC pages shape; outlink targets are rewritten through the"
@@ -75,10 +82,21 @@ def main() -> None:
     spark = submit_session("ocrd-segment-linkgraph")
     pages = spark.read.parquet(args.input)
     if args.input_format == "pdf":
+        if args.drop_nofollow:
+            ap.error("--drop-nofollow reads html anchors and cannot"
+                     " run on --input-format pdf")
         from ocrd_segment_spark.sources.pdf import pdf_outlinks
 
         ol = pdf_outlinks(
             pages, python_parallelism=args.python_parallelism
+        )
+    elif args.drop_nofollow:
+        from pyspark.sql import functions as F
+
+        from ocrd_segment_spark.operators.linkgraph import outlinks_flagged
+
+        ol = outlinks_flagged(pages).filter(~F.col("nofollow")).drop(
+            "nofollow"
         )
     else:
         ol = outlinks(pages)

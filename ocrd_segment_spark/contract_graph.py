@@ -1843,3 +1843,74 @@ SELECT url, origin || '/atom.xml', 'atom' FROM d WHERE doc_id % 4 = 1
 UNION ALL
 SELECT url, 'https://feeds.example.net/f', 'rss' FROM d WHERE doc_id % 4 = 2
 """
+
+
+# ---------------------------------------------------------------------------
+# nofollow-flagged outlinks (operators/linkgraph.outlinks_flagged)
+# ---------------------------------------------------------------------------
+
+# Each page carries: a plain followed anchor; a rel="nofollow
+# noopener" anchor (token inside a longer value); a REL-before-HREF
+# ordered nofollow anchor (attribute order must not matter); an
+# <abbr href=..> decoy the '<a non-letter' grammar must skip. Every
+# 3rd page adds <meta name="robots" content="index,nofollow"> — the
+# page-level directive that voids EVERY edge on the page.
+
+_NF_N = 18
+_NF_URL = "concat('https://s', cast(doc_id as string), '.example.org/p')"
+_NF_HTML = """concat(
+  '<html><head>',
+  CASE WHEN doc_id % 3 = 0
+       THEN '<meta name="robots" content="index,nofollow">'
+       ELSE '<meta name="robots" content="index,follow">' END,
+  '</head><body>',
+  '<a href="https://f', cast(doc_id as string), '.example.org/x">plain</a>',
+  '<a rel="nofollow noopener" href="https://n', cast(doc_id as string),
+  '.example.org/y">nf</a>',
+  '<a href="https://m', cast(doc_id as string),
+  '.example.org/z" rel="NoFollow">nf2</a>',
+  '<abbr href="https://decoy.example.org/d">not an anchor</abbr>',
+  '</body></html>')"""
+
+
+def q_outlinks_nofollow(spark, sf_dir):
+    """Nofollow-aware outlink harvest (operators/linkgraph.
+    outlinks_flagged): whole-anchor-tag harvest ('<a' + non-letter, so
+    <abbr href> never matches), anchor rel token in any position/case,
+    page-level meta robots nofollow voiding every edge. Scan-stage
+    column math, zero shuffle."""
+    from .operators.linkgraph import outlinks_flagged
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_NF_N}")
+        .selectExpr(
+            f"{_NF_URL} as url", f"cast({_NF_HTML} as binary) as html"
+        )
+    )
+    return outlinks_flagged(fx)
+
+
+_D_NF_URL = "'https://s' || CAST(doc_id AS VARCHAR) || '.example.org/p'"
+O_OUTLINKS_NOFOLLOW = f"""
+WITH d AS (
+  SELECT doc_id, {_D_NF_URL} AS url,
+         's' || CAST(doc_id AS VARCHAR) || '.example.org' AS src_host,
+         CAST(doc_id AS VARCHAR) AS i,
+         doc_id % 3 = 0 AS page_nf
+  FROM documents WHERE doc_id < {_NF_N}
+)
+SELECT url, src_host,
+       'https://f' || i || '.example.org/x' AS href,
+       'f' || i || '.example.org' AS dst_host,
+       page_nf AS nofollow
+FROM d
+UNION ALL
+SELECT url, src_host, 'https://n' || i || '.example.org/y',
+       'n' || i || '.example.org', TRUE
+FROM d
+UNION ALL
+SELECT url, src_host, 'https://m' || i || '.example.org/z',
+       'm' || i || '.example.org', TRUE
+FROM d
+"""

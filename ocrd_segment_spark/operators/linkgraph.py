@@ -563,3 +563,67 @@ def link_reciprocity(edges: DataFrame, src_col: str = "src_host", dst_col: str =
             6,
         ).alias("reciprocity"),
     )
+
+
+# anchor-level rel=nofollow token (value may carry other tokens:
+# rel="nofollow noopener") and the page-level meta robots directive —
+# both case-insensitive, both in the shared regex subset
+NOFOLLOW_REL = '[Rr][Ee][Ll]="[^"]*[Nn][Oo][Ff][Oo][Ll][Ll][Oo][Ww][^"]*"'
+# '<a' followed by a NON-letter (never matches <abbr/<area/...);
+# the non-letter class avoids whitespace escapes, which the two
+# engines' string literals process differently (CLAUDE.md trap)
+_A_TAG = "<[Aa][^A-Za-z>][^>]*>"
+_META_NOFOLLOW = (
+    '<[Mm][Ee][Tt][Aa][^>]*[Nn][Aa][Mm][Ee]="[Rr][Oo][Bb][Oo][Tt][Ss]"'
+    '[^>]*[Cc][Oo][Nn][Tt][Ee][Nn][Tt]="[^"]*[Nn][Oo][Ff][Oo][Ll][Ll]'
+    '[Oo][Ww][^"]*"'
+)
+
+
+def outlinks_flagged(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, src_host, href, dst_host, nofollow) — :func:`outlinks`
+    plus the link-credit signal search engines honor: ``nofollow`` is
+    true when the ANCHOR carries a rel token containing ``nofollow``
+    (rel="nofollow noopener" counts) OR the PAGE declares
+    ``<meta name="robots" content="...nofollow...">`` (which voids
+    every edge on the page, per the robots-meta spec). Whole anchor
+    TAGS are harvested so attribute order never matters — the
+    headmeta/hreflang discipline; tags without an href produce no
+    row. Scan-stage column math, zero shuffle.
+
+    At scale, dropping (or discounting) nofollow edges before
+    ``host_edges`` keeps comment/forum spam from minting PageRank —
+    jobs/linkgraph_job.py exposes it as ``--drop-nofollow``."""
+    src = F.expr(
+        f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
+    ).alias("src_host")
+    base = df.select(
+        F.col(url_col).alias("url"),
+        src,
+        F.expr(
+            f"regexp_extract_all(cast({html_col} as string),"
+            f" '{_A_TAG}', 0)"
+        ).alias("__tags"),
+        F.expr(
+            f"cast({html_col} as string) RLIKE '{_META_NOFOLLOW}'"
+        ).alias("__page_nofollow"),
+    )
+    return (
+        base.filter(F.col("src_host") != "")
+        .select(
+            "url", "src_host", "__page_nofollow",
+            F.explode("__tags").alias("__t"),
+        )
+        .selectExpr(
+            "url",
+            "src_host",
+            f"regexp_extract(__t, '{HREF_PATTERN}', 1) as href",
+            f"(__page_nofollow OR __t RLIKE '{NOFOLLOW_REL}') as nofollow",
+        )
+        .filter(F.col("href") != "")
+        .withColumn("dst_host", F.expr(resolved_host_sql("href", "src_host")))
+        .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .select("url", "src_host", "href", "dst_host", "nofollow")
+    )

@@ -561,3 +561,41 @@ def test_trustrank_validation(spark):
         trustrank(edges, ghost)
     with _pytest.raises(ValueError):
         trustrank(edges, ghost, iterations=0)
+
+
+def test_outlinks_flagged_nofollow(spark):
+    from ocrd_segment_spark.operators.linkgraph import outlinks_flagged
+
+    html = (
+        '<html><head><meta name="robots" content="index,follow"></head>'
+        '<body>'
+        '<a href="https://f.org/x">plain</a>'
+        '<a rel="nofollow noopener" href="https://n.org/y">nf</a>'
+        '<a href="https://m.org/z" rel="NoFollow">order+case</a>'
+        '<abbr href="https://decoy.org/d">decoy</abbr>'
+        "</body></html>"
+    )
+    page_nf = html.replace("index,follow", "index,NOFOLLOW")
+    df = spark.createDataFrame(
+        [
+            ("https://s.org/a", bytearray(html.encode())),
+            ("https://s.org/b", bytearray(page_nf.encode())),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        (r["url"], r["dst_host"]): r["nofollow"]
+        for r in outlinks_flagged(df).collect()
+    }
+    assert got == {
+        # anchor-level: rel token in any position/value/case
+        ("https://s.org/a", "f.org"): False,
+        ("https://s.org/a", "n.org"): True,
+        ("https://s.org/a", "m.org"): True,
+        # page-level meta robots nofollow voids every edge
+        ("https://s.org/b", "f.org"): True,
+        ("https://s.org/b", "n.org"): True,
+        ("https://s.org/b", "m.org"): True,
+    }
+    # the <abbr href> decoy never produced a row
+    assert not any(d == "decoy.org" for (_, d) in got)
