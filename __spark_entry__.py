@@ -264,6 +264,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_rates": G.q_change_rates,
     "feed_discovery": G.q_feed_discovery,
     "outlinks_nofollow": G.q_outlinks_nofollow,
+    "sitemap_hints": G.q_sitemap_hints,
     "url_trap_templates": I.q_url_trap_templates,
     "pdf_text_extract": I.q_pdf_text_extract,
     "pdf_meta_links": I.q_pdf_meta_links,
@@ -434,6 +435,7 @@ _ORACLES: dict[str, str] = {
     "change_rates": G.O_CHANGE_RATES,
     "feed_discovery": G.O_FEED_DISCOVERY,
     "outlinks_nofollow": G.O_OUTLINKS_NOFOLLOW,
+    "sitemap_hints": G.O_SITEMAP_HINTS,
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,
     "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
     "pdf_meta_links": I.O_PDF_META_LINKS,

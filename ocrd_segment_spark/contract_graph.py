@@ -1914,3 +1914,68 @@ SELECT url, src_host, 'https://m' || i || '.example.org/z',
        'm' || i || '.example.org', TRUE
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# sitemap scheduler hints (operators/sitemaps.sitemap_url_hints)
+# ---------------------------------------------------------------------------
+
+# Ten single-urlset bodies, four blocks each: (a) full hints;
+# (b) an out-of-vocabulary changefreq ('sometimes') and an
+# out-of-range priority (1.5) -> both NULL; (a again) a duplicate loc
+# whose fields merge FIELD-WISE MIN (earlier lastmod, lexicographic
+# min changefreq, min priority); (c) case+whitespace folding
+# (' Monthly ' -> 'monthly', ' 0 ' -> 0.0) with no lastmod.
+
+_SH_N = 10
+_SH_HOST = "concat('m', cast(doc_id as string), '.example.org')"
+_SH_BODY = f"""concat('<urlset>',
+ '<url><loc>https://', {_SH_HOST}, '/a/', cast(doc_id as string),
+ '</loc><lastmod>2024-01-01</lastmod>',
+ '<changefreq>daily</changefreq><priority>0.8</priority></url>',
+ '<url><loc>https://', {_SH_HOST}, '/b/', cast(doc_id as string),
+ '</loc><changefreq>sometimes</changefreq>',
+ '<priority>1.5</priority></url>',
+ '<url><loc>https://', {_SH_HOST}, '/a/', cast(doc_id as string),
+ '</loc><lastmod>2023-01-01</lastmod>',
+ '<changefreq>weekly</changefreq><priority>0.5</priority></url>',
+ '<url><loc>https://', {_SH_HOST}, '/c/', cast(doc_id as string),
+ '</loc><changefreq> Monthly </changefreq><priority> 0 </priority></url>',
+ '</urlset>')"""
+
+
+def q_sitemap_hints(spark, sf_dir):
+    """Sitemap scheduler hints (operators/sitemaps.sitemap_url_hints):
+    changefreq vocabulary-gated + case-folded, priority range-gated,
+    field-wise-min dedupe — the declared-freshness join surface for
+    change_rates. Scan-stage + one partial-agg group."""
+    from .operators.sitemaps import sitemap_url_hints
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_SH_N}")
+        .selectExpr(
+            f"{_SH_HOST} as host", f"cast({_SH_BODY} as binary) as body"
+        )
+    )
+    return sitemap_url_hints(fx)
+
+
+_D_SH_HOST = "'m' || CAST(doc_id AS VARCHAR) || '.example.org'"
+O_SITEMAP_HINTS = f"""
+WITH d AS (
+  SELECT doc_id, {_D_SH_HOST} AS host, CAST(doc_id AS VARCHAR) AS i
+  FROM documents WHERE doc_id < {_SH_N}
+)
+SELECT host, 'https://' || host || '/a/' || i AS loc,
+       '2023-01-01' AS lastmod, 'daily' AS changefreq, 0.5 AS priority
+FROM d
+UNION ALL
+SELECT host, 'https://' || host || '/b/' || i, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM d
+UNION ALL
+SELECT host, 'https://' || host || '/c/' || i, CAST(NULL AS VARCHAR),
+       'monthly', 0.0
+FROM d
+"""

@@ -123,3 +123,74 @@ def robots_sitemap_urls(
         .filter(F.col("sitemap_url") != "")
         .distinct()
     )
+
+
+CHANGEFREQ = "<changefreq>([^<]*)</changefreq>"
+PRIORITY = "<priority>([^<]*)</priority>"
+CHANGEFREQ_VOCAB = (
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never",
+)
+
+
+def sitemap_url_hints(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, loc, lastmod, changefreq, priority) — the url-set
+    entries WITH the scheduler hint fields the protocol defines:
+    ``changefreq`` (trimmed, lowercased, values outside the spec
+    vocabulary → NULL — a host claiming 'sometimes' declared nothing)
+    and ``priority`` (try-cast double, outside [0,1] → NULL per spec
+    range). Same frozen block grammar, kind precedence, and
+    field-wise-min dedupe as :func:`sitemap_entries`; index bodies
+    yield no rows (children carry no hints).
+
+    The scheduler join surface: declared ``changefreq`` pairs with
+    the OBSERVED rate from operators/snapshots.change_rates — hosts
+    lie about freshness, measurements don't, but the declaration is
+    the only signal available before the second crawl."""
+    base = df.selectExpr(
+        f"{host_col} as host", f"cast({body_col} as string) as __body"
+    ).filter(
+        F.expr(
+            "__body LIKE '%<urlset%' AND ("
+            " instr(__body, '<sitemapindex') = 0"
+            " OR instr(__body, '<urlset') < instr(__body, '<sitemapindex'))"
+        )
+    )
+    blocks = base.select(
+        "host",
+        F.explode(
+            F.expr(f"regexp_extract_all(__body, '{URL_BLOCK}', 1)")
+        ).alias("__block"),
+    )
+    vocab = ", ".join(f"'{v}'" for v in CHANGEFREQ_VOCAB)
+    cf = (
+        f"CASE WHEN lower(trim(regexp_extract(__block, '{CHANGEFREQ}', 1)))"
+        f" IN ({vocab})"
+        f" THEN lower(trim(regexp_extract(__block, '{CHANGEFREQ}', 1)))"
+        f" END"
+    )
+    pr = (
+        f"CASE WHEN try_cast(trim(regexp_extract(__block, '{PRIORITY}', 1))"
+        f" as double) BETWEEN 0.0D AND 1.0D"
+        f" THEN try_cast(trim(regexp_extract(__block, '{PRIORITY}', 1))"
+        f" as double) END"
+    )
+    return (
+        blocks.select(
+            "host",
+            F.expr(f"trim(regexp_extract(__block, '{LOC}', 1))").alias("loc"),
+            F.expr(
+                f"nullif(trim(regexp_extract(__block, '{LASTMOD}', 1)), '')"
+            ).alias("lastmod"),
+            F.expr(cf).alias("changefreq"),
+            F.expr(pr).alias("priority"),
+        )
+        .filter(F.col("loc") != "")
+        .groupBy("host", "loc")
+        .agg(
+            F.min("lastmod").alias("lastmod"),
+            F.min("changefreq").alias("changefreq"),
+            F.min("priority").alias("priority"),
+        )
+    )

@@ -85,3 +85,42 @@ def test_robots_sitemap_lines(spark):
     df = spark.createDataFrame([("a.org", body.encode())], "host string, body binary")
     got = sorted(r["sitemap_url"] for r in robots_sitemap_urls(df).collect())
     assert got == ["https://a.org/s1.xml", "https://a.org/s2.xml"]
+
+
+def test_url_hints_vocab_range_and_merge(spark):
+    from ocrd_segment_spark.operators.sitemaps import sitemap_url_hints
+
+    body = (
+        "<urlset>"
+        "<url><loc>https://a.org/p</loc><lastmod>2024-01-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://a.org/p</loc><lastmod>2023-01-01</lastmod>"
+        "<changefreq>weekly</changefreq><priority>0.5</priority></url>"
+        "<url><loc>https://a.org/q</loc>"
+        "<changefreq>sometimes</changefreq><priority>1.5</priority></url>"
+        "<url><loc>https://a.org/r</loc>"
+        "<changefreq> Monthly </changefreq><priority> 0 </priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("a.org", body.encode())], "host string, body binary"
+    )
+    got = {
+        r["loc"]: (r["lastmod"], r["changefreq"], r["priority"])
+        for r in sitemap_url_hints(df).collect()
+    }
+    assert got == {
+        # field-wise min across the duplicate declaration
+        "https://a.org/p": ("2023-01-01", "daily", 0.5),
+        # out-of-vocabulary changefreq and out-of-range priority -> NULL
+        "https://a.org/q": (None, None, None),
+        # case + whitespace folding; priority 0 is in range
+        "https://a.org/r": (None, "monthly", 0.0),
+    }
+    # index bodies yield no hint rows
+    idx = spark.createDataFrame(
+        [("a.org", b"<sitemapindex><sitemap><loc>https://a.org/s.xml"
+          b"</loc></sitemap></sitemapindex>")],
+        "host string, body binary",
+    )
+    assert sitemap_url_hints(idx).count() == 0
