@@ -269,6 +269,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_text_extract": I.q_pdf_text_extract,
     "pdf_meta_links": I.q_pdf_meta_links,
     "warc_bytes_parity": I.q_warc_bytes_parity,
+    "media_meta": I.q_media_meta,
 }
 
 _ORACLES: dict[str, str] = {
@@ -440,6 +441,7 @@ _ORACLES: dict[str, str] = {
     "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
     "pdf_meta_links": I.O_PDF_META_LINKS,
     "warc_bytes_parity": I.O_WARC_BYTES_PARITY,
+    "media_meta": I.O_MEDIA_META,
 }
 
 

@@ -903,3 +903,79 @@ def q_warc_bytes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_WARC_BYTES_PARITY = O_WARC_INGEST
+
+
+# ---------------------------------------------------------------------------
+# audio/video container metadata (functions/multimodal.media_meta)
+# ---------------------------------------------------------------------------
+
+# ASCII-safe container bytes (every byte < 0x80, so the SQL string ->
+# binary cast is byte-exact — the chr() trick): %3==0 a canonical WAV
+# (fmt + data chunks; channels alternate 1/2 by doc, 8000 Hz 16-bit,
+# data sized to EXACTLY 1 s); %3==1 an ISO-BMFF mp4 (ftyp isom + moov
+# -> mvhd v0, timescale 600, duration 1800 -> 3.0 s); %3==2 not a
+# container at all -> NULL fields, row kept. Multi-byte fields whose
+# values would set the high bit are pytest territory.
+
+_MM_N = 12
+_MM_WAV = (
+    "concat('RIFF', chr(36), chr(0), chr(0), chr(0), 'WAVE',"
+    " 'fmt ', chr(16), chr(0), chr(0), chr(0),"
+    " chr(1), chr(0),"                        # PCM
+    " chr(1 + cast(doc_id % 2 as int)), chr(0),"  # channels 1|2
+    " chr(64), chr(31), chr(0), chr(0),"      # 8000 Hz LE
+    " chr(0), chr(125), chr(0), chr(0),"      # byte rate 32000 LE
+    " chr(4), chr(0), chr(16), chr(0),"       # block align, 16 bits
+    " 'data', chr(0), chr(125), chr(0), chr(0))"  # data size 32000
+)
+_MM_MP4 = (
+    "concat(chr(0), chr(0), chr(0), chr(16), 'ftyp', 'isom',"
+    " chr(0), chr(0), chr(0), chr(0),"
+    " chr(0), chr(0), chr(0), chr(36), 'moov',"
+    " chr(0), chr(0), chr(0), chr(28), 'mvhd',"
+    " repeat(chr(0), 12),"                    # v0 + flags + times
+    " chr(0), chr(0), chr(2), chr(88),"       # timescale 600 BE
+    " chr(0), chr(0), chr(7), chr(8))"        # duration 1800 BE
+)
+_MM_BODY = f"""CASE doc_id % 3
+ WHEN 0 THEN {_MM_WAV}
+ WHEN 1 THEN {_MM_MP4}
+ ELSE '<html>'
+ END"""
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video container metadata (functions/multimodal.
+    media_meta): WAV RIFF chunk walk (fmt + data, duration = data
+    bytes / byte rate) and MP4 box walk (ftyp brand, moov→mvhd
+    timescale/duration) — header arithmetic only, unknown containers
+    keep NULL-field rows."""
+    from .functions.multimodal import media_meta
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_MM_N}")
+        .selectExpr("doc_id", f"cast({_MM_BODY} as binary) as blob")
+    )
+    # 'aid' sorts alphabetically FIRST so the gate's column-sorted
+    # row tuples compare on the unique key before any NULL-mixed field
+    return media_meta(fx).withColumnRenamed("doc_id", "aid")
+
+
+O_MEDIA_META = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_MM_N})
+SELECT doc_id AS aid, CAST(44 AS BIGINT) AS n_bytes, 'wav' AS kind,
+       CAST(1 + doc_id % 2 AS INT) AS channels, CAST(8000 AS INT)
+         AS sample_rate, CAST(16 AS INT) AS bits,
+       CAST(NULL AS VARCHAR) AS brand, ROUND(32000.0 / 32000.0, 6)
+         AS duration_s
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 52, 'mp4', NULL, NULL, NULL, 'isom',
+       ROUND(1800.0 / 600.0, 6)
+FROM d WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 6, CAST(NULL AS VARCHAR), NULL, NULL, NULL, NULL,
+       CAST(NULL AS DOUBLE)
+FROM d WHERE doc_id % 3 = 2
+"""

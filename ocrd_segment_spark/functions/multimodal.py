@@ -296,3 +296,111 @@ def with_content_type(df: DataFrame, blob_col: str = "html") -> DataFrame:
         )
         .drop("__hx", "__tx")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio / video container metadata (no codec needed)
+# ---------------------------------------------------------------------------
+
+def sniff_media(blob):
+    """(kind, channels, sample_rate, bits, brand, duration_s) from WAV
+    (RIFF chunk walk: fmt + data chunks, duration = data bytes /
+    byte rate) or MP4/ISO-BMFF (top-level box walk to moov → mvhd,
+    duration = mvhd duration / timescale; v0 and v1 layouts) headers —
+    pure container arithmetic like :func:`sniff_image`: never decodes
+    samples, never raises on truncated/garbage input (None). Fields
+    that a kind does not define are None. duration rounds via the
+    frozen half-away-from-zero rule (operators/langid._round6 — the
+    CLAUDE.md banker's-rounding trap)."""
+    from ..operators.langid import _round6
+
+    if blob is None:
+        return None
+    try:
+        b = bytes(blob)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pos, n = 12, len(b)
+            channels = rate = bits = byte_rate = data_size = None
+            while pos + 8 <= n:
+                cid = b[pos:pos + 4]
+                size = int.from_bytes(b[pos + 4:pos + 8], "little")
+                if cid == b"fmt " and pos + 24 <= n:
+                    channels = int.from_bytes(b[pos + 10:pos + 12], "little")
+                    rate = int.from_bytes(b[pos + 12:pos + 16], "little")
+                    byte_rate = int.from_bytes(b[pos + 16:pos + 20], "little")
+                    bits = int.from_bytes(b[pos + 22:pos + 24], "little")
+                elif cid == b"data":
+                    data_size = size
+                pos += 8 + size + (size & 1)  # chunks pad to even
+            dur = (
+                _round6(data_size / byte_rate)
+                if data_size is not None and byte_rate
+                else None
+            )
+            return ("wav", channels, rate, bits, None, dur)
+        if b[4:8] == b"ftyp":
+            brand = b[8:12].decode("latin-1")
+            pos, n = 0, len(b)
+            while pos + 8 <= n:
+                size = int.from_bytes(b[pos:pos + 4], "big")
+                btype = b[pos + 4:pos + 8]
+                if btype == b"moov":
+                    inner, end = pos + 8, min(pos + size, n)
+                    while inner + 8 <= end:
+                        isz = int.from_bytes(b[inner:inner + 4], "big")
+                        if b[inner + 4:inner + 8] == b"mvhd":
+                            body = b[inner + 8:inner + isz]
+                            if body[0] == 0:  # version 0: 32-bit times
+                                ts = int.from_bytes(body[12:16], "big")
+                                du = int.from_bytes(body[16:20], "big")
+                            else:  # version 1: 64-bit times
+                                ts = int.from_bytes(body[20:24], "big")
+                                du = int.from_bytes(body[24:32], "big")
+                            return (
+                                "mp4", None, None, None, brand,
+                                _round6(du / ts) if ts else None,
+                            )
+                        if isz < 8:
+                            break
+                        inner += isz
+                if size < 8:
+                    break
+                pos += size
+            return ("mp4", None, None, None, brand, None)
+    except (IndexError, ValueError, TypeError):  # pragma: no cover
+        return None
+    return None
+
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, n_bytes long, kind string, channels int,"
+    " sample_rate int, bits int, brand string, duration_s double"
+)
+
+
+def media_meta(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Typed audio/video metadata over opaque binary columns — the
+    :func:`binary_meta` twin for the non-image lanes. Unrecognized
+    containers keep their row with NULL fields (auditable, never
+    dropped silently)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_media(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[blob_col].map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int64"),
+                    "kind": [m[0] if m else None for m in metas],
+                    "channels": [m[1] if m else None for m in metas],
+                    "sample_rate": [m[2] if m else None for m in metas],
+                    "bits": [m[3] if m else None for m in metas],
+                    "brand": [m[4] if m else None for m in metas],
+                    "duration_s": [m[5] if m else None for m in metas],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(fn, MEDIA_META_SCHEMA)

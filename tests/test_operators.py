@@ -1045,3 +1045,37 @@ def test_containment_catches_wrapper_pages(spark):
     assert wrap["containment2"] < 1.0           # asymmetry is visible
     other = out[(1, 3)]
     assert other["jaccard"] == 0.0 and other["containment"] == 0.0
+
+
+def test_sniff_media_containers(spark):
+    from ocrd_segment_spark.functions.multimodal import media_meta, sniff_media
+
+    wav = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           # a LIST chunk BEFORE data: the walk must skip unknown chunks
+           + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+           + b"data" + (88200).to_bytes(4, "little"))
+    assert sniff_media(wav) == ("wav", 2, 44100, 16, None, 0.5)
+
+    # mvhd VERSION 1 (64-bit times): timescale at +20, duration 8 bytes
+    body = bytes([1, 0, 0, 0]) + b"\x00" * 16 \
+        + (1000).to_bytes(4, "big") + (2500).to_bytes(8, "big")
+    mvhd = (8 + len(body)).to_bytes(4, "big") + b"mvhd" + body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    mp4 = (16).to_bytes(4, "big") + b"ftyp" + b"mp42" + b"\x00" * 4 + moov
+    assert sniff_media(mp4) == ("mp4", None, None, None, "mp42", 2.5)
+
+    # truncated / garbage inputs never raise
+    assert sniff_media(wav[:20]) == ("wav", None, None, None, None, None)
+    assert sniff_media(b"\x00\x01") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(mp4)), (3, bytearray(b"xx"))],
+        "doc_id long, blob binary",
+    )
+    rows = {r["doc_id"]: (r["kind"], r["duration_s"])
+            for r in media_meta(df).collect()}
+    assert rows == {1: ("wav", 0.5), 2: ("mp4", 2.5), 3: (None, None)}
