@@ -185,6 +185,52 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 
 
 _STATIC_SECTIONS = """
+## Ingestion + discovery surface (round 5, session 5)
+
+New operator families, each contract-gated (170/170 keys green this
+session) with sf0.1 standing numbers from the quiet-box bench
+(load_1m_start 0.1, per-run ext_cores in BENCH_r05.json):
+
+- **PDF text lane** (sources/pdf): frozen ISO-32000 subset without a
+  PDF library — object/stream framing, /Length honored, FlateDecode
+  via stdlib zlib, token-scanner BT/ET text assembly (strings consumed
+  atomically; balanced parens per spec). BT blocks are REAL
+  region_spans, so the span-preserving post-stages compose. 100k
+  single-stream PDFs parse in **0.60 s** (pdf_extract) through the
+  capped codec lane; corpus_job / stream_job `--input-format pdf`
+  share every downstream filter stage, and /URI actions feed the link
+  graph (linkgraph_job --input-format pdf).
+- **Byte-exact WARC walk + Content-Encoding** (--warc-byte-exact):
+  Content-Length sliced in bytes, gzip/deflate bodies inflated
+  (split-union — the identity majority never pays Python); proven
+  equal to the JVM scan on ASCII via the shared oracle
+  (warc_bytes_parity).
+- **Redirect chains** (operators/redirects): pointer doubling walks
+  every chain in ceil(log2(max_hops)) join rounds — 60k 4-hop chains
+  resolve in **2.7 s** (redirect_resolve); cycles and over-cap chains
+  report unresolved, never a half-walked url. linkgraph --redirects
+  rewrites edge targets (rewritten rows only).
+- **Change-rate recrawl estimation** (snapshots.change_rates +
+  jobs/recrawl_job.py): Cho & Garcia-Molina estimator on ONE url-keyed
+  exchange (plan-tested; the (url, ts) collapse rides the same sorted
+  window) — 60k urls × 4 snapshots in **0.98 s**; the job's --as-of
+  is explicit so reruns are deterministic.
+- **URL trap templates** (operators/urltraps): structural
+  templatization + mining in **0.83 s** over 60k urls; frontier_job
+  --max-per-template caps each family via the deterministic two-phase
+  top-k.
+- **Feeds**: RSS/Atom harvest (operators/feeds) + head autodiscovery
+  (headmeta.feed_links, corpus_job --feed-links) close the discovery
+  loop: crawl → advertised feeds → fetched feeds → frontier --feeds.
+- **Link hygiene**: rel=nofollow / meta-robots-nofollow flagged edges
+  (--drop-nofollow), sitemap changefreq/priority hints
+  (vocabulary/range-gated), WAV/MP4 container metadata
+  (multimodal.sniff_media — header arithmetic, no codecs).
+
+All python stages ride the shared `_cap_python_tasks` guard (which now
+no-ops at the cap — a review finding: chained capped stages paid a
+pointless full shuffle).
+
 ## Kill-and-resume (process-level; re-evidenced rounds 3, 4 and 5)
 
 Round-5 refresh (same protocol, the round-5 build with the expanded
