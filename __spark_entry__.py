@@ -265,6 +265,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_discovery": G.q_feed_discovery,
     "outlinks_nofollow": G.q_outlinks_nofollow,
     "sitemap_hints": G.q_sitemap_hints,
+    "host_quality_priors": G.q_host_quality_priors,
     "url_trap_templates": I.q_url_trap_templates,
     "pdf_text_extract": I.q_pdf_text_extract,
     "pdf_meta_links": I.q_pdf_meta_links,
@@ -437,6 +438,7 @@ _ORACLES: dict[str, str] = {
     "feed_discovery": G.O_FEED_DISCOVERY,
     "outlinks_nofollow": G.O_OUTLINKS_NOFOLLOW,
     "sitemap_hints": G.O_SITEMAP_HINTS,
+    "host_quality_priors": G.O_HOST_QUALITY_PRIORS,
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,
     "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
     "pdf_meta_links": I.O_PDF_META_LINKS,

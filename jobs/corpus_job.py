@@ -136,6 +136,15 @@ def main() -> None:
         " before extraction even runs (C4-style exclusion)",
     )
     ap.add_argument(
+        "--host-priors",
+        action="store_true",
+        help="write host-grain content priors (n_docs, mean quality,"
+        " top language) to <output>_host_priors after the corpus"
+        " commits — the content twin of the link-graph rank prior,"
+        " consumable as a next-crawl drop/boost list"
+        " (operators/hoststats)",
+    )
+    ap.add_argument(
         "--card",
         action="store_true",
         help="write a per-language dataset card (doc/token/char counts,"
@@ -357,6 +366,7 @@ def main() -> None:
         count_bpe=args.count_bpe,
         bpe_vocab_path=args.bpe_vocab,
         card=args.card,
+        host_priors=args.host_priors,
         boilerplate_min_df=args.boilerplate_min_df,
         preserve_spans=args.preserve_spans,
         redact_pii=args.redact_pii,
@@ -398,6 +408,7 @@ def build_corpus(
     count_bpe: bool = False,
     bpe_vocab_path: str | None = None,
     card: bool = False,
+    host_priors: bool = False,
     boilerplate_min_df: int | None = None,
     preserve_spans: bool = False,
     redact_pii: bool = False,
@@ -1044,6 +1055,17 @@ def build_corpus(
             lang_col="pred_lang",
             text_col="extracted_text",
         ).write.mode("overwrite").parquet(output_path + "_card")
+    if host_priors:
+        # host-grain content priors over the WRITTEN corpus (same
+        # post-write discipline); host grain is tiny, the output
+        # broadcasts into the next crawl's frontier/blocklist
+        from ocrd_segment_spark.operators.hoststats import (
+            host_quality_priors,
+        )
+
+        host_quality_priors(
+            spark.read.parquet(output_path)
+        ).write.mode("overwrite").parquet(output_path + "_host_priors")
     if stats_path is not None:
         spark.createDataFrame([funnel]).write.mode("append").parquet(stats_path)
     return funnel

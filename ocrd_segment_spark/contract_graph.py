@@ -1979,3 +1979,68 @@ SELECT host, 'https://' || host || '/c/' || i, CAST(NULL AS VARCHAR),
        'monthly', 0.0
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# host quality priors (operators/hoststats)
+# ---------------------------------------------------------------------------
+
+# Thirty docs over five hosts; quality steps by exact binary quarters
+# (0/.25/.5/.75 — double sums stay order-independent); languages by
+# doc_id % 6 include a NULL arm, so top-lang counting must treat NULL
+# as a value (count-distinct excludes it, the SQL rule). Tie-break is
+# lexicographic min with NULLS FIRST — stated on both engines.
+
+_HQ_N = 30
+_HQ_HOST = "concat('h', cast(doc_id % 5 as string), '.example.org')"
+_HQ_URL = f"concat('https://', {_HQ_HOST}, '/p/', cast(doc_id as string))"
+_HQ_LANG = ("CASE doc_id % 6 WHEN 2 THEN 'de' WHEN 3 THEN 'fr'"
+            " WHEN 4 THEN NULL ELSE 'en' END")
+_HQ_Q = "cast(doc_id % 4 as double) * 0.25D"
+
+
+def q_host_quality_priors(spark, sf_dir):
+    """Host-grain content priors (operators/hoststats.
+    host_quality_priors): two partial-aggregable groups, round-6 mean
+    quality, most-frequent language with min-lex NULLS FIRST
+    tie-break, NULL-excluding distinct-language count."""
+    from .operators.hoststats import host_quality_priors
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_HQ_N}")
+        .selectExpr(
+            f"{_HQ_URL} as url",
+            f"{_HQ_Q} as quality",
+            f"{_HQ_LANG} as pred_lang",
+        )
+    )
+    return host_quality_priors(fx)
+
+
+O_HOST_QUALITY_PRIORS = f"""
+WITH b AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS host,
+         CAST(doc_id % 4 AS DOUBLE) * 0.25 AS q,
+         {_HQ_LANG} AS lang
+  FROM documents WHERE doc_id < {_HQ_N}
+), pl AS (
+  SELECT host, lang, COUNT(*) AS n, SUM(q) AS sq
+  FROM b GROUP BY host, lang
+), agg AS (
+  SELECT host, CAST(SUM(n) AS BIGINT) AS n_docs,
+         ROUND(SUM(sq) / SUM(n), 6) AS mean_quality,
+         CAST(COUNT(DISTINCT lang) AS INT) AS n_langs
+  FROM pl GROUP BY host
+), top AS (
+  SELECT host, lang AS top_lang FROM (
+    SELECT host, lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY host ORDER BY n DESC, lang ASC NULLS FIRST
+           ) AS rn
+    FROM pl
+  ) WHERE rn = 1
+)
+SELECT agg.host, n_docs, mean_quality, top_lang, n_langs
+FROM agg JOIN top ON agg.host = top.host
+"""

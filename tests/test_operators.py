@@ -1079,3 +1079,34 @@ def test_sniff_media_containers(spark):
     rows = {r["doc_id"]: (r["kind"], r["duration_s"])
             for r in media_meta(df).collect()}
     assert rows == {1: ("wav", 0.5), 2: ("mp4", 2.5), 3: (None, None)}
+
+
+def test_host_quality_priors_and_droplist(spark):
+    from ocrd_segment_spark.operators.hoststats import (
+        host_quality_priors,
+        low_quality_hosts,
+    )
+
+    rows = (
+        [(f"https://good.org/{i}", 0.75, "en") for i in range(10)]
+        + [(f"https://spam.org/{i}", 0.25, "en") for i in range(6)]
+        + [(f"https://spam.org/x{i}", 0.25, "de") for i in range(6)]
+        + [("https://mixed.org/a", 0.5, None),
+           ("https://mixed.org/b", 0.5, None),
+           ("https://mixed.org/c", 0.5, "fr")]
+        + [("not-a-url", 1.0, "en")]  # no host -> dropped
+    )
+    df = spark.createDataFrame(rows, "url string, quality double, pred_lang string")
+    got = {r["host"]: (r["n_docs"], r["mean_quality"], r["top_lang"], r["n_langs"])
+           for r in host_quality_priors(df).collect()}
+    assert got == {
+        "good.org": (10, 0.75, "en", 1),
+        # tie 6/6 between de and en -> lexicographic min
+        "spam.org": (12, 0.25, "de", 2),
+        # NULL is the modal 'language' (2 vs 1) but distinct-count excludes it
+        "mixed.org": (3, 0.5, None, 1),
+    }
+    drops = {r["host"] for r in
+             low_quality_hosts(host_quality_priors(df), min_docs=10,
+                               max_mean_quality=0.3).collect()}
+    assert drops == {"spam.org"}
