@@ -697,8 +697,10 @@ _D_UT_URL = """CASE doc_id % 5
    'q/abc1234#frag'
  ELSE 'https://b.example.org?flag&x=' || CAST(doc_id AS VARCHAR)
  END"""
-O_URL_TRAP_TEMPLATES = f"""
-WITH u AS (SELECT {_D_UT_URL} AS url FROM documents WHERE doc_id < {_UT_N}),
+# the full templatization chain as reusable DuckDB SQL, shared by the
+# contract oracle and the cross-engine fuzz harness
+# (tests/test_fuzz_oracle_parity.py) — the input CTE must expose `url`
+D_URL_TEMPLATE_CHAIN = """
 t AS (
   SELECT url,
     regexp_replace(regexp_replace(url, '#.*$', ''),
@@ -713,8 +715,8 @@ t AS (
 ), tpl AS (
   SELECT url,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
-      || regexp_replace(regexp_replace(path, '[0-9a-f]{{8,}}', '{{x}}', 'g'),
-                        '[0-9]+', '{{d}}', 'g')
+      || regexp_replace(regexp_replace(path, '[0-9a-f]{8,}', '{x}', 'g'),
+                        '[0-9]+', '{d}', 'g')
       || CASE WHEN names = '' THEN '' ELSE '?' || names END AS template
   FROM (
     SELECT url, path,
@@ -726,6 +728,11 @@ t AS (
     FROM parts
   )
 )
+"""
+
+O_URL_TRAP_TEMPLATES = f"""
+WITH u AS (SELECT {_D_UT_URL} AS url FROM documents WHERE doc_id < {_UT_N}),
+{D_URL_TEMPLATE_CHAIN.strip()}
 SELECT template, COUNT(*) AS n_urls, MIN(url) AS exemplar
 FROM tpl GROUP BY template
 """

@@ -207,3 +207,53 @@ SELECT doc_id FROM c WHERE cum <= 700
         ).fetchall()
     )
     assert got == want and 0 < len(got) < len(rows)
+
+
+def test_url_template_oracle_parity_on_fuzz(spark):
+    """The trap-templatization chain is pure regex/string math on both
+    engines; replay it over adversarial urls (unicode path segments,
+    uppercase hex that must NOT fold, repeated ?/#/&/=, schemeless
+    strings) — exactly where char-class and split semantics diverge
+    if the frozen rule leaks anything engine-specific."""
+    from ocrd_segment_spark.contract_ingest import D_URL_TEMPLATE_CHAIN
+    from ocrd_segment_spark.operators.urltraps import url_template
+
+    rng = random.Random(99)
+    segs = [
+        "abc", "0123456789abcdef", "DEADBEEF00", "p13q", "数据",
+        "café", "a-b_c.d", "123", "x" * 30, "", "fe80cafe",
+    ]
+    qparts = ["a=1", "b", "=v", "a=1&a=2", "&&", "x=й", "page=7",
+              "", "sort=desc&page=3"]
+    urls = [
+        "https://h.org/plain",
+        "https://h.org",
+        "http://UP.example.ORG/Case/1",
+        "no-scheme-at-all/with/123",
+        "https://h.org/p?#frag?fake",
+        "https://h.org/a#b#c",
+    ]
+    while len(urls) < 200:
+        path = "/" + "/".join(
+            rng.choice(segs) for _ in range(rng.randint(0, 4))
+        )
+        q = "&".join(rng.choice(qparts) for _ in range(rng.randint(0, 3)))
+        frag = "#f1" if rng.random() < 0.3 else ""
+        urls.append(f"https://h{rng.randrange(5)}.org{path}"
+                    + (f"?{q}" if q else "") + frag)
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = sorted(
+        (r["url"], r["t"])
+        for r in df.select("url", url_template("url").alias("t")).collect()
+    )
+    con = duckdb.connect()
+    con.register("fuzz_urls", pa.table({"url": urls}))
+    sql = (
+        "WITH u AS (SELECT url FROM fuzz_urls),\n"
+        + D_URL_TEMPLATE_CHAIN.strip()
+        + "\nSELECT url, template FROM tpl"
+    )
+    want = sorted(con.execute(sql).fetchall())
+    bad = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not bad, bad[:5]
