@@ -375,3 +375,39 @@ def test_content_type_sniff_pushes_no_python(spark):
     plan = audit.physical_plan(out)
     assert not audit.has_exchange(out)
     assert "EvalPython" not in plan
+
+
+def test_session5_operator_plans(spark):
+    """Exchange budgets of the round-5 session-5 operators: discovery
+    harvests are scan + ONE partial-agg exchange; host priors pay two
+    (the (host,lang) then host grains); the PDF lane is narrow."""
+    from ocrd_segment_spark.operators.feeds import feed_entries
+    from ocrd_segment_spark.operators.hoststats import host_quality_priors
+    from ocrd_segment_spark.operators.sitemaps import sitemap_url_hints
+    from ocrd_segment_spark.operators.urltraps import template_stats
+    from ocrd_segment_spark.sources.pdf import pdf_pages
+
+    feeds = spark.createDataFrame(
+        [("a.org", b"<rss><channel><item><link>https://a.org/x</link>"
+          b"</item></channel></rss>")],
+        "host string, body binary",
+    )
+    assert audit.exchange_count(feed_entries(feeds)) == 1
+    assert audit.exchange_count(sitemap_url_hints(
+        feeds.selectExpr("host", "cast('<urlset></urlset>' as binary) as body")
+    )) == 1
+
+    urls = spark.createDataFrame([("https://a.org/p/1",)], "url string")
+    assert audit.exchange_count(template_stats(urls)) == 1
+
+    docs = spark.createDataFrame(
+        [("https://a.org/p", 0.5, "en")],
+        "url string, quality double, pred_lang string",
+    )
+    assert audit.exchange_count(host_quality_priors(docs)) == 2
+
+    blobs = spark.createDataFrame(
+        [("u", bytearray(b"%PDF-1.4"))], "url string, data binary"
+    )
+    # the PDF lane is a narrow codec stage: zero exchanges
+    assert audit.exchange_count(pdf_pages(blobs)) == 0
