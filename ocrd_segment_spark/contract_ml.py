@@ -2787,3 +2787,72 @@ SELECT t.doc_id,
        CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed
 FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Product quantization end-to-end (operators/ann.pq_encode +
+    pq_adc_topk): m=4 subspaces of 16 dims over integer-quantized
+    embeddings (exact cross-engine math), codebooks seeded from
+    vec_id<4's subvectors, query = vec 7 un-quantized-side; ADC
+    distance = sum of per-subspace LUT entries, top-10 by
+    (dist, vec_id). Encode is a broadcast join + partial min(struct);
+    search is a broadcast LUT join + partial sum + TakeOrdered."""
+    from .operators.ann import pq_adc_topk, pq_encode
+
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double)"
+        " * 1000000) as double)) as q",
+    )
+    cb = (
+        e.filter("vec_id < 4")
+        .selectExpr("vec_id as cid", "explode(sequence(0, 3)) as sub", "q")
+        .selectExpr("sub", "cid", "slice(q, sub * 16 + 1, 16) as cv")
+    )
+    query = e.filter("vec_id = 7").selectExpr("q as qv")
+    codes = pq_encode(e, cb, 4, vec_col="q")
+    return pq_adc_topk(codes, cb, query, k=10, m=4)
+
+
+O_PQ_ADC_TOPK = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS q
+  FROM embeddings
+), cb AS MATERIALIZED (
+  SELECT s.sub, e.vec_id AS code,
+         list_transform(range(1, 17), i -> e.q[s.sub * 16 + i]) AS cv
+  FROM e, (SELECT unnest(range(4)) AS sub) s
+  WHERE e.vec_id < 4
+), qv AS MATERIALIZED (
+  SELECT q FROM e WHERE vec_id = 7
+), enc AS (
+  SELECT e.vec_id, cb.sub, cb.code,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, 17),
+        i -> (e.q[cb.sub * 16 + i] - cb.cv[i])
+             * (e.q[cb.sub * 16 + i] - cb.cv[i]))),
+      (a, b) -> a + b) AS d2
+  FROM e, cb
+), best AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc) WHERE rn = 1
+), lut AS (
+  SELECT cb.sub, cb.code,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, 17),
+        i -> (qv.q[cb.sub * 16 + i] - cb.cv[i])
+             * (qv.q[cb.sub * 16 + i] - cb.cv[i]))),
+      (a, b) -> a + b) AS d2
+  FROM cb, qv
+)
+SELECT b.vec_id, SUM(l.d2) AS adc_dist2
+FROM best b JOIN lut l USING (sub, code)
+GROUP BY b.vec_id
+ORDER BY adc_dist2 ASC, vec_id ASC
+LIMIT 10
+"""

@@ -301,3 +301,103 @@ def ivf_search(
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: encode + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    splits into ``m`` equal subspaces and each subvector is replaced by
+    the id of its nearest codebook centroid (L2, ties to the smaller
+    cid — the engine's frozen tie-break). ``codebooks`` is
+    (sub, cid, cv: array<double>) — train it per subspace with the
+    k-means operator; at 100 TB a PQ code table is dim/m × log2(k)
+    bits per vector instead of 4·dim bytes (a 64-dim float vector at
+    m=4, k=256 compresses 64×).
+
+    Physical shape: one narrow explode to (vector, subspace) grain, a
+    BROADCAST join against the codebook (model-sized by definition),
+    a per-(id, sub) min — partial-aggregable min(struct), no window —
+    and one group back to vector grain. Output: (vec_id,
+    codes: array<int>) with codes ordered by subspace."""
+    d = vectors.selectExpr(
+        f"{id_col} as vec_id",
+        f"size({vec_col}) as __dim",
+        f"{vec_col} as __v",
+    )
+    sub = d.selectExpr(
+        "vec_id",
+        f"explode(sequence(0, {m - 1})) as sub",
+        f"__dim div {m} as __w",
+        "__v",
+    ).selectExpr(
+        "vec_id",
+        "sub",
+        "slice(__v, sub * __w + 1, __w) as __sv",
+    )
+    scored = sub.join(F.broadcast(codebooks), "sub").selectExpr(
+        "vec_id",
+        "sub",
+        "cid",
+        "aggregate(zip_with(__sv, cv, (x, y) -> (cast(x as double) - y)"
+        " * (cast(x as double) - y)), cast(0.0 as double),"
+        " (a, t) -> a + t) as dist2",
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist2", "cid"))["cid"].alias("code")
+    )
+    return best.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, code))),"
+            " s -> s.code)"
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays
+    UN-quantized, its distance to every codebook centroid is
+    precomputed per subspace (the LUT — m·k doubles, broadcast), and a
+    vector's approximate distance is the SUM of its codes' LUT
+    entries. ``query`` is a 1-row (qv: array<double>) frame. Returns
+    the ``k`` nearest (vec_id, adc_dist2), ties to the smaller
+    vec_id.
+
+    Physical shape: the LUT build is codebook-grain; scoring explodes
+    codes to (vec_id, sub, code), equi-joins the BROADCAST LUT, and
+    partial-aggregates the sum — never a corpus×corpus or
+    corpus×query shuffle. The final top-k is a TakeOrdered, not a
+    global sort."""
+    w = f"(size(qv) div {m})"
+    lut = codebooks.crossJoin(F.broadcast(query)).selectExpr(
+        "sub",
+        "cid as code",
+        f"aggregate(zip_with(slice(qv, sub * {w} + 1, {w}), cv,"
+        " (x, y) -> (x - y) * (x - y)), cast(0.0 as double),"
+        " (a, t) -> a + t) as d2",
+    )
+    per_sub = codes.selectExpr(
+        "vec_id", "posexplode(codes) as (sub, code)"
+    )
+    return (
+        per_sub.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d2").alias("adc_dist2"))
+        .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -215,3 +215,42 @@ def test_ivf_add_batch_dedups_within_batch(spark, tmp_path):
     a = spark.read.parquet(path + "/assignments")
     assert a.filter("id = 5").count() == 1
     assert sum(r["n_new"] for r in drift) == 1
+
+
+def test_pq_encode_and_adc_exactness(spark):
+    """A vector whose subvectors ARE codebook centroids encodes to
+    those codes, and its ADC distance equals the TRUE L2 distance —
+    the PQ identity that makes the approximation interpretable."""
+    from ocrd_segment_spark.operators.ann import pq_adc_topk, pq_encode
+
+    # 2 subspaces of 2 dims, 2 centroids each
+    cb = spark.createDataFrame(
+        [
+            (0, 0, [0.0, 0.0]), (0, 1, [10.0, 10.0]),
+            (1, 0, [0.0, 0.0]), (1, 1, [20.0, 20.0]),
+        ],
+        "sub int, cid int, cv array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 20.0, 20.0]),   # centroids (0, 1)
+            (2, [10.0, 10.0, 0.0, 0.0]),   # centroids (1, 0)
+            (3, [9.0, 9.0, 19.0, 19.0]),   # near (1, 1)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {r["vec_id"]: r["codes"]
+             for r in pq_encode(vecs, cb, 2).collect()}
+    assert codes == {1: [0, 1], 2: [1, 0], 3: [1, 1]}
+
+    query = spark.createDataFrame([([0.0, 0.0, 20.0, 20.0],)], "qv array<double>")
+    got = [(r["vec_id"], r["adc_dist2"])
+           for r in pq_adc_topk(pq_encode(vecs, cb, 2), cb, query, k=3, m=2).collect()]
+    # vec 1 sits exactly on its centroids -> ADC == true distance == 0;
+    # vec 3 quantizes to (10,10,20,20) -> ADC = 200 + 0
+    assert got[0] == (1, 0.0)
+    assert dict(got)[3] == 200.0
+    # ordering is (dist asc, vec_id asc)
+    assert [v for v, _ in got] == sorted(
+        [v for v, _ in got], key=lambda v: (dict(got)[v], v)
+    )
