@@ -267,6 +267,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_hints": G.q_sitemap_hints,
     "host_quality_priors": G.q_host_quality_priors,
     "pq_adc_topk": M.q_pq_adc_topk,
+    "ivfpq_search": M.q_ivfpq_search,
     "url_trap_templates": I.q_url_trap_templates,
     "pdf_text_extract": I.q_pdf_text_extract,
     "pdf_meta_links": I.q_pdf_meta_links,
@@ -441,6 +442,7 @@ _ORACLES: dict[str, str] = {
     "sitemap_hints": G.O_SITEMAP_HINTS,
     "host_quality_priors": G.O_HOST_QUALITY_PRIORS,
     "pq_adc_topk": M.O_PQ_ADC_TOPK,
+    "ivfpq_search": M.O_IVFPQ_SEARCH,
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,
     "pdf_text_extract": I.O_PDF_TEXT_EXTRACT,
     "pdf_meta_links": I.O_PDF_META_LINKS,

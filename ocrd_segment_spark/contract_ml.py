@@ -2856,3 +2856,107 @@ GROUP BY b.vec_id
 ORDER BY adc_dist2 ASC, vec_id ASC
 LIMIT 10
 """
+
+
+def q_ivfpq_search(spark, sf_dir):
+    """IVF+PQ composed (operators/ann.ivfpq_search): three coarse
+    lists seeded from vec_id<3, nprobe=2 prunes to the two nearest
+    lists of query vec 7, and only those vectors' PQ codes pay ADC.
+    The oracle restates coarse probe + candidate filter + the full PQ
+    chain — the composition is checked end-to-end, not per-piece."""
+    from .operators.ann import (
+        assign_to_centroids,
+        ivfpq_search,
+        pq_encode,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double)"
+        " * 1000000) as double)) as q",
+    )
+    coarse = e.filter("vec_id < 3").selectExpr("vec_id as cid", "q as cv")
+    cb = (
+        e.filter("vec_id < 4")
+        .selectExpr("vec_id as cid", "explode(sequence(0, 3)) as sub", "q")
+        .selectExpr("sub", "cid", "slice(q, sub * 16 + 1, 16) as cv")
+    )
+    query = e.filter("vec_id = 7").selectExpr("q as qv")
+    assignments = assign_to_centroids(
+        e.selectExpr("vec_id as id", "q as v"), coarse
+    ).selectExpr("id as vec_id", "cid")
+    codes = pq_encode(e, cb, 4, vec_col="q")
+    return ivfpq_search(
+        assignments, codes, coarse, cb, query, nprobe=2, k=8, m=4
+    )
+
+
+O_IVFPQ_SEARCH = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS q
+  FROM embeddings
+), coarse AS MATERIALIZED (
+  SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id < 3
+), cb AS MATERIALIZED (
+  SELECT s.sub, e.vec_id AS code,
+         list_transform(range(1, 17), i -> e.q[s.sub * 16 + i]) AS cv
+  FROM e, (SELECT unnest(range(4)) AS sub) s
+  WHERE e.vec_id < 4
+), qv AS MATERIALIZED (
+  SELECT q FROM e WHERE vec_id = 7
+), coarse_d AS (
+  SELECT c.cid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, 65),
+        i -> (qv.q[i] - c.cv[i]) * (qv.q[i] - c.cv[i]))),
+      (a, b) -> a + b) AS d2
+  FROM coarse c, qv
+), probed AS (
+  SELECT cid FROM coarse_d ORDER BY d2 ASC, cid ASC LIMIT 2
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65),
+          i -> (e.q[i] - c.cv[i]) * (e.q[i] - c.cv[i]))),
+        (a, b) -> a + b) AS d2,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65),
+          i -> (e.q[i] - c.cv[i]) * (e.q[i] - c.cv[i]))),
+        (a, b) -> a + b) ASC, c.cid ASC) AS rn
+    FROM e, coarse c) WHERE rn = 1
+), cand AS (
+  SELECT vec_id FROM assigned WHERE cid IN (SELECT cid FROM probed)
+), enc AS (
+  SELECT e.vec_id, cb.sub, cb.code,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, 17),
+        i -> (e.q[cb.sub * 16 + i] - cb.cv[i])
+             * (e.q[cb.sub * 16 + i] - cb.cv[i]))),
+      (a, b) -> a + b) AS d2
+  FROM e, cb
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)
+), best AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc) WHERE rn = 1
+), lut AS (
+  SELECT cb.sub, cb.code,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, 17),
+        i -> (qv.q[cb.sub * 16 + i] - cb.cv[i])
+             * (qv.q[cb.sub * 16 + i] - cb.cv[i]))),
+      (a, b) -> a + b) AS d2
+  FROM cb, qv
+)
+SELECT b.vec_id, SUM(l.d2) AS adc_dist2
+FROM best b JOIN lut l USING (sub, code)
+GROUP BY b.vec_id
+ORDER BY adc_dist2 ASC, vec_id ASC
+LIMIT 8
+"""

@@ -401,3 +401,40 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivfpq_search(
+    assignments: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+    m: int = 4,
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS-IVFPQ shape at full 100 TB scale:
+    the coarse quantizer (``centroids``) prunes the corpus to the
+    ``nprobe`` nearest inverted lists, and only THOSE vectors' PQ
+    codes pay the ADC scoring. ``assignments`` is (vec_id, cid) from
+    :func:`assign_to_centroids` / the persistent IVF index; ``codes``
+    from :func:`pq_encode`. This subset encodes raw vectors (not
+    IVF residuals — the residual refinement is a documented delta
+    from the paper's IVFADC, traded for one less codebook family).
+
+    Physical shape: the probe set is nprobe rows (broadcast), the
+    candidate filter is one broadcast semi-join on the list id, and
+    everything after is :func:`pq_adc_topk`'s broadcast-LUT partial
+    sum. Recall dials with ``nprobe`` exactly like :func:`ivf_search`
+    (recall_audit measures it)."""
+    probed = (
+        centroids.crossJoin(F.broadcast(query))
+        .withColumn("d2", F.expr(_L2.format(a="cv", b="qv")))
+        .orderBy(F.asc("d2"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = assignments.join(F.broadcast(probed), "cid").select("vec_id")
+    return pq_adc_topk(
+        codes.join(cand, "vec_id"), codebooks, query, k=k, m=m
+    )
