@@ -266,6 +266,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlinks_nofollow": G.q_outlinks_nofollow,
     "sitemap_hints": G.q_sitemap_hints,
     "host_quality_priors": G.q_host_quality_priors,
+    "low_quality_hosts": G.q_low_quality_hosts,
     "pq_adc_topk": M.q_pq_adc_topk,
     "ivfpq_search": M.q_ivfpq_search,
     "url_trap_templates": I.q_url_trap_templates,
@@ -441,6 +442,7 @@ _ORACLES: dict[str, str] = {
     "outlinks_nofollow": G.O_OUTLINKS_NOFOLLOW,
     "sitemap_hints": G.O_SITEMAP_HINTS,
     "host_quality_priors": G.O_HOST_QUALITY_PRIORS,
+    "low_quality_hosts": G.O_LOW_QUALITY_HOSTS,
     "pq_adc_topk": M.O_PQ_ADC_TOPK,
     "ivfpq_search": M.O_IVFPQ_SEARCH,
     "url_trap_templates": I.O_URL_TRAP_TEMPLATES,

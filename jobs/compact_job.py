@@ -39,6 +39,56 @@ import argparse
 import math
 
 
+def compact(
+    spark,
+    input_path: str,
+    output_path: str,
+    target_mb: int = 256,
+    sort_by: str | None = None,
+) -> dict:
+    """The job body (importable for tests). Returns the stats dict."""
+    from pyspark.sql import functions as F
+
+    # driver-side listing walk (metadata only, no data scan). A path
+    # COMPONENT check, not a leaf-name check: files under _temporary/
+    # or .staging/ directories (a crashed writer's leftovers) carry
+    # ordinary leaf names but are invisible to spark.read, and
+    # counting them would overestimate the partition count
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(input_path)
+    fs = path.getFileSystem(conf)
+    base = str(fs.makeQualified(path).toString()).rstrip("/") + "/"
+    total = 0
+    n_files = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        rel = str(st.getPath().toString())
+        rel = rel[len(base):] if rel.startswith(base) else rel
+        if any(c.startswith(("_", ".")) for c in rel.split("/")):
+            continue
+        total += st.getLen()
+        n_files += 1
+
+    n_parts = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(input_path)
+    if sort_by is not None:
+        out = df.repartitionByRange(
+            n_parts, F.col(sort_by)
+        ).sortWithinPartitions(sort_by)
+    else:
+        out = df.repartition(n_parts)
+    out.write.mode("error").parquet(output_path)
+    stats = {
+        "files_in": n_files,
+        "bytes_in": total,
+        "partitions_out": n_parts,
+    }
+    print(f"COMPACT {stats}")
+    return stats
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
@@ -53,38 +103,12 @@ def main() -> None:
     if args.target_mb < 1:
         ap.error("--target-mb must be >= 1")
 
-    from pyspark.sql import functions as F
-
     from ocrd_segment_spark.session import submit_session
 
     spark = submit_session("ocrd-segment-compact")
-
-    # driver-side listing walk (metadata only, no data scan)
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(args.input)
-    fs = path.getFileSystem(conf)
-    total = 0
-    n_files = 0
-    it = fs.listFiles(path, True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):
-            continue
-        total += st.getLen()
-        n_files += 1
-
-    n_parts = max(1, math.ceil(total / (args.target_mb * 1024 * 1024)))
-    df = spark.read.parquet(args.input)
-    if args.sort_by is not None:
-        out = df.repartitionByRange(n_parts, F.col(args.sort_by)).sortWithinPartitions(args.sort_by)
-    else:
-        out = df.repartition(n_parts)
-    out.write.mode("error").parquet(args.output)
-    print(
-        f"COMPACT {{'files_in': {n_files}, 'bytes_in': {total},"
-        f" 'partitions_out': {n_parts}}}"
+    compact(
+        spark, args.input, args.output,
+        target_mb=args.target_mb, sort_by=args.sort_by,
     )
     spark.stop()
 

@@ -81,7 +81,7 @@ WITH p AS (
 ), l AS (
   SELECT url,
          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
-         unnest(regexp_extract_all(html, '<[Aa][^>]*href="([^"]*)"', 1)) AS href
+         unnest(regexp_extract_all(html, '<[Aa][^A-Za-z>][^>]*href="([^"]*)"', 1)) AS href
   FROM p
 ), r AS (
   SELECT url, src_host,
@@ -147,7 +147,7 @@ WITH p AS (
 ), l AS (
   SELECT url,
          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS src_host,
-         unnest(regexp_extract_all(html, '<[Aa][^>]*href="[^"]*"[^>]*>[^<]*', 0)) AS m
+         unnest(regexp_extract_all(html, '<[Aa][^A-Za-z>][^>]*href="[^"]*"[^>]*>[^<]*', 0)) AS m
   FROM p
 ), r AS (
   SELECT src_host,
@@ -2043,4 +2043,41 @@ WITH b AS (
 )
 SELECT agg.host, n_docs, mean_quality, top_lang, n_langs
 FROM agg JOIN top ON agg.host = top.host
+"""
+
+
+def q_low_quality_hosts(spark, sf_dir):
+    """The drop-list view over the host priors (operators/hoststats.
+    low_quality_hosts): evidence floor (n_docs >= 6) AND mean-quality
+    ceiling (<= 0.3), boundary inclusive on both — the arithmetic of
+    the shared fixture puts two hosts exactly at mean 7/24 = 0.291667
+    and the rest above the ceiling."""
+    from .operators.hoststats import host_quality_priors, low_quality_hosts
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_HQ_N}")
+        .selectExpr(
+            f"{_HQ_URL} as url",
+            f"{_HQ_Q} as quality",
+            f"{_HQ_LANG} as pred_lang",
+        )
+    )
+    return low_quality_hosts(
+        host_quality_priors(fx), min_docs=6, max_mean_quality=0.3
+    )
+
+
+O_LOW_QUALITY_HOSTS = f"""
+WITH b AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS host,
+         CAST(doc_id % 4 AS DOUBLE) * 0.25 AS q
+  FROM documents WHERE doc_id < {_HQ_N}
+), agg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(SUM(q) / COUNT(*), 6) AS mean_quality
+  FROM b GROUP BY host
+)
+SELECT host, n_docs, mean_quality
+FROM agg WHERE n_docs >= 6 AND mean_quality <= 0.3
 """

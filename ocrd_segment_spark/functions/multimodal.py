@@ -379,12 +379,17 @@ MEDIA_META_SCHEMA = (
 
 
 def media_meta(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    python_parallelism: int | None = None,
 ) -> DataFrame:
     """Typed audio/video metadata over opaque binary columns — the
     :func:`binary_meta` twin for the non-image lanes. Unrecognized
     containers keep their row with NULL fields (auditable, never
-    dropped silently)."""
+    dropped silently). ``python_parallelism`` rides the shared
+    cores//2 guard like every codec-lane stage."""
+    from ..pipeline import _cap_python_tasks
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = [sniff_media(b) for b in pdf[blob_col]]
@@ -403,4 +408,6 @@ def media_meta(
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(fn, MEDIA_META_SCHEMA)
+    return _cap_python_tasks(
+        df.select(id_col, blob_col), python_parallelism
+    ).mapInPandas(fn, MEDIA_META_SCHEMA)

@@ -329,6 +329,8 @@ def pq_encode(
     a per-(id, sub) min — partial-aggregable min(struct), no window —
     and one group back to vector grain. Output: (vec_id,
     codes: array<int>) with codes ordered by subspace."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
     d = vectors.selectExpr(
         f"{id_col} as vec_id",
         f"size({vec_col}) as __dim",
@@ -337,7 +339,13 @@ def pq_encode(
     sub = d.selectExpr(
         "vec_id",
         f"explode(sequence(0, {m - 1})) as sub",
-        f"__dim div {m} as __w",
+        # a non-divisible m would silently drop trailing dimensions
+        # and dim < m degenerates every code to cid 0 (empty slices) —
+        # refuse at runtime instead (review finding)
+        f"CASE WHEN __dim % {m} = 0 AND __dim >= {m} THEN __dim div {m}"
+        f" ELSE raise_error(concat('pq_encode: vector dim ',"
+        f" cast(__dim as string), ' is not a positive multiple of"
+        f" m={m}')) END as __w",
         "__v",
     ).selectExpr(
         "vec_id",

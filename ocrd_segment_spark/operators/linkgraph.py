@@ -47,8 +47,12 @@ from pyspark.sql import DataFrame, functions as F
 # href attribute values of anchor tags; attribute-value harvesting only,
 # so tag soup (unclosed tags, stray '<') cannot derail it. Kept in the
 # Java-regex/RE2 common subset (no backslash classes, no lookaround) so
-# the DuckDB oracle can state the SAME pattern.
-HREF_PATTERN = '<[Aa][^>]*href="([^"]*)"'
+# the DuckDB oracle can state the SAME pattern. '<a' must be followed
+# by a NON-letter so <abbr href>/<area href>/<audio src.. href> tag
+# lookalikes never harvest (review finding: the decoy fix originally
+# landed only in outlinks_flagged, making --drop-nofollow change the
+# harvested grammar instead of just the follow semantics).
+HREF_PATTERN = '<[Aa][^A-Za-z>][^>]*href="([^"]*)"'
 
 # scheme://host — shared shape with functions.urls.host_of
 _ABS_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
@@ -103,7 +107,7 @@ def outlinks(
 # same attribute-grammar tolerance as HREF_PATTERN, text harvested
 # only when it contains no nested element (nested markup → the inner
 # text is not one run; frozen OUT rather than approximated)
-ANCHOR_PATTERN = '<[Aa][^>]*href="[^"]*"[^>]*>[^<]*'
+ANCHOR_PATTERN = '<[Aa][^A-Za-z>][^>]*href="[^"]*"[^>]*>[^<]*'
 
 
 def anchors(

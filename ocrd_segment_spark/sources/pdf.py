@@ -477,4 +477,7 @@ def pdf_outlinks(
             "href",
             host_of("href").alias("dst_host"),
         )
+        # the outlinks discipline (review finding): schemeless doc
+        # urls and 'https://' husks must not mint ''-host rank nodes
+        .filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
     )

@@ -224,20 +224,33 @@ def decode_content_encoding(
     ambiguity); ``gzip`` uses the wbits=47 auto-header form. A body
     that fails to decode keeps its ORIGINAL bytes with
     ``ce_decode_ok = false`` so the failure is gateable, never
-    silent. The encoding column is consumed (dropped) — decoded
-    bodies no longer carry it truthfully."""
+    silent — and so does a RECOGNIZED-BUT-UNSUPPORTED encoding
+    (br, zstd, multi-codings like 'gzip, br'): only '' / 'identity' /
+    NULL count as identity, anything else the zlib lanes cannot
+    decode is flagged rather than flowing compressed bytes into
+    extraction as if they were html (review finding). The encoding
+    column is consumed (dropped) — decoded bodies no longer carry it
+    truthfully."""
     from collections.abc import Iterator as _It
 
     import pandas as pd
 
     from ..pipeline import _cap_python_tasks
 
-    norm = F.lower(F.trim(F.col(encoding_col)))
-    is_enc = norm.isin(*_ENCODED)
-    clean = pages.filter(~is_enc).drop(encoding_col).withColumn(
-        "ce_decode_ok", F.lit(True)
+    # NULL encodings are identity (coalesce — a NULL comparison would
+    # silently drop the row from BOTH filter branches, review finding)
+    norm = F.lower(F.trim(F.coalesce(F.col(encoding_col), F.lit(""))))
+    is_zlib = norm.isin(*_ENCODED)
+    is_identity = norm.isin("", "identity")
+    clean = (
+        pages.filter(~is_zlib)
+        # recognized-but-unsupported encodings (br, zstd, coding
+        # lists) keep their bytes but flag false — gateable, never
+        # compressed-bytes-as-html
+        .withColumn("ce_decode_ok", is_identity)
+        .drop(encoding_col)
     )
-    tail = pages.filter(is_enc)
+    tail = pages.filter(is_zlib)
 
     other = [f.name for f in tail.schema.fields
              if f.name not in (blob_col, encoding_col)]
@@ -348,8 +361,13 @@ def warc_pages_bytes(
                         continue
                     sep = rec.find(b"\r\n\r\n")
                     if sep < 0:
-                        continue
-                    hdr, rest = rec[:sep], rec[sep + 4:]
+                        # substring_index semantics (JVM-scan parity):
+                        # no terminator -> the whole record is header,
+                        # the payload is empty — the record still
+                        # emits when its fields parse
+                        hdr, rest = rec, b""
+                    else:
+                        hdr, rest = rec[:sep], rec[sep + 4:]
                     if _bfield(hdr, "WARC-Type") != b"response":
                         continue
                     try:

@@ -418,7 +418,8 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "near_dup_candidates": -1, "boilerplate_units_removed": -1,
         "boilerplate_regions_removed": -1, "pii_docs_redacted": -1,
         "contaminated_docs": -1,
-        "outlink_edges": -1, "shards_written": -1,
+        "outlink_edges": -1, "feed_links_found": -1,
+        "shards_written": -1,
         "sequences_packed": -1,
         "diff_added": -1, "diff_removed": -1,
         "diff_changed": -1, "diff_unchanged": -1,

@@ -85,21 +85,36 @@ def test_metrics_table_appended_per_run(spark, tmp_path):
 
 
 def test_compact_preserves_row_multiset(spark, tmp_path):
-    # jobs/compact_job is spark-submit-driven; pin the core invariant
-    # here: a size-targeted rewrite is PHYSICAL only
-    import math
+    """Runs the ACTUAL job body (review finding: the first version
+    re-implemented the logic inline and exercised nothing): the
+    listing walk must skip _temporary leftovers, the plain and
+    --sort-by paths must both preserve the row multiset, and the
+    sorted variant must actually order within partitions."""
+    import os
+
+    from jobs.compact_job import compact
 
     src = str(tmp_path / "small")
     for i in range(8):
         spark.createDataFrame(
-            [(f"u{i}_{j}", "x" * 50) for j in range(20)],
+            [(f"u{i}_{j:02d}", "x" * 50) for j in range(20)],
             "url string, text string",
         ).coalesce(1).write.mode("append").parquet(src)
-    df = spark.read.parquet(src)
-    n_parts = max(1, math.ceil(1))  # the job computes from bytes; 1 here
-    out = df.repartition(n_parts)
-    dst = str(tmp_path / "compact")
-    out.write.parquet(dst)
+    # a crashed writer's leftovers: invisible to spark.read, must be
+    # invisible to the size walk too
+    os.makedirs(src + "/_temporary/0", exist_ok=True)
+    with open(src + "/_temporary/0/part-junk.parquet", "wb") as f:
+        f.write(b"\x00" * 10_000_000)
+
+    stats = compact(spark, src, str(tmp_path / "c1"), target_mb=64)
+    assert stats["partitions_out"] == 1  # 10 MB of junk NOT counted
+    assert stats["files_in"] == 8
     a = sorted(r["url"] for r in spark.read.parquet(src).collect())
-    b = sorted(r["url"] for r in spark.read.parquet(dst).collect())
+    b = sorted(
+        r["url"] for r in spark.read.parquet(str(tmp_path / "c1")).collect()
+    )
     assert a == b and len(a) == 160
+
+    compact(spark, src, str(tmp_path / "c2"), target_mb=64, sort_by="url")
+    srt = [r["url"] for r in spark.read.parquet(str(tmp_path / "c2")).collect()]
+    assert sorted(srt) == a

@@ -97,6 +97,8 @@ def test_content_encoding_failure_is_flagged_not_silent(spark):
             ("u1", "gzip", bytearray(b"not gzip at all")),
             ("u2", "", bytearray(b"<html>plain</html>")),
             ("u3", "deflate", bytearray(__import__("zlib").compress(b"ok"))),
+            ("u4", None, bytearray(b"<html>null enc</html>")),
+            ("u5", "br", bytearray(b"brotli bytes")),
         ],
         "url string, content_encoding string, html binary",
     )
@@ -105,3 +107,11 @@ def test_content_encoding_failure_is_flagged_not_silent(spark):
     assert bytes(rows["u1"]["html"]) == b"not gzip at all"  # original kept
     assert rows["u2"]["ce_decode_ok"]  # identity lane untouched
     assert bytes(rows["u3"]["html"]) == b"ok" and rows["u3"]["ce_decode_ok"]
+    # review findings: NULL encoding is identity, never silently
+    # dropped; recognized-but-unsupported encodings flag false with
+    # bytes kept instead of flowing compressed bytes as html
+    assert rows["u4"]["ce_decode_ok"]
+    assert bytes(rows["u4"]["html"]) == b"<html>null enc</html>"
+    assert not rows["u5"]["ce_decode_ok"]
+    assert bytes(rows["u5"]["html"]) == b"brotli bytes"
+    assert len(rows) == 5  # nothing vanished
