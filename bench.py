@@ -430,6 +430,7 @@ def main() -> None:
         "url_templates": bench_url_templates,
         "change_rates": bench_change_rates,
         "redirect_resolve": bench_redirect_resolve,
+        "pq_adc_topk": lambda: M.q_pq_adc_topk(spark, SF_DIR).collect(),
         "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
         and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
         # the PDF codec lane (python stage — keep with the python group)
