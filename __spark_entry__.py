@@ -274,6 +274,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_meta_links": I.q_pdf_meta_links,
     "warc_bytes_parity": I.q_warc_bytes_parity,
     "media_meta": I.q_media_meta,
+    "semantic_dedup": M.q_semantic_dedup,
+    "mirror_hosts": G.q_mirror_hosts,
+    "c4_line_clean": M.q_c4_line_clean,
 }
 
 _ORACLES: dict[str, str] = {
@@ -450,6 +453,9 @@ _ORACLES: dict[str, str] = {
     "pdf_meta_links": I.O_PDF_META_LINKS,
     "warc_bytes_parity": I.O_WARC_BYTES_PARITY,
     "media_meta": I.O_MEDIA_META,
+    "semantic_dedup": M.O_SEMANTIC_DEDUP,
+    "mirror_hosts": G.O_MIRROR_HOSTS,
+    "c4_line_clean": M.O_C4_LINE_CLEAN,
 }
 
 

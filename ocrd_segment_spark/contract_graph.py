@@ -2081,3 +2081,72 @@ WITH b AS (
 SELECT host, n_docs, mean_quality
 FROM agg WHERE n_docs >= 6 AND mean_quality <= 0.3
 """
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection (operators/hoststats.mirror_hosts)
+# ---------------------------------------------------------------------------
+
+# Six hosts by doc_id % 6; content keyed doc_id % 40 so each content
+# unit recurs across the hosts of its parity class; every 5th doc is
+# host-unique filler (perturbs per-host sizes) and every 7th doc is an
+# all-hosts boilerplate page that the max_hosts_per_fp=5 cap must
+# EXCLUDE (on 6 hosts). min_resemblance=0.48 drops exactly one of the
+# six surviving pairs (0.470588) — both filter arms exercised.
+
+_MH_N = 300
+_MH_HOST = "concat('m', cast(doc_id % 6 as string), '.example.org')"
+_MH_TEXT = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'allhosts'"
+    " WHEN doc_id % 5 = 0 THEN concat('u', cast(doc_id as string))"
+    " ELSE concat('content-', cast(doc_id % 40 as string)) END"
+)
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Bharat-Broder mirror detection at host grain (operators/
+    hoststats.mirror_hosts): md5 fingerprints distinct per (host, fp),
+    boilerplate cap at 5 hosts/fp, host-pair shared counts blocked on
+    the fingerprint, Jaccard resemblance round-6 with inclusive
+    thresholds."""
+    from .operators.hoststats import mirror_hosts
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_MH_N}")
+        .selectExpr(
+            f"concat('https://', {_MH_HOST}, '/p/', cast(doc_id as string))"
+            " as url",
+            f"{_MH_TEXT} as text",
+        )
+    )
+    return mirror_hosts(
+        fx, max_hosts_per_fp=5, min_shared=2, min_resemblance=0.48
+    )
+
+
+O_MIRROR_HOSTS = f"""
+WITH d AS (
+  SELECT 'm' || CAST(doc_id % 6 AS VARCHAR) || '.example.org' AS host,
+         md5(CASE WHEN doc_id % 7 = 0 THEN 'allhosts'
+                  WHEN doc_id % 5 = 0 THEN 'u' || CAST(doc_id AS VARCHAR)
+                  ELSE 'content-' || CAST(doc_id % 40 AS VARCHAR) END) AS fp
+  FROM documents WHERE doc_id < {_MH_N}
+), hf AS (
+  SELECT DISTINCT host, fp FROM d
+), ok AS (
+  SELECT fp FROM hf GROUP BY fp HAVING count(*) <= 5
+), h2 AS (
+  SELECT host, fp FROM hf JOIN ok USING (fp)
+), sizes AS (
+  SELECT host, count(*) AS n FROM h2 GROUP BY host
+), sh AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM h2 a JOIN h2 b USING (fp) WHERE a.host < b.host GROUP BY 1, 2
+)
+SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+       ROUND(shared / (sa.n + sb.n - shared), 6) AS resemblance
+FROM sh JOIN sizes sa ON sa.host = sh.host_a
+        JOIN sizes sb ON sb.host = sh.host_b
+WHERE shared >= 2 AND ROUND(shared / (sa.n + sb.n - shared), 6) >= 0.48
+"""

@@ -2960,3 +2960,159 @@ GROUP BY b.vec_id
 ORDER BY adc_dist2 ASC, vec_id ASC
 LIMIT 8
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators/ann.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table (operators/ann.
+    semantic_dedup): IVF coarse assignment (8 fixed centroids,
+    vec_id < 8) blocks the cosine pairing; retention order is
+    distance-to-centroid DESC then id ASC; a vector drops iff an
+    EARLIER one in that order sits within tau=0.35 cosine. The random
+    fixture has no semantic twins, so tau is set where the cluster
+    cores overlap — 79 of 500 drop, both arms exercised. `aid` aliased
+    first so the gate's row sort keys on the unique id."""
+    from .operators.ann import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id as id", "transform(embedding, x -> cast(x as double)) as v"
+    )
+    c = e.filter(F.col("id") < 8).selectExpr("id as cid", "v as cv")
+    return semantic_dedup(e, c, tau=0.35).select(
+        F.col("id").alias("aid"), "cid", "kept"
+    )
+
+
+O_SEMANTIC_DEDUP = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+), pairs AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+           (x, y) -> x + y) AS d2
+  FROM e, c
+), best AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM pairs) WHERE rn = 1
+), ev AS (
+  SELECT e.vec_id AS id, b.cid, b.d2, v,
+         sqrt({_D_DOT.format(a="v", b="v")}) AS n
+  FROM e JOIN best b ON e.vec_id = b.vec_id
+), dropped AS (
+  SELECT DISTINCT l.id
+  FROM ev l JOIN ev r ON l.cid = r.cid
+   AND (r.d2 > l.d2 OR (r.d2 = l.d2 AND r.id < l.id))
+  WHERE {_D_DOT.format(a="l.v", b="r.v")} / (l.n * r.n) >= 0.35
+)
+SELECT ev.id AS aid, ev.cid,
+       (dropped.id IS NULL) AS kept
+FROM ev LEFT JOIN dropped ON ev.id = dropped.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level rules (operators/paragraphs.c4_line_clean)
+# ---------------------------------------------------------------------------
+
+# Five synthetic lines per doc cover every line rule (terminal punct,
+# min-words, javascript) and the page arms cover curly brackets
+# (doc_id % 7), lorem ipsum (doc_id % 11 = 3 — a line the LINE rules
+# keep but the PAGE rule drops), and the min-sentences floor (only
+# even non-multiples-of-3 accumulate 3 enders in kept text).
+
+_C4_N = 400
+_C4_LINES_SPARK = (
+    "concat_ws(chr(10),"
+    " concat('This is sentence number ', cast(doc_id as string),"
+    "        ' and it is clearly long enough.'),"
+    " 'Too short.',"
+    " CASE WHEN doc_id % 3 = 0"
+    "      THEN 'Please enable javascript to view this page now.'"
+    "      ELSE 'An informative middle line with plenty of words here!'"
+    " END,"
+    " concat('A header without terminal punctuation for page ',"
+    "        cast(doc_id as string)),"
+    " CASE WHEN doc_id % 2 = 0"
+    "      THEN concat('Is this the final question of page ',"
+    "                  cast(doc_id as string), '?')"
+    "      ELSE 'trailing fragment' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN 'body { margin: 0 }' ELSE NULL END,"
+    " CASE WHEN doc_id % 11 = 3"
+    "      THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'"
+    "      ELSE NULL END)"
+)
+_C4_LINES_DUCK = (
+    "concat_ws(chr(10),"
+    " 'This is sentence number ' || CAST(doc_id AS VARCHAR)"
+    "   || ' and it is clearly long enough.',"
+    " 'Too short.',"
+    " CASE WHEN doc_id % 3 = 0"
+    "      THEN 'Please enable javascript to view this page now.'"
+    "      ELSE 'An informative middle line with plenty of words here!'"
+    " END,"
+    " 'A header without terminal punctuation for page '"
+    "   || CAST(doc_id AS VARCHAR),"
+    " CASE WHEN doc_id % 2 = 0"
+    "      THEN 'Is this the final question of page '"
+    "             || CAST(doc_id AS VARCHAR) || '?'"
+    "      ELSE 'trailing fragment' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN 'body { margin: 0 }' ELSE NULL END,"
+    " CASE WHEN doc_id % 11 = 3"
+    "      THEN 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'"
+    "      ELSE NULL END)"
+)
+
+
+def q_c4_line_clean(spark, sf_dir):
+    """The C4 cleaning pass (operators/paragraphs.c4_line_clean):
+    line-keep = terminal punct + >= 5 words + no 'javascript'; page
+    flags = curly / lorem on the ORIGINAL text, >= 3 sentence enders
+    on the KEPT text. concat_ws skips the NULL optional arms on both
+    engines."""
+    from .operators.paragraphs import c4_line_clean
+
+    fx = (
+        _t(spark, sf_dir, "documents")
+        .filter(f"doc_id < {_C4_N}")
+        .selectExpr("doc_id", f"{_C4_LINES_SPARK} as text")
+    )
+    return c4_line_clean(fx)
+
+
+O_C4_LINE_CLEAN = f"""
+WITH d AS (
+  SELECT doc_id, {_C4_LINES_DUCK} AS t
+  FROM documents WHERE doc_id < {_C4_N}
+), k AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, chr(10)), l ->
+           regexp_matches(rtrim(l), '[.!?"”]$')
+           AND len(list_filter(string_split(l, ' '), w -> w != '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept,
+         len(string_split(t, chr(10))) AS n_lines
+  FROM d
+), c AS (
+  SELECT doc_id, t, kept, n_lines,
+         COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+  FROM k
+)
+SELECT doc_id, clean_text,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+       CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT)
+         AS n_sentences,
+       (len(regexp_extract_all(clean_text, '[.!?]')) >= 3
+        AND NOT contains(t, '{{')
+        AND NOT contains(t, '}}')
+        AND NOT contains(lower(t), 'lorem ipsum')) AS c4_page_keep
+FROM c
+"""

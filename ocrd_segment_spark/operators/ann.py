@@ -446,3 +446,76 @@ def ivfpq_search(
     return pq_adc_topk(
         codes.join(cand, "vec_id"), codebooks, query, k=k, m=m
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via centroid-blocked cosine
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, cid, kept): SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+    — drop semantic near-duplicates, where "near" is cosine >= ``tau``
+    WITHIN a k-means cluster (the clusters are the blocking keys: the
+    corpus-size pair explosion of embed_cosine_neardup's LSH buckets,
+    but blocked by semantic region instead of random hyperplanes).
+
+    Frozen semantics (the DuckDB oracle restates them):
+
+    - assignment: nearest centroid by L2, ties to the smaller cid
+      (:func:`assign_to_centroids` — the IVF coarse quantizer, so a
+      persisted IVF index doubles as the SemDeDup clustering);
+    - retention order within a cluster: distance-to-centroid
+      DESCENDING, then id ASCENDING — the paper's "keep the examples
+      farthest from the centroid" rule (they anchor the cluster's
+      semantic region; the ones packed near the middle are the
+      redundant copies);
+    - a vector is dropped iff SOME vector earlier in that order is
+      within ``tau`` cosine of it — the published implementation's
+      upper-triangular max-similarity test (earlier-vs-it, regardless
+      of whether the earlier one itself survived; NOT transitive
+      chaining, which is connected_components' job).
+
+    Scale shape (100 TB): the only corpus-sized shuffle keys on cid;
+    within-cluster pairing is O(c^2) per cluster, so k is a REQUIRED
+    knob — size k ~ N / target_cluster_size exactly as the paper does
+    (50k clusters for LAION), and residual hot clusters split under
+    AQE. Vector math is JVM column expressions; norms fold once per
+    row, never per pair.
+    """
+    a = assign_to_centroids(vectors, centroids, out_id="id").withColumn(
+        "_vn", F.expr(f"sqrt({DOT.format(a='v', b='v')})")
+    )
+    l = a.select(
+        F.col("id").alias("lid"), F.col("cid"),
+        F.col("v").alias("lv"), F.col("_vn").alias("_ln"),
+        F.col("dist2").alias("ld"),
+    )
+    r = a.select(
+        F.col("id").alias("rid"), F.col("cid"),
+        F.col("v").alias("rv"), F.col("_vn").alias("_rn"),
+        F.col("dist2").alias("rd"),
+    )
+    # r strictly earlier than l in the retention order
+    earlier = (F.col("rd") > F.col("ld")) | (
+        (F.col("rd") == F.col("ld")) & (F.col("rid") < F.col("lid"))
+    )
+    dropped = (
+        l.join(r, "cid")
+        .filter(earlier)
+        .filter(
+            F.expr(f"{DOT.format(a='lv', b='rv')} / (_ln * _rn)")
+            >= F.lit(tau)
+        )
+        .select(F.col("lid").alias("id"))
+        .distinct()
+    )
+    return a.join(dropped.withColumn("_dropped", F.lit(True)), "id", "left").select(
+        F.col("id").alias(id_col),
+        "cid",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )

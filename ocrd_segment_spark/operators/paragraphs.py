@@ -218,6 +218,24 @@ def remove_frequent_regions(
     tagged = units.join(freq, "rtext", "left").withColumn(
         "_keep", F.coalesce("doc_freq", F.lit(0)) < F.lit(min_doc_freq)
     )
+    out = _rebuild_tagged_units(tagged, sep, spans_col)
+    return out.select(
+        F.col("id").alias(id_col),
+        "clean_text",
+        spans_col,
+        "n_kept",
+        "n_removed",
+    )
+
+
+def _rebuild_tagged_units(tagged, sep: str, spans_col: str) -> DataFrame:
+    """Shared second half of the span-preserving cleanups: consume a
+    per-unit frame (id, _t, r <span struct or null>, rtext, _keep) and
+    rebuild per-doc (id, clean_text, spans_col, n_kept, n_removed) via
+    :func:`rebuild_with_spans`. Factored out of
+    remove_frequent_regions so :func:`c4_clean_regions` (whose _keep
+    is a row-local predicate, not a frequency join) cannot drift from
+    the frozen rebuild discipline."""
     is_pos = F.col("r").isNotNull() & (F.col("r.end") > F.col("r.start"))
     is_zero = F.col("r").isNotNull() & (F.col("r.end") == F.col("r.start"))
     # one sort-keyed struct per span, FULL original struct carried as
@@ -252,14 +270,7 @@ def remove_frequent_regions(
             ),
         ),
     ).withColumn("_zeros", F.transform("_zeros", lambda z: z["r"]))
-    out = rebuild_with_spans(shaped, sep, spans_col)
-    return out.select(
-        F.col("id").alias(id_col),
-        "clean_text",
-        spans_col,
-        "n_kept",
-        "n_removed",
-    )
+    return rebuild_with_spans(shaped, sep, spans_col)
 
 
 def remove_repeated_units_within(
@@ -389,4 +400,139 @@ def remove_frequent_units(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level rules (Raffel et al. 2020, JMLR 21(140) §2.2)
+# ---------------------------------------------------------------------------
+
+# the frozen C4 rule set, re-expressed deterministically (the paper's
+# prose leaves several choices open; these are this engine's pins, the
+# DuckDB oracle restates them):
+# - a LINE is kept iff, after rtrim of trailing spaces, it ends in a
+#   terminal punctuation mark (period, exclamation, question mark,
+#   straight or right-curly double quote), has >= min_words words
+#   (split on ' ', empties dropped — the TOKENS discipline), and does
+#   not contain 'javascript' case-insensitively;
+# - a PAGE is kept iff its ORIGINAL text has no curly bracket ('{' or
+#   '}' — "sourced from code") and no 'lorem ipsum'
+#   case-insensitively, and its KEPT text has >= min_sentences
+#   sentence enders (count of [.!?] occurrences — the paper counted
+#   nltk sentences; this engine pins the count to the ender chars so
+#   both engines agree byte-for-byte);
+# - the paper's bad-words list is NOT bundled (licensing); route that
+#   through the domain blocklist / quality_clf stages instead.
+C4_TERMINAL_RX = '[.!?"”]$'
+C4_SENTENCE_RX = "[.!?]"
+
+
+def _c4_line_keep(line, min_words: int):
+    return (
+        F.rtrim(line).rlike(C4_TERMINAL_RX)
+        & (
+            F.size(F.filter(F.split(line, " "), lambda w: w != F.lit("")))
+            >= F.lit(min_words)
+        )
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def _c4_page_flags(d, orig_text, clean_text, min_sentences: int):
+    """Append n_sentences + c4_page_keep given original/clean text
+    columns (both must be attribute references, not expression trees —
+    the no-CSE trap)."""
+    return d.withColumn(
+        "n_sentences",
+        F.size(F.regexp_extract_all(clean_text, F.lit(C4_SENTENCE_RX), 0)).cast(
+            "long"
+        ),
+    ).withColumn(
+        "c4_page_keep",
+        (F.col("n_sentences") >= F.lit(min_sentences))
+        & ~orig_text.contains("{")
+        & ~orig_text.contains("}")
+        & ~F.lower(orig_text).contains("lorem ipsum"),
+    )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """(id, clean_text, n_kept, n_removed, n_sentences, c4_page_keep):
+    the C4 cleaning pass for SPAN-LESS corpora — lines split on
+    newline, kept under the frozen rule above, rejoined in order.
+    Entirely JVM column math (one filter lambda per line, no window,
+    no shuffle); page flags are row-local."""
+    d = df.select(
+        F.col(id_col), F.col(text_col).alias("_t")
+    ).withColumn("_lines", F.split("_t", "\n"))
+    d = d.withColumn(
+        "_kept", F.filter("_lines", lambda l: _c4_line_keep(l, min_words))
+    )
+    d = (
+        d.withColumn("clean_text", F.array_join("_kept", "\n"))
+        .withColumn("n_kept", F.size("_kept").cast("long"))
+        .withColumn(
+            "n_removed", (F.size("_lines") - F.size("_kept")).cast("long")
+        )
+    )
+    d = _c4_page_flags(d, F.col("_t"), F.col("clean_text"), min_sentences)
+    return d.select(
+        id_col, "clean_text", "n_kept", "n_removed", "n_sentences",
+        "c4_page_keep",
+    )
+
+
+def c4_clean_regions(
+    extracted: DataFrame,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    spans_col: str = "region_spans",
+    sep: str = "\n",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """SPAN-PRESERVING C4 cleaning over extraction output: the unit is
+    the REGION (extraction joins regions with ``sep`` and region text
+    never contains it — the remove_frequent_regions precondition — so
+    C4's "line" IS the region) and the output carries remapped
+    ``spans_col`` via the shared rebuild discipline. ``_keep`` is a
+    row-local predicate — no frequency join, no shuffle beyond the
+    per-doc rebuild; page flags join back at doc grain."""
+    assert len(sep) == 1, "sep must be one character (offset derivation)"
+    units = extracted.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        F.explode_outer(spans_col).alias("r"),
+    ).withColumn(
+        "rtext",
+        F.expr(
+            "substring(_t, cast(r.start + 1 as int),"
+            " cast(r.end - r.start as int))"
+        ),
+    )
+    tagged = units.withColumn("_keep", _c4_line_keep(F.col("rtext"), min_words))
+    out = _rebuild_tagged_units(tagged, sep, spans_col)
+    # page rules need the ORIGINAL text (curly/lorem are page-level on
+    # the raw page) — a doc-grain join back, never corpus-wide
+    orig = extracted.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_orig")
+    )
+    joined = out.join(orig, "id")
+    joined = _c4_page_flags(
+        joined, F.col("_orig"), F.col("clean_text"), min_sentences
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        "clean_text",
+        spans_col,
+        "n_kept",
+        "n_removed",
+        "n_sentences",
+        "c4_page_keep",
     )

@@ -254,3 +254,41 @@ def test_pq_encode_and_adc_exactness(spark):
     assert [v for v, _ in got] == sorted(
         [v for v, _ in got], key=lambda v: (dict(got)[v], v)
     )
+
+
+def test_semantic_dedup_drops_packed_copies(spark):
+    """SemDeDup: within a cluster, the copy farthest from the centroid
+    survives and everything within tau cosine of an earlier copy
+    drops; cross-direction vectors stay."""
+    from ocrd_segment_spark.operators.ann import semantic_dedup
+
+    dim = 8
+    def v(*pairs):
+        out = [0.0] * dim
+        for i, x in pairs:
+            out[i] = float(x)
+        return out
+
+    rows = [
+        # cluster around +x: a, b=2a, c=3a are cosine-1 copies
+        (0, v((0, 10), (1, 1))),
+        (1, v((0, 20), (1, 2))),
+        (2, v((0, 30), (1, 3))),
+        # same cluster, orthogonal-ish direction: kept
+        (3, v((0, 1), (1, 10))),
+        # far cluster around -x: no within-tau earlier partner
+        (4, v((0, -10))),
+        (5, v((0, -10), (2, 10))),
+    ]
+    vecs = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = spark.createDataFrame(
+        [(0, v((0, 10))), (1, v((0, -10)))], "cid long, cv array<double>"
+    )
+    got = {r["id"]: r for r in semantic_dedup(vecs, cents, tau=0.95).collect()}
+    assert len(got) == 6
+    # retention order in cluster 0 is dist2 desc: 2 (farthest), 1, 0
+    assert got[2]["kept"] is True
+    assert got[1]["kept"] is False and got[0]["kept"] is False
+    assert got[3]["kept"] is True          # cos to the copies ~0.15
+    assert got[4]["kept"] is True and got[5]["kept"] is True
+    assert got[4]["cid"] == 1 and got[0]["cid"] == 0

@@ -1108,3 +1108,71 @@ def test_corpus_job_content_type_gate(spark, tmp_path):
         min_quality=0.0, min_tokens=0,
     )
     assert funnel2["dropped_content_type"] == -1
+
+
+def test_c4_line_clean_rules(spark):
+    """C4 line rules: terminal punctuation, min-words, javascript;
+    page rules: curly brackets / lorem ipsum on the ORIGINAL text and
+    the sentence floor on the KEPT text."""
+    from ocrd_segment_spark.operators.paragraphs import c4_line_clean
+
+    rows = [
+        (1, "A good first sentence stands entirely alone here.\n"
+            "Too short.\n"
+            "No terminal punctuation on this middle line\n"
+            "Please enable JavaScript to continue reading now.\n"
+            "Did the final question have enough words in it?\n"
+            "And one more closing sentence arrives right here!"),
+        (2, "Lorem Ipsum is placeholder text used since forever.\n"
+            "Another perfectly fine sentence with many words follows."),
+        (3, "A page that talks about code like function() { return; }.\n"
+            "Second sentence is long enough to survive the filters.\n"
+            "Third sentence is also long enough to survive today."),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_line_clean(df).collect()}
+    d1 = got[1]
+    assert d1["n_kept"] == 3 and d1["n_removed"] == 3
+    assert "JavaScript" not in d1["clean_text"]
+    assert d1["clean_text"].count("\n") == 2
+    assert d1["n_sentences"] == 3 and d1["c4_page_keep"] is True
+    # lorem ipsum: lines survive the LINE rules, the PAGE flag drops
+    assert got[2]["n_kept"] == 2 and got[2]["c4_page_keep"] is False
+    # curly bracket page
+    assert got[3]["c4_page_keep"] is False and got[3]["n_kept"] == 3
+    assert got[4]["clean_text"] == "" and got[4]["c4_page_keep"] is False
+
+
+def test_c4_clean_regions_preserves_spans(spark):
+    """Span-preserving C4: regions failing the line rules drop, the
+    survivors' spans remap so substring(clean_text, start, end)
+    reproduces each region's original text; page flags ride along."""
+    from ocrd_segment_spark.operators.paragraphs import c4_clean_regions
+
+    schema = (
+        "url string, extracted_text string, region_spans array<struct<"
+        "region_id:string,rtype:string,start:bigint,end:bigint,order:int>>"
+    )
+
+    def sp(rid, rt, s, e, order):
+        return {"region_id": rid, "rtype": rt, "start": s, "end": e,
+                "order": order}
+
+    t1 = ("Site nav menu links\n"
+          "This paragraph carries the actual article content here.\n"
+          "Is a second full sentence present in this region too?\n"
+          "But why!")
+    s1 = [sp("r1", "nav", 0, 19, 0), sp("r2", "paragraph", 20, 75, 1),
+          sp("r3", "paragraph", 76, 129, 2), sp("r4", "paragraph", 130, 138, 3)]
+    rows = [("d1", t1, s1)]
+    df = spark.createDataFrame(rows, schema)
+    out = {r["url"]: r for r in c4_clean_regions(df, min_sentences=2).collect()}
+    d1 = out["d1"]
+    originals = {s["region_id"]: t1[s["start"]:s["end"]] for s in s1}
+    kept_ids = {s["region_id"] for s in d1["region_spans"]}
+    assert kept_ids == {"r2", "r3"}     # nav: no terminal punct; r4: short
+    assert d1["n_kept"] == 2 and d1["n_removed"] == 2
+    for s in d1["region_spans"]:
+        assert d1["clean_text"][s["start"]:s["end"]] == originals[s["region_id"]]
+    assert d1["n_sentences"] == 2 and d1["c4_page_keep"] is True

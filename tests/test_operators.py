@@ -1111,3 +1111,36 @@ def test_host_quality_priors_and_droplist(spark):
              low_quality_hosts(host_quality_priors(df), min_docs=10,
                                max_mean_quality=0.3).collect()}
     assert drops == {"spam.org"}
+
+
+def test_mirror_hosts_detects_mirrors_and_caps_boilerplate(spark):
+    """Bharat-Broder mirror pairs: shared md5 fingerprints at host
+    grain, Jaccard resemblance, all-hosts boilerplate excluded by the
+    fingerprint cap, min_shared floor enforced."""
+    from ocrd_segment_spark.operators.hoststats import mirror_hosts
+
+    def pg(host, path, text):
+        return (f"https://{host}/{path}", text)
+
+    rows = (
+        # a.org and b.org mirror three documents
+        [pg("a.org", f"p{i}", f"mirrored body {i}") for i in range(3)]
+        + [pg("b.org", f"q{i}", f"mirrored body {i}") for i in range(3)]
+        # one extra unique page each (sizes 4 and 4 → jaccard 3/5)
+        + [pg("a.org", "only-a", "unique to a"),
+           pg("b.org", "only-b", "unique to b")]
+        # c.org shares ONE doc with a.org (below min_shared=2)
+        + [pg("c.org", "r0", "mirrored body 0")]
+        # cookie banner on every host: cap (3) must exclude it
+        + [pg(h, "banner", "we use cookies")
+           for h in ("a.org", "b.org", "c.org", "d.org")]
+    )
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = mirror_hosts(
+        df, max_hosts_per_fp=3, min_shared=2, min_resemblance=0.5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["host_a"], r["host_b"]) == ("a.org", "b.org")
+    assert (r["shared"], r["n_a"], r["n_b"]) == (3, 4, 4)
+    assert r["resemblance"] == 0.6
