@@ -277,6 +277,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": M.q_semantic_dedup,
     "mirror_hosts": G.q_mirror_hosts,
     "c4_line_clean": M.q_c4_line_clean,
+    "dsir_logweights": M.q_dsir_logweights,
+    "dsir_select": M.q_dsir_select,
 }
 
 _ORACLES: dict[str, str] = {
@@ -456,6 +458,8 @@ _ORACLES: dict[str, str] = {
     "semantic_dedup": M.O_SEMANTIC_DEDUP,
     "mirror_hosts": G.O_MIRROR_HOSTS,
     "c4_line_clean": M.O_C4_LINE_CLEAN,
+    "dsir_logweights": M.O_DSIR_LOGWEIGHTS,
+    "dsir_select": M.O_DSIR_SELECT,
 }
 
 

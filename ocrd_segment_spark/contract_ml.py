@@ -3116,3 +3116,118 @@ SELECT doc_id, clean_text,
         AND NOT contains(lower(t), 'lorem ipsum')) AS c4_page_keep
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (operators/dsir)
+# ---------------------------------------------------------------------------
+
+# Target model = docs with doc_id % 10 < 2; raw model = ALL docs (so
+# every scored bucket exists in the raw model — the missing-in-both
+# default arm is pytest-covered instead, where it can be constructed).
+# B=64 buckets, alpha=1. The per-bucket log-ratio quantizes to BIGINT
+# micro-units before the per-doc sum — bigint addition is associative,
+# so the cross-engine hash cannot depend on partition order.
+
+_DSIR_B = 64
+
+
+def _q_dsir_weights_frame(spark, sf_dir):
+    from .operators.dsir import dsir_logweights, fit_dsir_model
+
+    docs = _t(spark, sf_dir, "documents")
+    target = fit_dsir_model(docs.filter("doc_id % 10 < 2"), n_buckets=_DSIR_B)
+    raw = fit_dsir_model(docs, n_buckets=_DSIR_B)
+    return dsir_logweights(docs, target, raw, n_buckets=_DSIR_B)
+
+
+def q_dsir_logweights(spark, sf_dir):
+    """DSIR log importance weights (operators/dsir.dsir_logweights):
+    hashed unigram+bigram buckets (frozen STR_HASH % 64), add-1
+    smoothed target/raw bag models, micro-quantized per-bucket log
+    ratios summed per document as BIGINTs."""
+    return _q_dsir_weights_frame(spark, sf_dir)
+
+
+_D_DSIR_GRAMS = f"""
+toks AS (
+  -- the operator lowercases before tokenizing; the fixture happens to
+  -- be all-lowercase, but the oracle must restate the rule, not rely
+  -- on that
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END) AS grams
+  FROM toks
+), b AS (
+  SELECT doc_id,
+         list_transform(grams, g -> {_D_STR_HASH.format(s="g")} % {_DSIR_B})
+           AS buckets
+  FROM grams
+), tg AS (
+  SELECT bucket, count(*) AS ct
+  FROM (SELECT unnest(buckets) AS bucket FROM b WHERE doc_id % 10 < 2)
+  GROUP BY bucket
+), rw AS (
+  SELECT bucket, count(*) AS cr
+  FROM (SELECT unnest(buckets) AS bucket FROM b)
+  GROUP BY bucket
+), tot AS (
+  SELECT (SELECT COALESCE(SUM(ct), 0) FROM tg) AS nt,
+         (SELECT COALESCE(SUM(cr), 0) FROM rw) AS nr
+), ratio AS (
+  -- full-range bucket table, like the operator: every scored gram
+  -- finds a row, unseen buckets take the smoothing constant
+  SELECT ab.bucket,
+         CAST(ROUND((ln(COALESCE(ct, 0) + 1.0) - ln(COALESCE(cr, 0) + 1.0)
+                     + ln(nr + {_DSIR_B}.0) - ln(nt + {_DSIR_B}.0))
+                    * 1000000) AS BIGINT) AS r
+  FROM (SELECT unnest(range({_DSIR_B})) AS bucket) ab
+  LEFT JOIN tg ON ab.bucket = tg.bucket
+  LEFT JOIN rw ON ab.bucket = rw.bucket
+  CROSS JOIN tot
+), db AS (
+  SELECT doc_id, unnest(buckets) AS bucket FROM b
+), per AS (
+  SELECT db.doc_id, SUM(ratio.r) AS micro, COUNT(*) AS n_grams
+  FROM db JOIN ratio USING (bucket) GROUP BY db.doc_id
+), w AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(per.micro, 0) AS DOUBLE) / 1000000 AS logw
+  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+)"""
+
+O_DSIR_LOGWEIGHTS = f"""
+WITH {_D_DSIR_GRAMS}
+SELECT doc_id, n_grams, logw FROM w
+"""
+
+
+def q_dsir_select(spark, sf_dir):
+    """Gumbel-top-40 DSIR resample (operators/dsir.dsir_select):
+    score = logw + Gumbel from the content-addressed frozen hash;
+    sort+limit plans as TakeOrdered, never a global sort."""
+    from .operators.dsir import dsir_select
+
+    return dsir_select(_q_dsir_weights_frame(spark, sf_dir), n=40)
+
+
+_D_DSIR_UKEY = _D_STR_HASH.format(
+    s="CAST(doc_id AS VARCHAR) || ':dsir'"
+)
+O_DSIR_SELECT = f"""
+WITH {_D_DSIR_GRAMS}
+SELECT doc_id, logw,
+       ROUND(logw + (-ln(-ln((({_D_DSIR_UKEY} % 1000003) + 0.5)
+                            / 1000003.0))), 6) AS score
+FROM w
+ORDER BY score DESC, doc_id ASC
+LIMIT 40
+"""

@@ -411,3 +411,38 @@ def test_session5_operator_plans(spark):
     )
     # the PDF lane is a narrow codec stage: zero exchanges
     assert audit.exchange_count(pdf_pages(blobs)) == 0
+
+
+def test_session6_operator_plans(spark):
+    """Plan shapes of this session's operators: DSIR scoring joins its
+    B-row ratio table BROADCAST (no shuffle on the gram stream beyond
+    the per-doc partial agg); dsir_select plans TakeOrdered, not a
+    global sort; mirror_hosts' pair join is fingerprint-keyed;
+    c4_line_clean is fully narrow (zero exchanges, zero Python)."""
+    from ocrd_segment_spark.operators.dsir import (
+        dsir_logweights, dsir_select, fit_dsir_model,
+    )
+    from ocrd_segment_spark.operators.hoststats import mirror_hosts
+    from ocrd_segment_spark.operators.paragraphs import c4_line_clean
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    t = fit_dsir_model(docs.filter("doc_id = 1"), n_buckets=64)
+    r = fit_dsir_model(docs, n_buckets=64)
+    w = dsir_logweights(docs, t, r, n_buckets=64)
+    plan = audit.physical_plan(w)
+    assert audit.broadcast_join_count(w) >= 1
+    assert "EvalPython" not in plan
+    sel = dsir_select(w, 1)
+    assert "TakeOrderedAndProject" in audit.physical_plan(sel)
+
+    pages = spark.createDataFrame(
+        [("https://a.org/p", "body text")], "url string, text string"
+    )
+    assert "EvalPython" not in audit.physical_plan(mirror_hosts(pages))
+
+    c4 = c4_line_clean(docs)
+    assert not audit.has_exchange(c4)
+    assert "EvalPython" not in audit.physical_plan(c4)
