@@ -18,6 +18,7 @@ from ocrd_segment_spark import contract_graph as G
 from ocrd_segment_spark import contract_ml as M
 from ocrd_segment_spark import contract_web as WB
 from ocrd_segment_spark import contract_ingest as I
+from ocrd_segment_spark import contract_pages as PG
 from ocrd_segment_spark.pipeline import extract_pages
 
 
@@ -279,6 +280,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_clean": M.q_c4_line_clean,
     "dsir_logweights": M.q_dsir_logweights,
     "dsir_select": M.q_dsir_select,
+    # soft-404 / error-page detection (operators/softerrors.py)
+    "soft404_flags": PG.q_soft404_flags,
+    "soft404_host_rates": PG.q_soft404_host_rates,
+    # HTML table extraction + markdown serialization (operators/tables.py)
+    "html_table_cells": PG.q_html_table_cells,
+    "tables_markdown": PG.q_tables_markdown,
 }
 
 _ORACLES: dict[str, str] = {
@@ -460,6 +467,10 @@ _ORACLES: dict[str, str] = {
     "c4_line_clean": M.O_C4_LINE_CLEAN,
     "dsir_logweights": M.O_DSIR_LOGWEIGHTS,
     "dsir_select": M.O_DSIR_SELECT,
+    "soft404_flags": PG.O_SOFT404_FLAGS,
+    "soft404_host_rates": PG.O_SOFT404_HOST_RATES,
+    "html_table_cells": PG.O_HTML_TABLE_CELLS,
+    "tables_markdown": PG.O_TABLES_MARKDOWN,
 }
 
 

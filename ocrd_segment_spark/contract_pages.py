@@ -1,0 +1,267 @@
+"""Contract queries + DuckDB oracles: page-content analysis layer
+(soft-404 detection, HTML table extraction, script-mix stats,
+confusable hosts, heading outlines).
+
+Same discipline as the sibling contract modules: the Spark side runs
+the SHIPPED operator over a fixture synthesized in SQL from the
+driver's tables; the oracle restates the frozen semantics in portable
+SQL (dual derivation, not expected-output, wherever the rule is
+SQL-expressible) with identical aliases, double-cast literals, and
+``AS MATERIALIZED`` on multiply-referenced CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .contract_ml import _t
+from .operators.softerrors import (
+    BODY_PHRASES,
+    BODY_WINDOW_CHARS,
+    SOFT404_MAX_CHARS,
+    TITLE_PHRASES,
+)
+
+# ---------------------------------------------------------------------------
+# soft-404 / error-page detection (operators/softerrors.py)
+# ---------------------------------------------------------------------------
+
+# Seven page shapes: clean long page, classic 404 title + tiny body,
+# long article that MENTIONS error 404 (body arm fires, tiny arm
+# saves it), NULL title + tiny error body, title hit over an empty
+# body, NULL body, and a near-miss title ('Results found' must not
+# match 'not found' — instr is substring, 'found' alone is not a
+# phrase). Dialect-neutral fixture SQL: runs verbatim in both engines.
+
+_SE_TITLE = """CASE doc_id % 7
+  WHEN 0 THEN 'Home'
+  WHEN 1 THEN '404 Not Found'
+  WHEN 2 THEN 'Article about HTTP status codes'
+  WHEN 3 THEN NULL
+  WHEN 4 THEN 'Page Not Found - Example'
+  WHEN 5 THEN 'Support'
+  ELSE 'Results found for query' END"""
+
+_SE_TEXT = """CASE doc_id % 7
+  WHEN 0 THEN text
+  WHEN 1 THEN 'The page you requested was not found.'
+  WHEN 2 THEN concat('Mentioning error 404 in a long article. ', repeat('x ', 300))
+  WHEN 3 THEN 'File not found on this server'
+  WHEN 4 THEN ''
+  WHEN 5 THEN NULL
+  ELSE 'Short note' END"""
+
+_SE_HOST = "concat('h', cast(doc_id % 5 as string))"
+
+
+def _se_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_SE_HOST} as host",
+        f"{_SE_TITLE} as title",
+        f"{_SE_TEXT} as text",
+    )
+
+
+def q_soft404_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (operators/softerrors.with_soft404): frozen
+    phrase heuristic — title arm aggressive, body arm gated on a tiny
+    (<512 char) body. Pure scan-stage instr probes, zero Python, zero
+    shuffle."""
+    from .operators.softerrors import with_soft404
+
+    return with_soft404(_se_pages(spark, sf_dir)).select(
+        "doc_id", "soft404_title_hit", "soft404_body_hit", "is_soft404"
+    )
+
+
+def _se_probe_sql() -> str:
+    t_hit = " OR ".join(
+        f"instr(lt, '{p}') > 0" for p in TITLE_PHRASES
+    )
+    b_hit = " OR ".join(
+        f"instr(hb, '{p}') > 0" for p in BODY_PHRASES
+    )
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id, {_SE_HOST} AS host,
+         {_SE_TITLE} AS title, {_SE_TEXT} AS body
+  FROM documents
+), probes AS MATERIALIZED (
+  SELECT doc_id, host,
+         lower(coalesce(title, '')) AS lt,
+         lower(substring(coalesce(body, ''), 1, {BODY_WINDOW_CHARS})) AS hb,
+         length(coalesce(body, '')) AS n
+  FROM pages
+), flags AS MATERIALIZED (
+  SELECT doc_id, host,
+         ({t_hit}) AS soft404_title_hit,
+         ({b_hit}) AS soft404_body_hit,
+         (({t_hit}) OR (({b_hit}) AND n < {SOFT404_MAX_CHARS})) AS is_soft404
+  FROM probes
+)"""
+
+
+O_SOFT404_FLAGS = (
+    _se_probe_sql()
+    + """
+SELECT doc_id, soft404_title_hit, soft404_body_hit, is_soft404 FROM flags
+"""
+)
+
+
+def q_soft404_host_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host soft-404 rate (operators/softerrors.soft404_host_rates):
+    the frontier's link-rot prior. One partial-aggregable group on
+    host, round-6 double rate."""
+    from .operators.softerrors import soft404_host_rates, with_soft404
+
+    return soft404_host_rates(with_soft404(_se_pages(spark, sf_dir)))
+
+
+O_SOFT404_HOST_RATES = (
+    _se_probe_sql()
+    + """
+SELECT host,
+       count(*) AS n_pages,
+       sum(CASE WHEN is_soft404 THEN 1 ELSE 0 END) AS n_soft404,
+       round(sum(CASE WHEN is_soft404 THEN 1 ELSE 0 END)
+             * CAST(1.0 AS DOUBLE) / count(*), 6) AS soft404_rate
+FROM flags
+GROUP BY host
+"""
+)
+
+# ---------------------------------------------------------------------------
+# HTML table extraction (operators/tables.py)
+# ---------------------------------------------------------------------------
+
+# Four page shapes: a plain th/td table with an &amp; entity; a
+# MIXED-CASE table with attributes, a pipe char in a cell, ragged
+# widths, and an EMPTY <tr> (row_idx gap); a page with no table at
+# all; and a two-table page exercising &lt; &nbsp; &#39; decode and a
+# header-only second row layout. Dialect-neutral fixture SQL.
+
+_TB_HTML = """concat('<html><body><h1>T</h1>',
+  CASE doc_id % 4
+   WHEN 0 THEN concat('<table><tr><th>K</th><th>V</th></tr><tr><td>a&amp;b</td><td>', cast(doc_id as string), '</td></tr></table>')
+   WHEN 1 THEN '<TABLE id="x"><TR><TD> spaced
+   text </TD><TD>p|q</TD></TR><tr></tr><tr><td>tail</td></tr></TABLE>'
+   WHEN 2 THEN '<p>no tables</p>'
+   ELSE '<table><tr><td>one</td></tr></table><div></div><table><tr><th>h&lt;i</th></tr><tr><td>&nbsp;z&#39;</td></tr></table>'
+  END, '</body></html>')"""
+
+
+def _tb_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_TB_HTML} as html"
+    )
+
+
+def q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (operators/tables.table_cells): frozen
+    regular grammar — tables/rows/cells via chained
+    regexp_extract_all + posexplode, tag-strip + 5-entity decode +
+    whitespace-normalize per cell. Scan-stage column math, zero
+    Python; ordinals cast long at the contract edge only."""
+    from .operators.tables import table_cells
+
+    return table_cells(_tb_pages(spark, sf_dir)).selectExpr(
+        "doc_id",
+        "cast(table_idx as long) as table_idx",
+        "cast(row_idx as long) as row_idx",
+        "cast(col_idx as long) as col_idx",
+        "is_header",
+        "cell_text",
+    )
+
+
+# the frozen cleanup chain, restated: strip tags, decode the 5
+# entities (&amp; LAST), collapse the explicit whitespace class
+# (real chars injected — DuckDB literals do not process backslashes),
+# trim
+_WS_DUCK = "[ \t\n\r\f\x0b ]+"
+_CLEAN_DUCK = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace(cell, '(?s)<[^>]*>', '', 'g'),"
+    " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    " '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),"
+    f" '{_WS_DUCK}', ' ', 'g'))"
+)
+
+_TB_CELLS_CTE = f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id, {_TB_HTML} AS html FROM documents
+), tbls AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS table_idx, unnest(l) AS tbl
+  FROM (SELECT doc_id, regexp_extract_all(html, '(?is)<table[^>]*>.*?</table>', 0) AS l FROM pages)
+), rws AS (
+  SELECT doc_id, table_idx, generate_subscripts(r, 1) - 1 AS row_idx, unnest(r) AS rowb
+  FROM (SELECT doc_id, table_idx, regexp_extract_all(tbl, '(?is)<tr[^>]*>(.*?)</tr>', 1) AS r FROM tbls)
+), rawcells AS (
+  SELECT doc_id, table_idx, row_idx, generate_subscripts(c, 1) - 1 AS col_idx, unnest(c) AS cell
+  FROM (SELECT doc_id, table_idx, row_idx, regexp_extract_all(rowb, '(?is)<t[dh][^>]*>.*?</t[dh]>', 0) AS c FROM rws)
+), cells AS MATERIALIZED (
+  SELECT doc_id, table_idx, row_idx, col_idx,
+         lower(substring(cell, 1, 3)) = '<th' AS is_header,
+         {_CLEAN_DUCK} AS cell_text
+  FROM rawcells
+)"""
+
+O_HTML_TABLE_CELLS = (
+    _TB_CELLS_CTE
+    + """
+SELECT doc_id, table_idx, row_idx, col_idx, is_header, cell_text FROM cells
+"""
+)
+
+
+def q_tables_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GitHub pipe-table serialization (operators/tables
+    .tables_markdown): header = first non-empty row, separator sized
+    to its width, pipes escaped. Two partial-aggregable id-grain
+    groups — zero skew (no key hotter than the biggest page)."""
+    from .operators.tables import table_cells, tables_markdown
+
+    return tables_markdown(
+        table_cells(_tb_pages(spark, sf_dir))
+    ).selectExpr(
+        "doc_id",
+        "cast(table_idx as long) as table_idx",
+        "cast(n_rows as long) as n_rows",
+        "n_cols",
+        "markdown",
+    )
+
+
+O_TABLES_MARKDOWN = (
+    _TB_CELLS_CTE
+    + r"""
+, esc AS (
+  SELECT doc_id, table_idx, row_idx, col_idx,
+         replace(cell_text, '|', '\|') AS e FROM cells
+), lines AS MATERIALIZED (
+  SELECT doc_id, table_idx, row_idx,
+         '| ' || string_agg(e, ' | ' ORDER BY col_idx) || ' |' AS line,
+         count(*) AS nc
+  FROM esc GROUP BY doc_id, table_idx, row_idx
+), hdr AS (
+  SELECT doc_id, table_idx, min(row_idx) AS r0
+  FROM lines GROUP BY doc_id, table_idx
+)
+SELECT l.doc_id, l.table_idx,
+       count(*) AS n_rows,
+       max(CASE WHEN l.row_idx = h.r0 THEN l.nc END) AS n_cols,
+       max(CASE WHEN l.row_idx = h.r0 THEN l.line END)
+       || chr(10) || '|'
+       || repeat(' --- |', CAST(max(CASE WHEN l.row_idx = h.r0 THEN l.nc END) AS INTEGER))
+       || CASE WHEN count(*) > 1
+               THEN chr(10) || string_agg(
+                      CASE WHEN l.row_idx <> h.r0 THEN l.line END,
+                      chr(10) ORDER BY l.row_idx)
+               ELSE '' END AS markdown
+FROM lines l JOIN hdr h ON l.doc_id = h.doc_id AND l.table_idx = h.table_idx
+GROUP BY l.doc_id, l.table_idx
+"""
+)

@@ -1,0 +1,79 @@
+"""HTML table extraction: frozen grammar, cell cleanup, markdown."""
+
+from ocrd_segment_spark.operators.tables import table_cells, tables_markdown
+
+_HTML = (
+    '<TABLE class="z"><tr><TH> Name </TH><th>Qty&nbsp;&amp;&#39;s</th></tr>'
+    '<tr><td><b>a|b</b></td><td colspan="2">2</td></tr>'
+    "<tr></tr>"
+    "<tr><td>only</td></tr></TABLE>"
+    "<p>no table here</p>"
+    "<table><tr><td>x&lt;y</td></tr></table>"
+)
+
+
+def _cells(spark, html):
+    df = spark.createDataFrame([(1, html)], "doc_id int, html string")
+    return table_cells(df).orderBy("table_idx", "row_idx", "col_idx")
+
+
+def test_cell_grid(spark):
+    got = [
+        (r.table_idx, r.row_idx, r.col_idx, r.is_header, r.cell_text)
+        for r in _cells(spark, _HTML).collect()
+    ]
+    assert got == [
+        (0, 0, 0, True, "Name"),
+        (0, 0, 1, True, "Qty &'s"),  # nbsp + amp + #39 decoded
+        (0, 1, 0, False, "a|b"),  # inner <b> stripped
+        (0, 1, 1, False, "2"),  # colspan ignored, ordinal col
+        (0, 3, 0, False, "only"),  # empty <tr> leaves a row_idx gap
+        (1, 0, 0, False, "x<y"),
+    ]
+
+
+def test_no_table_page(spark):
+    assert _cells(spark, "<p>plain</p>").count() == 0
+
+
+def test_whitespace_normalized(spark):
+    got = _cells(
+        spark, "<table><tr><td>  a\n\t b c  </td></tr></table>"
+    ).collect()
+    assert got[0].cell_text == "a b c"
+
+
+def test_amp_decoded_last(spark):
+    # &amp;lt; must decode to literal '&lt;', not '<'
+    got = _cells(spark, "<table><tr><td>&amp;lt;</td></tr></table>").collect()
+    assert got[0].cell_text == "&lt;"
+
+
+def test_nested_table_truncates_outer(spark):
+    # regular-grammar limitation, frozen: the inner close ends the match
+    html = "<table><tr><td><table><tr><td>in</td></tr></table></td></tr></table>"
+    got = _cells(spark, html).collect()
+    assert [r.cell_text for r in got] == ["in"]
+
+
+def test_markdown(spark):
+    md = {
+        r.table_idx: r
+        for r in tables_markdown(_cells(spark, _HTML)).collect()
+    }
+    assert md[0].n_rows == 3 and md[0].n_cols == 2
+    assert md[0].markdown == (
+        "| Name | Qty &'s |\n"
+        "| --- | --- |\n"
+        "| a\\|b | 2 |\n"
+        "| only |"
+    )
+    assert md[1].markdown == "| x<y |\n| --- |"
+    assert md[1].n_rows == 1 and md[1].n_cols == 1
+
+
+def test_markdown_headerless_first_row_is_min(spark):
+    # empty first <tr>: header is the first NON-EMPTY row
+    html = "<table><tr></tr><tr><td>h</td></tr><tr><td>b</td></tr></table>"
+    r = tables_markdown(_cells(spark, html)).collect()[0]
+    assert r.markdown == "| h |\n| --- |\n| b |"
