@@ -286,6 +286,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # HTML table extraction + markdown serialization (operators/tables.py)
     "html_table_cells": PG.q_html_table_cells,
     "tables_markdown": PG.q_tables_markdown,
+    # Unicode script mix + homoglyph confusables (operators/scriptmix.py)
+    "script_mix": PG.q_script_mix,
+    # IDN-spoof host flags (functions/urls.with_host_script_flags)
+    "host_confusables": PG.q_host_confusables,
+    # heading outline / section tree (operators/outline.py)
+    "heading_outline": PG.q_heading_outline,
 }
 
 _ORACLES: dict[str, str] = {
@@ -471,6 +477,9 @@ _ORACLES: dict[str, str] = {
     "soft404_host_rates": PG.O_SOFT404_HOST_RATES,
     "html_table_cells": PG.O_HTML_TABLE_CELLS,
     "tables_markdown": PG.O_TABLES_MARKDOWN,
+    "script_mix": PG.O_SCRIPT_MIX,
+    "host_confusables": PG.O_HOST_CONFUSABLES,
+    "heading_outline": PG.O_HEADING_OUTLINE,
 }
 
 

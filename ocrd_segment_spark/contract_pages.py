@@ -265,3 +265,216 @@ FROM lines l JOIN hdr h ON l.doc_id = h.doc_id AND l.table_idx = h.table_idx
 GROUP BY l.doc_id, l.table_idx
 """
 )
+
+# ---------------------------------------------------------------------------
+# Unicode script mix + confusables (operators/scriptmix.py)
+# ---------------------------------------------------------------------------
+
+# Eight text shapes: driver English text; Russian; a Latin text with
+# Cyrillic homoglyph 'а' (U+0430) substituted into words (the spoof —
+# mixed_script + confusable_pairs both fire); Chinese; Japanese
+# han+kana; Greek; digits/punctuation only (n_letters = 0 → NULL
+# main); Korean-with-Latin mix above the 20-letter floor. The oracle
+# rebuilds every count from the SAME SCRIPT_CLASSES literals the
+# operator ships — one source of truth for the frozen ranges.
+
+_SM_TEXT = """CASE doc_id % 8
+  WHEN 0 THEN text
+  WHEN 1 THEN 'Съешь же ещё этих мягких французских булок да выпей чаю'
+  WHEN 2 THEN 'Login to pаypаl com and verify your аccount bаlаnce now plеase'
+  WHEN 3 THEN '中文网页的正文内容提取质量评估与重复检测流程说明文档'
+  WHEN 4 THEN '日本語のテキストは漢字とかなが混ざります。ウェブ抽出の品質。'
+  WHEN 5 THEN 'Η γρήγορη καφέ αλεπού πηδά πάνω από το τεμπέλικο σκυλί'
+  WHEN 6 THEN '12345 67890 !!! ??? ---'
+  ELSE concat('한국어 문서 품질 평가 파이프라인 테스트 문장입니다 ', 'web quality check line ', cast(doc_id as string))
+  END"""
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix stats (operators/scriptmix): eight frozen
+    BMP block classes, first-declared argmax tie-break, 20-letter
+    floor on the mixed flag, Latin-Cyrillic confusable adjacency
+    count. Nine regexp_count probes, zero Python, zero shuffle."""
+    from .operators.scriptmix import script_mix_summary
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_SM_TEXT} as text"
+    )
+    return script_mix_summary(docs)
+
+
+def _o_script_mix() -> str:
+    from .operators.scriptmix import (
+        CONFUSABLE_PAIR,
+        MIN_LETTERS,
+        MIXED_MAX_MAIN,
+        SCRIPT_CLASSES,
+    )
+
+    cnts = ",\n         ".join(
+        f"len(regexp_extract_all(t, '{cls}')) AS n_{name}"
+        for name, cls in SCRIPT_CLASSES
+    )
+    letters = " + ".join(f"n_{name}" for name, _ in SCRIPT_CLASSES)
+    mx = "greatest(" + ", ".join(f"n_{n}" for n, _ in SCRIPT_CLASSES) + ")"
+    main = (
+        "CASE WHEN n_letters = 0 THEN NULL "
+        + " ".join(
+            f"WHEN n_{name} = mx THEN '{name}'"
+            for name, _ in SCRIPT_CLASSES
+        )
+        + " END"
+    )
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, coalesce({_SM_TEXT}, '') AS t FROM documents
+), cnt AS MATERIALIZED (
+  SELECT doc_id, t,
+         {cnts}
+  FROM src
+), summed AS MATERIALIZED (
+  SELECT doc_id, t, {letters} AS n_letters, {mx} AS mx,
+         n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew, n_han, n_kana, n_hangul
+  FROM cnt
+)
+SELECT doc_id, n_letters,
+       {main} AS main_script,
+       CASE WHEN n_letters > 0
+            THEN round(mx * CAST(1.0 AS DOUBLE) / n_letters, 6) END AS main_fraction,
+       (n_letters >= {MIN_LETTERS}
+        AND mx * CAST(1.0 AS DOUBLE) / n_letters < CAST({MIXED_MAX_MAIN} AS DOUBLE)) AS mixed_script,
+       len(regexp_extract_all(t, '{CONFUSABLE_PAIR}')) AS confusable_pairs
+FROM summed
+"""
+
+
+O_SCRIPT_MIX = _o_script_mix()
+
+
+# ---------------------------------------------------------------------------
+# IDN-spoof host flags (functions/urls.with_host_script_flags)
+# ---------------------------------------------------------------------------
+
+# Six host shapes: clean ASCII, punycode second-level label, Cyrillic
+# homoglyph label (the spoof), PURE-Cyrillic IDN (legit — must NOT
+# flag confusable), punycode in a middle label, NULL host.
+
+_HC_HOST = """CASE doc_id % 6
+  WHEN 0 THEN 'example.com'
+  WHEN 1 THEN 'XN--80ak6aa92e.com'
+  WHEN 2 THEN concat('p', 'а', 'yp', 'а', 'l.com')
+  WHEN 3 THEN 'почта.рф'
+  WHEN 4 THEN 'sub.xn--p1ai.org'
+  ELSE NULL END"""
+
+
+def q_host_confusables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN-spoof host screens (functions/urls.with_host_script_flags):
+    per-label punycode ACE prefix + Latin/Cyrillic mixed-label
+    confusable flag. split + exists higher-order fn, zero shuffle."""
+    from .functions.urls import with_host_script_flags
+
+    hosts = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_HC_HOST} as host"
+    )
+    return with_host_script_flags(hosts).select(
+        "doc_id", "host", "is_punycode", "confusable_host"
+    )
+
+
+O_HOST_CONFUSABLES = f"""
+WITH hosts AS MATERIALIZED (
+  SELECT doc_id, {_HC_HOST} AS host FROM documents
+), lab AS MATERIALIZED (
+  SELECT doc_id, host,
+         string_split(lower(coalesce(host, '')), '.') AS ls
+  FROM hosts
+)
+SELECT doc_id, host,
+       len(list_filter(ls, x -> x LIKE 'xn--%')) > 0 AS is_punycode,
+       len(list_filter(ls,
+           x -> regexp_matches(x, '[a-z]')
+                AND regexp_matches(x, '[Ѐ-ӿ]'))) > 0 AS confusable_host
+FROM lab
+"""
+
+
+# ---------------------------------------------------------------------------
+# heading outline (operators/outline.py)
+# ---------------------------------------------------------------------------
+
+# Four page shapes: a well-nested h1>h2>h3 tree; a tag-soup page with
+# MIXED-CASE tags, attributes, entities, and a level RESET (h1 after
+# h3 — later headings must re-parent to the new h1, skipping the
+# stale h2); a page with no headings; a deep-skip page (h1 then h4 —
+# parent is the h1 despite the gap).
+
+_HO_HTML = """concat('<html><body>',
+  CASE doc_id % 4
+   WHEN 0 THEN concat('<h1>Doc ', cast(doc_id as string), '</h1><p>x</p><h2>Alpha</h2><h3>A1</h3><h3>A2</h3><h2>Beta</h2>')
+   WHEN 1 THEN '<H1 id="t">Top&amp;Co</H1><h3>deep  first</h3><H2>mid</H2><h3>child</h3><h1>Reset</h1><h3>re-child</h3>'
+   WHEN 2 THEN '<p>no headings at all</p>'
+   ELSE '<h1>Solo</h1><h4>leap</h4><h4>leap2</h4>'
+  END, '</body></html>')"""
+
+
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline (operators/outline.heading_outline): frozen
+    h1-h6 harvest, shared cell-cleanup chain, parent = closest
+    preceding smaller-level heading via ONE page-keyed window (five
+    running-max frames, -1 sentinel). Zero Python, zero skew."""
+    from .operators.outline import heading_outline
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_HO_HTML} as html"
+    )
+    return heading_outline(pages).selectExpr(
+        "doc_id",
+        "cast(seq as long) as seq",
+        "cast(level as long) as level",
+        "heading",
+        "cast(parent_seq as long) as parent_seq",
+    )
+
+
+def _o_heading_outline() -> str:
+    lasts = ",\n         ".join(
+        f"coalesce(max(CASE WHEN level = {k} THEN seq END) OVER w, -1) AS l{k}"
+        for k in range(1, 6)
+    )
+    parent = (
+        "CASE level WHEN 1 THEN -1 "
+        + " ".join(
+            "WHEN {lvl} THEN greatest({args})".format(
+                lvl=lvl,
+                args=", ".join(f"l{k}" for k in range(1, lvl)),
+            )
+            for lvl in range(2, 7)
+        )
+        + " END"
+    )
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id, {_HO_HTML} AS html FROM documents
+), hs AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS seq, unnest(l) AS cell
+  FROM (SELECT doc_id, regexp_extract_all(html, '(?is)<h[1-6][^>]*>.*?</h[1-6]>', 0) AS l FROM pages)
+), lv AS MATERIALIZED (
+  SELECT doc_id, seq,
+         CAST(substring(cell, 3, 1) AS BIGINT) AS level,
+         {_CLEAN_DUCK} AS heading
+  FROM hs
+), par AS MATERIALIZED (
+  SELECT doc_id, seq, level, heading,
+         {lasts}
+  FROM lv
+  WINDOW w AS (PARTITION BY doc_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT doc_id, seq, level, heading,
+       nullif({parent}, -1) AS parent_seq
+FROM par
+"""
+
+
+O_HEADING_OUTLINE = _o_heading_outline()

@@ -222,3 +222,37 @@ def latest_snapshot(
     return flagged.withColumn(
         flag_col, F.col("__rn") == F.lit(1)
     ).drop("__rn")
+
+
+def with_host_script_flags(df, host_col: str = "host"):
+    """Append IDN-spoof screens per host (Unicode TR#36 "international
+    domain name spoofing" — the url-grain twin of
+    operators/scriptmix's text screen):
+
+    - ``is_punycode``: any dot-separated label of the lowercased host
+      starts with the ACE prefix ``xn--`` (RFC 3490) — the host
+      carries encoded non-ASCII somewhere; legitimate IDNs use it
+      too, so this is a ROUTING flag (decode-and-inspect lane), not
+      a drop;
+    - ``confusable_host``: some label mixes ASCII letters with
+      Cyrillic letters (U+0400-U+04FF) — the classic homoglyph
+      registration ('pаypаl.com'); per TR#39 whole-script
+      confusables are the norm, so the per-LABEL mix test catches
+      the attack without flagging genuine Cyrillic domains.
+
+    Frozen rule stated so the oracle restates it: lowercase, split on
+    '.', exists-label-with prefix / exists-label-matching both
+    classes. Pure JVM expression (split + exists higher-order
+    function), zero Python, zero shuffle."""
+    h = F.lower(F.coalesce(F.col(host_col), F.lit("")))
+    labels = F.split(h, "\\.")
+    return df.withColumn(
+        "is_punycode",
+        F.exists(labels, lambda l: l.startswith("xn--")),
+    ).withColumn(
+        "confusable_host",
+        F.exists(
+            labels,
+            lambda l: l.rlike("[a-z]") & l.rlike("[Ѐ-ӿ]"),
+        ),
+    )
