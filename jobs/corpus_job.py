@@ -23,7 +23,12 @@ Stages (each narrow or one bounded shuffle):
                  OWN authority declarations, operators/headmeta).
                  ``--outlinks PATH`` writes the host-grain link graph
                  of the RAW input as a side output (the PageRank
-                 producer feed).
+                 producer feed); ``--tables PATH`` writes markdown-
+                 serialized HTML tables of the raw input
+                 (operators/tables — table-structured training data);
+                 ``--drop-soft404`` drops error pages served as 200
+                 (title/tiny-body phrase screen, operators/softerrors)
+                 before they pay kernel time.
 1. extract     — HTML → (extracted_text, region_spans, lineage); the
                  shuffle-free mapInPandas kernel path.
 2. score       — real char-n-gram language id scored INSIDE the
@@ -38,7 +43,9 @@ Stages (each narrow or one bounded shuffle):
                  ``--max-compression`` add the round-3 quality-signal
                  drops — entropy is column math, LM/compression are
                  pass-through mapInPandas appends, ALL in the same
-                 linear lineage (no join back, no re-extraction).
+                 linear lineage (no join back, no re-extraction);
+                 ``--script-screen`` drops mixed-script documents
+                 (operators/scriptmix, pure column math, same pass).
 4. exact dedup — keep the canonical (min url) copy per content hash:
                  ONE shuffle on md5(extracted_text); near-dup passes
                  (MinHash LSH) run as a separate offline audit because
@@ -174,6 +181,32 @@ def main() -> None:
         " bag-of-tokens logistic model): docs whose round-6 logit is"
         " negative drop; zero-token docs are kept (no evidence); adds"
         " the clf_logit audit column and the dropped_clf funnel count",
+    )
+    ap.add_argument(
+        "--drop-soft404",
+        action="store_true",
+        help="pre-extraction soft-404 screen (operators/softerrors"
+        ".soft404_page_stage): pages whose harvested <title> carries an"
+        " error phrase, or whose tag-stripped head is tiny AND carries"
+        " one, drop before paying kernel time; adds the dropped_soft404"
+        " funnel count",
+    )
+    ap.add_argument(
+        "--script-screen",
+        action="store_true",
+        help="drop mixed-script documents (operators/scriptmix: no"
+        " script holds 95% of the letters, 20-letter floor — SEO"
+        " cloaking / homoglyph spam / wrong-decode signal); adds the"
+        " main_script + main_fraction audit columns and the"
+        " dropped_script funnel count",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="optional path: side-output of GitHub-markdown serialized"
+        " HTML tables (operators/tables) harvested from the RAW crawl"
+        " before any exclusion — table-structured training data, same"
+        " raw-scan discipline as --outlinks",
     )
     ap.add_argument(
         "--boilerplate-min-df",
@@ -319,6 +352,8 @@ def main() -> None:
             ("--snapshot-collapse", args.snapshot_collapse),
             ("--outlinks", args.outlinks is not None),
             ("--feed-links", args.feed_links is not None),
+            ("--drop-soft404", args.drop_soft404),
+            ("--tables", args.tables is not None),
         ):
             if on:
                 ap.error(f"{flag} reads html pages and cannot run on"
@@ -363,6 +398,9 @@ def main() -> None:
         lm_max_bits=args.lm_max_bits,
         max_compression=args.max_compression,
         quality_clf=args.quality_clf,
+        script_screen=args.script_screen,
+        drop_soft404=args.drop_soft404,
+        tables_path=args.tables,
         count_bpe=args.count_bpe,
         bpe_vocab_path=args.bpe_vocab,
         card=args.card,
@@ -405,6 +443,9 @@ def build_corpus(
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
     quality_clf: bool = False,
+    script_screen: bool = False,
+    drop_soft404: bool = False,
+    tables_path: str | None = None,
     count_bpe: bool = False,
     bpe_vocab_path: str | None = None,
     card: bool = False,
@@ -471,6 +512,23 @@ def build_corpus(
         fl = fl.observe(fl_obs, F.count(F.lit(1)).alias("n"))
         fl.write.mode("overwrite").parquet(feed_links_path)
         n_feed_links = fl_obs.get["n"]
+    n_tables = -1
+    if tables_path is not None:
+        # markdown-table side output, same raw-scan discipline as
+        # --outlinks: tables are training data in their own right and
+        # should be harvested from every crawled page, including ones
+        # the text funnel later rejects (a page can be boilerplate AND
+        # carry a good table)
+        from ocrd_segment_spark.operators.tables import (
+            table_cells,
+            tables_markdown,
+        )
+
+        md = tables_markdown(table_cells(pages, id_col="url"), id_col="url")
+        t_obs = Observation("tables")
+        md = md.observe(t_obs, F.count(F.lit(1)).alias("n"))
+        md.write.mode("overwrite").parquet(tables_path)
+        n_tables = t_obs.get["n"]
     dom_obs = None
     if blocklist_path is not None:
         # domain blocklist BEFORE extraction — blocked pages never pay
@@ -612,6 +670,26 @@ def build_corpus(
             reps.filter("__canon_rep")
             .drop("__canon_rep", "noindex")
         )
+    sf_obs = None
+    if drop_soft404:
+        # soft-404 screen LAST in the pre-extraction chain (after the
+        # canonical collapse so alias accounting stays exact): error
+        # pages served as 200 never pay kernel time. Shared stage with
+        # the streaming job (operators/softerrors.soft404_page_stage);
+        # the drop count rides the terminal write via the Observation.
+        from ocrd_segment_spark.operators.softerrors import (
+            soft404_page_stage,
+        )
+
+        flagged = soft404_page_stage(pages)
+        sf_obs = Observation("soft404")
+        flagged = flagged.observe(
+            sf_obs,
+            F.coalesce(
+                F.sum(F.col("is_soft404").cast("long")), F.lit(0)
+            ).alias("dropped"),
+        )
+        pages = flagged.filter(~F.col("is_soft404")).drop("is_soft404")
     # real n-gram language id (round-3 task: the en/de digram toy no
     # longer routes drop decisions) scored INSIDE the extraction pass —
     # same frozen score_document, zero extra Arrow round-trip, the
@@ -666,6 +744,7 @@ def build_corpus(
         lm_max_bits=lm_max_bits,
         max_compression=max_compression,
         quality_clf=quality_clf,
+        script_screen=script_screen,
         python_parallelism=python_parallelism,
     )
     if count_bpe:
@@ -756,6 +835,17 @@ def build_corpus(
         F.coalesce(
             F.sum(
                 (
+                    F.col("keep_quality") & F.col("keep_lang")
+                    & F.col("keep_gopher") & F.col("keep_entropy")
+                    & F.col("keep_lm") & F.col("keep_compression")
+                    & F.col("keep_clf") & ~F.col("keep_script")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("dropped_script"),
+        F.coalesce(
+            F.sum(
+                (
                     F.col("keep_quality")
                     & F.col("keep_lang")
                     & F.col("keep_gopher")
@@ -763,6 +853,7 @@ def build_corpus(
                     & F.col("keep_lm")
                     & F.col("keep_compression")
                     & F.col("keep_clf")
+                    & F.col("keep_script")
                 ).cast("long")
             ),
             F.lit(0),
@@ -826,8 +917,12 @@ def build_corpus(
             if hm_obs is not None
             else -1
         ),
+        "dropped_soft404": (
+            sf_obs.get["dropped"] if sf_obs is not None else -1
+        ),
         "outlink_edges": n_outlink_edges,
         "feed_links_found": n_feed_links,
+        "tables_extracted": n_tables,
         "pages": counts["pages"],
         "dropped_quality": counts["dropped_quality"],
         "dropped_lang": counts["dropped_lang"],
@@ -846,6 +941,9 @@ def build_corpus(
             counts["dropped_compression"] if max_compression is not None else -1
         ),
         "dropped_clf": counts["dropped_clf"] if quality_clf else -1,
+        "dropped_script": (
+            counts["dropped_script"] if script_screen else -1
+        ),
         "kept_after_filters": counts["kept_after_filters"],
         # subword total of everything passing the filters (pre-dedup;
         # dedup canonicals keep their counts in the output table)

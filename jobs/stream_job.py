@@ -56,6 +56,8 @@ SINK_COLUMNS = (
     ("bits_per_bigram", "double"),
     ("compression_ratio", "double"),
     ("clf_logit", "double"),
+    ("main_script", "string"),
+    ("main_fraction", "double"),
     ("n_bpe_tokens", "long"),
     ("n_unk_pieces", "long"),
 )
@@ -108,6 +110,20 @@ def main() -> None:
         " the stream starts",
     )
     ap.add_argument(
+        "--script-screen",
+        action="store_true",
+        help="drop mixed-script documents (same frozen rule as the"
+        " batch job; operators/scriptmix) — main_script/main_fraction"
+        " ride the sink as signal columns",
+    )
+    ap.add_argument(
+        "--drop-soft404",
+        action="store_true",
+        help="drop soft-404 error pages BEFORE extraction (shared"
+        " stage with the batch job: operators/softerrors"
+        ".soft404_page_stage; row-local column math, streaming-legal)",
+    )
+    ap.add_argument(
         "--honor-noindex",
         action="store_true",
         help="drop robots-noindex pages BEFORE extraction (row-local"
@@ -144,6 +160,7 @@ def main() -> None:
             ("--sniff-charset", args.sniff_charset),
             ("--sniff-content-type", args.sniff_content_type),
             ("--honor-noindex", args.honor_noindex),
+            ("--drop-soft404", args.drop_soft404),
         ):
             if on:
                 ap.error(f"{flag} reads html pages and cannot run on"
@@ -169,6 +186,8 @@ def main() -> None:
         lang_margin=args.lang_margin,
         gopher=args.gopher,
         quality_clf=args.quality_clf,
+        script_screen=args.script_screen,
+        drop_soft404=args.drop_soft404,
         entropy_min=args.entropy_min,
         lm_ref_path=args.lm_ref,
         lm_max_bits=args.lm_max_bits,
@@ -198,6 +217,8 @@ def run_stream(
     lang_margin: float | None = None,
     gopher: bool = False,
     quality_clf: bool = False,
+    script_screen: bool = False,
+    drop_soft404: bool = False,
     entropy_min: float | None = None,
     lm_ref_path: str | None = None,
     lm_max_bits: float | None = None,
@@ -319,6 +340,23 @@ def run_stream(
             )
 
         pre_stages.append(_noindex_stage)
+    if drop_soft404:
+        # soft-404 screen LAST in the pre-extraction chain — the ONE
+        # shared stage definition with the batch job
+        # (operators/softerrors.soft404_page_stage); row-local column
+        # math, streaming-legal.
+        from ocrd_segment_spark.operators.softerrors import (
+            soft404_page_stage,
+        )
+
+        def _soft404_stage(pages):
+            return (
+                soft404_page_stage(pages)
+                .filter(~F.col("is_soft404"))
+                .drop("is_soft404")
+            )
+
+        pre_stages.append(_soft404_stage)
     pre_transform = None
     if pre_stages:
 
@@ -343,6 +381,7 @@ def run_stream(
             lm_table=lm_table,
             lm_max_bits=lm_max_bits,
             max_compression=max_compression,
+            script_screen=script_screen,
             python_parallelism=python_parallelism,
             # the stream needs no per-stage drop counts, so failing
             # rows drop BEFORE the Python LM/compression stages

@@ -2,8 +2,8 @@
 
 jobs/corpus_job.py (batch) and jobs/stream_job.py (streaming) apply
 the same drop stages — quality, language, Gopher rules, character
-entropy, reference-LM surprisal, compression ratio, and (round 5) the
-learned quality classifier. Review pass 3
+entropy, reference-LM surprisal, compression ratio, the learned
+quality classifier, and (round 5) the script-mix screen. Review pass 3
 found the chain hand-mirrored in both jobs, which is exactly how the
 stream fell behind the batch job by a whole round of stages; this
 module is the single source of the stage semantics.
@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 KEEP_COLS = (
     "keep_quality", "keep_lang", "keep_gopher",
     "keep_entropy", "keep_lm", "keep_compression", "keep_clf",
+    "keep_script",
 )
 
 
@@ -45,6 +46,7 @@ def with_keep_flags(
     lm_max_bits: float | None = None,
     max_compression: float | None = None,
     quality_clf: bool = False,
+    script_screen: bool = False,
     python_parallelism: int | None = None,
     early_filter: bool = False,
 ) -> DataFrame:
@@ -146,7 +148,28 @@ def with_keep_flags(
         ).drop("clf_keep")
     else:
         scored = scored.withColumn("keep_clf", F.lit(True))
-    return _gate(scored, "keep_clf")
+    scored = _gate(scored, "keep_clf")
+    if script_screen:
+        # script-mix spam screen (operators/scriptmix): mixed-script
+        # documents drop (SEO cloaking / homoglyph spam / wrong-decode
+        # signal; the 20-letter floor keeps fragments safe). Pure JVM
+        # regexp_count probes in the same narrow pass; main_script /
+        # main_fraction stay as audit signals, the per-script counts
+        # and the derivable flag columns are dropped.
+        from .scriptmix import SCRIPT_CLASSES, with_script_mix
+
+        scored = with_script_mix(scored, text_col="extracted_text")
+        scored = scored.withColumn(
+            "keep_script", ~F.col("mixed_script")
+        ).drop(
+            "mixed_script",
+            "n_letters",
+            "confusable_pairs",
+            *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
+        )
+    else:
+        scored = scored.withColumn("keep_script", F.lit(True))
+    return _gate(scored, "keep_script")
 
 
 def keep_all() -> F.Column:

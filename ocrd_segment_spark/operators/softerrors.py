@@ -126,3 +126,50 @@ def soft404_host_rates(
             ),
         )
     )
+
+
+BODY_PROXY_CHARS = 4096
+
+
+def soft404_page_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Pre-extraction soft-404 screen over RAW pages — the ONE shared
+    definition for jobs/corpus_job.py --drop-soft404 and
+    jobs/stream_job.py (the corpus_filters single-source discipline:
+    hand-mirrored stages are how the stream drifts a round behind).
+
+    Error pages should never pay kernel time, so the screen runs on
+    scan-stage proxies instead of extracted text: the title via the
+    SAME harvest the dataset card uses (operators/headmeta.page_meta,
+    whitespace-normalized first <title>), and the body via the
+    tag-stripped first ``BODY_PROXY_CHARS`` characters of the raw
+    html. The proxy body is what the tiny rule measures — an error
+    template strips to well under SOFT404_MAX_CHARS; a content page
+    whose head is all nav markup could in principle strip short, but
+    it still needs an error PHRASE to fire (stated approximation).
+
+    Appends ``is_soft404`` only; every input column passes through
+    unchanged. Pure column math, zero Python, zero shuffle —
+    streaming-legal by construction."""
+    from .headmeta import page_meta
+    from .tables import TAG, WS_CLASS
+
+    h = F.col(html_col).cast("string")
+    d = page_meta(df, html_col=html_col).drop(
+        "meta_description", "og_title", "og_description"
+    )
+    d = d.withColumn(
+        "__body_head",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.substring(h, 1, BODY_PROXY_CHARS), TAG, " "
+                ),
+                WS_CLASS,
+                " ",
+            )
+        ),
+    )
+    flagged = with_soft404(d, text_col="__body_head", title_col="title")
+    return flagged.drop(
+        "__body_head", "title", "soft404_title_hit", "soft404_body_hit"
+    )
