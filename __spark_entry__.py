@@ -292,6 +292,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_confusables": PG.q_host_confusables,
     # heading outline / section tree (operators/outline.py)
     "heading_outline": PG.q_heading_outline,
+    # publish-date harvest (operators/headmeta.with_publish_date)
+    "publish_date_harvest": PG.q_publish_date,
 }
 
 _ORACLES: dict[str, str] = {
@@ -480,6 +482,7 @@ _ORACLES: dict[str, str] = {
     "script_mix": PG.O_SCRIPT_MIX,
     "host_confusables": PG.O_HOST_CONFUSABLES,
     "heading_outline": PG.O_HEADING_OUTLINE,
+    "publish_date_harvest": PG.O_PUBLISH_DATE,
 }
 
 

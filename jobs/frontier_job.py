@@ -13,6 +13,8 @@
         [--child-sitemaps /path/to/children] \\
         [--stats /path/to/stats] \\
         [--bloom-bits 1048576] [--bloom-k 4] \\
+        [--drop-confusable-hosts] \\
+        [--soft404-rates /path/to/rates --soft404-max 0.3] \\
         [--wave-seconds 60 [--default-delay 1.0]]
 
 Composes the discovery operators into the table a fetch scheduler
@@ -47,6 +49,8 @@ STATS_KEYS = (
     "dropped_robots",
     "dropped_seen",
     "dropped_template_cap",
+    "dropped_confusable_host",
+    "dropped_soft404_host",
     "frontier_urls",
 )
 
@@ -87,6 +91,26 @@ def main() -> None:
         "each dispatch round reads exactly one partition",
     )
     ap.add_argument(
+        "--drop-confusable-hosts",
+        action="store_true",
+        help="drop candidates whose host has a mixed Latin/Cyrillic"
+        " label (IDN homoglyph spoof, functions/urls"
+        ".with_host_script_flags) — a crawler should not spend fetch"
+        " budget on registration-squat hosts; pure punycode is KEPT"
+        " (legitimate IDNs)",
+    )
+    ap.add_argument(
+        "--soft404-rates", default=None,
+        help="parquet from operators/softerrors.soft404_host_rates"
+        " (host, soft404_rate, ...); requires --soft404-max",
+    )
+    ap.add_argument(
+        "--soft404-max", type=float, default=None,
+        help="drop candidates on hosts whose observed soft-404 rate"
+        " exceeds this (link-rot farms); hosts with no observation"
+        " are kept",
+    )
+    ap.add_argument(
         "--default-delay",
         type=float,
         default=1.0,
@@ -94,6 +118,9 @@ def main() -> None:
         "(only used with --wave-seconds)",
     )
     args = ap.parse_args()
+    if (args.soft404_rates is None) != (args.soft404_max is None):
+        ap.error("--soft404-rates and --soft404-max must be given"
+                 " together (one alone would silently skip the stage)")
 
     from pyspark.sql import Observation, functions as F
 
@@ -181,6 +208,33 @@ def main() -> None:
     else:
         cands = cands.withColumn("maybe_seen", F.lit(False))
 
+    if args.drop_confusable_hosts:
+        # IDN homoglyph screen on the candidate's own host — column
+        # math, no join; counted in the same pre-filter Observation
+        from ocrd_segment_spark.functions.urls import (
+            with_host_script_flags,
+        )
+
+        cands = with_host_script_flags(cands).drop("is_punycode")
+    else:
+        cands = cands.withColumn("confusable_host", F.lit(False))
+    if args.soft404_rates is not None:
+        # link-rot prior (operators/softerrors.soft404_host_rates):
+        # host-grain table, orders below frontier grain — plain left
+        # equi-join, AQE broadcasts it when small; no observation =
+        # no evidence = keep
+        rates = spark.read.parquet(args.soft404_rates).select(
+            "host", "soft404_rate"
+        )
+        cands = cands.join(rates, "host", "left").withColumn(
+            "__rotten",
+            F.coalesce(
+                F.col("soft404_rate") > args.soft404_max, F.lit(False)
+            ),
+        ).drop("soft404_rate")
+    else:
+        cands = cands.withColumn("__rotten", F.lit(False))
+
     f_obs = Observation("frontier")
     cands = cands.observe(
         f_obs,
@@ -189,9 +243,22 @@ def main() -> None:
         F.sum(
             (F.col("robots_allowed") & F.col("maybe_seen")).cast("long")
         ).alias("seen"),
+        F.sum(
+            (
+                F.col("robots_allowed") & ~F.col("maybe_seen")
+                & F.col("confusable_host")
+            ).cast("long")
+        ).alias("confusable"),
+        F.sum(
+            (
+                F.col("robots_allowed") & ~F.col("maybe_seen")
+                & ~F.col("confusable_host") & F.col("__rotten")
+            ).cast("long")
+        ).alias("rotten"),
     )
     frontier = cands.filter(
         F.col("robots_allowed") & ~F.col("maybe_seen")
+        & ~F.col("confusable_host") & ~F.col("__rotten")
     ).select("url", "host", "lastmod")
 
     t_obs = None
@@ -245,8 +312,13 @@ def main() -> None:
     stats["candidate_urls"] = f_obs.get["cands"]
     stats["dropped_robots"] = f_obs.get["robots"] or 0
     stats["dropped_seen"] = f_obs.get["seen"] or 0
+    if args.drop_confusable_hosts:
+        stats["dropped_confusable_host"] = f_obs.get["confusable"] or 0
+    if args.soft404_rates is not None:
+        stats["dropped_soft404_host"] = f_obs.get["rotten"] or 0
     stats["frontier_urls"] = (
         stats["candidate_urls"] - stats["dropped_robots"] - stats["dropped_seen"]
+        - (f_obs.get["confusable"] or 0) - (f_obs.get["rotten"] or 0)
     )
     if t_obs is not None:
         kept = t_obs.get["kept"] or 0

@@ -478,3 +478,82 @@ FROM par
 
 
 O_HEADING_OUTLINE = _o_heading_outline()
+
+
+# ---------------------------------------------------------------------------
+# publish-date harvest (operators/headmeta.with_publish_date)
+# ---------------------------------------------------------------------------
+
+# Seven page shapes: og-style meta (property-first), meta with the
+# REVERSED attribute order, meta PLUS a <time> tag (meta must win),
+# <time datetime> alone (mixed case), JSON-LD datePublished with
+# spaced colon, an EMPTY meta content that must fall through to the
+# jsonld arm, and a page with no declaration at all (NULL/NULL).
+
+_PD_HTML = """concat('<html><head>',
+  CASE doc_id % 7
+   WHEN 0 THEN '<meta property="article:published_time" content="2026-01-15T08:30:00Z">'
+   WHEN 1 THEN '<meta content=" 2025-12-01 " property="article:published_time">'
+   WHEN 2 THEN concat('<meta property="article:published_time" content="2026-02-02">',
+                      '<time datetime="2020-01-01">old</time>')
+   WHEN 3 THEN '<TIME class="d" DATETIME="2024-07-04T12:00:00">x</TIME>'
+   WHEN 4 THEN concat('<script type="application/ld+json">{"@type":"Article", "datePublished" : "2023-11-11"}</script>')
+   WHEN 5 THEN concat('<meta property="article:published_time" content="">',
+                      '<script type="application/ld+json">{"datePublished":"2022-03-03"}</script>')
+   ELSE '<title>plain</title>'
+  END, '</head><body><p>b</p></body></html>')"""
+
+
+def q_publish_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date harvest (operators/headmeta.with_publish_date):
+    frozen precedence meta > time > jsonld, trimmed strings, empty
+    declarations fall through. Three scan-stage regexp probes."""
+    from .operators.headmeta import with_publish_date
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PD_HTML} as html"
+    )
+    return with_publish_date(pages).select(
+        "doc_id", "published", "published_source"
+    )
+
+
+# oracle restates the three probes with DuckDB regexp_extract; the
+# jsonld whitespace class carries REAL tab/newline chars (DuckDB
+# literals do not process backslashes)
+_PD_META_A = (
+    "<[Mm][Ee][Tt][Aa][^>]*"
+    '[Pp][Rr][Oo][Pp][Ee][Rr][Tt][Yy]="article:published_time"'
+    '[^>]*[Cc][Oo][Nn][Tt][Ee][Nn][Tt]="([^"]*)"'
+)
+_PD_META_B = (
+    '<[Mm][Ee][Tt][Aa][^>]*[Cc][Oo][Nn][Tt][Ee][Nn][Tt]="([^"]*)"'
+    '[^>]*[Pp][Rr][Oo][Pp][Ee][Rr][Tt][Yy]="article:published_time"'
+)
+_PD_TIME = '<[Tt][Ii][Mm][Ee][^>]*[Dd][Aa][Tt][Ee][Tt][Ii][Mm][Ee]="([^"]*)"'
+_PD_JSONLD = '"datePublished"[ \t\n\r]*:[ \t\n\r]*"([^"]*)"'
+
+
+def _o_publish_date() -> str:
+    jsonld_real = _PD_JSONLD.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
+    def x(pat):
+        return f"nullif(trim(regexp_extract(h, '{pat}', 1)), '')"
+    meta = f"coalesce({x(_PD_META_A)}, {x(_PD_META_B)})"
+    t = x(_PD_TIME)
+    j = x(jsonld_real)
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id, {_PD_HTML} AS h FROM documents
+), probes AS MATERIALIZED (
+  SELECT doc_id, {meta} AS m, {t} AS t, {j} AS j FROM pages
+)
+SELECT doc_id,
+       coalesce(m, t, j) AS published,
+       CASE WHEN m IS NOT NULL THEN 'meta'
+            WHEN t IS NOT NULL THEN 'time'
+            WHEN j IS NOT NULL THEN 'jsonld' END AS published_source
+FROM probes
+"""
+
+
+O_PUBLISH_DATE = _o_publish_date()

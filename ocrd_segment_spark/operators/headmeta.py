@@ -52,7 +52,7 @@ of times merges partial minima instead of materializing the group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # attribute-value harvesting, tag-soup tolerant (see linkgraph.py).
 # Two patterns per field because attribute order varies; names match
@@ -500,4 +500,59 @@ def feed_links(
         )
         .filter(F.col("feed_url").isNotNull())
         .select("url", "feed_url", F.col("__f.kind").alias("kind"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# publish-date harvest: the page's declared freshness
+# ---------------------------------------------------------------------------
+
+_PROP_ART_PUB = (
+    '[Pp][Rr][Oo][Pp][Ee][Rr][Tt][Yy]="article:published_time"'
+)
+_TIME_DATETIME = (
+    '<[Tt][Ii][Mm][Ee][^>]*[Dd][Aa][Tt][Ee][Tt][Ii][Mm][Ee]="([^"]*)"'
+)
+_JSONLD_DATEPUB = '"datePublished"[ \\t\\n\\r]*:[ \\t\\n\\r]*"([^"]*)"'
+
+
+def with_publish_date(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append (published, published_source): the page's own declared
+    publication timestamp — the recency signal corpus mixing and
+    recrawl scheduling want next to warc_ts (fetch time is not publish
+    time). Frozen precedence, first non-empty wins:
+
+    1. ``<meta property="article:published_time" content=...>``
+       (either attribute order, the _meta_pair discipline) →
+       source 'meta';
+    2. the first ``<time datetime="...">`` attribute → source 'time';
+    3. the first JSON-LD ``"datePublished": "..."`` string value
+       (explicit whitespace class around the colon) → source
+       'jsonld'.
+
+    Values are TRIMMED and kept as STRINGS — the sitemap-lastmod
+    discipline: publishers emit several ISO-8601 precisions plus
+    plain dates, so consumers parse with try-semantics at use time
+    rather than losing rows here. No declaration → NULL/NULL.
+
+    Scan-stage column math (three regexp probes), zero Python, zero
+    shuffle."""
+    h = F.col(html_col).cast("string")
+
+    def _x(pat: str) -> Column:
+        return F.nullif(F.trim(F.regexp_extract(h, pat, 1)), F.lit(""))
+
+    meta = F.coalesce(
+        _x(f"{_META}[^>]*{_PROP_ART_PUB}[^>]*{_CONTENT}"),
+        _x(f"{_META}[^>]*{_CONTENT}[^>]*{_PROP_ART_PUB}"),
+    )
+    t = _x(_TIME_DATETIME)
+    j = _x(_JSONLD_DATEPUB)
+    return df.withColumn(
+        "published", F.coalesce(meta, t, j)
+    ).withColumn(
+        "published_source",
+        F.when(meta.isNotNull(), F.lit("meta"))
+        .when(t.isNotNull(), F.lit("time"))
+        .when(j.isNotNull(), F.lit("jsonld")),
     )

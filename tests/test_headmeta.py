@@ -516,3 +516,37 @@ def test_feed_links_autodiscovery(spark):
         # protocol-relative gains the page scheme; mailto dropped
         ("https://feeds.b.net/f", "rss"),
     }
+
+
+def test_publish_date_precedence_and_trim(spark):
+    from ocrd_segment_spark.operators.headmeta import with_publish_date
+
+    rows = [
+        (0, '<meta property="article:published_time" content="2026-01-15T08:30:00Z">'),
+        # reversed attribute order, padded value
+        (1, '<meta content=" 2025-12-01 " property="article:published_time">'),
+        # meta beats time
+        (2, '<meta property="article:published_time" content="2026-02-02">'
+            '<time datetime="2020-01-01">old</time>'),
+        (3, '<TIME class="d" DATETIME="2024-07-04T12:00:00">x</TIME>'),
+        (4, '<script type="application/ld+json">{"datePublished" :\n"2023-11-11"}</script>'),
+        # empty meta content falls through to jsonld
+        (5, '<meta property="article:published_time" content="">'
+            '<script type="application/ld+json">{"datePublished":"2022-03-03"}</script>'),
+        (6, "<title>plain</title>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, f"<html><head>{h}</head></html>".encode()) for i, h in rows],
+        "doc_id int, html binary",
+    )
+    got = {
+        r.doc_id: (r.published, r.published_source)
+        for r in with_publish_date(df).collect()
+    }
+    assert got[0] == ("2026-01-15T08:30:00Z", "meta")
+    assert got[1] == ("2025-12-01", "meta")
+    assert got[2] == ("2026-02-02", "meta")
+    assert got[3] == ("2024-07-04T12:00:00", "time")
+    assert got[4] == ("2023-11-11", "jsonld")
+    assert got[5] == ("2022-03-03", "jsonld")
+    assert got[6] == (None, None)
