@@ -294,6 +294,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heading_outline": PG.q_heading_outline,
     # publish-date harvest (operators/headmeta.with_publish_date)
     "publish_date_harvest": PG.q_publish_date,
+    # list extraction + markdown bullets (operators/tables)
+    "list_items_markdown": PG.q_list_items,
 }
 
 _ORACLES: dict[str, str] = {
@@ -483,6 +485,7 @@ _ORACLES: dict[str, str] = {
     "host_confusables": PG.O_HOST_CONFUSABLES,
     "heading_outline": PG.O_HEADING_OUTLINE,
     "publish_date_harvest": PG.O_PUBLISH_DATE,
+    "list_items_markdown": PG.O_LIST_ITEMS,
 }
 
 

@@ -557,3 +557,69 @@ FROM probes
 
 
 O_PUBLISH_DATE = _o_publish_date()
+
+
+# ---------------------------------------------------------------------------
+# list extraction (operators/tables.list_items / lists_markdown)
+# ---------------------------------------------------------------------------
+
+# Four page shapes: a plain <ul> with entities and inner markup; a
+# MIXED-CASE <OL> with attributes (1-based numbering); a page with no
+# lists; and a two-list page (ul then ol) with a pipe char kept
+# verbatim (list markdown does not escape pipes — no table grammar).
+
+_LI_HTML = """concat('<html><body>',
+  CASE doc_id % 4
+   WHEN 0 THEN '<ul><li>alpha &amp; beta</li><li><b>bold</b> item</li></ul>'
+   WHEN 1 THEN concat('<OL start="3" class="x"><LI>first ', cast(doc_id as string), '</LI><li>second</li><li>third</li></OL>')
+   WHEN 2 THEN '<p>no lists</p>'
+   ELSE '<ul><li> padded </li></ul><div>x</div><ol><li>a|b</li></ol>'
+  END, '</body></html>')"""
+
+
+def q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List extraction + markdown bullets (operators/tables
+    .list_items/.lists_markdown): frozen <ul>/<ol> regular grammar,
+    shared cell-cleanup chain, '- ' vs '1. ' serialization. Scan-stage
+    harvest + one id-grain partial-agg group."""
+    from .operators.tables import list_items, lists_markdown
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_LI_HTML} as html"
+    )
+    return lists_markdown(list_items(pages)).selectExpr(
+        "doc_id",
+        "cast(list_idx as long) as list_idx",
+        "n_items",
+        "ordered",
+        "markdown",
+    )
+
+
+O_LIST_ITEMS = f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id, {_LI_HTML} AS html FROM documents
+), blocks AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS list_idx, unnest(l) AS blk
+  FROM (SELECT doc_id, regexp_extract_all(html, '(?is)<[ou]l[^>]*>.*?</[ou]l>', 0) AS l FROM pages)
+), items AS (
+  SELECT doc_id, list_idx,
+         lower(substring(blk, 1, 3)) = '<ol' AS ordered,
+         generate_subscripts(c, 1) - 1 AS item_idx, unnest(c) AS cell
+  FROM (SELECT doc_id, list_idx, blk, regexp_extract_all(blk, '(?is)<li[^>]*>.*?</li>', 0) AS c FROM blocks)
+), cleaned AS MATERIALIZED (
+  SELECT doc_id, list_idx, item_idx, ordered,
+         {_CLEAN_DUCK} AS item_text
+  FROM items
+)
+SELECT doc_id, list_idx,
+       count(*) AS n_items,
+       max(ordered) AS ordered,
+       string_agg(
+         CASE WHEN ordered
+              THEN CAST(item_idx + 1 AS VARCHAR) || '. ' || item_text
+              ELSE '- ' || item_text END,
+         chr(10) ORDER BY item_idx) AS markdown
+FROM cleaned
+GROUP BY doc_id, list_idx
+"""

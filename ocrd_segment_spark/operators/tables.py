@@ -179,3 +179,83 @@ def tables_markdown(
             .otherwise(F.lit("")),
         ).alias("markdown"),
     )
+
+
+# ---------------------------------------------------------------------------
+# list extraction: the <ul>/<ol> sibling of the table grammar
+# ---------------------------------------------------------------------------
+
+LIST_BLOCK = "(?is)<[ou]l[^>]*>.*?</[ou]l>"
+ITEM_BLOCK = "(?is)<li[^>]*>.*?</li>"
+
+
+def list_items(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(id, list_idx, item_idx, ordered, item_text) — one row per
+    ``<li>`` of every ``<ul>``/``<ol>`` block, 0-based ordinals in
+    document order. Same frozen regular grammar and cell-cleanup
+    chain as :func:`table_cells` (a NESTED list truncates its outer
+    at the inner's first close — stated); ``ordered`` = the block
+    tag is ``<ol`` (case-insensitive). Scan-stage column math, zero
+    Python, zero shuffle."""
+    pages = df.select(
+        F.col(id_col),
+        F.col(html_col).cast("string").alias("__html"),
+    )
+    blocks = pages.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"regexp_extract_all(__html, '{LIST_BLOCK}', 0)")
+        ).alias("list_idx", "__blk"),
+    )
+    items = blocks.select(
+        id_col,
+        "list_idx",
+        (F.lower(F.substring("__blk", 1, 3)) == "<ol").alias("ordered"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(__blk, '{ITEM_BLOCK}', 0)")
+        ).alias("item_idx", "__item"),
+    )
+    return items.select(
+        id_col,
+        "list_idx",
+        "item_idx",
+        "ordered",
+        clean_cell_text(F.col("__item")).alias("item_text"),
+    )
+
+
+def lists_markdown(
+    items: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, list_idx, n_items, ordered, markdown): markdown bullets —
+    ``- item`` for unordered, ``1. item`` (1-based running number)
+    for ordered. One id-grain partial-aggregable group, zero skew."""
+    lines = items.withColumn(
+        "__line",
+        F.when(
+            F.col("ordered"),
+            F.concat(
+                (F.col("item_idx") + 1).cast("string"),
+                F.lit(". "),
+                F.col("item_text"),
+            ),
+        ).otherwise(F.concat(F.lit("- "), F.col("item_text"))),
+    )
+    return (
+        lines.groupBy(id_col, "list_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.max("ordered").alias("ordered"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("item_idx", "__line"))
+                    ),
+                    lambda s: s.getField("__line"),
+                ),
+                "\n",
+            ).alias("markdown"),
+        )
+    )

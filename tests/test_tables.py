@@ -77,3 +77,41 @@ def test_markdown_headerless_first_row_is_min(spark):
     html = "<table><tr></tr><tr><td>h</td></tr><tr><td>b</td></tr></table>"
     r = tables_markdown(_cells(spark, html)).collect()[0]
     assert r.markdown == "| h |\n| --- |\n| b |"
+
+
+def test_list_items_and_markdown(spark):
+    from ocrd_segment_spark.operators.tables import list_items, lists_markdown
+
+    html = (
+        "<ul><li>alpha &amp; beta</li><li><b>bold</b> item</li></ul>"
+        '<OL start="3"><LI>one</LI><li>two</li></OL>'
+        "<p>filler</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id int, html string")
+    items = list_items(df).orderBy("list_idx", "item_idx").collect()
+    assert [(r.list_idx, r.item_idx, r.ordered, r.item_text) for r in items] == [
+        (0, 0, False, "alpha & beta"),
+        (0, 1, False, "bold item"),
+        (1, 0, True, "one"),
+        (1, 1, True, "two"),
+    ]
+    md = {
+        r.list_idx: r.markdown
+        for r in lists_markdown(list_items(df)).collect()
+    }
+    assert md[0] == "- alpha & beta\n- bold item"
+    # numbering is the frozen 1-based ordinal (the start attr is
+    # presentation — ignored, stated)
+    assert md[1] == "1. one\n2. two"
+
+
+def test_nested_list_truncates_outer(spark):
+    from ocrd_segment_spark.operators.tables import list_items
+
+    html = "<ul><li>outer<ul><li>inner</li></ul></li></ul>"
+    df = spark.createDataFrame([(1, html)], "doc_id int, html string")
+    got = [r.item_text for r in list_items(df).collect()]
+    # regular-grammar limitation: the inner close ends the outer block;
+    # inner tags strip to '' (the table-cell cleanup chain), so the
+    # nested item's text fuses into the outer item
+    assert got == ["outerinner"]
