@@ -806,7 +806,17 @@ def build_corpus(
                 (
                     F.col("keep_quality") & F.col("keep_lang")
                     & F.col("keep_gopher") & F.col("keep_entropy")
-                    & ~F.col("keep_lm")
+                    & ~F.col("keep_script")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("dropped_script"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("keep_quality") & F.col("keep_lang")
+                    & F.col("keep_gopher") & F.col("keep_entropy")
+                    & F.col("keep_script") & ~F.col("keep_lm")
                 ).cast("long")
             ),
             F.lit(0),
@@ -816,7 +826,8 @@ def build_corpus(
                 (
                     F.col("keep_quality") & F.col("keep_lang")
                     & F.col("keep_gopher") & F.col("keep_entropy")
-                    & F.col("keep_lm") & ~F.col("keep_compression")
+                    & F.col("keep_script") & F.col("keep_lm")
+                    & ~F.col("keep_compression")
                 ).cast("long")
             ),
             F.lit(0),
@@ -826,8 +837,8 @@ def build_corpus(
                 (
                     F.col("keep_quality") & F.col("keep_lang")
                     & F.col("keep_gopher") & F.col("keep_entropy")
-                    & F.col("keep_lm") & F.col("keep_compression")
-                    & ~F.col("keep_clf")
+                    & F.col("keep_script") & F.col("keep_lm")
+                    & F.col("keep_compression") & ~F.col("keep_clf")
                 ).cast("long")
             ),
             F.lit(0),
@@ -835,25 +846,14 @@ def build_corpus(
         F.coalesce(
             F.sum(
                 (
-                    F.col("keep_quality") & F.col("keep_lang")
-                    & F.col("keep_gopher") & F.col("keep_entropy")
-                    & F.col("keep_lm") & F.col("keep_compression")
-                    & F.col("keep_clf") & ~F.col("keep_script")
-                ).cast("long")
-            ),
-            F.lit(0),
-        ).alias("dropped_script"),
-        F.coalesce(
-            F.sum(
-                (
                     F.col("keep_quality")
                     & F.col("keep_lang")
                     & F.col("keep_gopher")
                     & F.col("keep_entropy")
+                    & F.col("keep_script")
                     & F.col("keep_lm")
                     & F.col("keep_compression")
                     & F.col("keep_clf")
-                    & F.col("keep_script")
                 ).cast("long")
             ),
             F.lit(0),

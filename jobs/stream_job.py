@@ -56,10 +56,12 @@ SINK_COLUMNS = (
     ("bits_per_bigram", "double"),
     ("compression_ratio", "double"),
     ("clf_logit", "double"),
-    ("main_script", "string"),
-    ("main_fraction", "double"),
     ("n_bpe_tokens", "long"),
     ("n_unk_pieces", "long"),
+    # round-5 additions go at the END: the sink is append-only, so new
+    # signal columns must extend the committed schema, never reorder it
+    ("main_script", "string"),
+    ("main_fraction", "double"),
 )
 
 

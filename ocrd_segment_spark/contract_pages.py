@@ -190,18 +190,26 @@ _CLEAN_DUCK = (
     f" '{_WS_DUCK}', ' ', 'g'))"
 )
 
+from .operators.tables import (  # noqa: E402  (oracle single-source)
+    CELL_BLOCK as _CELL_PAT,
+    ITEM_BLOCK as _ITEM_PAT,
+    LIST_BLOCK as _LIST_PAT,
+    ROW_BLOCK as _ROW_PAT,
+    TABLE_BLOCK as _TABLE_PAT,
+)
+
 _TB_CELLS_CTE = f"""
 WITH pages AS MATERIALIZED (
   SELECT doc_id, {_TB_HTML} AS html FROM documents
 ), tbls AS (
   SELECT doc_id, generate_subscripts(l, 1) - 1 AS table_idx, unnest(l) AS tbl
-  FROM (SELECT doc_id, regexp_extract_all(html, '(?is)<table[^>]*>.*?</table>', 0) AS l FROM pages)
+  FROM (SELECT doc_id, regexp_extract_all(html, '{_TABLE_PAT}', 0) AS l FROM pages)
 ), rws AS (
   SELECT doc_id, table_idx, generate_subscripts(r, 1) - 1 AS row_idx, unnest(r) AS rowb
-  FROM (SELECT doc_id, table_idx, regexp_extract_all(tbl, '(?is)<tr[^>]*>(.*?)</tr>', 1) AS r FROM tbls)
+  FROM (SELECT doc_id, table_idx, regexp_extract_all(tbl, '{_ROW_PAT}', 1) AS r FROM tbls)
 ), rawcells AS (
   SELECT doc_id, table_idx, row_idx, generate_subscripts(c, 1) - 1 AS col_idx, unnest(c) AS cell
-  FROM (SELECT doc_id, table_idx, row_idx, regexp_extract_all(rowb, '(?is)<t[dh][^>]*>.*?</t[dh]>', 0) AS c FROM rws)
+  FROM (SELECT doc_id, table_idx, row_idx, regexp_extract_all(rowb, '{_CELL_PAT}', 0) AS c FROM rws)
 ), cells AS MATERIALIZED (
   SELECT doc_id, table_idx, row_idx, col_idx,
          lower(substring(cell, 1, 3)) = '<th' AS is_header,
@@ -438,6 +446,9 @@ def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_heading_outline() -> str:
+    from .operators.outline import HEADING_BLOCK as hpat_src
+
+    hpat = hpat_src
     lasts = ",\n         ".join(
         f"coalesce(max(CASE WHEN level = {k} THEN seq END) OVER w, -1) AS l{k}"
         for k in range(1, 6)
@@ -458,7 +469,7 @@ WITH pages AS MATERIALIZED (
   SELECT doc_id, {_HO_HTML} AS html FROM documents
 ), hs AS MATERIALIZED (
   SELECT doc_id, generate_subscripts(l, 1) - 1 AS seq, unnest(l) AS cell
-  FROM (SELECT doc_id, regexp_extract_all(html, '(?is)<h[1-6][^>]*>.*?</h[1-6]>', 0) AS l FROM pages)
+  FROM (SELECT doc_id, regexp_extract_all(html, '{hpat}', 0) AS l FROM pages)
 ), lv AS MATERIALIZED (
   SELECT doc_id, seq,
          CAST(substring(cell, 3, 1) AS BIGINT) AS level,
@@ -601,12 +612,12 @@ WITH pages AS MATERIALIZED (
   SELECT doc_id, {_LI_HTML} AS html FROM documents
 ), blocks AS (
   SELECT doc_id, generate_subscripts(l, 1) - 1 AS list_idx, unnest(l) AS blk
-  FROM (SELECT doc_id, regexp_extract_all(html, '(?is)<[ou]l[^>]*>.*?</[ou]l>', 0) AS l FROM pages)
+  FROM (SELECT doc_id, regexp_extract_all(html, '{_LIST_PAT}', 0) AS l FROM pages)
 ), items AS (
   SELECT doc_id, list_idx,
          lower(substring(blk, 1, 3)) = '<ol' AS ordered,
          generate_subscripts(c, 1) - 1 AS item_idx, unnest(c) AS cell
-  FROM (SELECT doc_id, list_idx, blk, regexp_extract_all(blk, '(?is)<li[^>]*>.*?</li>', 0) AS c FROM blocks)
+  FROM (SELECT doc_id, list_idx, blk, regexp_extract_all(blk, '{_ITEM_PAT}', 0) AS c FROM blocks)
 ), cleaned AS MATERIALIZED (
   SELECT doc_id, list_idx, item_idx, ordered,
          {_CLEAN_DUCK} AS item_text

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, functions as F
 
 KEEP_COLS = (
     "keep_quality", "keep_lang", "keep_gopher",
-    "keep_entropy", "keep_lm", "keep_compression", "keep_clf",
-    "keep_script",
+    "keep_entropy", "keep_script",
+    "keep_lm", "keep_compression", "keep_clf",
 )
 
 
@@ -51,7 +51,7 @@ def with_keep_flags(
     early_filter: bool = False,
 ) -> DataFrame:
     """Score ``extracted`` (must already carry ``pred_lang`` — run
-    extraction with ``lang_id=True``) and append the seven ``keep_*``
+    extraction with ``lang_id=True``) and append the eight ``keep_*``
     flags. Stages that are off contribute a constant-true flag, so the
     flag schema is fixed regardless of configuration.
 
@@ -100,6 +100,29 @@ def with_keep_flags(
     else:
         scored = scored.withColumn("keep_entropy", F.lit(True))
     scored = _gate(scored, "keep_entropy")
+    if script_screen:
+        # script-mix spam screen (operators/scriptmix): mixed-script
+        # documents drop (SEO cloaking / homoglyph spam / wrong-decode
+        # signal; the 20-letter floor keeps fragments safe). Pure JVM
+        # regexp_count probes placed BEFORE the Python LM/compression
+        # stages — in early_filter mode spam must never pay a
+        # mapInPandas pass just to be dropped by nine regex probes.
+        # main_script / main_fraction stay as audit signals; the
+        # per-script counts and the derivable flags are dropped.
+        from .scriptmix import SCRIPT_CLASSES, with_script_mix
+
+        scored = with_script_mix(scored, text_col="extracted_text")
+        scored = scored.withColumn(
+            "keep_script", ~F.col("mixed_script")
+        ).drop(
+            "mixed_script",
+            "n_letters",
+            "confusable_pairs",
+            *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
+        )
+    else:
+        scored = scored.withColumn("keep_script", F.lit(True))
+    scored = _gate(scored, "keep_script")
     if lm_table is not None and lm_max_bits is not None:
         from .textstats import with_lm_bits
 
@@ -148,28 +171,7 @@ def with_keep_flags(
         ).drop("clf_keep")
     else:
         scored = scored.withColumn("keep_clf", F.lit(True))
-    scored = _gate(scored, "keep_clf")
-    if script_screen:
-        # script-mix spam screen (operators/scriptmix): mixed-script
-        # documents drop (SEO cloaking / homoglyph spam / wrong-decode
-        # signal; the 20-letter floor keeps fragments safe). Pure JVM
-        # regexp_count probes in the same narrow pass; main_script /
-        # main_fraction stay as audit signals, the per-script counts
-        # and the derivable flag columns are dropped.
-        from .scriptmix import SCRIPT_CLASSES, with_script_mix
-
-        scored = with_script_mix(scored, text_col="extracted_text")
-        scored = scored.withColumn(
-            "keep_script", ~F.col("mixed_script")
-        ).drop(
-            "mixed_script",
-            "n_letters",
-            "confusable_pairs",
-            *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
-        )
-    else:
-        scored = scored.withColumn("keep_script", F.lit(True))
-    return _gate(scored, "keep_script")
+    return _gate(scored, "keep_clf")
 
 
 def keep_all() -> F.Column:

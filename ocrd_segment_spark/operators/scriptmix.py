@@ -88,7 +88,6 @@ def with_script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
         letters = c if letters is None else letters + c
     out = out.withColumn("n_letters", letters)
     mx = F.greatest(*[F.col(f"n_{n}") for n, _ in SCRIPT_CLASSES])
-    main = F.lit(None).cast("string")
     # first-declared wins ties: build the CASE in declaration order
     chain = F.when(F.col("n_letters") == 0, F.lit(None).cast("string"))
     for name, _ in SCRIPT_CLASSES:

@@ -148,14 +148,26 @@ def soft404_page_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
     it still needs an error PHRASE to fire (stated approximation).
 
     Appends ``is_soft404`` only; every input column passes through
-    unchanged. Pure column math, zero Python, zero shuffle —
-    streaming-legal by construction."""
-    from .headmeta import page_meta
+    unchanged (the harvest uses private temp names — calling
+    page_meta here would OVERWRITE a pre-existing ``title`` column on
+    a crawl table that carries one). Pure column math, zero Python,
+    zero shuffle — streaming-legal by construction."""
+    from .headmeta import _TITLE
     from .tables import TAG, WS_CLASS
 
     h = F.col(html_col).cast("string")
-    d = page_meta(df, html_col=html_col).drop(
-        "meta_description", "og_title", "og_description"
+    # identical normalization to page_meta's title (trim + collapse
+    # the explicit shared-subset whitespace class), under a temp name
+    d = df.withColumn(
+        "__sf_title",
+        F.nullif(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(h, _TITLE, 1), "[ \\t\\n\\r]+", " "
+                )
+            ),
+            F.lit(""),
+        ),
     )
     d = d.withColumn(
         "__body_head",
@@ -169,7 +181,10 @@ def soft404_page_stage(df: DataFrame, html_col: str = "html") -> DataFrame:
             )
         ),
     )
-    flagged = with_soft404(d, text_col="__body_head", title_col="title")
+    flagged = with_soft404(
+        d, text_col="__body_head", title_col="__sf_title"
+    )
     return flagged.drop(
-        "__body_head", "title", "soft404_title_hit", "soft404_body_hit"
+        "__body_head", "__sf_title",
+        "soft404_title_hit", "soft404_body_hit",
     )
