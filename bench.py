@@ -27,6 +27,7 @@ from ocrd_segment_spark import contract as C
 from ocrd_segment_spark import contract_graph as G
 from ocrd_segment_spark import contract_ml as M
 from ocrd_segment_spark import contract_web as WB
+from ocrd_segment_spark import contract_pages as PG
 from ocrd_segment_spark.functions.sublevels import words_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -431,6 +432,13 @@ def main() -> None:
         "change_rates": bench_change_rates,
         "redirect_resolve": bench_redirect_resolve,
         "pq_adc_topk": lambda: M.q_pq_adc_topk(spark, SF_DIR).collect(),
+        # round-5 session-6 operators (all JVM-side): markdown table
+        # harvest (3-level regexp explode + 2 id-grain groups),
+        # heading outlines (1 page-keyed window), script-mix screen
+        # (9 regexp_count probes, zero shuffle)
+        "table_harvest": lambda: PG.q_tables_markdown(spark, SF_DIR).count(),
+        "heading_outline": lambda: PG.q_heading_outline(spark, SF_DIR).count(),
+        "script_mix": lambda: PG.q_script_mix(spark, SF_DIR).count(),
         "w5_score_stable_sort": lambda: M._t(spark, SF_DIR, "events").count()
         and C.q_w5_score_stable_sort(spark, SF_DIR).count(),
         # the PDF codec lane (python stage — keep with the python group)

@@ -446,3 +446,42 @@ def test_session6_operator_plans(spark):
     c4 = c4_line_clean(docs)
     assert not audit.has_exchange(c4)
     assert "EvalPython" not in audit.physical_plan(c4)
+
+
+def test_page_content_operators_exchange_budgets(spark):
+    """Session-6 operators keep their stated shuffle shapes: script
+    mix and soft-404 are zero-Exchange scan-stage column math; the
+    heading outline pays exactly ONE page-keyed window exchange; the
+    table/list markdown serializations pay their two/one id-grain
+    group exchanges and nothing more."""
+    from ocrd_segment_spark.operators.outline import heading_outline
+    from ocrd_segment_spark.operators.scriptmix import with_script_mix
+    from ocrd_segment_spark.operators.softerrors import (
+        soft404_page_stage,
+        with_soft404,
+    )
+    from ocrd_segment_spark.operators.tables import (
+        list_items,
+        lists_markdown,
+        table_cells,
+        tables_markdown,
+    )
+    from ocrd_segment_spark.plans.audit import (
+        exchange_count,
+        unpartitioned_window_inputs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = docs.selectExpr(
+        "doc_id", "cast(text as binary) as html", "text"
+    )
+    assert exchange_count(with_script_mix(docs)) == 0
+    assert exchange_count(with_soft404(docs, title_col=None)) == 0
+    assert exchange_count(soft404_page_stage(pages)) == 0
+    assert exchange_count(table_cells(pages)) == 0
+    assert exchange_count(list_items(pages)) == 0
+    outline = heading_outline(pages)
+    assert exchange_count(outline) == 1
+    assert unpartitioned_window_inputs(outline) == []
+    assert exchange_count(tables_markdown(table_cells(pages))) == 2
+    assert exchange_count(lists_markdown(list_items(pages))) == 1
