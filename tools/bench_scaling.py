@@ -185,11 +185,39 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 
 
 _STATIC_SECTIONS = """
+## Page-content analysis surface (round 5, session 6)
+
+New operator families, each contract-gated (188/188 keys green this
+session — 187 DuckDB-oracled, compression_ratio rows-only by design):
+
+- **Soft-404 detection** (operators/softerrors): error pages served as
+  200 drop BEFORE extraction (title phrase arm + tiny-body arm over
+  scan-stage proxies); shared pre-stage between corpus_job and
+  stream_job (--drop-soft404); per-host rates feed frontier_job
+  --soft404-rates/--soft404-max (link-rot deprioritization).
+- **HTML tables + lists as training data** (operators/tables): frozen
+  regular grammar → (table,row,col) cell grids and ul/ol items,
+  GitHub-markdown serialization (corpus_job --tables side output);
+  50k-doc harvest in **0.9 s** (table_harvest), all JVM, exchange
+  budgets plan-tested (2 id-grain groups, zero skew).
+- **Script-mix screen** (operators/scriptmix): eight frozen BMP block
+  classes, mixed-script spam flag (20-letter floor), Latin-Cyrillic
+  confusable counts; --script-screen drop stage placed BEFORE the
+  Python LM/compression stages (early-filter streams never pay a
+  mapInPandas pass on spam); **0.54 s**/50k docs, zero shuffle.
+- **IDN homoglyph host flags** (urls.with_host_script_flags):
+  punycode + mixed-script labels; frontier --drop-confusable-hosts.
+- **Heading outlines** (operators/outline): h1-h6 section tree with
+  parent = closest preceding smaller level, ONE page-keyed window
+  (**0.69 s**/50k docs).
+- **Publish-date harvest** (headmeta.with_publish_date): declared
+  freshness via meta > <time> > JSON-LD precedence, strings verbatim.
+
 ## Ingestion + discovery surface (round 5, session 5)
 
-New operator families, each contract-gated (170/170 keys green this
-session) with sf0.1 standing numbers from the quiet-box bench
-(load_1m_start 0.1, per-run ext_cores in BENCH_r05.json):
+New operator families, each contract-gated with sf0.1 standing
+numbers from the quiet-box bench (load_1m_start 0.1, per-run
+ext_cores in BENCH_r05.json):
 
 - **PDF text lane** (sources/pdf): frozen ISO-32000 subset without a
   PDF library — object/stream framing, /Length honored, FlateDecode
