@@ -296,6 +296,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "publish_date_harvest": PG.q_publish_date,
     # list extraction + markdown bullets (operators/tables)
     "list_items_markdown": PG.q_list_items,
+    # image-text pair harvest (operators/images.py)
+    "image_text_pairs": PG.q_image_pairs,
 }
 
 _ORACLES: dict[str, str] = {
@@ -486,6 +488,7 @@ _ORACLES: dict[str, str] = {
     "heading_outline": PG.O_HEADING_OUTLINE,
     "publish_date_harvest": PG.O_PUBLISH_DATE,
     "list_items_markdown": PG.O_LIST_ITEMS,
+    "image_text_pairs": PG.O_IMAGE_PAIRS,
 }
 
 

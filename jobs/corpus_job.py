@@ -209,6 +209,15 @@ def main() -> None:
         " raw-scan discipline as --outlinks",
     )
     ap.add_argument(
+        "--image-pairs",
+        default=None,
+        help="optional path: side-output of (url, image_url, alt_text)"
+        " image-text pair candidates (operators/images: <img src alt>"
+        " + og:image hero rows, urls resolved) harvested from the RAW"
+        " crawl — the multimodal fetch list; same raw-scan discipline"
+        " as --outlinks",
+    )
+    ap.add_argument(
         "--boilerplate-min-df",
         type=int,
         default=None,
@@ -354,6 +363,7 @@ def main() -> None:
             ("--feed-links", args.feed_links is not None),
             ("--drop-soft404", args.drop_soft404),
             ("--tables", args.tables is not None),
+            ("--image-pairs", args.image_pairs is not None),
         ):
             if on:
                 ap.error(f"{flag} reads html pages and cannot run on"
@@ -401,6 +411,7 @@ def main() -> None:
         script_screen=args.script_screen,
         drop_soft404=args.drop_soft404,
         tables_path=args.tables,
+        image_pairs_path=args.image_pairs,
         count_bpe=args.count_bpe,
         bpe_vocab_path=args.bpe_vocab,
         card=args.card,
@@ -446,6 +457,7 @@ def build_corpus(
     script_screen: bool = False,
     drop_soft404: bool = False,
     tables_path: str | None = None,
+    image_pairs_path: str | None = None,
     count_bpe: bool = False,
     bpe_vocab_path: str | None = None,
     card: bool = False,
@@ -529,6 +541,19 @@ def build_corpus(
         md = md.observe(t_obs, F.count(F.lit(1)).alias("n"))
         md.write.mode("overwrite").parquet(tables_path)
         n_tables = t_obs.get["n"]
+    n_image_pairs = -1
+    if image_pairs_path is not None:
+        # image-text pair side output (operators/images), raw-scan
+        # discipline: the multimodal fetch list should see every
+        # crawled page — a text-funnel reject can still carry a good
+        # captioned image
+        from ocrd_segment_spark.operators.images import image_pairs
+
+        ip = image_pairs(pages)
+        ip_obs = Observation("imagepairs")
+        ip = ip.observe(ip_obs, F.count(F.lit(1)).alias("n"))
+        ip.write.mode("overwrite").parquet(image_pairs_path)
+        n_image_pairs = ip_obs.get["n"]
     dom_obs = None
     if blocklist_path is not None:
         # domain blocklist BEFORE extraction — blocked pages never pay
@@ -923,6 +948,7 @@ def build_corpus(
         "outlink_edges": n_outlink_edges,
         "feed_links_found": n_feed_links,
         "tables_extracted": n_tables,
+        "image_pairs_found": n_image_pairs,
         "pages": counts["pages"],
         "dropped_quality": counts["dropped_quality"],
         "dropped_lang": counts["dropped_lang"],

@@ -634,3 +634,73 @@ SELECT doc_id, list_idx,
 FROM cleaned
 GROUP BY doc_id, list_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# image-text pair harvest (operators/images.image_pairs)
+# ---------------------------------------------------------------------------
+
+# Five page shapes: an absolute-src img with messy alt whitespace; a
+# ROOTED src with uppercase attributes (origin rebase); an og:image +
+# og:title hero pair; a lazy-loader page (data-src and srcset must not
+# match; the one real src has an EMPTY alt -> NULL, and its img_idx
+# counts the unmatched tags before it); a page with no images.
+# Expected-output oracle (the feed-discovery discipline).
+
+_IP_ORIGIN = "concat('https://h', cast(doc_id % 7 as string), '.example.org')"
+_IP_URL = f"concat({_IP_ORIGIN}, '/p/', cast(doc_id as string))"
+
+_IP_HTML = """concat('<html><head>',
+  CASE doc_id % 5
+   WHEN 2 THEN '<meta property="og:image" content="/hero.jpg"><meta property="og:title" content="Hero Title">'
+   ELSE '' END,
+  '</head><body>',
+  CASE doc_id % 5
+   WHEN 0 THEN concat('<img src="https://cdn.example.net/a', cast(doc_id as string), '.png" alt="alpha
+  beta">')
+   WHEN 1 THEN concat('<IMG ALT="REL" SRC="/i/', cast(doc_id as string), '.gif"/>')
+   WHEN 2 THEN '<p>hero only</p>'
+   WHEN 3 THEN '<img data-src="lazy.png" alt="lazy"><img src="/ok.png" alt="">'
+   ELSE '<p>no images</p>'
+  END, '</body></html>')"""
+
+
+def q_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair harvest (operators/images.image_pairs): <img>
+    src/alt with leading-whitespace attribute guards + the og:image
+    hero row, urls resolved under the frozen canonical rule.
+    Scan-stage regexp harvest + posexplode, zero Python, zero
+    shuffle."""
+    from .operators.images import image_pairs
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_IP_URL} as url", f"cast({_IP_HTML} as binary) as html", "doc_id"
+    )
+    out = image_pairs(pages)
+    # join doc_id back deterministically via the url suffix for a
+    # stable compare key
+    return out.selectExpr(
+        "cast(regexp_extract(url, '/p/([0-9]+)$', 1) as bigint) as doc_id",
+        "source", "img_idx", "image_url", "alt_text",
+    )
+
+
+O_IMAGE_PAIRS = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {_IP_ORIGIN} AS origin FROM documents
+)
+SELECT doc_id, 'img' AS source, CAST(0 AS INTEGER) AS img_idx,
+       'https://cdn.example.net/a' || CAST(doc_id AS VARCHAR) || '.png' AS image_url,
+       'alpha beta' AS alt_text
+FROM d WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id, 'img', CAST(0 AS INTEGER),
+       origin || '/i/' || CAST(doc_id AS VARCHAR) || '.gif', 'REL'
+FROM d WHERE doc_id % 5 = 1
+UNION ALL
+SELECT doc_id, 'og', CAST(NULL AS INTEGER), origin || '/hero.jpg', 'Hero Title'
+FROM d WHERE doc_id % 5 = 2
+UNION ALL
+SELECT doc_id, 'img', CAST(1 AS INTEGER), origin || '/ok.png', CAST(NULL AS VARCHAR)
+FROM d WHERE doc_id % 5 = 3
+"""

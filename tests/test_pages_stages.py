@@ -115,3 +115,32 @@ def test_stream_batch_parity_for_page_stages(spark, tmp_path):
     assert [c for c, _ in SINK_COLUMNS] == got.columns
     row = got.collect()[0]
     assert row["main_script"] == "latin"
+
+
+def test_corpus_job_image_pairs_side_output(spark, tmp_path):
+    from jobs.corpus_job import build_corpus
+
+    rows = [
+        (
+            "https://a.example.org/p",
+            (
+                '<html><body><img src="/x.png" alt="an x"><p>'
+                + "words " * 40
+                + "</p></body></html>"
+            ).encode(),
+        ),
+    ]
+    src = str(tmp_path / "pages_ip")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    funnel = build_corpus(
+        spark,
+        src,
+        str(tmp_path / "corpus_ip"),
+        min_quality=0.0,
+        min_tokens=0,
+        image_pairs_path=str(tmp_path / "pairs"),
+    )
+    got = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    assert funnel["image_pairs_found"] == len(got) == 1
+    assert got[0]["image_url"] == "https://a.example.org/x.png"
+    assert got[0]["alt_text"] == "an x"
