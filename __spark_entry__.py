@@ -298,6 +298,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "list_items_markdown": PG.q_list_items,
     # image-text pair harvest (operators/images.py)
     "image_text_pairs": PG.q_image_pairs,
+    # noai / noimageai opt-out flags (operators/headmeta.with_ai_optout)
+    "ai_optout_flags": PG.q_ai_optout,
 }
 
 _ORACLES: dict[str, str] = {
@@ -489,6 +491,7 @@ _ORACLES: dict[str, str] = {
     "publish_date_harvest": PG.O_PUBLISH_DATE,
     "list_items_markdown": PG.O_LIST_ITEMS,
     "image_text_pairs": PG.O_IMAGE_PAIRS,
+    "ai_optout_flags": PG.O_AI_OPTOUT,
 }
 
 

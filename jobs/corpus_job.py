@@ -183,6 +183,14 @@ def main() -> None:
         " the clf_logit audit column and the dropped_clf funnel count",
     )
     ap.add_argument(
+        "--honor-noai",
+        action="store_true",
+        help="honor the noai/noimageai robots-meta opt-out"
+        " (operators/headmeta.with_ai_optout): noai pages drop before"
+        " extraction (dropped_noai funnel count); with --image-pairs,"
+        " noimageai pages are excluded from the pair harvest",
+    )
+    ap.add_argument(
         "--drop-soft404",
         action="store_true",
         help="pre-extraction soft-404 screen (operators/softerrors"
@@ -364,6 +372,7 @@ def main() -> None:
             ("--drop-soft404", args.drop_soft404),
             ("--tables", args.tables is not None),
             ("--image-pairs", args.image_pairs is not None),
+            ("--honor-noai", args.honor_noai),
         ):
             if on:
                 ap.error(f"{flag} reads html pages and cannot run on"
@@ -410,6 +419,7 @@ def main() -> None:
         quality_clf=args.quality_clf,
         script_screen=args.script_screen,
         drop_soft404=args.drop_soft404,
+        honor_noai=args.honor_noai,
         tables_path=args.tables,
         image_pairs_path=args.image_pairs,
         count_bpe=args.count_bpe,
@@ -456,6 +466,7 @@ def build_corpus(
     quality_clf: bool = False,
     script_screen: bool = False,
     drop_soft404: bool = False,
+    honor_noai: bool = False,
     tables_path: str | None = None,
     image_pairs_path: str | None = None,
     count_bpe: bool = False,
@@ -549,7 +560,21 @@ def build_corpus(
         # captioned image
         from ocrd_segment_spark.operators.images import image_pairs
 
-        ip = image_pairs(pages)
+        ip_src = pages
+        if honor_noai:
+            # noimageai excludes a page from the PAIR harvest even
+            # when its text is welcome (and vice versa — the two
+            # opt-outs are independent tokens)
+            from ocrd_segment_spark.operators.headmeta import (
+                with_ai_optout,
+            )
+
+            ip_src = (
+                with_ai_optout(pages)
+                .filter(~F.col("image_ai_optout") & ~F.col("ai_optout"))
+                .drop("ai_optout", "image_ai_optout")
+            )
+        ip = image_pairs(ip_src)
         ip_obs = Observation("imagepairs")
         ip = ip.observe(ip_obs, F.count(F.lit(1)).alias("n"))
         ip.write.mode("overwrite").parquet(image_pairs_path)
@@ -694,6 +719,24 @@ def build_corpus(
         pages = (
             reps.filter("__canon_rep")
             .drop("__canon_rep", "noindex")
+        )
+    na_obs = None
+    if honor_noai:
+        # the page's own AI-training opt-out, honored BEFORE extraction
+        # (compliance, not optimization — same placement rationale as
+        # --honor-meta's noindex)
+        from ocrd_segment_spark.operators.headmeta import with_ai_optout
+
+        flagged = with_ai_optout(pages)
+        na_obs = Observation("noai")
+        flagged = flagged.observe(
+            na_obs,
+            F.coalesce(
+                F.sum(F.col("ai_optout").cast("long")), F.lit(0)
+            ).alias("dropped"),
+        )
+        pages = flagged.filter(~F.col("ai_optout")).drop(
+            "ai_optout", "image_ai_optout"
         )
     sf_obs = None
     if drop_soft404:
@@ -941,6 +984,9 @@ def build_corpus(
             hm_obs.get["indexable"] - counts["pages"]
             if hm_obs is not None
             else -1
+        ),
+        "dropped_noai": (
+            na_obs.get["dropped"] if na_obs is not None else -1
         ),
         "dropped_soft404": (
             sf_obs.get["dropped"] if sf_obs is not None else -1

@@ -119,6 +119,13 @@ def main() -> None:
         " ride the sink as signal columns",
     )
     ap.add_argument(
+        "--honor-noai",
+        action="store_true",
+        help="drop noai-opted-out pages BEFORE extraction (row-local"
+        " robots-meta token match, streaming-legal; batch parity for"
+        " corpus_job --honor-noai)",
+    )
+    ap.add_argument(
         "--drop-soft404",
         action="store_true",
         help="drop soft-404 error pages BEFORE extraction (shared"
@@ -163,6 +170,7 @@ def main() -> None:
             ("--sniff-content-type", args.sniff_content_type),
             ("--honor-noindex", args.honor_noindex),
             ("--drop-soft404", args.drop_soft404),
+            ("--honor-noai", args.honor_noai),
         ):
             if on:
                 ap.error(f"{flag} reads html pages and cannot run on"
@@ -190,6 +198,7 @@ def main() -> None:
         quality_clf=args.quality_clf,
         script_screen=args.script_screen,
         drop_soft404=args.drop_soft404,
+        honor_noai=args.honor_noai,
         entropy_min=args.entropy_min,
         lm_ref_path=args.lm_ref,
         lm_max_bits=args.lm_max_bits,
@@ -221,6 +230,7 @@ def run_stream(
     quality_clf: bool = False,
     script_screen: bool = False,
     drop_soft404: bool = False,
+    honor_noai: bool = False,
     entropy_min: float | None = None,
     lm_ref_path: str | None = None,
     lm_max_bits: float | None = None,
@@ -342,6 +352,19 @@ def run_stream(
             )
 
         pre_stages.append(_noindex_stage)
+    if honor_noai:
+        # noai opt-out BEFORE extraction — row-local column math,
+        # batch parity with corpus_job --honor-noai
+        from ocrd_segment_spark.operators.headmeta import with_ai_optout
+
+        def _noai_stage(pages):
+            return (
+                with_ai_optout(pages)
+                .filter(~F.col("ai_optout"))
+                .drop("ai_optout", "image_ai_optout")
+            )
+
+        pre_stages.append(_noai_stage)
     if drop_soft404:
         # soft-404 screen LAST in the pre-extraction chain — the ONE
         # shared stage definition with the batch job

@@ -704,3 +704,47 @@ UNION ALL
 SELECT doc_id, 'img', CAST(1 AS INTEGER), origin || '/ok.png', CAST(NULL AS VARCHAR)
 FROM d WHERE doc_id % 5 = 3
 """
+
+
+# ---------------------------------------------------------------------------
+# AI-training opt-out (operators/headmeta.with_ai_optout)
+# ---------------------------------------------------------------------------
+
+# Six page shapes: plain noai; noai+noimageai in a comma list with
+# noindex; a robots content whose token CONTAINS the letters but is
+# not the token ('paranoai' must not fire); reversed attribute order
+# with mixed case; no robots meta at all; noimageai alone.
+
+_AO_HTML = """concat('<html><head>',
+  CASE doc_id % 6
+   WHEN 0 THEN '<meta name="robots" content="noai">'
+   WHEN 1 THEN '<meta name="robots" content="noindex, noai, noimageai">'
+   WHEN 2 THEN '<meta name="robots" content="paranoai,nofollow">'
+   WHEN 3 THEN '<META content="NoAI" name="robots">'
+   WHEN 4 THEN '<title>no robots</title>'
+   ELSE '<meta name="robots" content="index noimageai">'
+  END, '</head><body><p>b</p></body></html>')"""
+
+
+def q_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI-training opt-out flags (operators/headmeta.with_ai_optout):
+    token-wise noai/noimageai match on the robots meta content, both
+    attribute orders, case-insensitive, absent meta -> false/false.
+    Scan-stage column math."""
+    from .operators.headmeta import with_ai_optout
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_AO_HTML} as html",
+        "concat('https://x/', cast(doc_id as string)) as url",
+    )
+    return with_ai_optout(pages).select(
+        "doc_id", "ai_optout", "image_ai_optout"
+    )
+
+
+O_AI_OPTOUT = """
+SELECT doc_id,
+       doc_id % 6 IN (0, 1, 3) AS ai_optout,
+       doc_id % 6 IN (1, 5) AS image_ai_optout
+FROM documents
+"""

@@ -556,3 +556,46 @@ def with_publish_date(df: DataFrame, html_col: str = "html") -> DataFrame:
         .when(t.isNotNull(), F.lit("time"))
         .when(j.isNotNull(), F.lit("jsonld")),
     )
+
+
+# ---------------------------------------------------------------------------
+# AI-training opt-out: the noai / noimageai robots-meta convention
+# ---------------------------------------------------------------------------
+
+def _robots_token(token: str) -> str:
+    """Token-wise match inside a robots content list (comma/space
+    separated, case-insensitive): 'noai' must not fire on a directive
+    that merely CONTAINS the letters (frozen explicit-whitespace
+    class, the shared Java/RE2 subset)."""
+    return f"(^|[ ,\\t]){token}([ ,\\t]|$)"
+
+
+def with_ai_optout(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Append (ai_optout, image_ai_optout): whether the page's robots
+    meta carries the ``noai`` / ``noimageai`` opt-out tokens — the
+    publisher convention (DeviantArt-initiated, now widespread) that
+    asks for exclusion from AI TRAINING even where indexing is
+    welcome. A training-corpus job honors it the way it honors
+    noindex: drop before extraction, count the drop. Token-wise match
+    on the harvested robots content (same two attribute orders as
+    head_meta); no robots meta → both false.
+
+    Scan-stage column expressions, zero shuffle, zero Python."""
+    h = f"cast({html_col} as string)"
+    robots = _first_nonempty(h, ROBOTS_NAME_FIRST, ROBOTS_CONTENT_FIRST)
+    noai = _robots_token("noai")
+    noimg = _robots_token("noimageai")
+    return (
+        df.withColumn("__rb", F.lower(F.expr(robots)))
+        .withColumn(
+            "ai_optout",
+            F.coalesce(F.col("__rb").rlike(noai), F.lit(False)),
+        )
+        .withColumn(
+            "image_ai_optout",
+            F.coalesce(F.col("__rb").rlike(noimg), F.lit(False)),
+        )
+        .drop("__rb")
+    )

@@ -550,3 +550,33 @@ def test_publish_date_precedence_and_trim(spark):
     assert got[4] == ("2023-11-11", "jsonld")
     assert got[5] == ("2022-03-03", "jsonld")
     assert got[6] == (None, None)
+
+
+def test_ai_optout_token_match(spark):
+    from ocrd_segment_spark.operators.headmeta import with_ai_optout
+
+    rows = [
+        (0, '<meta name="robots" content="noai">'),
+        (1, '<meta name="robots" content="noindex, noai, noimageai">'),
+        (2, '<meta name="robots" content="paranoai,nofollow">'),
+        (3, '<META content="NoAI" name="robots">'),
+        (4, "<title>none</title>"),
+        (5, '<meta name="robots" content="index noimageai">'),
+    ]
+    df = spark.createDataFrame(
+        [(i, f"<html><head>{h}</head></html>", f"https://x/{i}")
+         for i, h in rows],
+        "doc_id int, html string, url string",
+    )
+    got = {
+        r.doc_id: (r.ai_optout, r.image_ai_optout)
+        for r in with_ai_optout(df).collect()
+    }
+    assert got == {
+        0: (True, False),
+        1: (True, True),
+        2: (False, False),  # 'paranoai' is not the token
+        3: (True, False),   # reversed attrs, mixed case
+        4: (False, False),  # no robots meta
+        5: (False, True),
+    }

@@ -419,6 +419,9 @@ def test_corpus_job_empty_input(spark, tmp_path):
         "boilerplate_regions_removed": -1, "pii_docs_redacted": -1,
         "contaminated_docs": -1,
         "outlink_edges": -1, "feed_links_found": -1,
+        "tables_extracted": -1, "image_pairs_found": -1,
+        "dropped_soft404": -1, "dropped_script": -1,
+        "dropped_noai": -1,
         "shards_written": -1,
         "sequences_packed": -1,
         "diff_added": -1, "diff_removed": -1,

@@ -144,3 +144,45 @@ def test_corpus_job_image_pairs_side_output(spark, tmp_path):
     assert funnel["image_pairs_found"] == len(got) == 1
     assert got[0]["image_url"] == "https://a.example.org/x.png"
     assert got[0]["alt_text"] == "an x"
+
+
+def test_corpus_job_honor_noai(spark, tmp_path):
+    from jobs.corpus_job import build_corpus
+
+    def body(tag):
+        # unique text per page or the exact-dedup stage collapses them
+        return (f"<p>the {tag} page " + "words " * 40
+                + f'</p><img src="/x.png" alt="an x">')
+
+    rows = [
+        ("https://a.example.org/keep",
+         f"<html><head></head><body>{body('keep')}</body></html>".encode()),
+        ("https://a.example.org/optout",
+         '<html><head><meta name="robots" content="noai"></head>'
+         f"<body>{body('optout')}</body></html>".encode()),
+        ("https://a.example.org/imgopt",
+         '<html><head><meta name="robots" content="noimageai"></head>'
+         f"<body>{body('imgopt')}</body></html>".encode()),
+    ]
+    src = str(tmp_path / "pages_noai")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    funnel = build_corpus(
+        spark,
+        src,
+        str(tmp_path / "corpus_noai"),
+        min_quality=0.0,
+        min_tokens=0,
+        honor_noai=True,
+        image_pairs_path=str(tmp_path / "pairs_noai"),
+    )
+    # noai page dropped from the TEXT corpus; noimageai text kept
+    assert funnel["dropped_noai"] == 1
+    kept = {r["url"] for r in
+            spark.read.parquet(str(tmp_path / "corpus_noai")).collect()}
+    assert kept == {"https://a.example.org/keep",
+                    "https://a.example.org/imgopt"}
+    # pair harvest excludes BOTH opt-outs
+    pairs = {r["url"] for r in
+             spark.read.parquet(str(tmp_path / "pairs_noai")).collect()}
+    assert pairs == {"https://a.example.org/keep"}
+    assert funnel["image_pairs_found"] == 1
