@@ -300,6 +300,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_text_pairs": PG.q_image_pairs,
     # noai / noimageai opt-out flags (operators/headmeta.with_ai_optout)
     "ai_optout_flags": PG.q_ai_optout,
+    # figure captions + caption screen (operators/images)
+    "caption_quality": PG.q_caption_quality,
 }
 
 _ORACLES: dict[str, str] = {
@@ -492,6 +494,7 @@ _ORACLES: dict[str, str] = {
     "list_items_markdown": PG.O_LIST_ITEMS,
     "image_text_pairs": PG.O_IMAGE_PAIRS,
     "ai_optout_flags": PG.O_AI_OPTOUT,
+    "caption_quality": PG.O_CAPTION_QUALITY,
 }
 
 

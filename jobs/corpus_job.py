@@ -558,7 +558,11 @@ def build_corpus(
         # discipline: the multimodal fetch list should see every
         # crawled page — a text-funnel reject can still carry a good
         # captioned image
-        from ocrd_segment_spark.operators.images import image_pairs
+        from ocrd_segment_spark.operators.images import (
+            figure_pairs,
+            image_pairs,
+            with_caption_quality,
+        )
 
         ip_src = pages
         if honor_noai:
@@ -574,7 +578,12 @@ def build_corpus(
                 .filter(~F.col("image_ai_optout") & ~F.col("ai_optout"))
                 .drop("ai_optout", "image_ai_optout")
             )
-        ip = image_pairs(ip_src)
+        # img + og + figure-caption rows, each screened by the
+        # LAION-style caption rule — caption_ok rides the table so the
+        # fetch scheduler can prioritize before downloading a byte
+        ip = with_caption_quality(
+            image_pairs(ip_src).unionByName(figure_pairs(ip_src))
+        )
         ip_obs = Observation("imagepairs")
         ip = ip.observe(ip_obs, F.count(F.lit(1)).alias("n"))
         ip.write.mode("overwrite").parquet(image_pairs_path)

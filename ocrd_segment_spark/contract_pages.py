@@ -748,3 +748,80 @@ SELECT doc_id,
        doc_id % 6 IN (1, 5) AS image_ai_optout
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# figure captions + caption quality (operators/images)
+# ---------------------------------------------------------------------------
+
+# Six page shapes: a figure whose img ALSO surfaces as a bare img row
+# (NULL alt -> screened) while the figcaption row passes; a camera-roll
+# alt (IMG_1234 -> screened); a generic alt ('logo' -> screened); a
+# filename alt ('photo.jpg' -> screened); a real sentence alt
+# (passes); a figure with no figcaption (no fig row, NULL-alt img row
+# screened). Expected-output oracle.
+
+_CQ_HTML = """concat('<html><body>',
+  CASE doc_id % 6
+   WHEN 0 THEN '<figure><img src="/f.png"><figcaption>A <b>scenic</b>  view</figcaption></figure>'
+   WHEN 1 THEN '<img src="/a.png" alt="IMG_1234">'
+   WHEN 2 THEN '<img src="/b.png" alt="logo">'
+   WHEN 3 THEN '<img src="/c.png" alt="photo.jpg">'
+   WHEN 4 THEN '<img src="/d.png" alt="A small red boat on the lake">'
+   ELSE '<figure><img src="/e.png"></figure>'
+  END, '</body></html>')"""
+
+
+def q_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Figure-caption harvest + LAION-style caption screen
+    (operators/images.figure_pairs + with_caption_quality): img and
+    figure rows unioned, captions screened for length / generic words
+    / filename shapes. Scan-stage column math, zero shuffle."""
+    from .operators.images import (
+        figure_pairs,
+        image_pairs,
+        with_caption_quality,
+    )
+
+    pages = _t(spark, sf_dir, "documents").selectExpr(
+        f"{_IP_URL} as url", f"cast({_CQ_HTML} as binary) as html", "doc_id"
+    )
+    pairs = image_pairs(pages).unionByName(figure_pairs(pages))
+    return with_caption_quality(pairs).selectExpr(
+        "cast(regexp_extract(url, '/p/([0-9]+)$', 1) as bigint) as doc_id",
+        "source", "img_idx", "image_url", "alt_text", "caption_ok",
+    )
+
+
+O_CAPTION_QUALITY = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {_IP_ORIGIN} AS origin FROM documents
+)
+SELECT doc_id, 'img' AS source, CAST(0 AS INTEGER) AS img_idx,
+       origin || '/f.png' AS image_url,
+       CAST(NULL AS VARCHAR) AS alt_text, false AS caption_ok
+FROM d WHERE doc_id % 6 = 0
+UNION ALL
+SELECT doc_id, 'fig', CAST(0 AS INTEGER), origin || '/f.png',
+       'A scenic view', true
+FROM d WHERE doc_id % 6 = 0
+UNION ALL
+SELECT doc_id, 'img', CAST(0 AS INTEGER), origin || '/a.png',
+       'IMG_1234', false
+FROM d WHERE doc_id % 6 = 1
+UNION ALL
+SELECT doc_id, 'img', CAST(0 AS INTEGER), origin || '/b.png', 'logo', false
+FROM d WHERE doc_id % 6 = 2
+UNION ALL
+SELECT doc_id, 'img', CAST(0 AS INTEGER), origin || '/c.png',
+       'photo.jpg', false
+FROM d WHERE doc_id % 6 = 3
+UNION ALL
+SELECT doc_id, 'img', CAST(0 AS INTEGER), origin || '/d.png',
+       'A small red boat on the lake', true
+FROM d WHERE doc_id % 6 = 4
+UNION ALL
+SELECT doc_id, 'img', CAST(0 AS INTEGER), origin || '/e.png',
+       CAST(NULL AS VARCHAR), false
+FROM d WHERE doc_id % 6 = 5
+"""

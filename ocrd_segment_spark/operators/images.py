@@ -119,3 +119,99 @@ def image_pairs(
         )
     )
     return img_rows.unionByName(og_rows)
+
+
+# ---------------------------------------------------------------------------
+# figure captions + caption quality: the LAION-style pair screen
+# ---------------------------------------------------------------------------
+
+FIGURE_BLOCK = "(?is)<figure[^>]*>.*?</figure>"
+FIGCAPTION = "(?is)<figcaption[^>]*>(.*?)</figcaption>"
+
+MIN_CAPTION_CHARS = 5
+GENERIC_CAPTIONS = (
+    "image", "photo", "picture", "img", "logo", "icon",
+    "thumbnail", "banner",
+)
+# IMG_1234 / DSC0042 / screenshot-7 shapes, or a bare filename
+FILENAME_LIKE = (
+    "^(img|image|dsc|dscn|photo|pic|screenshot)[ _-]?[0-9]+$"
+)
+FILENAME_EXT = "\\.(jpe?g|png|gif|webp|bmp)$"
+
+
+def figure_pairs(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, source='fig', img_idx, image_url, alt_text) — one row per
+    ``<figure>`` block carrying BOTH an img src and a figcaption: the
+    author-written caption, higher-precision than alt text. img_idx is
+    the 0-based FIGURE ordinal; the caption runs through the shared
+    cell-cleanup chain (tags inside figcaption are markup); src
+    resolution and attribute guards are identical to
+    :func:`image_pairs`. Scan-stage column math, zero shuffle."""
+    from .tables import clean_cell_text
+
+    h = f"cast({html_col} as string)"
+    scheme = f"lower(regexp_extract(url, '{_SCHEME}', 1))"
+    host = f"lower(regexp_extract(url, '{_ABS_HOST}', 1))"
+    base = df.selectExpr(f"{url_col} as url", f"{h} as __h")
+    figs = base.select(
+        "url",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(__h, '{FIGURE_BLOCK}', 0)")
+        ).alias("img_idx", "__fig"),
+    ).selectExpr(
+        "url",
+        "img_idx",
+        f"nullif(regexp_extract(__fig, '{SRC_ATTR}', 1), '') as __src",
+        f"nullif(regexp_extract(__fig, '{FIGCAPTION}', 1), '') as __cap",
+    )
+    return (
+        figs.withColumn(
+            "image_url",
+            F.expr(resolved_canonical_sql("__src", scheme, host)),
+        )
+        .withColumn(
+            "alt_text",
+            F.nullif(clean_cell_text(F.col("__cap")), F.lit("")),
+        )
+        .filter(
+            F.col("image_url").isNotNull() & F.col("alt_text").isNotNull()
+        )
+        .select(
+            "url",
+            F.lit("fig").alias("source"),
+            "img_idx",
+            "image_url",
+            "alt_text",
+        )
+    )
+
+
+def with_caption_quality(pairs: DataFrame) -> DataFrame:
+    """Append ``caption_ok`` to a pair table: the LAION-style screen
+    that keeps only captions worth training on. Frozen rule on the
+    lowercased trimmed caption:
+
+    - NULL or under ``MIN_CAPTION_CHARS`` (5) → false;
+    - a ``GENERIC_CAPTIONS`` member ('image', 'logo', …) → false;
+    - filename-like → false: the camera-roll shape
+      (``FILENAME_LIKE``: IMG_1234, DSC0042, screenshot-7) or any
+      caption ENDING in a raster extension (``FILENAME_EXT``);
+    - everything else → true.
+
+    Pure column math; the flag rides the table so consumers count
+    drops before fetching a single image byte."""
+    c = F.lower(F.trim(F.col("alt_text")))
+    generic = F.lit(False)
+    for g in GENERIC_CAPTIONS:
+        generic = generic | (c == g)
+    bad = (
+        F.col("alt_text").isNull()
+        | (F.length(c) < MIN_CAPTION_CHARS)
+        | generic
+        | c.rlike(FILENAME_LIKE)
+        | c.rlike(FILENAME_EXT)
+    )
+    return pairs.withColumn("caption_ok", ~bad)

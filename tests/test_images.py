@@ -48,3 +48,53 @@ def test_no_images_no_rows(spark):
 
 def test_imgx_tag_never_matches(spark):
     assert _rows(spark, '<imgx src="/x.png">') == []
+
+
+def test_figure_pairs_and_caption_screen(spark):
+    from ocrd_segment_spark.operators.images import (
+        figure_pairs,
+        with_caption_quality,
+    )
+
+    html = (
+        '<figure><img src="/f.png">'
+        "<figcaption>A <b>scenic</b>\n view</figcaption></figure>"
+        '<figure><img src="/g.png"></figure>'  # no caption -> no row
+        '<figure><figcaption>no img</figcaption></figure>'
+    )
+    df = spark.createDataFrame(
+        [("https://h.example.org/p", html)], "url string, html string"
+    )
+    got = figure_pairs(df).collect()
+    assert len(got) == 1
+    assert got[0].image_url == "https://h.example.org/f.png"
+    assert got[0].alt_text == "A scenic view" and got[0].source == "fig"
+
+    screened = {
+        r.alt_text: r.caption_ok
+        for r in with_caption_quality(
+            spark.createDataFrame(
+                [
+                    ("u", "img", 0, "https://x/i.png", a)
+                    for a in [
+                        "A small red boat on the lake",
+                        "IMG_1234",
+                        "dsc 0042",
+                        "logo",
+                        "photo.jpg",
+                        "tiny",
+                        None,
+                    ]
+                ],
+                "url string, source string, img_idx int,"
+                " image_url string, alt_text string",
+            )
+        ).collect()
+    }
+    assert screened["A small red boat on the lake"] is True
+    assert screened["IMG_1234"] is False
+    assert screened["dsc 0042"] is False
+    assert screened["logo"] is False
+    assert screened["photo.jpg"] is False
+    assert screened["tiny"] is False  # 4 chars < 5 floor
+    assert screened[None] is False
