@@ -187,8 +187,8 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 _STATIC_SECTIONS = """
 ## Page-content analysis surface (round 5, session 6)
 
-New operator families, each contract-gated (188/188 keys green this
-session — 187 DuckDB-oracled, compression_ratio rows-only by design):
+New operator families, each contract-gated (192/192 keys green this
+session — 191 DuckDB-oracled, compression_ratio rows-only by design):
 
 - **Soft-404 detection** (operators/softerrors): error pages served as
   200 drop BEFORE extraction (title phrase arm + tiny-body arm over
@@ -212,6 +212,13 @@ session — 187 DuckDB-oracled, compression_ratio rows-only by design):
   (**0.69 s**/50k docs).
 - **Publish-date harvest** (headmeta.with_publish_date): declared
   freshness via meta > <time> > JSON-LD precedence, strings verbatim.
+- **Image-text pairs** (operators/images): <img src alt> + og:image
+  hero + figcaption rows, urls resolved, LAION-style caption_ok
+  screen — the multimodal fetch list (corpus_job --image-pairs),
+  screened before any image byte is fetched.
+- **noai/noimageai opt-out** (headmeta.with_ai_optout): honored
+  pre-extraction (--honor-noai), image harvest excluded
+  independently.
 
 ## Ingestion + discovery surface (round 5, session 5)
 
