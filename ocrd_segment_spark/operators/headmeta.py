@@ -566,13 +566,12 @@ def _robots_token(token: str) -> str:
     """Token-wise match inside a robots content list (comma/space
     separated, case-insensitive): 'noai' must not fire on a directive
     that merely CONTAINS the letters (frozen explicit-whitespace
-    class, the shared Java/RE2 subset)."""
-    return f"(^|[ ,\\t]){token}([ ,\\t]|$)"
+    class incl. newlines — legal inside attribute values; the shared
+    Java/RE2 subset)."""
+    return f"(^|[ ,\\t\\n\\r]){token}([ ,\\t\\n\\r]|$)"
 
 
-def with_ai_optout(
-    df: DataFrame, html_col: str = "html", url_col: str = "url"
-) -> DataFrame:
+def with_ai_optout(df: DataFrame, html_col: str = "html") -> DataFrame:
     """Append (ai_optout, image_ai_optout): whether the page's robots
     meta carries the ``noai`` / ``noimageai`` opt-out tokens — the
     publisher convention (DeviantArt-initiated, now widespread) that

@@ -44,8 +44,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from .headmeta import (
     _ABS_HOST,
-    _CONTENT,
-    _META,
     _PROP_OG,
     _SCHEME,
     _meta_pair,
@@ -125,8 +123,8 @@ def image_pairs(
 # figure captions + caption quality: the LAION-style pair screen
 # ---------------------------------------------------------------------------
 
-FIGURE_BLOCK = "(?is)<figure[^>]*>.*?</figure>"
-FIGCAPTION = "(?is)<figcaption[^>]*>(.*?)</figcaption>"
+FIGURE_BLOCK = "(?is)<figure(?:>|[ \\t\\n\\r][^>]*>).*?</figure>"
+FIGCAPTION = "(?is)<figcaption(?:>|[ \\t\\n\\r][^>]*>)(.*?)</figcaption>"
 
 MIN_CAPTION_CHARS = 5
 GENERIC_CAPTIONS = (
@@ -204,9 +202,7 @@ def with_caption_quality(pairs: DataFrame) -> DataFrame:
     Pure column math; the flag rides the table so consumers count
     drops before fetching a single image byte."""
     c = F.lower(F.trim(F.col("alt_text")))
-    generic = F.lit(False)
-    for g in GENERIC_CAPTIONS:
-        generic = generic | (c == g)
+    generic = c.isin(*GENERIC_CAPTIONS)
     bad = (
         F.col("alt_text").isNull()
         | (F.length(c) < MIN_CAPTION_CHARS)

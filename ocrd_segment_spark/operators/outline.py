@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .tables import clean_cell_text
 
-HEADING_BLOCK = "(?is)<h[1-6][^>]*>.*?</h[1-6]>"
+HEADING_BLOCK = "(?is)<h[1-6](?:>|[ \\t\\n\\r][^>]*>).*?</h[1-6]>"
 
 
 def heading_outline(

@@ -55,9 +55,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-TABLE_BLOCK = "(?is)<table[^>]*>.*?</table>"
-ROW_BLOCK = "(?is)<tr[^>]*>(.*?)</tr>"
-CELL_BLOCK = "(?is)<t[dh][^>]*>.*?</t[dh]>"
+TABLE_BLOCK = "(?is)<table(?:>|[ \\t\\n\\r][^>]*>).*?</table>"
+ROW_BLOCK = "(?is)<tr(?:>|[ \\t\\n\\r][^>]*>)(.*?)</tr>"
+CELL_BLOCK = "(?is)<t[dh](?:>|[ \\t\\n\\r][^>]*>).*?</t[dh]>"
 TAG = "(?s)<[^>]*>"
 # explicit whitespace class incl. NBSP; VT spelled \x0B (Java \v is a
 # CLASS — the CLAUDE.md trap)
@@ -185,8 +185,8 @@ def tables_markdown(
 # list extraction: the <ul>/<ol> sibling of the table grammar
 # ---------------------------------------------------------------------------
 
-LIST_BLOCK = "(?is)<[ou]l[^>]*>.*?</[ou]l>"
-ITEM_BLOCK = "(?is)<li[^>]*>.*?</li>"
+LIST_BLOCK = "(?is)<[ou]l(?:>|[ \\t\\n\\r][^>]*>).*?</[ou]l>"
+ITEM_BLOCK = "(?is)<li(?:>|[ \\t\\n\\r][^>]*>).*?</li>"
 
 
 def list_items(

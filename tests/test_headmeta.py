@@ -580,3 +580,16 @@ def test_ai_optout_token_match(spark):
         4: (False, False),  # no robots meta
         5: (False, True),
     }
+
+
+def test_noai_newline_separated_token(spark):
+    # newline-separated robots tokens are legal attribute content and
+    # must still be honored (review-pass compliance finding)
+    from ocrd_segment_spark.operators.headmeta import with_ai_optout
+
+    df = spark.createDataFrame(
+        [(0, '<html><head><meta name="robots" content="noindex,\nnoai">'
+             "</head></html>")],
+        "doc_id int, html string",
+    )
+    assert with_ai_optout(df).collect()[0].ai_optout is True

@@ -98,3 +98,22 @@ def test_figure_pairs_and_caption_screen(spark):
     assert screened["photo.jpg"] is False
     assert screened["tiny"] is False  # 4 chars < 5 floor
     assert screened[None] is False
+
+
+def test_figure_custom_element_never_matches(spark):
+    # <figure-card> must not open a figure block (review-pass finding:
+    # it would pair a foreign src with a later real figcaption)
+    html = (
+        '<figure-card><img src="/ad.png"></figure-card>'
+        '<figure><img src="/photo.png">'
+        "<figcaption>A lake</figcaption></figure>"
+    )
+    from ocrd_segment_spark.operators.images import figure_pairs
+
+    df = spark.createDataFrame(
+        [("https://h.example.org/p", html)], "url string, html string"
+    )
+    got = figure_pairs(df).collect()
+    assert len(got) == 1
+    assert got[0].image_url == "https://h.example.org/photo.png"
+    assert got[0].alt_text == "A lake"

@@ -115,3 +115,19 @@ def test_nested_list_truncates_outer(spark):
     # inner tags strip to '' (the table-cell cleanup chain), so the
     # nested item's text fuses into the outer item
     assert got == ["outerinner"]
+
+
+def test_custom_elements_never_match(spark):
+    # whole-tag discipline: custom elements sharing the prefix must
+    # not open a block (review-pass finding)
+    html = (
+        "<table-card><tr-x><td-y>nope</td-y></tr-x></table-card>"
+        "<table><tr><td>yes</td></tr></table>"
+        "<ul-menu><li-item>no</li-item></ul-menu>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id int, html string")
+    got = [r.cell_text for r in table_cells(df).collect()]
+    assert got == ["yes"]
+    from ocrd_segment_spark.operators.tables import list_items
+
+    assert list_items(df).count() == 0

@@ -187,8 +187,8 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 _STATIC_SECTIONS = """
 ## Page-content analysis surface (round 5, session 6)
 
-New operator families, each contract-gated (192/192 keys green this
-session — 191 DuckDB-oracled, compression_ratio rows-only by design):
+New operator families, each contract-gated (191/191 keys green this
+session — 190 DuckDB-oracled, compression_ratio rows-only by design):
 
 - **Soft-404 detection** (operators/softerrors): error pages served as
   200 drop BEFORE extraction (title phrase arm + tiny-body arm over
