@@ -257,3 +257,59 @@ def test_url_template_oracle_parity_on_fuzz(spark):
     want = sorted(con.execute(sql).fetchall())
     bad = [(g, w) for g, w in zip(got, want) if g != w]
     assert not bad, bad[:5]
+
+
+def test_cell_cleanup_oracle_parity_on_fuzz(spark):
+    """The table/list/heading cleanup chain (tag strip -> 5-entity
+    decode with &amp; LAST -> explicit-whitespace collapse incl. NBSP
+    and VT) replayed against its DuckDB restatement on adversarial
+    markup soup — partial tags, partial entities, double-encoded
+    entities, exotic whitespace, unicode."""
+    import random
+
+    import pyarrow as pa
+
+    from ocrd_segment_spark.contract_pages import _CLEAN_DUCK
+    from ocrd_segment_spark.operators.tables import clean_cell_text
+    from pyspark.sql import functions as F
+
+    rng = random.Random(77)
+    pools = [
+        "plain words here ",
+        "<b>", "</b>", "<td class='x'>", "</td>", "<br/>",
+        "<a\nhref=\"y\">", "< notag", "tag>",
+        "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+        "&amp;lt;", "&am", "&;", "&unknown;",
+        "\t\n\x0b\x0c\r  ",
+        "данные 数据 🚀 ",
+    ]
+    texts = ["", "<>", "&amp;amp;", "  ", "<td></td>"]
+    while len(texts) < 250:
+        texts.append(
+            "".join(
+                rng.choice(pools)
+                for _ in range(rng.randint(1, 10))
+            )
+        )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, cell string"
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", clean_cell_text(F.col("cell")).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "cells", pa.table({"doc_id": list(range(len(texts))), "cell": texts})
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {_CLEAN_DUCK} AS c FROM cells"
+        ).fetchall()
+    }
+    bad = {i: (got[i], want[i], repr(texts[i])[:60])
+           for i in got if got[i] != want[i]}
+    assert not bad, dict(list(bad.items())[:5])
