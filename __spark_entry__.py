@@ -188,6 +188,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_style_runs": L.q_extract_style_runs,
     # dir/rtl reading-direction inheritance (orientation analog)
     "extract_reading_direction": L.q_extract_reading_direction,
+    "extract_pre_verbatim": L.q_extract_pre_verbatim,
     # full from-coco processor (apply imported segmentation)
     "coco_apply_roundtrip": L.q_coco_apply_roundtrip,
     # TextEquiv history-preserving replace (insert at index 0)
@@ -415,6 +416,7 @@ _ORACLES: dict[str, str] = {
     "s2_feature_chain": L.O_S2_FEATURE_CHAIN,
     "extract_style_runs": L.O_STYLE_RUNS,
     "extract_reading_direction": L.O_READING_DIRECTION,
+    "extract_pre_verbatim": L.O_PRE_VERBATIM,
     "coco_apply_roundtrip": L.O_COCO_APPLY,
     "replace_textequiv_history": L.O_TEXTEQUIV_HISTORY,
     "outlink_host_edges": G.O_OUTLINK_EDGES,

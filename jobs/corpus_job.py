@@ -101,6 +101,13 @@ def main() -> None:
         " pure-argmax behavior of earlier rounds",
     )
     ap.add_argument(
+        "--preserve-pre",
+        action="store_true",
+        help="extract <pre> subtrees with VERBATIM whitespace (kernel"
+        " 1.6.0 params.preserve_pre): code blocks keep indentation and"
+        " blank lines instead of the collapse-and-join rule",
+    )
+    ap.add_argument(
         "--gopher",
         action="store_true",
         help="apply the Gopher-style repetition/quality rules"
@@ -410,6 +417,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
         lang_margin=args.lang_margin,
+        preserve_pre=args.preserve_pre,
         gopher=args.gopher,
         blocklist_path=args.blocklist,
         entropy_min=args.entropy_min,
@@ -457,6 +465,7 @@ def build_corpus(
     min_tokens: int = 5,
     langs: list[str] | None = None,
     lang_margin: float | None = None,
+    preserve_pre: bool = False,
     gopher: bool = False,
     blocklist_path: str | None = None,
     entropy_min: float | None = None,
@@ -786,8 +795,16 @@ def build_corpus(
             margin=lang_margin,
         )
     else:
+        from ocrd_segment_spark.config import DEFAULT_PARAMS, ExtractParams
+
         extracted = extract_pages(
             pages,
+            # verbatim <pre> (kernel 1.6.0): code blocks keep their
+            # indentation in the training corpus; PDF-lane text has no
+            # pre analog, so the flag only touches the HTML path
+            params=ExtractParams(preserve_pre=True)
+            if preserve_pre
+            else DEFAULT_PARAMS,
             python_parallelism=python_parallelism,
             lang_id=True,
             lang_margin=lang_margin,

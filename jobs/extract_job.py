@@ -52,6 +52,12 @@ def main() -> None:
         " archives carrying compressed or non-UTF-8 payloads (the"
         " default JVM string scan is faster but char-sliced)",
     )
+    ap.add_argument(
+        "--preserve-pre", action="store_true",
+        help="extract <pre> subtrees with VERBATIM whitespace (kernel"
+        " 1.6.0 params.preserve_pre): code blocks keep indentation"
+        " and blank lines instead of the collapse-and-join rule",
+    )
     ap.add_argument("--max-link-density", type=float, default=0.5)
     ap.add_argument("--min-region-chars", type=int, default=2)
     ap.add_argument("--simplify-gap", type=int, default=0)
@@ -72,6 +78,7 @@ def main() -> None:
         min_region_chars=args.min_region_chars,
         simplify_gap_tolerance=args.simplify_gap,
         spread_chars=args.spread,
+        preserve_pre=args.preserve_pre,
     )
     run_extract(
         spark,

@@ -80,6 +80,11 @@ def main() -> None:
         help="per-char top-2 gap below which language id abstains to"
         " 'und' (same frozen rule as the batch job)",
     )
+    ap.add_argument(
+        "--preserve-pre", action="store_true",
+        help="verbatim-whitespace <pre> extraction (kernel 1.6.0),"
+        " parity with corpus_job --preserve-pre",
+    )
     ap.add_argument("--gopher", action="store_true")
     ap.add_argument(
         "--quality-clf",
@@ -194,6 +199,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         langs=args.langs.split(",") if args.langs else None,
         lang_margin=args.lang_margin,
+        preserve_pre=args.preserve_pre,
         gopher=args.gopher,
         quality_clf=args.quality_clf,
         script_screen=args.script_screen,
@@ -226,6 +232,7 @@ def run_stream(
     min_tokens: int = 5,
     langs: list[str] | None = None,
     lang_margin: float | None = None,
+    preserve_pre: bool = False,
     gopher: bool = False,
     quality_clf: bool = False,
     script_screen: bool = False,
@@ -457,11 +464,18 @@ def run_stream(
                 margin=lang_margin,
             )
 
+    from ocrd_segment_spark.config import DEFAULT_PARAMS, ExtractParams
+
     return stream_extract(
         spark,
         input_path,
         output_path,
         checkpoint,
+        # verbatim <pre> is a pure kernel param — narrow, streaming-
+        # legal, batch parity with corpus_job --preserve-pre
+        params=ExtractParams(preserve_pre=True)
+        if preserve_pre
+        else DEFAULT_PARAMS,
         available_now=available_now,
         transform=score_and_filter,
         pre_transform=pre_transform,

@@ -15,6 +15,6 @@ Everything is idiomatic PySpark: DataFrame transforms + Arrow-vectorized
 pandas UDFs (``mapInPandas``), never per-row Python, never RDDs.
 """
 
-KERNEL_VERSION = "1.5.5"
+KERNEL_VERSION = "1.6.0"
 
 __all__ = ["KERNEL_VERSION"]

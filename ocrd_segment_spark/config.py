@@ -84,5 +84,19 @@ class ExtractParams:
     # way (kernel 1.3.0).
     media_regions: bool = False
 
+    # Preserve whitespace VERBATIM inside <pre> subtrees (code blocks,
+    # ASCII tables) instead of the collapse-and-join rule — the
+    # training-data fidelity knob: collapsed code loses indentation.
+    # Frozen rule (kernel 1.6.0, default off, default output
+    # byte-identical / golden-pinned): the whole <pre> subtree becomes
+    # ONE token = its text descendants concatenated in document order
+    # (NONTEXT_TAGS subtrees skipped, inline element boundaries add no
+    # spaces), with \r\n and \r normalized to \n and exactly one
+    # leading \n dropped (the HTML spec's post-<pre> newline rule).
+    # Whitespace-only <pre> emits nothing. Inside the subtree no
+    # descendant candidates, media spans, or style runs are collected
+    # — the region is one run styled by the state at <pre> entry.
+    preserve_pre: bool = False
+
 
 DEFAULT_PARAMS = ExtractParams()

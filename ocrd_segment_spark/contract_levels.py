@@ -1128,3 +1128,55 @@ SELECT doc_id, 'r0003' AS region_id, printf('r0003_l%03d', li) AS line_id,
          AS validation
 FROM l
 """
+
+
+def q_extract_pre_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim <pre> extraction (kernel 1.6.0, params.preserve_pre) —
+    the training-data fidelity knob: code blocks keep indentation,
+    blank lines and trailing spaces instead of the collapse-and-join
+    rule (reference extract_lines.py:280-283 writes text sinks
+    byte-identically; the 1-D analog of "the region's own bytes").
+    Pages carry a heading, a <pre> code block whose body embeds
+    newlines / a tab / trailing spaces, and a trailing paragraph; the
+    pre region's span must slice the verbatim text exactly."""
+    from .config import ExtractParams
+
+    html_expr = (
+        "concat('<html><body><h1>', source, '</h1><pre>', chr(10),"
+        " 'def f(', source, '):', chr(10),"
+        " chr(9), 'return ', cast(doc_id as string), '  ', chr(10),"
+        " '</pre><p>', text, '</p></body></html>')"
+    )
+    pages = _pages_from_documents(spark, sf_dir, html_expr)
+    out = extract_pages(pages, ExtractParams(preserve_pre=True))
+    sp = F.expr("filter(region_spans, r -> r.rtype = 'pre')")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "extracted_text",
+        F.get(sp, 0).alias("_p"),
+    ).select(
+        "doc_id",
+        "extracted_text",
+        F.col("_p.start").alias("pre_start"),
+        F.expr(
+            "substring(extracted_text, cast(_p.start as int) + 1,"
+            " cast(_p.end - _p.start as int))"
+        ).alias("pre_text"),
+    )
+
+
+# one string both frames agree on: 'def f(<source>):\n\t return <id>  \n'
+# (leading newline dropped per the HTML spec rule, trailing kept)
+_O_PRE_BODY = (
+    "'def f(' || source || '):' || chr(10) || chr(9) || 'return '"
+    " || cast(doc_id as varchar) || '  ' || chr(10)"
+)
+
+O_PRE_VERBATIM = f"""
+SELECT doc_id,
+       source || chr(10) || {_O_PRE_BODY} || chr(10) ||
+         {_SQL_COLLAPSE} AS extracted_text,
+       length(source) + 1 AS pre_start,
+       {_O_PRE_BODY} AS pre_text
+FROM documents
+"""

@@ -109,11 +109,42 @@ def _classify(node: Node) -> str:
     return "paragraph"
 
 
+def _pre_verbatim(node: Node) -> str:
+    """Verbatim text of a ``<pre>`` subtree (params.preserve_pre).
+
+    Frozen rule: text descendants concatenated in document order —
+    inline element boundaries contribute NOTHING (no spaces), and
+    NONTEXT_TAGS subtrees (script/style/…) are skipped like everywhere
+    else. Normalization is exactly the HTML spec's: ``\\r\\n``/``\\r``
+    become ``\\n`` and ONE newline immediately after the start tag is
+    dropped; all other whitespace (indentation, blank lines, trailing
+    spaces) is the document's own bytes."""
+    parts: list[str] = []
+    stack: list[tuple[Node, int]] = [(node, 0)]
+    while stack:
+        n, ci = stack.pop()
+        while ci < len(n.children):
+            child = n.children[ci]
+            ci += 1
+            if isinstance(child, str):
+                parts.append(child)
+                continue
+            if child.tag in NONTEXT_TAGS:
+                continue
+            stack.append((n, ci))
+            n, ci = child, 0
+    raw = "".join(parts).replace("\r\n", "\n").replace("\r", "\n")
+    if raw.startswith("\n"):
+        raw = raw[1:]
+    return raw
+
+
 def _walk(
     root: Node,
     collect_media: bool = False,
     collect_styles: bool = False,
     css_styles: bool = False,
+    preserve_pre: bool = False,
 ):
     """Single iterative DOM walk (document order). Returns
     (tokens, tok_link, tok_style, candidates, media): candidates is a
@@ -172,6 +203,30 @@ def _walk(
                 child_style = apply_css(st, node_attrs(child).get("style"))
             else:
                 child_style = frame[8] | STYLE_TAGS.get(child.tag, 0)
+            if preserve_pre and child.tag == "pre":
+                # the whole subtree is ONE verbatim token (see
+                # _pre_verbatim); descendants are consumed here, so
+                # they get no pre_index / candidacy / media / style
+                # runs of their own — the region is a single run
+                # styled by the state at <pre> entry
+                raw = _pre_verbatim(child)
+                if raw.strip():
+                    in_link = frame[3] > 0
+                    tokens.append(raw)
+                    tok_link.append(in_link)
+                    if collect_styles:
+                        tok_style.append(child_style)
+                    candidates.append(
+                        {
+                            "node": child,
+                            "depth": frame[2] + 1,
+                            "tok_first": len(tokens) - 1,
+                            "tok_last": len(tokens),
+                            "pre_index": pre_counter,
+                        }
+                    )
+                    frame[6] = True
+                continue
             stack.append(
                 [
                     child,
@@ -295,6 +350,7 @@ def extract_document(
         params.media_regions,
         params.style_spans,
         params.style_spans and params.css_styles,
+        params.preserve_pre,
     )
     metrics["n_media"] = len(media)
     if not candidates or not tokens:

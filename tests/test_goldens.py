@@ -56,6 +56,12 @@ Digest history:
   self-closed — html.parser only rejects values STARTING with a quote;
   the rule now uses a lookahead. 23 slash-binding shapes re-validated
   against html.parser case-by-case; fixtures unaffected)
+- kernel 1.6.0 (fixtures v3): df6c272a…  (same digest — new behavior
+  is param-gated default-off per the invariant: params.preserve_pre
+  extracts <pre> subtrees as ONE verbatim-whitespace token instead of
+  collapse-and-join; default params never enter the new branch, and
+  the full-params/css digests below exercise style_spans/css_styles
+  only, so all three digests are unchanged)
 """
 
 import hashlib
@@ -68,7 +74,7 @@ from ocrd_segment_spark.fixtures import FIXTURES_VERSION, gen_pages
 from ocrd_segment_spark.oracle import extract_corpus
 
 GOLDEN_SHA256 = "df6c272a0a81b345a634cc49ec0368d56e30a0ca9fe79ae806ba190bbc9534fa"
-GOLDEN_KERNEL = "1.5.5"
+GOLDEN_KERNEL = "1.6.0"
 GOLDEN_FIXTURES = 3
 
 

@@ -356,3 +356,82 @@ def test_reading_direction_inheritance():
     # default params: key absent entirely
     _, regs, _ = extract_document(html)
     assert all("dir" not in r for r in regs)
+
+
+# ------------------------------------------------------------ preserve_pre
+def test_preserve_pre_verbatim_whitespace():
+    """params.preserve_pre (kernel 1.6.0): the <pre> subtree is ONE
+    verbatim token — indentation, blank lines and trailing spaces
+    survive; \r\n/\r normalize to \n; exactly one leading newline
+    drops (HTML spec); inline element boundaries add no spaces; the
+    span slices the verbatim text exactly."""
+    html = (
+        b"<html><body><h1>title here</h1><pre>\r\ndef f(x):\r"
+        b"    return x  <span>+ 1</span>\n\n</pre>"
+        b"<p>some  para   text</p></body></html>"
+    )
+    text, regions, _ = extract_document(html, ExtractParams(preserve_pre=True))
+    pre = next(r for r in regions if r["rtype"] == "pre")
+    verbatim = "def f(x):\n    return x  + 1\n\n"
+    assert text == "title here\n" + verbatim + "\nsome para text"
+    assert text[pre["start"]:pre["end"]] == verbatim
+    # default params: frozen collapse-and-join semantics untouched
+    text0, regions0, _ = extract_document(html)
+    assert text0 == "title here\ndef f(x): return x + 1\nsome para text"
+
+
+def test_preserve_pre_skips_nontext_and_whitespace_only():
+    """script/style subtrees inside <pre> contribute nothing; a
+    whitespace-only <pre> emits no token and no region; descendant
+    elements inside a preserved <pre> never become candidates."""
+    html = (
+        b"<html><body><pre>a <script>x=1</script>b</pre>"
+        b"<pre>   \n\t  </pre>"
+        b"<pre><p>not a region</p></pre>"
+        b"<p>plain paragraph words</p></body></html>"
+    )
+    text, regions, _ = extract_document(html, ExtractParams(preserve_pre=True))
+    rtypes = [r["rtype"] for r in regions]
+    assert rtypes.count("pre") == 2  # whitespace-only pre dropped
+    assert "paragraph" in rtypes
+    # no <p>-subtype region from inside the pre
+    assert sum(1 for r in regions if r["subtype"] == "p") == 1
+    assert text.startswith("a b\n")  # no space injected by <script> skip
+    assert "not a region" in text    # text kept, verbatim, as the pre region
+
+
+def test_preserve_pre_link_density_and_styles():
+    """A <pre> fully inside <a> counts as linked (density 1.0 ->
+    dropped at default max_link_density); style runs carry ONE run
+    styled by the state at <pre> entry (monospace bit)."""
+    linked = (
+        b'<html><body><a href="/x"><pre>only linked code</pre></a>'
+        b"<p>unlinked paragraph words</p></body></html>"
+    )
+    text, regions, _ = extract_document(linked, ExtractParams(preserve_pre=True))
+    assert all(r["rtype"] != "pre" for r in regions)  # density-dropped
+    styled = b"<html><body><b><pre>x = <i>1</i>\n</pre></b></body></html>"
+    _, regs, _ = extract_document(
+        styled, ExtractParams(preserve_pre=True, style_spans=True)
+    )
+    pre = next(r for r in regs if r["rtype"] == "pre")
+    assert len(pre["style_runs"]) == 1
+    run = pre["style_runs"][0]
+    assert run["monospace"] and run["bold"] and not run["italic"]
+
+
+def test_preserve_pre_stdlib_fast_parser_parity():
+    """Both parsers feed _walk the same verbatim text children —
+    extraction with preserve_pre is parser-independent."""
+    from ocrd_segment_spark.kernel.extract import _walk
+    from ocrd_segment_spark.kernel.htmlparse_fast import parse_html_fast
+
+    html = (
+        "<html><body><pre>\nfor i in range(3):\n\tprint(i)  \n</pre>"
+        "<pre>a&amp;b <em>c</em>\nd</pre><p>tail words</p></body></html>"
+    )
+    toks_a = _walk(parse_html(html), preserve_pre=True)[0]
+    toks_b = _walk(parse_html_fast(html), preserve_pre=True)[0]
+    assert toks_a == toks_b
+    assert toks_a[0] == "for i in range(3):\n\tprint(i)  \n"
+    assert toks_a[1] == "a&b c\nd"

@@ -591,3 +591,32 @@ def test_stream_job_content_type_parity(spark, tmp_path):
     stream = {r.url for r in
               spark.read.parquet(str(tmp_path / "scorpus")).collect()}
     assert batch == stream == {"https://a.org/page"}
+
+
+def test_stream_batch_parity_preserve_pre(spark, tmp_path):
+    """--preserve-pre parity: both jobs extract the <pre> block with
+    verbatim whitespace (indentation + blank line survive), and the
+    kept text is identical batch vs stream."""
+    from jobs.corpus_job import build_corpus
+    from jobs.stream_job import run_stream
+
+    html = (
+        "<html><body><p>the children were playing in the garden near"
+        " the river all afternoon</p><pre>\ndef f(x):\n    return x\n"
+        "\n</pre></body></html>"
+    ).encode()
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [("https://code.example.org/a", html)], "url string, html binary"
+    ).write.parquet(src)
+
+    kw = dict(min_quality=0.0, min_tokens=1, preserve_pre=True)
+    build_corpus(spark, src, str(tmp_path / "bcorpus"), **kw)
+    q = run_stream(spark, src, str(tmp_path / "scorpus"),
+                   str(tmp_path / "ckpt"), **kw)
+    assert q.awaitTermination(300), "streaming drain did not terminate"
+
+    b = spark.read.parquet(str(tmp_path / "bcorpus")).collect()[0]
+    s = spark.read.parquet(str(tmp_path / "scorpus")).collect()[0]
+    assert "def f(x):\n    return x\n" in b["extracted_text"]
+    assert b["extracted_text"] == s["extracted_text"]
