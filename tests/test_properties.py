@@ -275,3 +275,44 @@ def test_remove_frequent_units_identity_below_threshold(spark, texts):
         expected = "\n".join(u for u in t.split("\n") if u != "")
         assert out[i]["clean_text"] == expected
         assert out[i]["n_removed"] == 0
+
+
+_pre_chunk = st.text(
+    alphabet="ab \t\n\r(){}:=+", min_size=0, max_size=30
+)
+
+
+@given(
+    st.lists(_pre_chunk, min_size=1, max_size=4),
+    st.sampled_from(["", "span", "em", "b"]),
+)
+@settings(max_examples=150, deadline=None)
+def test_preserve_pre_verbatim_property(chunks, inline):
+    """Whatever whitespace soup sits inside <pre>, the extracted pre
+    region slices extracted_text to EXACTLY the spec normalization of
+    the raw bytes (\r\n/\r -> \n, one leading \n dropped), with
+    inline element boundaries contributing nothing; spans stay a
+    disjoint tiling. Mirrors _pre_verbatim independently (string ops
+    only, no tree walk)."""
+    from ocrd_segment_spark.config import ExtractParams
+
+    if inline:
+        body = f"<{inline}>".join(chunks)
+        raw = "".join(chunks)
+    else:
+        body = raw = "".join(chunks)
+    html = f"<html><body><p>lead paragraph words</p><pre>{body}</pre></body></html>"
+    text, regions, _ = extract_document(html, ExtractParams(preserve_pre=True))
+    expected = raw.replace("\r\n", "\n").replace("\r", "\n")
+    if expected.startswith("\n"):
+        expected = expected[1:]
+    pres = [r for r in regions if r["rtype"] == "pre"]
+    if not expected.strip() or len(expected) < 2:
+        # whitespace-only emits nothing; 1-char pre falls to the
+        # min_region_chars floor like any other region
+        assert pres == [] or len(expected) >= 2
+    else:
+        (pre,) = pres
+        assert text[pre["start"]:pre["end"]] == expected
+    for r in regions:
+        assert 0 <= r["start"] < r["end"] <= len(text)
