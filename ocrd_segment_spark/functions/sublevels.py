@@ -71,8 +71,13 @@ def _is_ws(c: Column) -> Column:
     """The Java-regex ``\\s`` class [ \\t\\n\\x0B\\f\\r] spelled out —
     identical to what ``split(seg, '\\s')`` treats as a separator, so
     switching from token-split to separator-positions changes nothing.
-    Tokens never contain whitespace (kernel guarantee), so every
-    separator is exactly one char wide and offsets are exact."""
+    Default-kernel tokens never contain whitespace, so every separator
+    is exactly one char wide and offsets are exact. Verbatim-``<pre>``
+    regions (kernel 1.6.0 params.preserve_pre) CAN carry consecutive
+    whitespace — each run still decomposes into 1-char separators, the
+    resulting empty tokens (s == e) are dropped by the existing edge
+    rule, and surviving word offsets stay exact (pinned by
+    test_sublevels.test_words_exact_over_preserve_pre_text)."""
     return (
         (c == " ") | (c == "\t") | (c == "\n") | (c == "\r")
         | (c == "\x0b") | (c == "\x0c")

@@ -261,3 +261,27 @@ def test_external_text_unicode_whitespace_parity(spark):
         for r in words_table(df, line_width=WIDTH).orderBy("start").collect()
     ]
     assert got == [(w["start"], w["end"], text[w["start"]:w["end"]]) for w in words]
+
+
+def test_words_exact_over_preserve_pre_text(spark):
+    """Verbatim-<pre> regions carry consecutive whitespace; the
+    separator-position word scan must drop the empty tokens and keep
+    every surviving word span slicing extracted_text exactly."""
+    from ocrd_segment_spark.config import ExtractParams
+    from ocrd_segment_spark.pipeline import extract_pages
+
+    html = ("<html><body><pre>\ndef f(x):\n    return x  \n\n</pre>"
+            "<p>tail words</p></body></html>").encode()
+    df = spark.createDataFrame([("u1", html)], "url string, html binary")
+    out = extract_pages(df, ExtractParams(preserve_pre=True))
+    txt = out.collect()[0]["extracted_text"]
+    rows = words_table(out, 8).select(
+        "word_text", "start", "end"
+    ).collect()
+    words = sorted(rows, key=lambda r: r["start"])
+    assert [r["word_text"] for r in words] == [
+        "def", "f(x):", "return", "x", "tail", "words"
+    ]
+    for r in words:
+        assert r["start"] < r["end"]  # no empty tokens survive
+        assert txt[r["start"]:r["end"]] == r["word_text"]
