@@ -185,6 +185,37 @@ and the best measured config reaches ~{max(r['pages_per_sec'] for r in results) 
 
 
 _STATIC_SECTIONS = """
+## Round-5 close: verbatim-<pre> extraction + bench weather evidence
+
+Final-session surface (contract 192/192 green, pytest 503):
+**params.preserve_pre / --preserve-pre** on extract/corpus/stream jobs
+— the <pre> subtree extracts as ONE verbatim-whitespace token (code
+blocks keep indentation; HTML-spec leading-newline drop; batch/stream
+parity and word-span exactness over multi-whitespace text pinned).
+Pure kernel param: the extraction plan is unchanged (same single
+mapInPandas stage, zero new exchanges), and the default path is
+golden-digest-identical (kernel 1.6.0 history in tests/test_goldens.py).
+
+Round-close verification (driven via spark-submit, this session):
+fresh extract run 420/420 rows with metrics reconciling; immediate
+rerun resumes as a no-op; local[8] vs local[32] outputs byte-identical
+(0 differing rows through DuckDB EXCEPT); corpus funnel reconciles
+(420 = 5 dropped_quality + 415 corpus_docs); batch and stream
+--preserve-pre texts identical.
+
+Round-close bench attempts (sf0.1, local[32]) landed in co-tenant
+storms — host loadavg reached 19 and 27 DURING the two runs after
+gate-passing starts (load_1m_start 2.8 / 1.8) — and the per-attempt
+evidence shows it instead of hiding it, which is the round-4 lesson
+working as designed: corpus_job attempts [60.9, 33.2, 52.6] s then
+[97.2, 72.8, 28.5, 23.2] s with per-run ext_cores 0.7-4.1 and
+ext_peak_1s up to 10 external cores; extract_pages best 3.54 s
+(28.3k pages/s) carried ~1.0 external cores through its run vs the
+quiet-box 3.04 s / 32.9k. No code path of any benched query changed
+this session except the default-off kernel branch, so the standing
+quiet-box numbers above (ladder efficiency 1.038, corpus_job gated
+13.7-16.4 s) remain the engine's demonstrated floor; read any
+BENCH_r05 row against its own runs[] weather.
 ## Page-content analysis surface (round 5, session 6)
 
 New operator families, each contract-gated (191/191 keys green this
