@@ -216,6 +216,18 @@ this session except the default-off kernel branch, so the standing
 quiet-box numbers above (ladder efficiency 1.038, corpus_job gated
 13.7-16.4 s) remain the engine's demonstrated floor; read any
 BENCH_r05 row against its own runs[] weather.
+
+Third attempt (load_1m_start 0.1): corpus_job best **18.3 s** and
+corpus_job_signals **14.3 s** — near the gated quiet floor — with
+18 KB-page extraction at its round best (2.70 s, 63.2 MB/s). One
+refinement to how to read the weather columns: corpus_job attempts
+still spread [59.3, 18.3, 55.5, 40.3, 31.4] s even where ext_cores
+read 0.0-0.1, while host loadavg finished at 22.6 — loadavg counts
+D-state (uninterruptible I/O) processes, so co-tenant DISK pressure
+inflates wall time without appearing in the CPU-jiffy attribution.
+ext_cores bounds co-tenant CPU theft only; a quiet-CPU slow attempt
+next to a fast sibling indicates I/O weather, and best-of-N across
+minutes-apart attempts remains the honest floor estimator.
 ## Page-content analysis surface (round 5, session 6)
 
 New operator families, each contract-gated (191/191 keys green this
