@@ -561,6 +561,16 @@ def exact_substring_dedup(
     documents, and untouched documents pass through as a pure column
     expression.
 
+    Round-6 perf note: the CANDIDATE hash lane uses native
+    ``xxhash64(token) pmod P`` instead of the interpreted per-char
+    polynomial fold — legal precisely because the cheap hash only
+    PROPOSES groups (equal window text ⇒ equal cheap hash under any
+    deterministic token-hash function, so every true duplicate still
+    groups; collisions only add members) and the md5-of-window-text
+    verify alone decides removals. Output is value-identical; the
+    frozen polynomial family stays untouched where hashes ARE the
+    result (minhash signatures, LSH bands, simhash).
+
     Span preservation: clean_text here is TOKEN-rebuilt (whitespace
     normalized), so it is not a character-subsequence of the input and
     a char-offset span remap is ill-defined on it by construction. A
@@ -572,7 +582,9 @@ def exact_substring_dedup(
     toks = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .withColumn("toks", H.tokens("text"))
-        .withColumn("th", H.token_hashes("toks"))
+        .withColumn(
+            "th", F.expr(f"transform(toks, t -> pmod(xxhash64(t), {H.P}))")
+        )
     )
     occ = toks.select(
         "id",

@@ -380,6 +380,75 @@ def _scorer_tables() -> tuple[tuple[str, ...], dict[str, tuple[float, ...]]]:
     return langs, {g: tuple(v) for g, v in model.items()}
 
 
+@lru_cache(maxsize=1)
+def _scorer_matrix():
+    """Vectorized-scorer tables: model rows as one (|vocab|, |langs|)
+    float64 matrix in ASCENDING-gram row order, plus sorted integer
+    key arrays for unigrams (codepoint) and bigrams (cp1 << 21 | cp2 —
+    codepoints < 2^21, so the packing is injective) with their row
+    indices. Row order == sorted(gram) order, so sorting known ROW
+    INDICES reproduces the frozen ascending-gram fold order exactly.
+
+    IMPORTANT ordering subtlety: sorted() on gram STRINGS orders by
+    codepoint sequence, and for the mixed 1/2-char vocabulary that is
+    NOT the same as sorting the packed integers within a length class
+    ("a" < "ab" < "b" interleaves lengths) — which is why membership
+    maps to the string-sorted ROW index and the fold sorts row
+    indices, never the packed keys."""
+    import numpy as np
+
+    langs, model = _scorer_tables()
+    grams = sorted(model)
+    mat = np.array([model[g] for g in grams], dtype=np.float64)
+    uni = sorted((ord(g), i) for i, g in enumerate(grams) if len(g) == 1)
+    bi = sorted(
+        ((ord(g[0]) << 21) | ord(g[1]), i)
+        for i, g in enumerate(grams)
+        if len(g) == 2
+    )
+    uni_keys = np.array([k for k, _ in uni], dtype=np.int64)
+    uni_rows = np.array([r for _, r in uni], dtype=np.int64)
+    bi_keys = np.array([k for k, _ in bi], dtype=np.int64)
+    bi_rows = np.array([r for _, r in bi], dtype=np.int64)
+    return langs, uni_keys, uni_rows, bi_keys, bi_rows, mat
+
+
+def _known_rows(norm: str):
+    """(row_indices, counts) of the normalized text's in-vocabulary
+    grams, sorted by row index (== ascending gram order). Counts are
+    exact occurrence counts — np.unique's return_counts over the
+    codepoint (and packed-bigram) arrays is the same multiset as
+    Counter(_grams(norm)) restricted to the vocabulary."""
+    import numpy as np
+
+    _, uni_keys, uni_rows, bi_keys, bi_rows, _ = _scorer_matrix()
+    codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    parts_r, parts_c = [], []
+    if codes.size:
+        uv, uc = np.unique(codes, return_counts=True)
+        pos = np.searchsorted(uni_keys, uv).clip(0, uni_keys.size - 1)
+        m = uni_keys[pos] == uv
+        parts_r.append(uni_rows[pos[m]])
+        parts_c.append(uc[m])
+    if codes.size >= 2:
+        bg = (codes[:-1] << 21) | codes[1:]
+        bv, bc = np.unique(bg, return_counts=True)
+        pos = np.searchsorted(bi_keys, bv).clip(0, bi_keys.size - 1)
+        m = bi_keys[pos] == bv
+        parts_r.append(bi_rows[pos[m]])
+        parts_c.append(bc[m])
+    if not parts_r:
+        return None, None
+    rows = np.concatenate(parts_r)
+    if rows.size == 0:
+        return None, None
+    cnts = np.concatenate(parts_c)
+    order = np.argsort(rows)  # row indices are unique → total order
+    return rows[order], cnts[order]
+
+
 def score_document(
     text: str, margin: float | None = None
 ) -> tuple[str, float | None]:
@@ -388,22 +457,33 @@ def score_document(
     the oracle restates it in SQL. ``margin`` enables frozen step 6
     (per-char top-2 gap abstention); None keeps pure argmax —
     byte-identical to the pre-round-5 behavior the standing
-    lang_id_ngram contract key pins."""
-    langs, model = _scorer_tables()
+    lang_id_ngram contract key pins.
+
+    Implementation (round-6 perf, value-identical by construction and
+    pinned by tests/test_langid.py): gram counting is vectorized —
+    codepoint arrays + np.unique(return_counts) give the same exact
+    integer counts as Counter(_grams(s)) (1-char and 2-char grams can
+    never collide; the bigram key packs two codepoints injectively) —
+    and the fold runs as numpy ``add.accumulate`` over the known
+    grams' model rows in ascending gram order. accumulate is a strict
+    sequential left fold (out[i] = out[i-1] + a[i]), and every
+    contribution n·logp is strictly negative, so the [0.0]*L seed of
+    the scalar loop adds nothing (0.0 + x == x for x != -0.0). The
+    per-lang float-op sequence is therefore bit-identical to the
+    original scalar loop."""
+    import numpy as np
+
+    langs = _scorer_matrix()[0]
+    mat = _scorer_matrix()[5]
     norm = normalize(text)
-    c = Counter(_grams(norm))
-    known = sorted(g for g in c if g in model)
-    if not known:
+    idx, cnt = _known_rows(norm)
+    if idx is None:
         return UND, None
-    scores = [0.0] * len(langs)
-    for g in known:  # ascending gram order — the frozen fold
-        n = c[g]
-        row = model[g]
-        for k in range(len(langs)):
-            scores[k] += n * row[k]
-    best_score, best_lang = max(zip(scores, langs))
+    contrib = cnt.astype(np.float64)[:, None] * mat[idx]
+    scores = np.add.accumulate(contrib, axis=0)[-1]
+    best_score, best_lang = max(zip(scores.tolist(), langs))
     if margin is not None:
-        second = max(s for s, l in zip(scores, langs) if l != best_lang)
+        second = max(s for s, l in zip(scores.tolist(), langs) if l != best_lang)
         if (best_score - second) / len(norm) < margin:
             return UND, None
     return best_lang, _round6(best_score)

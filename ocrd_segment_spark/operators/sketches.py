@@ -288,23 +288,42 @@ def cms_heavy_hitters(
     Candidate enumeration is distinct-term-grain (one additional
     shuffle); the sketch bounds COUNTER memory and makes the exact
     pass candidate-sized instead of vocabulary-sized. cms_count >=
-    exact_count always; pytest pins the containment property."""
-    toks = df.select(
-        F.explode(F.expr(TOKENS.format(col=text_col))).alias("term")
-    )
-    sketch = cms_build(toks, d=d, w=w)
-    cand = cms_estimate(
-        sketch, toks.select("term").distinct(), d=d, w=w
-    ).filter(F.col("cms_count") >= threshold)
-    exact = (
-        toks.join(F.broadcast(cand.select("term")), "term", "leftsemi")
+    exact_count always; pytest pins the containment property.
+
+    Physical shape (round-6): ONE explode pass pre-aggregates term
+    frequencies (map-side-combinable groupBy on the term), and every
+    downstream step — sketch counters (sum of tf per (i, col) == count
+    of occurrences), candidate estimates, exact verification (tf IS
+    the exact count) — runs over the vocabulary-sized tf table. The
+    per-occurrence polynomial char-fold hash of the previous form
+    (three separate explode scans, one hashing every occurrence) is
+    now paid once per DISTINCT term; results are value-identical."""
+    tf = (
+        df.select(
+            F.explode(F.expr(TOKENS.format(col=text_col))).alias("term")
+        )
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    ).localCheckpoint(eager=True)
+    pos = cms_positions_sql("__h", d, w)
+    sketch = (
+        tf.selectExpr(f"{STR_HASH.format(s='term')} as __h", "__tf")
+        .select(F.explode(F.expr(pos)).alias("p"), "__tf")
+        .select(
+            F.col("p.i").alias("i"), F.col("p.col").alias("col"), "__tf"
+        )
+        .groupBy("i", "col")
+        .agg(F.sum("__tf").alias("cnt"))
     )
+    cand = cms_estimate(
+        sketch, tf.select("term"), d=d, w=w
+    ).filter(F.col("cms_count") >= threshold)
     return (
-        cand.join(exact, "term", "left")
-        .filter(F.col("exact_count") >= threshold)
-        .select("term", "cms_count", "exact_count")
+        cand.join(tf, "term", "left")
+        .filter(F.col("__tf") >= threshold)
+        .select(
+            "term", "cms_count", F.col("__tf").alias("exact_count")
+        )
     )
 
 

@@ -17,6 +17,8 @@ Frozen semantics (must stay in lockstep with the contract oracles):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -516,49 +518,53 @@ def with_lm_bits(
 ) -> DataFrame:
     """Append ``bits_per_bigram`` — the NARROW form of
     :func:`with_lm_score_per_lang` for single-lineage jobs: one
-    Arrow-batched mapInPandas pass, all input columns (incl. nested
-    structs) pass through, the collected model rides the closure as a
-    broadcast-sized constant. Frozen semantics identical to the
-    relational scorer: per distinct bigram in SORTED order, fold
-    n·surprisal; divide by bigram count; round 6; NULL for sub-2-char
-    docs and for langs with no model."""
+    Arrow-batched scalar pandas UDF over ONLY (text, lang) — the
+    other columns (incl. the nested region_spans/lineage structs)
+    stay JVM-side instead of round-tripping through Python, which is
+    the guide-§4 "pass only the columns the function needs" rule (the
+    previous pass-through mapInPandas shipped every column both
+    ways). The collected model rides the closure as a broadcast-sized
+    constant. Frozen semantics identical to the relational scorer:
+    per distinct bigram in SORTED order, fold n·surprisal; divide by
+    bigram count; round 6; NULL for sub-2-char docs and for langs
+    with no model."""
     import pandas as pd
 
-    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
 
     from .langid import _round6
 
     table, oov = lm_table
-    schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("bits_per_bigram", T.DoubleType(), True)]
-    )
 
-    def batches(it):
+    @pandas_udf("double")
+    def _bits(texts: pd.Series, langs: pd.Series) -> pd.Series:
         from collections import Counter
 
-        for pdf in it:
-            out = []
-            for t, lang in zip(pdf[text_col], pdf[lang_col]):
-                t = t if isinstance(t, str) else ""
-                if len(t) < 2 or lang not in oov:
-                    out.append(None)
-                    continue
-                c = Counter(t[i : i + 2] for i in range(len(t) - 1))
-                o = oov[lang]
-                num, den = 0.0, 0
-                for bg in sorted(c):  # the frozen fold order
-                    n = c[bg]
-                    num += n * table.get((lang, bg), o)
-                    den += n
-                out.append(_round6(num / den))
-            yield pdf.assign(
-                bits_per_bigram=pd.array(out, dtype="float64")
-            )
+        out = []
+        for t, lang in zip(texts, langs):
+            t = t if isinstance(t, str) else ""
+            if len(t) < 2 or lang not in oov:
+                out.append(None)
+                continue
+            c = Counter(t[i : i + 2] for i in range(len(t) - 1))
+            o = oov[lang]
+            num, den = 0.0, 0
+            for bg in sorted(c):  # the frozen fold order
+                n = c[bg]
+                num += n * table.get((lang, bg), o)
+                den += n
+            out.append(_round6(num / den))
+        return pd.Series(pd.array(out, dtype="float64"))
 
     from ..pipeline import _cap_python_tasks
 
-    return _cap_python_tasks(df, python_parallelism).mapInPandas(batches, schema)
+    # guide §4.4: a filter on a UDF-derived column otherwise duplicates
+    # the whole ArrowEvalPython below the pushed-down predicate — every
+    # surviving row would pay the LM scorer twice (plan-verified)
+    _bits = _bits.asNondeterministic()
+    return _cap_python_tasks(df, python_parallelism).withColumn(
+        "bits_per_bigram", _bits(F.col(text_col), F.col(lang_col))
+    )
 
 
 def with_compression_cols(
@@ -566,36 +572,37 @@ def with_compression_cols(
     text_col: str = "text",
     python_parallelism: int | None = None,
 ) -> DataFrame:
-    """Append ``compression_ratio`` to ``df`` with every input column
-    passing through — the single-lineage form of
-    :func:`compression_ratio` for jobs (same zlib-level-6 math, same
-    round/empty-doc pinning, verified equal by pytest)."""
+    """Append ``compression_ratio`` to ``df`` — the single-lineage
+    form of :func:`compression_ratio` for jobs (same zlib-level-6
+    math, same round/empty-doc pinning, verified equal by pytest).
+    One Arrow-batched scalar pandas UDF over ONLY the text column;
+    every other column stays JVM-side (guide-§4 column-pruning rule —
+    the previous pass-through mapInPandas shipped the nested structs
+    through Python both ways)."""
     import pandas as pd
 
-    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
 
-    schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("compression_ratio", T.DoubleType(), False)]
-    )
-
-    def batches(it):
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
         import zlib
 
-        for pdf in it:
-            ratios = []
-            for t in pdf[text_col]:
-                b = (t if isinstance(t, str) else "").encode("utf-8")
-                ratios.append(
-                    round(len(zlib.compress(b, 6)) / len(b), 6) if b else 0.0
-                )
-            yield pdf.assign(
-                compression_ratio=pd.array(ratios, dtype="float64")
+        ratios = []
+        for t in texts:
+            b = (t if isinstance(t, str) else "").encode("utf-8")
+            ratios.append(
+                round(len(zlib.compress(b, 6)) / len(b), 6) if b else 0.0
             )
+        return pd.Series(pd.array(ratios, dtype="float64"))
 
     from ..pipeline import _cap_python_tasks
 
-    return _cap_python_tasks(df, python_parallelism).mapInPandas(batches, schema)
+    # guide §4.4: stop the optimizer duplicating the zlib pass around
+    # pushed-down filters on keep_compression (plan-verified)
+    _ratio = _ratio.asNondeterministic()
+    return _cap_python_tasks(df, python_parallelism).withColumn(
+        "compression_ratio", _ratio(F.col(text_col))
+    )
 
 
 def with_ccnet_buckets(

@@ -189,13 +189,14 @@ def extract_pages(
     """The extraction transform. Narrow (no shuffle); input columns
     beyond (url, html) are pruned before the Arrow boundary.
 
-    ``python_parallelism`` caps the number of concurrent mapInPandas
-    tasks. Each Python-UDF task costs ~2 hardware threads (the Python
-    worker + its JVM feeder thread doing Arrow IO), so running
-    cores-many tasks oversubscribes the box ~2×: measured on 32 cores,
-    32 concurrent tasks = 8.2k pages/s vs 12-16 tasks = 24k pages/s.
-    On a real cluster the same logic caps cores-per-executor for
-    UDF-heavy stages; cores//2 is the default sweet spot.
+    ``python_parallelism`` is a parallelism FLOOR for the python
+    stage: small inputs fan out to at least this many tasks; a finer
+    existing scan partitioning is left intact (concurrency is bounded
+    by the executor's task slots either way). The round-1 cores//2
+    CAP is retired — see _cap_python_tasks for the round-6
+    measurements (coalesce-induced empty/doubled partitions plus a
+    no-longer-true 2-threads-per-task premise made the cap 3× slower
+    at sf1.0).
 
     ``lang_id=True`` appends (pred_lang, lang_logp) scored in the SAME
     Python pass — value-identical to chaining
@@ -217,27 +218,47 @@ def extract_pages(
 
 
 def _cap_python_tasks(src: DataFrame, python_parallelism: int | None) -> DataFrame:
-    """Apply the cores//2 Python-task cap (see extract_pages docstring)
-    ahead of a mapInPandas stage — shared by the plain and styled
-    pipelines so neither can silently lose the oversubscription guard."""
+    """Ensure AT LEAST ``python_parallelism``-way partitioning ahead of
+    a mapInPandas stage — shared by the plain and styled pipelines.
+
+    Round-6 change (measured, guide §2.5/§2.6): this used to
+    ``coalesce`` DOWN to the cap as an oversubscription guard, on the
+    round-1 measurement that each Python-UDF task costs ~2 hardware
+    threads. Two things invalidated that guard on the current stack:
+
+    - ``coalesce(n)`` over a parquet scan whose ``maxPartitionBytes``
+      splits single-row-group files produces ALTERNATING EMPTY parent
+      partitions (the tail split of a one-row-group file carries no
+      row-group start → zero rows), and the coalescer's grouping can
+      land all-empty groups — measured at sf1.0: coalesce(16) → 8
+      empty + 8 double-size tasks, i.e. HALF the requested
+      parallelism plus stragglers (44.7 s vs 14.1 s uncapped for the
+      same 1M-page extract).
+    - with balanced partitions, cores-many concurrent Python tasks now
+      BEAT cores//2 (repartition(32) 15.2 s vs repartition(16) 21.6 s
+      on local[32]): the Arrow feed threads no longer burn a full
+      hardware thread per task on Spark 4.1.
+
+    Concurrency is bounded by the executor's task slots regardless of
+    partition count, so leaving a finer scan partitioning intact keeps
+    every core busy and the per-task memory SMALLER. The parameter
+    therefore now acts as a parallelism FLOOR (small inputs still fan
+    out to at least the requested width); it never reduces an existing
+    finer partitioning."""
     if python_parallelism is None:
         return src
     if src.isStreaming:
         # .rdd is illegal on a streaming DataFrame (raises before the
-        # query starts — observed live); repartition caps microbatch
+        # query starts — observed live); repartition sizes microbatch
         # task counts directly
         return src.repartition(python_parallelism)
     cur = src.rdd.getNumPartitions()
-    if cur == python_parallelism:
-        # already at the cap — a repartition here would full-shuffle
-        # for nothing (the PDF lane chains two capped python stages,
-        # review finding: the second stage paid a pointless shuffle)
+    if cur >= python_parallelism:
+        # fine-enough partitioning already — a coalesce here created
+        # empty/doubled groups (above), and a repartition would
+        # full-shuffle the payload for nothing
         return src
-    return (
-        src.coalesce(python_parallelism)
-        if python_parallelism < cur
-        else src.repartition(python_parallelism)
-    )
+    return src.repartition(python_parallelism)
 
 
 def with_host_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
