@@ -94,6 +94,103 @@ def main() -> None:
         df = extract_pages(pages(), python_parallelism=24)
         df.agg(F.sum(F.length("extracted_text"))).collect()
 
+    def t_corpus_job():
+        import shutil
+        import tempfile
+
+        from jobs.corpus_job import build_corpus
+
+        outdir = tempfile.mkdtemp(prefix="bx_corpus_")
+        try:
+            build_corpus(
+                spark,
+                PAGES_DIR,
+                os.path.join(outdir, "corpus"),
+                near_dup_audit=os.path.join(outdir, "neardup"),
+                python_parallelism=PAR,
+            )
+        finally:
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    def t_corpus_job_signals():
+        import shutil
+        import tempfile
+
+        from jobs.corpus_job import build_corpus
+
+        outdir = tempfile.mkdtemp(prefix="bx_corpus_sig_")
+        try:
+            build_corpus(
+                spark,
+                PAGES_DIR,
+                os.path.join(outdir, "corpus"),
+                gopher=True,
+                entropy_min=1.0,
+                lm_ref_path=f"{SF_DIR}/documents.parquet",
+                lm_max_bits=20.0,
+                max_compression=0.995,
+                python_parallelism=PAR,
+            )
+        finally:
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    def t_corpus_no_audit():
+        import shutil
+        import tempfile
+
+        from jobs.corpus_job import build_corpus
+
+        outdir = tempfile.mkdtemp(prefix="bx_corpus_na_")
+        try:
+            build_corpus(
+                spark,
+                PAGES_DIR,
+                os.path.join(outdir, "corpus"),
+                python_parallelism=PAR,
+            )
+        finally:
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    def t_neardup_audit():
+        # the audit half alone, over a pre-written corpus
+        import shutil
+        import tempfile
+
+        from pyspark.sql import Observation
+        from ocrd_segment_spark.operators.dedup import (
+            jaccard_verify_pairs,
+            minhash_lsh_candidates,
+        )
+
+        outdir = tempfile.mkdtemp(prefix="bx_audit_")
+        try:
+            corpus = spark.read.parquet(_corpus_cache(spark))
+            cands = minhash_lsh_candidates(
+                corpus, id_col="url", text_col="extracted_text"
+            )
+            verified = jaccard_verify_pairs(
+                corpus, cands, id_col="url", text_col="extracted_text"
+            )
+            verified.write.mode("overwrite").parquet(
+                os.path.join(outdir, "neardup")
+            )
+        finally:
+            shutil.rmtree(outdir, ignore_errors=True)
+
+    _CORPUS_CACHE = []
+
+    def _corpus_cache(spark):
+        if not _CORPUS_CACHE:
+            from jobs.corpus_job import build_corpus
+
+            path = os.path.join("/tmp", f"bx_corpus_cache_{N_PAGES}")
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                build_corpus(
+                    spark, PAGES_DIR, path, python_parallelism=PAR
+                )
+            _CORPUS_CACHE.append(path)
+        return _CORPUS_CACHE[0]
+
     experiments = {
         "extract_base": t_extract_base,
         "extract_noop": t_extract_noop,
@@ -102,6 +199,10 @@ def main() -> None:
         "extract_passthrough": t_extract_passthrough,
         "extract_par32": t_extract_par32,
         "extract_par24": t_extract_par24,
+        "corpus_job": t_corpus_job,
+        "corpus_job_signals": t_corpus_job_signals,
+        "corpus_no_audit": t_corpus_no_audit,
+        "neardup_audit": t_neardup_audit,
     }
     names = sys.argv[1:] or list(experiments)
     # warmup: worker spawn + codegen

@@ -1225,16 +1225,25 @@ def build_corpus(
         # drop stage (reads the committed parquet, not live lineage);
         # the pair count rides the write as an Observation (no re-scan).
         from ocrd_segment_spark.operators.dedup import (
+            _shingle_table,
             jaccard_verify_pairs,
             minhash_lsh_candidates,
         )
 
         corpus = spark.read.parquet(output_path)
+        # shingle sets derive ONCE (localCheckpoint) — the blocker's
+        # band-table self-join and the verifier's two join sides
+        # otherwise each re-derive the tokenize→fold→shingle chain
+        # from the committed parquet (4 full scans, plan-verified)
+        sh = _shingle_table(
+            corpus, "url", "extracted_text", 3
+        ).localCheckpoint(eager=True)
         cands = minhash_lsh_candidates(
-            corpus, id_col="url", text_col="extracted_text"
+            corpus, id_col="url", text_col="extracted_text", shingles=sh
         )
         verified = jaccard_verify_pairs(
-            corpus, cands, id_col="url", text_col="extracted_text"
+            corpus, cands, id_col="url", text_col="extracted_text",
+            shingles=sh,
         )
         nd_obs = Observation("near_dup")
         verified = verified.observe(nd_obs, F.count(F.lit(1)).alias("n_pairs"))

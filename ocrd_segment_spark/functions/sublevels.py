@@ -77,11 +77,17 @@ def _is_ws(c: Column) -> Column:
     whitespace — each run still decomposes into 1-char separators, the
     resulting empty tokens (s == e) are dropped by the existing edge
     rule, and surviving word offsets stay exact (pinned by
-    test_sublevels.test_words_exact_over_preserve_pre_text)."""
-    return (
-        (c == " ") | (c == "\t") | (c == "\n") | (c == "\r")
-        | (c == "\x0b") | (c == "\x0c")
-    )
+    test_sublevels.test_words_exact_over_preserve_pre_text).
+
+    Spelled as ONE ``contains`` probe into the 6-char constant
+    (round 6): same truth table as the 6-comparison OR chain over the
+    single chars ``split('')`` yields, ~15-20% less interpreted-lambda
+    work per character (measured at sf1.0). The '' corner (empty
+    segment → split yields ['']) differs per-call — contains('', …) is
+    true — but both forms still produce zero word spans there: the
+    lone separator position makes (0,0)/(1,0) raw spans that the
+    ``e > s`` edge rule drops, exactly like the no-separator path."""
+    return F.contains(F.lit(" \t\n\r\x0b\x0c"), c)
 
 
 def _raw_word_scan(text: Column, start: Column, end: Column) -> Column:

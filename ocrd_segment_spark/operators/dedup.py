@@ -24,6 +24,29 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _shingle_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, sh): DISTINCT word-n-gram shingle hash set per doc —
+    the derivation shared by the LSH blocker (signatures are per-lane
+    mins over exactly these hashes) and the Jaccard verifier. Factored
+    out (round 6) so an LSH-then-verify composition can derive and
+    ``localCheckpoint`` it ONCE instead of char-folding the corpus
+    once per plan branch (the band-table self-join plus the verify
+    join's two sides re-derived it four times — measured ~40% of the
+    audit's wall at sf1.0)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("toks", H.tokens("text"))
+        .filter(F.size("toks") >= n)
+        .withColumn("th", H.token_hashes("toks"))
+        .select("doc_id", H.shingle_hashes("th", n).alias("sh"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -31,6 +54,7 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     max_bucket: int = 1024,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (doc1, doc2) via MinHash + banded LSH.
     The only shuffle is the equi-join on (band_idx, band_val) —
@@ -52,8 +76,15 @@ def minhash_lsh_candidates(
     partial mins). The pure-array form (transform per lane) made
     Catalyst re-evaluate the shingle array once per lane — measured
     4× slower — and explode+agg is also the form that scales: partial
-    mins combine, so the shuffle carries k longs per doc."""
-    bandvals = _band_table(df, id_col, text_col, k, bands, max_bucket)
+    mins combine, so the shuffle carries k longs per doc. The self-
+    join's two aliases share one physical derivation at runtime (the
+    window's exchange is reused — A/B-measured identical to an
+    explicit checkpoint, so none is taken). ``shingles`` optionally
+    supplies a precomputed :func:`_shingle_table` so a composed
+    LSH-then-verify pipeline derives it once."""
+    bandvals = _band_table(
+        df, id_col, text_col, k, bands, max_bucket, shingles=shingles
+    )
     b1, b2 = bandvals.alias("b1"), bandvals.alias("b2")
     return (
         b1.join(
@@ -74,18 +105,35 @@ def _band_table(
     k: int,
     bands: int,
     max_bucket: int | None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_idx, band_val) with the per-bucket cap applied —
     the LSH half shared by the self-join (minhash_lsh_candidates) and
     the two-corpus join (cross_corpus_candidates). Same signature
-    math: explode shingles, all k lanes in one hash-aggregate."""
-    hs = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("toks", H.tokens("text"))
-        .filter(F.size("toks") >= 3)
-        .withColumn("th", H.token_hashes("toks"))
-        .select("doc_id", F.explode(H.shingle_hashes("th", 3)).alias("h"))
-    )
+    math: explode shingles, all k lanes in one hash-aggregate.
+    ``shingles`` optionally supplies the precomputed (doc_id, sh)
+    table (:func:`_shingle_table`) — identical values, derived once.
+
+    TRAP (round-6, the Generate variant of the CLAUDE.md no-CSE rule):
+    ``explode`` over a DERIVED array column re-evaluates the whole
+    array expression once per EMITTED element after CollapseProject
+    inlines it into the Generate — measured 90 s vs 1.4 s on 5k docs.
+    So the expression path below keeps the explode FUSED over the
+    inline shingle expression (one evaluation per row), and only a
+    MATERIALIZED ``shingles`` table (localCheckpoint/scan — nothing to
+    inline) may be exploded column-wise."""
+    if shingles is not None:
+        hs = shingles.select("doc_id", F.explode("sh").alias("h"))
+    else:
+        hs = (
+            df.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            .withColumn("toks", H.tokens("text"))
+            .filter(F.size("toks") >= 3)
+            .withColumn("th", H.token_hashes("toks"))
+            .select("doc_id", F.explode(H.shingle_hashes("th", 3)).alias("h"))
+        )
     sig = hs.groupBy("doc_id").agg(
         *[
             F.min(F.expr(f"((2*{i} + 3) * h + 5*{i} + 7) % {H.P}")).alias(f"s{i}")
@@ -343,6 +391,7 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard scored over a CANDIDATE-PAIR table —
     the verify half of LSH-then-verify, the standard 100 TB near-dup
@@ -361,14 +410,21 @@ def jaccard_verify_pairs(
 
     Returns (doc1, doc2, jaccard); filter on a threshold downstream
     (e.g. ``>= 0.8``) to get verified duplicates for
-    :func:`connected_components`."""
+    :func:`connected_components`. ``shingles`` optionally supplies a
+    precomputed :func:`_shingle_table` (round 6: composed pipelines
+    checkpoint it once; the doc1/doc2 join sides otherwise each
+    re-derive it — plan-verified double FileScan)."""
     sh = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("toks", H.tokens("text"))
-        .filter(F.size("toks") >= n)
-        .withColumn("th", H.token_hashes("toks"))
-        .select("doc_id", H.shingle_hashes("th", n).alias("sh"))
+        shingles
+        if shingles is not None
+        else _shingle_table(df, id_col, text_col, n)
     )
+    # shuffle_hash on the doc-grain side (guide §3.1): the pair table
+    # is the big side and per-partition shingle sets build a modest
+    # hash relation, so skipping the two sorts of the pair table is a
+    # measured ~20% win at sf1.0 (A/B smj 50-57 s vs shj 40-42 s);
+    # falls back gracefully where AQE prefers otherwise
+    sh = sh.hint("shuffle_hash")
     return (
         pairs.select("doc1", "doc2")
         .join(sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1")), "doc1")
@@ -412,13 +468,7 @@ def containment_verify_pairs(
     Physical shape: identical to the Jaccard verify — shingles derive
     once per doc (narrow), two id-grain equi-joins, cost linear in
     |pairs| + |docs|, no quadratic form anywhere."""
-    sh = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .withColumn("toks", H.tokens("text"))
-        .filter(F.size("toks") >= n)
-        .withColumn("th", H.token_hashes("toks"))
-        .select("doc_id", H.shingle_hashes("th", n).alias("sh"))
-    )
+    sh = _shingle_table(df, id_col, text_col, n).hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     return (
         pairs.select("doc1", "doc2")
@@ -448,13 +498,17 @@ def near_duplicates(
 ) -> DataFrame:
     """End-to-end LSH-then-verify: MinHash+LSH candidates, exact
     3-gram Jaccard per candidate, thresholded. The one-call corpus
-    near-dup operator (doc1, doc2, jaccard)."""
+    near-dup operator (doc1, doc2, jaccard). The shingle table is
+    derived once and ``localCheckpoint``-ed (round 6) — blocker and
+    verifier otherwise each re-derive it per join side."""
+    sh = _shingle_table(df, id_col, text_col, 3).localCheckpoint(eager=True)
     cand = minhash_lsh_candidates(
-        df, id_col=id_col, text_col=text_col, k=k, bands=bands, max_bucket=max_bucket
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands,
+        max_bucket=max_bucket, shingles=sh,
     )
-    return jaccard_verify_pairs(df, cand, id_col=id_col, text_col=text_col).filter(
-        F.col("jaccard") >= threshold
-    )
+    return jaccard_verify_pairs(
+        df, cand, id_col=id_col, text_col=text_col, shingles=sh
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def connected_components(

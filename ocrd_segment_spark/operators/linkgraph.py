@@ -491,13 +491,22 @@ def hits(
         F.lit(1.0 / n_nodes).alias("hub"),
         F.lit(0.0).alias("authority"),
     ).localCheckpoint()
-    for _ in range(iterations):
+    for i in range(iterations):
+        # round-6 restructure: checkpoint the RAW sum tables, not the
+        # joined scores — previously the a-side join+agg re-evaluated
+        # three times per round (once under each normalizer broadcast,
+        # once under the scores checkpoint; plan-verified). With raws
+        # materialized, the normalizer broadcasts are single-stage
+        # scans and the scores join stays lazy (its inputs are all
+        # materialized, so the per-round lineage growth is two tiny
+        # joins; a periodic checkpoint below bounds long runs).
         a_raw = (
             e.join(
                 scores.select(F.col("node").alias("src"), "hub"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("a_raw"))
+            .localCheckpoint()
         )
         a_tot = a_raw.agg(F.sum("a_raw").alias("__ta"))
         auth = a_raw.crossJoin(F.broadcast(a_tot)).select(
@@ -509,6 +518,7 @@ def hits(
             )
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("h_raw"))
+            .localCheckpoint()
         )
         h_tot = h_raw.agg(F.sum("h_raw").alias("__th"))
         hub = h_raw.crossJoin(F.broadcast(h_tot)).select(
@@ -522,8 +532,11 @@ def hits(
                 F.coalesce("hub", F.lit(0.0)).alias("hub"),
                 F.coalesce("authority", F.lit(0.0)).alias("authority"),
             )
-            .localCheckpoint()
         )
+        if (i + 1) % 8 == 0 and (i + 1) < iterations:
+            # bound lineage on long runs without paying a per-round
+            # materialization of the full score table
+            scores = scores.localCheckpoint()
     e.unpersist()
     nodes.unpersist()
     return scores.select(
