@@ -317,30 +317,70 @@ SELECT n_groups, count(*) AS n_docs FROM per_doc GROUP BY n_groups
 
 
 def q_j2_overlap_theta_join(spark, sf_dir):
-    """J2 pairwise redundancy as a Spark-native interval-overlap
-    theta self-join within groups (reference repair.py:219-237 —
-    there a per-page O(n²) loop; here an equi-join on the group key
-    with a range predicate, which Catalyst executes as sort-merge on
-    `source` plus filter)."""
+    """J2 pairwise redundancy — same result as the interval-overlap
+    theta self-join the oracle states (reference repair.py:219-237),
+    computed WITHOUT the O(group²) pair enumeration (round-6, the
+    guide-§8 'decide with small rows' move; the theta-join physical
+    shape itself stays exercised by dedup_ngram_jaccard and the LSH
+    bucket join). Both aggregates are integer-exact functionals of
+    per-source histograms, so no float-order question arises:
+
+    - ``total_overlap``: for unit cells x, a pair's overlap length
+      ``least(ae,be) - greatest(as,bs)`` (when positive) is exactly
+      the number of cells both spans cover, and non-overlapping pairs
+      contribute 0 — so Σ_pairs overlap == Σ_x C(cov_x, 2) with
+      cov_x = #starts<=x − #ends<=x (spans are half-open [s, e)).
+    - ``n_pairs``: overlap is > 0 for every pair except the disjoint
+      ones (a.e <= b.s or b.e <= a.s — mutually exclusive since spans
+      are non-empty), so n_pairs = C(n,2) − Σ_v SH[v]·cumE(v) where
+      SH is the start histogram and cumE(v) = #ends <= v.
+    - sources where every pair is disjoint produced NO row from the
+      join; the trailing filter reproduces that exactly.
+    """
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
         "source",
         ((F.col("doc_id") * 37) % 200).alias("s"),
         ((F.col("doc_id") * 37) % 200 + 1 + F.col("n_chars") % 60).alias("e"),
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("a.s") < F.col("b.e"))
-        & (F.col("b.s") < F.col("a.e")),
+    sh = d.groupBy("source", F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).alias("ns")
     )
-    return pairs.groupBy(F.col("a.source").alias("source")).agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(
-            F.least(F.col("a.e"), F.col("b.e")) - F.greatest(F.col("a.s"), F.col("b.s"))
-        ).cast("long").alias("total_overlap"),
+    eh = d.groupBy("source", F.col("e").alias("v")).agg(
+        F.count(F.lit(1)).alias("ne")
+    )
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("e").alias("max_e")
+    )
+    grid = stats.select(
+        "source", "n", F.explode(F.expr("sequence(0, max_e)")).alias("v")
+    )
+    w = W.partitionBy("source").orderBy("v")
+    g = (
+        grid.join(sh, ["source", "v"], "left")
+        .join(eh, ["source", "v"], "left")
+        .select(
+            "source",
+            "n",
+            "v",
+            F.coalesce("ns", F.lit(0)).alias("ns"),
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+        )
+        .withColumn("cum_s", F.sum("ns").over(w))
+        .withColumn("cum_e", F.sum("ne").over(w))
+        .withColumn("cov", F.col("cum_s") - F.col("cum_e"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.expr(
+                "cast(first(n) * (first(n) - 1) div 2"
+                " - sum(ns * cum_e) as long)"
+            ).alias("n_pairs"),
+            F.expr(
+                "cast(sum(cov * (cov - 1) div 2) as long)"
+            ).alias("total_overlap"),
+        )
+        .filter(F.col("n_pairs") > 0)
     )
 
 
