@@ -208,9 +208,19 @@ def with_sublevels(df: DataFrame, line_width: int = 8) -> DataFrame:
 def words_table(df: DataFrame, line_width: int = 8) -> DataFrame:
     """Flat per-word table (url, region_id, line_id, word_id, start,
     end, w_order, word_text) — the extract-words sink analog
-    (extract_words.py:147-201). One explode, still narrow."""
-    out = with_sublevels(df, line_width).select(
-        "url", "extracted_text", F.explode("word_spans").alias("w")
+    (extract_words.py:147-201). One explode, still narrow.
+
+    The explode runs FUSED over the inline word-span expression
+    (round 6): exploding the ``with_sublevels`` word_spans COLUMN
+    instead measured ~2× slower at sf1.0 (3.4 s vs 1.8 s, same
+    values) — the derived-array-column explode trap documented in
+    CLAUDE.md; array-column consumers keep using with_sublevels."""
+    text = F.col("extracted_text")
+    nested = F.transform(
+        F.col("region_spans"), lambda r: words_in_region(text, r, line_width)
+    )
+    out = df.select(
+        "url", "extracted_text", F.explode(F.flatten(nested)).alias("w")
     )
     return out.select(
         "url",
@@ -228,9 +238,21 @@ def words_table(df: DataFrame, line_width: int = 8) -> DataFrame:
 
 def lines_table(df: DataFrame, line_width: int = 8) -> DataFrame:
     """Flat per-line table — the extract-lines sink analog
-    (extract_lines.py:221-283)."""
-    out = with_sublevels(df, line_width).select(
-        "url", "extracted_text", F.explode("line_spans").alias("l")
+    (extract_lines.py:221-283). Explode fused over the inline
+    expression — see words_table."""
+    text = F.col("extracted_text")
+    nested = F.transform(
+        F.col("region_spans"), lambda r: words_in_region(text, r, line_width)
+    )
+    lines = F.flatten(
+        F.zip_with(
+            F.col("region_spans"),
+            nested,
+            lambda r, ws: lines_from_words(ws, r, line_width),
+        )
+    )
+    out = df.select(
+        "url", "extracted_text", F.explode(lines).alias("l")
     )
     return out.select(
         "url",

@@ -51,10 +51,20 @@ def _with_gram_buckets(
     (unigrams + bigrams, occurrence multiset). Intermediates bind
     through columns — a lambda referencing the split() tree would
     re-evaluate it per element (the measured no-CSE trap)."""
+    return _with_grams(df, text_col).withColumn(
+        "_buckets",
+        F.expr(
+            f"transform(_grams, g -> {STR_HASH.format(s='g')} % {n_buckets})"
+        ),
+    ).drop("_toks", "_grams")
+
+
+def _with_grams(df: DataFrame, text_col: str) -> DataFrame:
+    """Append ``_toks``/``_grams`` (unigrams + adjacent bigrams)."""
     d = df.withColumn(
         "_toks", F.expr(f"filter(split(lower({text_col}), ' '), x -> x != '')")
     )
-    d = d.withColumn(
+    return d.withColumn(
         "_grams",
         F.expr(
             "concat(_toks, IF(size(_toks) >= 2,"
@@ -63,12 +73,6 @@ def _with_gram_buckets(
             " cast(array() as array<string>)))"
         ),
     )
-    return d.withColumn(
-        "_buckets",
-        F.expr(
-            f"transform(_grams, g -> {STR_HASH.format(s='g')} % {n_buckets})"
-        ),
-    ).drop("_toks", "_grams")
 
 
 def fit_dsir_model(
@@ -78,9 +82,21 @@ def fit_dsir_model(
     corpus sample. B-bounded (<= n_buckets rows) — broadcastable by
     construction; totals derive at scoring time so a model is just its
     counts."""
+    # explode stays FUSED over the transform (CLAUDE.md Generate trap:
+    # exploding the derived _buckets ATTRIBUTE makes
+    # InferFiltersFromGenerate push a size()>0 filter that inlines the
+    # whole gram chain — with _toks indexed inside the _grams lambda
+    # that inlining is quadratic); _grams stays a bound column here
     return (
-        _with_gram_buckets(sample, text_col, n_buckets)
-        .select(F.explode("_buckets").alias("bucket"))
+        _with_grams(sample, text_col)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(_grams, g -> {STR_HASH.format(s='g')}"
+                    f" % {n_buckets})"
+                )
+            ).alias("bucket")
+        )
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
     )

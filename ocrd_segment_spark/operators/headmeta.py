@@ -283,10 +283,13 @@ def hreflang_links(
     scheme = f"lower(regexp_extract(url, '{_SCHEME}', 1))"
     host = f"lower(regexp_extract(url, '{_ABS_HOST}', 1))"
     return (
+        # explode fused over the tag-harvest expression (CLAUDE.md
+        # Generate trap: exploding the derived __tags attribute makes
+        # InferFiltersFromGenerate re-run the full-page regexp per row)
         df.select(
-            F.col(url_col).alias("url"), F.expr(h).alias("__tags")
+            F.col(url_col).alias("url"),
+            F.explode(F.expr(h)).alias("__t"),
         )
-        .select("url", F.explode("__tags").alias("__t"))
         .filter(F.expr(f"__t RLIKE '{_REL_ALTERNATE}'"))
         .selectExpr(
             "url",
@@ -490,8 +493,12 @@ def feed_links(
         'kind', regexp_extract(t, '{_TYPE_FEED}', 1),
         'href', regexp_extract(t, '{_HREF}', 1))))"""
     return (
-        df.select(F.col(url_col).alias("url"), F.expr(items).alias("__i"))
-        .select("url", F.explode("__i").alias("__f"))
+        # explode fused over the expression (the hreflang Generate-trap
+        # note above)
+        df.select(
+            F.col(url_col).alias("url"),
+            F.explode(F.expr(items)).alias("__f"),
+        )
         .withColumn(
             "feed_url",
             F.expr(

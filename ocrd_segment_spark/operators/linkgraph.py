@@ -88,16 +88,21 @@ def outlinks(
     src = F.expr(
         f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
     ).alias("src_host")
+    # explode fused over the regexp expression (CLAUDE.md Generate
+    # trap: exploding the derived __hrefs attribute made
+    # InferFiltersFromGenerate re-run the full-page regexp per row)
     base = df.select(
         F.col(url_col).alias("url"),
         src,
-        F.expr(f"regexp_extract_all(cast({html_col} as string), '{HREF_PATTERN}', 1)").alias(
-            "__hrefs"
-        ),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" '{HREF_PATTERN}', 1)"
+            )
+        ).alias("href"),
     )
     return (
         base.filter(F.col("src_host") != "")
-        .select("url", "src_host", F.explode("__hrefs").alias("href"))
         .withColumn("dst_host", F.expr(resolved_host_sql("href", "src_host")))
         .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
     )
@@ -124,16 +129,19 @@ def anchors(
     src = F.expr(
         f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
     ).alias("src_host")
+    # explode fused over the regexp (the outlinks Generate-trap note)
     base = df.select(
         F.col(url_col).alias("url"),
         src,
-        F.expr(
-            f"regexp_extract_all(cast({html_col} as string), '{ANCHOR_PATTERN}', 0)"
-        ).alias("__anchors"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" '{ANCHOR_PATTERN}', 0)"
+            )
+        ).alias("__m"),
     )
     return (
         base.filter(F.col("src_host") != "")
-        .select("url", "src_host", F.explode("__anchors").alias("__m"))
         .withColumn(
             "href", F.expr("regexp_extract(__m, 'href=\"([^\"]*)\"', 1)")
         )
@@ -616,23 +624,22 @@ def outlinks_flagged(
     src = F.expr(
         f"lower(regexp_extract({url_col}, '{_ABS_HOST}', 1))"
     ).alias("src_host")
+    # explode fused over the regexp (the outlinks Generate-trap note)
     base = df.select(
         F.col(url_col).alias("url"),
         src,
         F.expr(
-            f"regexp_extract_all(cast({html_col} as string),"
-            f" '{_A_TAG}', 0)"
-        ).alias("__tags"),
-        F.expr(
             f"cast({html_col} as string) RLIKE '{_META_NOFOLLOW}'"
         ).alias("__page_nofollow"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" '{_A_TAG}', 0)"
+            )
+        ).alias("__t"),
     )
     return (
         base.filter(F.col("src_host") != "")
-        .select(
-            "url", "src_host", "__page_nofollow",
-            F.explode("__tags").alias("__t"),
-        )
         .selectExpr(
             "url",
             "src_host",
