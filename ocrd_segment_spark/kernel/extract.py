@@ -361,14 +361,16 @@ def extract_document(
         return "", [], metrics
 
     # document text + token char offsets (the 1-D coordinate frame)
-    tok_len = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    tok_len = np.fromiter(map(len, tokens), dtype=np.int64, count=len(tokens))
     tok_start = np.zeros(len(tokens), dtype=np.int64)
     np.cumsum(tok_len[:-1] + 1, out=tok_start[1:])
     tok_end = tok_start + tok_len
     doc_text = " ".join(tokens)
     doc_len = len(doc_text)
     tok_link_arr = np.asarray(tok_link, dtype=bool)
-    link_len = np.where(tok_link_arr, tok_len, 0)
+    # prefix sums once per doc: the per-region link-density slice sums
+    # below become two O(1) lookups (round-6 perf; integer-exact)
+    link_cum = np.cumsum(np.where(tok_link_arr, tok_len, 0))
 
     n = len(candidates)
     metrics["n_candidates"] = n
@@ -406,11 +408,17 @@ def extract_document(
         s, e = int(starts[i]), int(ends[i])
         if e - s < params.min_region_chars:
             continue
-        # link density over the FINAL span's tokens (merges included)
-        ti = int(np.searchsorted(tok_start, s, side="left"))
-        tj = int(np.searchsorted(tok_end, e, side="right"))
-        total = int(tok_len[ti:tj].sum())
-        linked = int(link_len[ti:tj].sum())
+        # link density over the FINAL span's tokens (merges included).
+        # Σ tok_len[ti:tj] folds to offsets minus the tj-ti-1 interior
+        # single-space gaps; linked chars come from the prefix sums —
+        # same integers as the former slice sums, O(1) per region.
+        ti = int(tok_start.searchsorted(s, side="left"))
+        tj = int(tok_end.searchsorted(e, side="right"))
+        if tj > ti:
+            total = int(tok_end[tj - 1] - tok_start[ti]) - (tj - ti - 1)
+            linked = int(link_cum[tj - 1] - (link_cum[ti - 1] if ti else 0))
+        else:
+            total = linked = 0
         density = linked / total if total else 1.0
         if density > params.max_link_density:
             continue
@@ -501,8 +509,8 @@ def extract_document(
             # runs break whenever ANY TextStyle field changes.
             css = params.css_styles
             empty_state = CSS_DEFAULT if css else 0
-            ti = int(np.searchsorted(tok_start, s, side="left"))
-            tj = int(np.searchsorted(tok_end, e, side="right"))
+            ti = int(tok_start.searchsorted(s, side="left"))
+            tj = int(tok_end.searchsorted(e, side="right"))
             runs = []
             t = ti
             while t < tj:

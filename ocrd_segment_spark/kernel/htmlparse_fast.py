@@ -109,7 +109,9 @@ def _parse(html: str) -> Node:
         if m.start() > pos:
             _append_text(stack[-1], html[pos : m.start()])
         pos = m.end()
-        end_tag, start_tag = m.group(1, 2)
+        # one group() call for all four captures (round-6 perf; the
+        # attrs text is also read once and shared)
+        end_tag, start_tag, attrs_g, slash_g = m.group(1, 2, 3, 4)
         if start_tag is not None:
             tag = start_tag.lower()
             # auto-close rules (match _TreeBuilder._auto_close)
@@ -120,7 +122,8 @@ def _parse(html: str) -> Node:
                 elif top == "li" and tag == "li":
                     stack.pop()
             node = Node(tag, None, stack[-1])
-            node.attrs_raw = m.group(3) or ""
+            attrs_txt = attrs_g or ""
+            node.attrs_raw = attrs_txt
             stack[-1].children.append(node)
             # self-closing: the attrs group greedily consumes a trailing
             # '/', so inspect it. html.parser's rule (which the stdlib
@@ -129,8 +132,7 @@ def _parse(html: str) -> Node:
             # `<a href=foo/>` AND `<a href = foo/>` are normal start
             # tags (kernel 1.5.4) — but `<h2 disabled/>` (bare NAME
             # before the slash) and `<a x='q'/>` are self-closing.
-            attrs_txt = m.group(3) or ""
-            if m.group(4) == "/":
+            if slash_g == "/":
                 self_closing = True
             elif attrs_txt.endswith("/"):
                 self_closing = _SLASH_BINDS.search(attrs_txt) is None
