@@ -153,23 +153,16 @@ ExternalLoad; the box is shared, read each row against its weather).
                 f"| {r['master']} | {r['python_parallelism']} | {r['sec']} |"
                 f" {r['pages_per_sec']} | {r.get('ext_cores')} |\n"
             )
-        if un32["pages_per_sec"] < cap32["pages_per_sec"]:
-            note = f"""
-On this run, unbounded local[32] ({un32['pages_per_sec']} pages/s) lost to the
-python-task cap at 16 ({cap32['pages_per_sec']} pages/s): every concurrent
-mapInPandas task costs ~2 hardware threads (Python worker + JVM
-Arrow-feeder), so 32 tasks oversubscribe 32 cores ~2×."""
-        else:
-            note = f"""
-On this run, unbounded local[32] ({un32['pages_per_sec']} pages/s) beat the
-python-task cap ({cap32['pages_per_sec']} pages/s) — with an otherwise idle box
-the oversubscription penalty is hidden by scheduling slack; under
-concurrent load (earlier measured runs) unbounded local[32] collapsed
-to ~8k pages/s while the cap held ~24k."""
+        note = f"""
+Round-6 note: `python_parallelism` is now a parallelism FLOOR, not a
+cap (see CLAUDE.md — the old coalesce-to-cores//2 produced
+empty/doubled partitions over 4m-split scans and measured 3× slower
+at sf1.0), so the `local[32] / 16` row now exercises the floor
+semantics and should track unbounded local[32]
+(this run: {un32['pages_per_sec']} vs {cap32['pages_per_sec']} pages/s)."""
         f.write(f"""{note}
-The engine exposes the knob as `extract_pages(python_parallelism=)`;
-on a real cluster the same rule sizes cores-per-executor for UDF-heavy
-stages. This is the sandbox proxy for the 1000-executor design point:
+The engine exposes the knob as `extract_pages(python_parallelism=)`.
+This is the sandbox proxy for the 1000-executor design point:
 the extract path is shuffle-free (narrow), so throughput scales with
 (executors × cores) and the only global coordination is the output
 commit.
@@ -344,12 +337,13 @@ test_resume_from_uncommitted_temporary_only). The in-test variant
 Fixture pages are ~3 KB; re-measured on 10k synthetic pages of ~18 KB
 (40 long paragraphs each, 180 MB total): **4,716 pages/s = 85 MB/s on
 16 cores (5.3 MB/s/core)**, kernel-bound (parse + tokenize scale with
-bytes). Projection for the north_rule's design point, with the
-cores//2 python-task rule (1000 executors x 16 cores -> 8 concurrent
-kernel tasks each):
+bytes). Projection for the north_rule's design point (round 6: the
+cores//2 cap is retired — python tasks run on every core, so 1000
+executors x 16 cores -> 16 concurrent kernel tasks each at the same
+per-core rate):
 
-    1000 executors x 8 tasks x 5.3 MB/s = 42 GB/s
-    100 TB / 42 GB/s = ~40 minutes end-to-end
+    1000 executors x 16 tasks x 5.3 MB/s = 85 GB/s
+    100 TB / 85 GB/s = ~20 minutes end-to-end
 
 The path is shuffle-free, so this scales linearly with executors until
 the input filesystem, not Spark, is the bottleneck.
