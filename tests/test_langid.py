@@ -357,3 +357,38 @@ def test_lang_mix_stats_majority_and_tie(spark):
     assert rows[2]["majority_lang"] == "en"
     assert rows[2]["majority_frac"] == 0.5
     assert rows[3]["n_langs"] == 1 and rows[3]["majority_frac"] == 1.0
+
+
+def test_known_rows_matches_counter_multiset():
+    """Round-6 vectorized gram counting (_known_rows) must reproduce
+    the Counter(_grams(norm)) multiset restricted to the vocabulary,
+    in ascending-gram order — the frozen fold's precondition."""
+    import random
+
+    from collections import Counter
+
+    from ocrd_segment_spark.operators.langid import (
+        _grams,
+        _known_rows,
+        _scorer_matrix,
+        _scorer_tables,
+        normalize,
+    )
+
+    langs, model = _scorer_tables()
+    grams_sorted = sorted(model)
+    rng = random.Random(13)
+    alphabet = "abcdefgh 千里足 АБвгд ابجد \t\n.,!?é\U0001F600"
+    texts = ["", "a", "ab", " \t ", "x" * 300] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200)))
+        for _ in range(300)
+    ]
+    for t in texts:
+        norm = normalize(t)
+        c = Counter(_grams(norm))
+        expect = [
+            (i, c[g]) for i, g in enumerate(grams_sorted) if c.get(g)
+        ]
+        idx, cnt = _known_rows(norm)
+        got = [] if idx is None else list(zip(idx.tolist(), cnt.tolist()))
+        assert got == expect, (t, got[:5], expect[:5])

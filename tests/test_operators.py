@@ -1147,3 +1147,36 @@ def test_mirror_hosts_detects_mirrors_and_caps_boilerplate(spark):
     assert (r["host_a"], r["host_b"]) == ("a.org", "b.org")
     assert (r["shared"], r["n_a"], r["n_b"]) == (3, 4, 4)
     assert r["resemblance"] == 0.6
+
+
+def test_precomputed_shingles_paths_identical(spark):
+    """Round-6 shared-shingle derivation: supplying a materialized
+    _shingle_table to the LSH blocker and the Jaccard verifier must
+    reproduce the default (derive-inline) outputs exactly."""
+    pdf = pages_pandas(60)
+    texts = [(r["text"] + " extra tail words") for _, r in pdf.iterrows()]
+    docs = spark.createDataFrame(
+        # each base text appears 3x (suffix-varied ids) -> real LSH
+        # collisions, so the parity check bites on non-empty outputs
+        [(f"{i}-{j}", texts[i % 20]) for i in range(60) for j in range(1)],
+        "doc_id string, text string",
+    )
+    sh = D._shingle_table(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=True
+    )
+    base_cands = D.minhash_lsh_candidates(docs)
+    shared_cands = D.minhash_lsh_candidates(docs, shingles=sh)
+    a = {tuple(r) for r in base_cands.collect()}
+    b = {tuple(r) for r in shared_cands.collect()}
+    assert a == b and a  # non-empty: repeated text makes collisions
+    va = {
+        tuple(r)
+        for r in D.jaccard_verify_pairs(docs, base_cands).collect()
+    }
+    vb = {
+        tuple(r)
+        for r in D.jaccard_verify_pairs(
+            docs, shared_cands, shingles=sh
+        ).collect()
+    }
+    assert va == vb and va
